@@ -1,0 +1,44 @@
+"""Landing layer: append-only, duplicate-preserving Parquet table.
+
+Reference contract (dbt_project/models/landing/raw_ocsf_findings.sql:24-40,
+scripts/ingest_raw_ocsf_findings.py:79-129): ``finding_uid TEXT,
+raw_ocsf_json JSONB, loaded_at TIMESTAMPTZ`` — append-only, NO unique key;
+the same finding_uid appearing in multiple scans stays as separate rows.
+
+Spark re-conception: the reference's one-INSERT-one-transaction-per-finding
+loop (its throughput cliff) becomes a single distributed append. ``loaded_at``
+is one ``current_timestamp()`` per batch (the reference's DB-side
+CURRENT_TIMESTAMP per row differs only in microsecond jitter between rows of
+the same batch). Physical layout replaces the reference's btree indexes:
+partitioned by ``load_date`` so the staging high-water-mark filter prunes
+whole partitions, with Parquet min/max stats standing in for the
+``finding_uid`` index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def land(findings_json_df: DataFrame, path: str, mode: str = "append") -> None:
+    """Append findings (columns ``finding_uid``, ``raw_ocsf_json`` — from
+    ``plans.convert.ocsf_to_json`` or an OCSF batch source) to the landing
+    table at ``path``.
+
+    Fail-fast semantics (reference ingest_raw_ocsf_findings.py:125-127) are
+    Spark's native all-or-nothing job commit: no partial batch is visible.
+    """
+    (
+        findings_json_df.select("finding_uid", "raw_ocsf_json")
+        .withColumn("loaded_at", F.current_timestamp())
+        .withColumn("load_date", F.to_date(F.col("loaded_at")))
+        .write.mode(mode)
+        .option("mergeSchema", "true")  # on_schema_change='append_new_columns'
+        .partitionBy("load_date")
+        .parquet(path)
+    )
+
+
+def read_landing(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where engine-wide physical-execution policy lives:
+AQE on (runtime re-planning, skew-join handling, partition coalescing),
+UTC session time, Arrow for any pandas exchange, nested-schema pruning for
+the OCSF struct columns. Tests and the bench harness all come through here
+so plans are comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] harness; on a real cluster these are
+# overridden by spark-submit conf. shuffle.partitions is deliberately modest
+# locally — AQE coalesces further — while at 100 TB you would raise it to
+# O(cores * 2-4) and rely on AQE's target post-shuffle size instead.
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # 64 MB broadcast threshold: every dim table in the star schema
+    # (region/nation/supplier/part/customer at bench SF) broadcasts.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ANSI off: engine contract is permissive-null arithmetic (PostgreSQL's
+    # NULLIF guards are re-expressed explicitly where the reference used them).
+    "spark.sql.ansi.enabled": "false",
+    # Python-dict semantics for duplicate map keys (rules lookup keeps the
+    # last rule with a given id, like the reference's dict build).
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "boann-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
