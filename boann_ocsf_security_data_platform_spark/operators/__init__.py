@@ -1,0 +1,16 @@
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash16,
+    with_shingles,
+)
+from .relational import asof_join, asof_join_pandas, topk_per_group  # noqa: F401
+from .similarity import cosine_sim, cosine_topk, embedding_near_dup_pairs  # noqa: F401
+from .text import (  # noqa: F401
+    doc_fingerprint,
+    lang_id,
+    text_quality,
+    tokens,
+)

@@ -1,0 +1,121 @@
+"""Relational operators Spark lacks as single primitives: as-of join,
+per-group top-k. Everything else in SURVEY.md §2.7 (join family, aggregates,
+windows, set ops, grouping sets) is declared directly through the DataFrame
+API — see __spark_entry__.queries() for the full inventory — because
+Catalyst's built-in strategies (broadcast vs sort-merge, partial aggs, AQE)
+are exactly what we want; wrapping them would only hide the plan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_col: str, k: int, desc: bool = True
+) -> DataFrame:
+    """Per-group top-k: window row_number ≤ k. Spark plans the sort as a
+    partial per-partition top-k under AQE; for global LIMIT-style top-k
+    Catalyst already emits TakeOrderedAndProject."""
+    order = F.desc(order_col) if desc else F.asc(order_col)
+    w = Window.partitionBy(*group_cols).orderBy(order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the largest
+    ``right_time`` ≤ ``left_time`` (direction='backward'; 'forward' is the
+    smallest ≥) within the same key.
+
+    Composition of built-ins: range join + per-left-row rank-1. Correct and
+    fully declarative, but the range join can fan out when many right rows
+    precede each left row — prefer ``asof_join_pandas`` for dense time
+    series at scale (co-partitioned merge_asof, no fan-out).
+    """
+    lid = "_asof_left_id"
+    l = left.withColumn(lid, F.monotonically_increasing_id())
+    r = right.select(
+        F.col(on).alias("_asof_key"),
+        F.col(right_time).alias("_asof_rt"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (on, right_time)
+        ],
+    )
+    if direction == "backward":
+        cond = (l[on] == r["_asof_key"]) & (r["_asof_rt"] <= l[left_time])
+        order = F.desc("_asof_rt")
+    else:
+        cond = (l[on] == r["_asof_key"]) & (r["_asof_rt"] >= l[left_time])
+        order = F.asc("_asof_rt")
+    w = Window.partitionBy(lid).orderBy(order)
+    return (
+        l.join(r, cond, "left")
+        .withColumn("_asof_rn", F.row_number().over(w))
+        .filter(F.col("_asof_rn") == 1)
+        .drop("_asof_rn", "_asof_key", lid)
+        .withColumnRenamed("_asof_rt", f"r_{right_time}")
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """Scale-path as-of join: co-group both sides by key and run
+    ``pd.merge_asof`` per group (Arrow-batched). One shuffle per side on
+    the key, zero fan-out, memory bounded by the largest single key —
+    salt the key or window the time range if one key dominates.
+    """
+    right_cols = [c for c in right.columns if c not in (on, right_time)]
+    out_fields = (
+        left.schema.fields
+        + [right.schema[right_time]]
+        + [right.schema[c] for c in right_cols]
+    )
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        left.schema.fields
+        + [
+            type(f)(f"r_{f.name}", f.dataType, True)
+            for f in out_fields[len(left.schema.fields):]
+        ]
+    )
+
+    def merge(key, iters):
+        l_pdf, r_pdf = iters
+        l_pdf = l_pdf.sort_values(left_time)
+        r_pdf = r_pdf.sort_values(right_time).rename(
+            columns={c: f"r_{c}" for c in r_pdf.columns if c != on}
+        )
+        if l_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        merged = pd.merge_asof(
+            l_pdf,
+            r_pdf.drop(columns=[on], errors="ignore"),
+            left_on=left_time,
+            right_on=f"r_{right_time}",
+            direction=direction,
+        )
+        return merged[[f.name for f in schema.fields]]
+
+    return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(merge, schema)

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, a broadcast-nested-loop of
+|queries| × |corpus| dot products, entirely JVM-side (``zip_with`` +
+``aggregate``), no Python. Right answer when |queries| is small.
+
+Scale path: LSH bucketing by random-hyperplane sign bits turns the scan
+into an equi-join on bucket id — probe only the colliding bucket(s).
+Approximate (recall < 1), so it is deliberately a separate operator; the
+exact operator stays the semantic reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, left-to-right accumulation (matches
+    DuckDB's list_dot_product over DOUBLE[] for oracle comparability)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    ``broadcast(queries)`` → nested-loop join → per-query top-k via
+    row_number. Excludes self-matches when ids collide. The corpus is
+    never shuffled: each task scans its corpus split against the broadcast
+    queries and emits k rows per query partial, so the final shuffle is
+    tiny (|queries| × k × partitions upper bound, cut down by AQE).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (md5-seeded),
+    reproducible across runs and engines."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"hp-{p}-{d}".encode()).hexdigest()[:8], 16)
+            row.append((h / 0xFFFFFFFF) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in row)) or 1.0
+        planes.append([x / norm for x in row])
+    return planes
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(_hyperplanes(n_planes, dim)):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket.
+
+    Equi-join on bucket id instead of a full scan — at 1000 executors this
+    is a plain shuffled hash join keyed by bucket, ~2^n_planes-fold less
+    comparison work, with recall traded off via n_planes.
+    """
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    sim = F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6)
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold, blocked by
+    ``block_col`` (use an LSH bucket as the block when no natural key
+    exists — never an unblocked self-cross-join at scale)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, "blk") if block_col else a.crossJoin(b)
+    sim = F.round(cosine_sim(F.col("v_a"), F.col("v_b")), 6)
+    return (
+        joined.filter(cond)
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen'd, shuffle-free): at 100 TB
+these run at scan bandwidth. Every operator is deliberately expressible in
+portable SQL so the DuckDB oracle can verify it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hash_fns import normalize_text
+
+# Tiny deterministic stopword lists per language for the n-gram/stopword
+# language-ID heuristic. Order matters: ties break toward the first listed.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "para", "en", "que"),
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"] + ("this", "with", "as", "on", "be", "are")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (empty tokens dropped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(normalize_text(c), " "), lambda t: t != "")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish sub-word segmentation: split on whitespace AND on
+    letter/digit/punctuation boundaries (a cheap, deterministic stand-in
+    for a real tokenizer's pre-tokenization pass)."""
+    c = F.col(col) if isinstance(col, str) else col
+    marked = F.regexp_replace(
+        F.lower(c), r"([0-9]+|[^a-z0-9\s]+)", r" $1 "
+    )
+    return F.filter(F.split(F.trim(marked), r"\s+"), lambda t: t != "")
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics + composite score.
+
+    Metrics follow the usual pretraining-filter recipe (length, mean word
+    length, stopword ratio, punctuation/digit density). The score is a
+    transparent linear blend — callers threshold it to filter.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda w: w.isin(*STOPWORDS_EN))
+    )
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))
+
+    length_ok = (n_tokens >= 10) & (n_tokens <= 100000)
+    word_len_ok = (mean_word_len >= 2.0) & (mean_word_len <= 15.0)
+
+    score = (
+        F.lit(0.25) * length_ok.cast("double")
+        + F.lit(0.25) * word_len_ok.cast("double")
+        + F.lit(0.25) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.25) * (1 - F.least((punct_ratio + digit_ratio) * 4, F.lit(1.0)))
+    )
+
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: score each candidate language by the
+    share of tokens in its stopword list; argmax wins, 'und' (undetermined)
+    when nothing matches."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    scores = {
+        lang: F.when(
+            n > 0, F.size(F.filter(toks, lambda w: w.isin(*words))) / n
+        ).otherwise(F.lit(0.0))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reversed so the FIRST language in dict order wins ties
+    for lang in reversed(list(scores)):
+        pred = F.when(best == scores[lang], F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.select(
+        "*", F.round(best, 6).alias("lang_score"), pred.alias("lang_pred")
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint over the canonicalized text —
+    the exact-dedup / provenance key."""
+    return df.withColumn("fingerprint", F.md5(normalize_text(F.col(text_col))))

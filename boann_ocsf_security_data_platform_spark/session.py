@@ -36,6 +36,10 @@ _DEFAULT_CONF: dict[str, str] = {
     # last rule with a given id, like the reference's dict build).
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.shuffle.partitions": "32",
+    # Parquet TIMESTAMP(NANOS) columns (events.ts in the test tables) read
+    # as long nanoseconds; sources.catalog converts them to µs timestamps,
+    # the same truncation DuckDB applies.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }

@@ -8,6 +8,8 @@ factor.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -23,8 +25,18 @@ TABLES = (
 )
 
 
+# Columns stored as Parquet TIMESTAMP(NANOS), which Spark surfaces as long
+# nanoseconds under spark.sql.legacy.parquet.nanosAsLong (set by session.py).
+_NANO_TS_COLUMNS = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLUMNS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            # ns → µs truncation, identical to DuckDB's read of the file
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
