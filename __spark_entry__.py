@@ -1,38 +1,1028 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, query inventory, and DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator/capability from SURVEY.md §2
+(relational surface §2.7 + LLM-pipeline extensions) expressed Spark-first;
+``oracle_sql()`` holds the equivalent DuckDB SQL over the same parquet
+tables. Column names and types are aligned pair-wise; double-valued
+aggregates are rounded identically on both sides so order-of-accumulation
+noise cannot break the value hash. Approximate operators
+(approx_count_distinct, LSH top-k) intentionally have NO oracle entry —
+the driver records a rows-only check for them.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from boann_ocsf_security_data_platform_spark.operators import (
+    exact_dedup,
+    lang_id,
+    simhash16,
+    text_quality,
+    topk_per_group,
+)
+from boann_ocsf_security_data_platform_spark.operators.dedup import (
+    _xor_constant,
+    minhash_near_dup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    with_shingles,
+)
+from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_media_meta,
+)
+from boann_ocsf_security_data_platform_spark.operators.similarity import (
+    cosine_sim,
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
+from boann_ocsf_security_data_platform_spark.operators.text import (
+    LANG_STOPWORDS,
+    STOPWORDS_EN,
+    bpe_ish_tokens,
+)
+from boann_ocsf_security_data_platform_spark.sources import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational core
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "join_left_outer",
+    """
+    SELECT n_name, count(c_custkey) AS n_customers,
+           round(coalesce(sum(c_acctbal), 0), 2) AS total_acctbal
+    FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias(
+                "total_acctbal"
+            ),
+        )
+    )
+
+
+@_q(
+    "join_full_outer",
+    """
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, "nk", "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@_q(
+    "join_semi",
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "join_anti",
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "join_cross",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "region")
+        .crossJoin(_t(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@_q(
+    "join_theta_inequality",
+    """
+    SELECT n_nationkey, count(*) AS n_pairs
+    FROM customer JOIN supplier
+      ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def join_theta_inequality(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(
+            F.broadcast(s),
+            (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / grouping-set family
+# ---------------------------------------------------------------------------
+
+@_q(
+    "agg_distinct_and_stats",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey)      AS n_nations,
+           count(*)                         AS n_customers,
+           round(avg(c_acctbal), 4)         AS avg_bal,
+           round(stddev_samp(c_acctbal), 4) AS sd_bal,
+           round(min(c_acctbal), 2)         AS min_bal,
+           round(max(c_acctbal), 2)         AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_distinct_and_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+@_q(
+    "agg_collect_sorted",
+    """
+    SELECT r_name, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@_q(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@_q(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@_q(
+    "window_rank",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS prank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank(spark, sf_dir):
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@_q(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           CAST(count(*) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_so_far
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
+
+
+@_q(
+    "window_lag_lead",
+    """
+    SELECT user_id, event_id, ts,
+           round(value - lag(value)  OVER w, 6) AS delta_prev,
+           round(lead(value) OVER w - value, 6) AS delta_next,
+           round(first_value(value) OVER w, 6)  AS first_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(v - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - v, 6).alias("delta_next"),
+        F.round(F.first("value").over(w), 6).alias("first_val"),
+    )
+
+
+@_q(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group_q(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@_q(
+    "setop_intersect",
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "INTERSECT SELECT s_nationkey FROM supplier",
+)
+def setop_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@_q(
+    "setop_except",
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "EXCEPT SELECT s_nationkey FROM supplier",
+)
+def setop_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (distinct) semantics, not exceptAll
+
+
+@_q(
+    "setop_union_all",
+    """
+    SELECT side, count(*) AS n FROM (
+      SELECT 'cust' AS side, c_nationkey AS nk FROM customer
+      UNION ALL
+      SELECT 'supp' AS side, s_nationkey AS nk FROM supplier) t
+    GROUP BY side
+    """,
+)
+def setop_union_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("cust").alias("side"), F.col("c_nationkey").alias("nk")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("side"), F.col("s_nationkey").alias("nk")
+    )
+    return c.unionByName(s).groupBy("side").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function coverage
+# ---------------------------------------------------------------------------
+
+@_q(
+    "scalar_string_date_hash",
+    """
+    SELECT p_partkey,
+           lower(p_type)                                   AS type_lower,
+           substr(p_name, 1, 8)                            AS name_prefix,
+           regexp_replace(p_brand, '[^0-9]', '', 'g')      AS brand_num,
+           concat_ws('|', p_brand, p_type)                 AS brand_type,
+           (p_name LIKE '%a%')                             AS has_a,
+           CAST(length(p_name) AS BIGINT)                  AS name_len,
+           md5(p_name)                                     AS name_md5,
+           sha256(p_name)                                  AS name_sha256
+    FROM part
+    """,
+)
+def scalar_string_date_hash(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("p_brand", "[^0-9]", "").alias("brand_num"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_name", 256).alias("name_sha256"),
+    )
+
+
+@_q(
+    "scalar_datetime",
+    """
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate)                        AS order_month,
+           CAST(year(o_orderdate)  AS BIGINT)                      AS order_year,
+           CAST(month(o_orderdate) AS BIGINT)                      AS order_m,
+           CAST(day(o_orderdate)   AS BIGINT)                      AS order_d,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT) AS days_to_2002
+    FROM orders
+    """,
+)
+def scalar_datetime(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_d"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("days_to_2002"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: micro-batch analytics (batch equivalents of the streaming ops)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "events_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # microsecond-exact gap comparison, same as DuckDB's interval compare
+    gap_ok = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        <= 30 * 60 * 1_000_000
+    )
+    flagged = e.withColumn(
+        "new_sess", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(cum))
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@_q(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"list_filter(string_split({_NORM}, ' '), w -> w <> '')"
+_H64 = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _duck_shingles(k: int = 3) -> str:
+    gram = " || ' ' || ".join([f"ws[i + {j}]" for j in range(k)])
+    # range() is stop-exclusive: i runs 1 .. len(ws)-k+1 like Spark's
+    # sequence(1, n-k+1) inclusive
+    return (
+        f"CASE WHEN len(ws) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len(ws) - {k - 2}), i -> {gram})) "
+        f"ELSE [array_to_string(ws, ' ')] END"
+    )
+
+
+@_q(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM}) AS content_hash,
+           min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4) -> str:
+    rows = n_hashes // n_bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> xor(h, {_xor_constant(j)})))"
+        for j in range(n_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', "
+        + ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        + ")) AS band_hash FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH words AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM words),
+    hh AS (SELECT doc_id,
+                  list_transform(shingles, s -> {_H64.format(expr='s')}) AS hs
+           FROM sh),
+    sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hh),
+    bands AS ({band_rows})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+
+@_q("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+    WITH words AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    hh AS (SELECT doc_id, list_transform(ws, t -> {_H64.format(expr='t')}) AS hs
+           FROM words)
+    SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM hh
+    """
+
+
+@_q("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    return simhash16(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH words AS (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+    sh AS (SELECT doc_id, source, {_duck_shingles(3)} AS shingles FROM words),
+    ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM ex a JOIN ex b
+        ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@_q(
+    "knn_bruteforce_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_COS}, 6) AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rank
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 10) t
+    WHERE rank <= 5
+    """,
+)
+def knn_bruteforce_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@_q(
+    "embedding_near_dup",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_COS}, 6) >= 0.3
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+# approximate scale-path — deliberately NO oracle (recall < 1 by design)
+@_q("knn_lsh_approx")
+def knn_lsh_approx(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@_q("approx_count_distinct")
+def approx_count_distinct_q(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+
+
+@_q(
+    "text_quality_metrics",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents),
+    m AS (SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_tokens,
+            CASE WHEN len(ws) > 0 THEN CAST(length(text) AS DOUBLE) / len(ws) ELSE 0 END AS mwl,
+            CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, w -> list_contains({_STOP_EN_SQL}, w))) AS DOUBLE) / len(ws) ELSE 0 END AS sr,
+            CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) / length(text) ELSE 0 END AS pr,
+            CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0 END AS dr
+          FROM t)
+    SELECT doc_id, n_tokens, round(mwl, 6) AS mean_word_len,
+           round(sr, 6) AS stopword_ratio, round(pr, 6) AS punct_ratio,
+           round(dr, 6) AS digit_ratio,
+           round(0.25 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)
+               + 0.25 * (CASE WHEN mwl BETWEEN 2.0 AND 15.0 THEN 1 ELSE 0 END)
+               + 0.25 * least(sr * 4, 1.0)
+               + 0.25 * (1 - least((pr + dr) * 4, 1.0)), 6) AS quality_score
+    FROM m
+    """,
+)
+def text_quality_metrics(spark, sf_dir):
+    return text_quality(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "digit_ratio",
+        "quality_score",
+    )
+
+
+def _langid_oracle() -> str:
+    score_exprs = {
+        lang: (
+            f"CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, w -> list_contains("
+            + "["
+            + ", ".join(f"'{w}'" for w in words)
+            + f"], w))) AS DOUBLE) / len(ws) ELSE 0 END"
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    sel = ", ".join(f"{e} AS s_{lang}" for lang, e in score_exprs.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in score_exprs) + ")"
+    case = " ".join(
+        f"WHEN {best} = s_{lang} THEN '{lang}'" for lang in LANG_STOPWORDS
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    s AS (SELECT doc_id, {sel} FROM t)
+    SELECT doc_id, round({best}, 6) AS lang_score,
+           CASE WHEN {best} > 0 THEN (CASE {case} END) ELSE 'und' END AS lang_pred
+    FROM s
+    """
+
+
+@_q("text_lang_id", _langid_oracle())
+def text_lang_id(spark, sf_dir):
+    return lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_score", "lang_pred"
+    )
+
+
+@_q(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    from boann_ocsf_security_data_platform_spark.operators import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@_q(
+    "text_token_counts",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS ws,
+      list_filter(string_split_regex(trim(regexp_replace(lower(text),
+        '([0-9]+|[^a-z0-9\\s]+)', ' \\1 ', 'g')), '\\s+'), w -> w <> '') AS bts
+      FROM documents)
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(bts) AS BIGINT) AS n_subtokens
+    FROM t
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("n_subtokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + Arrow-batched metadata extraction)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "multimodal_media_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5,
+           CAST(32 + (CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 64) AS INT) AS width,
+           CAST(32 + (CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 64) AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_media_meta(spark, sf_dir):
+    return extract_media_meta(
+        attach_binary_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: the Q1-style pricing summary."""
+    return q1_pricing_summary(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE)

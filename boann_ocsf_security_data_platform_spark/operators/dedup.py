@@ -33,6 +33,19 @@ def _xor_constant(j: int) -> int:
     return int(hashlib.md5(f"minhash-perm-{j}".encode()).hexdigest()[:15], 16)
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread CPU-bound per-row work (shingling, hashing) across cores.
+
+    A small parquet input arrives as one split, serializing the whole
+    map stage on one task. When the plan has fewer partitions than the
+    cluster's default parallelism, repartition up; on real at-scale inputs
+    (thousands of splits) this is a no-op so no gratuitous shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -150,7 +163,9 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH candidates →
     (optional) exact Jaccard verification of candidates only."""
-    sh = with_shingles(df, text_col, k).select(id_col, "shingles")
+    sh = with_shingles(_ensure_parallelism(df), text_col, k).select(
+        id_col, "shingles"
+    )
     sig = minhash_signature(sh, n_hashes=n_hashes)
     pairs = lsh_candidate_pairs(
         sig, id_col=id_col, n_bands=n_bands, rows_per_band=n_hashes // n_bands
@@ -215,12 +230,16 @@ def ngram_jaccard_pairs(
     jaccard = |∩| / (|A| + |B| - |∩|). The blocking column bounds the join
     fan-out; at scale use an LSH band as the block instead of a natural key.
     """
-    sh = with_shingles(df, text_col, k).select(
+    sh = with_shingles(_ensure_parallelism(df), text_col, k).select(
         block_col, id_col, F.col("shingles")
     )
     sizes = sh.select(id_col, F.size("shingles").alias("n_sh"))
+    # join on the 60-bit shingle hash, not the string: same distinct-count
+    # semantics (collisions negligible at 2^-60), ~3× lighter shuffle keys
     tokensr = sh.select(
-        block_col, id_col, F.explode("shingles").alias("shingle")
+        block_col,
+        id_col,
+        F.explode(F.transform("shingles", lambda s: hash64(s))).alias("shingle"),
     )
     a = tokensr.alias("a")
     b = tokensr.alias("b")

@@ -78,6 +78,9 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame
                 }
             )
 
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return df.mapInPandas(batches, MEDIA_META_SCHEMA)
 
 
