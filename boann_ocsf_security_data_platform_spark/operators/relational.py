@@ -85,37 +85,41 @@ def asof_join_pandas(
     the key, zero fan-out, memory bounded by the largest single key —
     salt the key or window the time range if one key dominates.
     """
-    right_cols = [c for c in right.columns if c not in (on, right_time)]
-    out_fields = (
-        left.schema.fields
-        + [right.schema[right_time]]
-        + [right.schema[c] for c in right_cols]
-    )
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
+    right_cols = [c for c in right.columns if c != on]
     schema = StructType(
-        left.schema.fields
+        list(left.schema.fields)
         + [
-            type(f)(f"r_{f.name}", f.dataType, True)
-            for f in out_fields[len(left.schema.fields):]
+            StructField(f"r_{f.name}", f.dataType, True)
+            for f in right.schema.fields
+            if f.name != on
         ]
     )
+    out_names = [f.name for f in schema.fields]
 
-    def merge(key, iters):
-        l_pdf, r_pdf = iters
-        l_pdf = l_pdf.sort_values(left_time)
-        r_pdf = r_pdf.sort_values(right_time).rename(
-            columns={c: f"r_{c}" for c in r_pdf.columns if c != on}
-        )
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         if l_pdf.empty:
-            return pd.DataFrame(columns=[f.name for f in schema.fields])
-        merged = pd.merge_asof(
-            l_pdf,
-            r_pdf.drop(columns=[on], errors="ignore"),
-            left_on=left_time,
-            right_on=f"r_{right_time}",
-            direction=direction,
+            return pd.DataFrame(columns=out_names)
+        l_pdf = l_pdf.sort_values(left_time)
+        r_pdf = (
+            r_pdf.drop(columns=[on])
+            .rename(columns={c: f"r_{c}" for c in right_cols})
+            .sort_values(f"r_{right_time}")
         )
-        return merged[[f.name for f in schema.fields]]
+        if r_pdf.empty:
+            merged = l_pdf.copy()
+            for c in out_names:
+                if c not in merged.columns:
+                    merged[c] = None
+        else:
+            merged = pd.merge_asof(
+                l_pdf,
+                r_pdf,
+                left_on=left_time,
+                right_on=f"r_{right_time}",
+                direction=direction,
+            )
+        return merged[out_names]
 
     return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(merge, schema)

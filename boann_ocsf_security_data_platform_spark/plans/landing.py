@@ -29,8 +29,15 @@ def land(findings_json_df: DataFrame, path: str, mode: str = "append") -> None:
     Fail-fast semantics (reference ingest_raw_ocsf_findings.py:125-127) are
     Spark's native all-or-nothing job commit: no partial batch is visible.
     """
+    # keep any extra (non-lineage) columns: on_schema_change='append_new_columns'
+    extra = [
+        c
+        for c in findings_json_df.columns
+        if c not in ("finding_uid", "raw_ocsf_json", "loaded_at", "load_date")
+        and not c.startswith("_")
+    ]
     (
-        findings_json_df.select("finding_uid", "raw_ocsf_json")
+        findings_json_df.select("finding_uid", "raw_ocsf_json", *extra)
         .withColumn("loaded_at", F.current_timestamp())
         .withColumn("load_date", F.to_date(F.col("loaded_at")))
         .write.mode(mode)

@@ -26,7 +26,12 @@ def read_sarif(
     DataFrame before filtering on ``_corrupt_record`` alone."""
     schema = SARIF_SCHEMA
     if keep_corrupt:
-        schema = schema.add("_corrupt_record", StringType())
+        # copy-extend: StructType.add mutates the receiver in place
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            list(SARIF_SCHEMA.fields) + [StructField("_corrupt_record", StringType())]
+        )
     reader = (
         spark.read.schema(schema)
         .option("multiLine", True)

@@ -1,0 +1,238 @@
+"""Continuous OCSF file ingestion — the reference monitor re-conceived.
+
+Reference (scripts/ocsf_monitor.py): a sequential loop — sorted directory
+scan → optional external validator → per-file ingest → shutil.move to
+processed/ or failed/ — with SIGINT/SIGTERM graceful shutdown and a GCS
+twin of every step (list/download/move, :210-342).
+
+Two Spark modes, same at-least-once + disposition contract:
+
+- ``process_directory``: one **batch sweep**. All parseable findings land in
+  a single distributed append (vs one INSERT per finding); per-file
+  validation/parse failures isolate just that file into failed/. File moves
+  go through the Hadoop FileSystem API, so ``file://`` and ``gs://`` URIs
+  behave identically (the reference's dual-backend branching collapses into
+  the FS abstraction — SURVEY S4/S5).
+- ``start_monitor_stream``: **Structured Streaming** file source with
+  ``foreachBatch`` landing. Discovery, progress tracking and exactly-once
+  batch bookkeeping come from the checkpoint; processed files are archived
+  by the source (``cleanSource=archive``), replacing the manual move loop.
+
+Scale: the batch sweep is bounded by listing cost (driver) + one job;
+the stream handles unbounded directories with ``maxFilesPerTrigger``
+back-pressure. Neither touches per-file Python on the data path.
+"""
+
+from __future__ import annotations
+
+import logging
+import signal
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import OCSF_FINDING_SCHEMA
+from ..sources.ocsf import read_ocsf_batch
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Hadoop FS helpers (URI-scheme agnostic: file://, gs://, s3a://, hdfs://)
+# ---------------------------------------------------------------------------
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def list_source_files(
+    spark: SparkSession, source_dir: str, suffix: str = ".ocsf.json"
+) -> list[str]:
+    """Sorted (lexicographic) listing — the reference's deterministic
+    processing order (ocsf_monitor.py:153-159, gcs_utils.py:76-87)."""
+    fs, hpath, _ = _fs_for(spark, source_dir)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        p = st.getPath().toString()
+        if st.isFile() and p.endswith(suffix):
+            out.append(p)
+    return sorted(out)
+
+
+def move_file(spark: SparkSession, src: str, dst_dir: str) -> None:
+    """Move preserving the file name (reference K3/K4 disposition)."""
+    fs, src_path, jvm = _fs_for(spark, src)
+    dst_dir_path = jvm.org.apache.hadoop.fs.Path(dst_dir)
+    if not fs.exists(dst_dir_path):
+        fs.mkdirs(dst_dir_path)
+    dst = jvm.org.apache.hadoop.fs.Path(dst_dir, src_path.getName())
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    fs.rename(src_path, dst)
+
+
+# ---------------------------------------------------------------------------
+# Batch sweep
+# ---------------------------------------------------------------------------
+
+def process_directory(
+    spark: SparkSession,
+    source_dir: str,
+    landing_path: str,
+    processed_dir: str,
+    failed_dir: str,
+    validator: Callable[[SparkSession, str], bool] | None = None,
+) -> dict[str, list[str]]:
+    """One monitor sweep: scan → [validate] → land (one batch) → move.
+
+    ``validator`` mirrors the reference's external schema validator hook
+    (ocsf_monitor.py:81-117): called per file, False → failed/ without
+    ingestion. Files that produce zero parseable findings but are valid
+    empty arrays count as processed (reference :166-169); unparseable JSON
+    goes to failed/.
+    """
+    files = list_source_files(spark, source_dir)
+    if not files:
+        return {"processed": [], "failed": []}
+
+    failed: set[str] = set()
+    for f in files:
+        if validator is not None:
+            try:
+                if not validator(spark, f):
+                    failed.add(f)
+            except Exception:
+                logger.exception("validator failed for %s", f)
+                failed.add(f)
+
+    candidates = [f for f in files if f not in failed]
+    if candidates:
+        # one distributed read of every remaining file; per-file parse
+        # health decided from the data itself
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        # copy-extend: StructType.add mutates in place
+        parse_schema = StructType(
+            list(OCSF_FINDING_SCHEMA.fields)
+            + [StructField("_corrupt", StringType())]
+        )
+        raw = (
+            spark.read.schema(parse_schema)
+            .option("multiLine", True)
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(candidates)
+            .withColumn("_source_file", F.input_file_name())
+            .cache()
+        )
+        # a file fails if it is unparseable OR any finding lacks
+        # finding_info.uid (reference fail-fast: the ingest loop raises on
+        # event['finding_info']['uid'], ingest_raw_ocsf_findings.py:115-127)
+        bad_files = {
+            r["_source_file"]
+            for r in raw.filter(
+                F.col("_corrupt").isNotNull()
+                | F.col("finding_info.uid").isNull()
+            )
+            .select("_source_file")
+            .distinct()
+            .collect()
+        }
+        good = raw.filter(~F.col("_source_file").isin(*bad_files) if bad_files else F.lit(True))
+        known = [
+            c for c in good.columns if not c.startswith("_") and c != "_corrupt"
+        ]
+        to_land = good.select(
+            F.col("finding_info.uid").alias("finding_uid"),
+            F.to_json(F.struct(*known)).alias("raw_ocsf_json"),
+        )
+        from ..plans.landing import land
+
+        land(to_land, landing_path)
+        raw.unpersist()
+        failed.update(_norm_matches(bad_files, candidates))
+
+    processed = [f for f in files if f not in failed]
+    for f in processed:
+        move_file(spark, f, processed_dir)
+    for f in sorted(failed):
+        move_file(spark, f, failed_dir)
+    return {"processed": processed, "failed": sorted(failed)}
+
+
+def _norm_matches(uri_set: set[str], candidates: list[str]) -> set[str]:
+    """input_file_name() returns fully-qualified URIs; map them back to the
+    caller's path strings by suffix match."""
+    out = set()
+    for c in candidates:
+        name = c.rsplit("/", 1)[-1]
+        if any(u.endswith("/" + name) or u == c for u in uri_set):
+            out.add(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming monitor
+# ---------------------------------------------------------------------------
+
+def start_monitor_stream(
+    spark: SparkSession,
+    source_dir: str,
+    landing_path: str,
+    checkpoint_dir: str,
+    archive_dir: str | None = None,
+    max_files_per_trigger: int = 100,
+    trigger_seconds: int = 5,
+):
+    """Continuous ingestion: file-source stream → foreachBatch landing.
+
+    At-least-once with exactly-once batch bookkeeping via the checkpoint;
+    ``archive_dir`` enables the source-side processed-file move
+    (``cleanSource=archive`` ≙ the reference's processed/ folder).
+    Returns the StreamingQuery — callers own its lifecycle
+    (``stop_on_signal`` wires SIGTERM like the reference's handler).
+    """
+    reader = (
+        spark.readStream.schema(OCSF_FINDING_SCHEMA)
+        .option("multiLine", True)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    stream = reader.json(f"{source_dir}/*.ocsf.json")
+
+    def _land_batch(batch_df: DataFrame, batch_id: int) -> None:
+        known = [c for c in batch_df.columns if not c.startswith("_")]
+        rows = batch_df.filter(F.col("finding_info").isNotNull()).select(
+            F.col("finding_info.uid").alias("finding_uid"),
+            F.to_json(F.struct(*known)).alias("raw_ocsf_json"),
+        )
+        from ..plans.landing import land
+
+        land(rows, landing_path)
+
+    return (
+        stream.writeStream.foreachBatch(_land_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def stop_on_signal(query) -> None:
+    """SIGINT/SIGTERM → graceful query.stop() (reference
+    ocsf_monitor.py:73-78, 521-523)."""
+
+    def _handler(signum, frame):
+        logger.info("signal %s received; stopping stream", signum)
+        query.stop()
+
+    signal.signal(signal.SIGINT, _handler)
+    signal.signal(signal.SIGTERM, _handler)

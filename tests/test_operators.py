@@ -1,0 +1,184 @@
+"""Operator invariants on small crafted data + the sf0.001 tables."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from boann_ocsf_security_data_platform_spark.operators import (
+    asof_join,
+    asof_join_pandas,
+    exact_dedup,
+    lang_id,
+    simhash16,
+    text_quality,
+    topk_per_group,
+)
+from boann_ocsf_security_data_platform_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+)
+from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_media_meta,
+)
+from boann_ocsf_security_data_platform_spark.operators.similarity import cosine_topk
+from boann_ocsf_security_data_platform_spark.sources import load_table
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_COLS)
+
+
+def test_exact_dedup_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "Hello   World", "en", "s", 11),
+            (2, "hello world", "en", "s", 11),  # same after normalization
+            (3, "different", "en", "s", 9),
+        ],
+    )
+    res = {r.keep_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert res == {1: 2, 3: 1}
+
+
+def test_minhash_finds_injected_duplicate(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    first = docs.limit(1)
+    dup = first.select(
+        F.lit(99990).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    pairs = minhash_near_dup_pairs(
+        docs.unionByName(dup), jaccard_threshold=0.9
+    ).collect()
+    base = first.collect()[0].doc_id
+    assert any(p.id_a == base and p.id_b == 99990 and p.jaccard == 1.0 for p in pairs)
+
+
+def test_simhash_similar_docs_close(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s", 0),
+            (2, "the quick brown fox jumps over the lazy cat", "en", "s", 0),
+            (3, "completely unrelated words entirely here now", "en", "s", 0),
+        ],
+    )
+    h = {r.doc_id: r.simhash for r in simhash16(df).collect()}
+    dist = lambda a, b: bin(a ^ b).count("1")
+    assert dist(h[1], h[2]) < dist(h[1], h[3])
+
+
+def test_cosine_topk_matches_numpy(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def np_top3(qid):
+        q = V[qid]
+        sims = sorted(
+            (
+                (float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), -vid)
+                for vid, v in V.items()
+                if vid != qid
+            ),
+            reverse=True,
+        )
+        return [-s[1] for s in sims[:3]]
+
+    got: dict[int, list[int]] = {}
+    for r in sorted(
+        cosine_topk(emb, emb.filter("vec_id < 3"), k=3).collect(),
+        key=lambda r: (r.query_id, r.rank),
+    ):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert all(got[q] == np_top3(q) for q in got)
+
+
+def test_asof_join_backward_and_forward(spark):
+    L = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10)), (1, dt.datetime(2024, 1, 1))], ["k", "t"]
+    )
+    R = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5), "v5"),
+            (1, dt.datetime(2024, 1, 9), "v9"),
+            (1, dt.datetime(2024, 1, 12), "v12"),
+        ],
+        ["k", "rt", "val"],
+    )
+    back = {r.t.day: r.r_val for r in asof_join(L, R, "k", "t", "rt").collect()}
+    assert back == {10: "v9", 1: None}
+    fwd = {
+        r.t.day: r.r_val
+        for r in asof_join(L, R, "k", "t", "rt", direction="forward").collect()
+    }
+    assert fwd == {10: "v12", 1: "v5"}
+
+
+def test_asof_join_pandas_matches_declarative(spark):
+    L = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, d)) for k in (1, 2) for d in (2, 6, 20)],
+        ["k", "t"],
+    )
+    R = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5), 50.0),
+            (1, dt.datetime(2024, 1, 15), 150.0),
+            (2, dt.datetime(2024, 1, 1), 10.0),
+        ],
+        ["k", "rt", "price"],
+    )
+    a = {(r.k, r.t): r.r_price for r in asof_join(L, R, "k", "t", "rt").collect()}
+    b = {
+        (r.k, r.t): r.r_price
+        for r in asof_join_pandas(L, R, "k", "t", "rt").collect()
+    }
+    assert a == b and len(a) == 6
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)] + [("b", 1, 5.0)],
+        ["g", "i", "v"],
+    )
+    out = topk_per_group(df, ["g"], "v", 3)
+    assert out.filter("g = 'a'").count() == 3
+    assert out.filter("g = 'b'").count() == 1
+    assert {r.i for r in out.filter("g = 'a'").collect()} == {7, 8, 9}
+
+
+def test_lang_id_on_clear_text(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog in the house is that it for", "en", "?", 0),
+            (2, "der hund und die katze ist nicht das ein mit", "de", "?", 0),
+            (3, "zzz qqq www", "?", "?", 0),
+        ],
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_media_meta_deterministic(spark):
+    import hashlib
+
+    df = _docs(spark, [(7, "some payload text", "en", "s", 17)])
+    row = extract_media_meta(attach_binary_payload(df)).collect()[0]
+    d = hashlib.md5(b"some payload text").hexdigest()
+    assert row.media_id == 7
+    assert row.byte_len == 17
+    assert row.content_md5 == d
+    assert row.width == 32 + (int(d[0:2], 16) % 64)
+    assert row.height == 32 + (int(d[2:4], 16) % 64)
+
+
+def test_quality_scores_bounded(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    stats = text_quality(docs).agg(
+        F.min("quality_score"), F.max("quality_score")
+    ).collect()[0]
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0

@@ -1,0 +1,200 @@
+"""Monitor (batch sweep + Structured Streaming) and streaming operator
+coverage: watermarked tumbling windows, session windows, stateful dedup."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from boann_ocsf_security_data_platform_spark.plans.landing import read_landing
+from boann_ocsf_security_data_platform_spark.streaming import (
+    process_directory,
+    start_monitor_stream,
+)
+
+FINDING = {
+    "class_uid": 2007,
+    "severity": "High",
+    "status": "New",
+    "metadata": {"product": {"name": "T"}, "version": "1.5.0"},
+    "finding_info": {"uid": "boann:sast:t:hash:abc", "title": "x", "desc": "d",
+                     "created_time": 1710000000000},
+}
+
+
+def _write_ocsf(d, name, findings):
+    p = d / name
+    p.write_text(json.dumps(findings))
+    return str(p)
+
+
+@pytest.fixture()
+def monitor_dirs(tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    return {
+        "src": src,
+        "landing": str(tmp_path / "landing"),
+        "processed": str(tmp_path / "processed"),
+        "failed": str(tmp_path / "failed"),
+        "checkpoint": str(tmp_path / "ckpt"),
+        "archive": str(tmp_path / "archive"),
+    }
+
+
+def test_batch_sweep_disposition(spark, monitor_dirs, tmp_path):
+    d = monitor_dirs
+    _write_ocsf(d["src"], "a.ocsf.json", [FINDING, FINDING])
+    _write_ocsf(d["src"], "b.ocsf.json", [FINDING])
+    bad = d["src"] / "c.ocsf.json"
+    bad.write_text("{definitely not json")
+    (d["src"] / "ignored.txt").write_text("not an ocsf file")
+
+    res = process_directory(
+        spark, str(d["src"]), d["landing"], d["processed"], d["failed"]
+    )
+    assert [p.rsplit("/", 1)[-1] for p in res["processed"]] == [
+        "a.ocsf.json",
+        "b.ocsf.json",
+    ]
+    assert [p.rsplit("/", 1)[-1] for p in res["failed"]] == ["c.ocsf.json"]
+
+    landed = read_landing(spark, d["landing"])
+    assert landed.count() == 3
+    assert landed.select("finding_uid").distinct().collect()[0][0] == "boann:sast:t:hash:abc"
+    # disposition on disk
+    import os
+
+    assert sorted(os.listdir(d["processed"])) == ["a.ocsf.json", "b.ocsf.json"]
+    assert os.listdir(d["failed"]) == ["c.ocsf.json"]
+    assert os.listdir(d["src"]) == ["ignored.txt"]  # non-matching left alone
+
+
+def test_batch_sweep_validator_hook(spark, monitor_dirs):
+    d = monitor_dirs
+    _write_ocsf(d["src"], "ok.ocsf.json", [FINDING])
+    _write_ocsf(d["src"], "rejected.ocsf.json", [FINDING])
+
+    res = process_directory(
+        spark,
+        str(d["src"]),
+        d["landing"],
+        d["processed"],
+        d["failed"],
+        validator=lambda s, f: not f.endswith("rejected.ocsf.json"),
+    )
+    assert [p.rsplit("/", 1)[-1] for p in res["failed"]] == ["rejected.ocsf.json"]
+    assert read_landing(spark, d["landing"]).count() == 1
+
+
+def test_batch_sweep_empty_dir(spark, monitor_dirs):
+    d = monitor_dirs
+    res = process_directory(
+        spark, str(d["src"]), d["landing"], d["processed"], d["failed"]
+    )
+    assert res == {"processed": [], "failed": []}
+
+
+def test_streaming_monitor_ingests(spark, monitor_dirs):
+    d = monitor_dirs
+    _write_ocsf(d["src"], "s1.ocsf.json", [FINDING])
+    _write_ocsf(d["src"], "s2.ocsf.json", [FINDING, FINDING])
+
+    q = start_monitor_stream(
+        spark,
+        str(d["src"]),
+        d["landing"],
+        d["checkpoint"],
+        trigger_seconds=1,
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            try:
+                n = read_landing(spark, d["landing"]).count()
+            except Exception:
+                n = 0
+            if n >= 3:
+                break
+            time.sleep(1)
+        assert n == 3
+        # late-arriving file picked up by a later micro-batch
+        _write_ocsf(d["src"], "s3.ocsf.json", [FINDING])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if read_landing(spark, d["landing"]).count() >= 4:
+                break
+            time.sleep(1)
+        assert read_landing(spark, d["landing"]).count() == 4
+    finally:
+        q.stop()
+
+
+def _stream_events(spark, tmp_path, rows):
+    src = tmp_path / "events_in"
+    src.mkdir()
+    (src / "part1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return spark.readStream.schema("user_id long, ts timestamp, value double").json(
+        str(src)
+    )
+
+
+def _run_to_memory(stream_df, name, mode="append"):
+    q = stream_df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:01:00", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T00:02:00", "value": 2.0},
+        {"user_id": 2, "ts": "2024-01-01T00:07:00", "value": 3.0},
+    ]
+    agg = (
+        _stream_events(spark, tmp_path, rows)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.sum("value").alias("total"))
+    )
+    _run_to_memory(agg, "tumbling", mode="complete")
+    got = {
+        (r["window"]["start"].minute, r["total"])
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    assert got == {(0, 3.0), (5, 3.0)}
+
+
+def test_streaming_session_window(spark, tmp_path):
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T00:03:00", "value": 1.0},  # same session
+        {"user_id": 1, "ts": "2024-01-01T01:00:00", "value": 1.0},  # new session
+    ]
+    agg = (
+        _stream_events(spark, tmp_path, rows)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_to_memory(agg, "sessions", mode="complete")
+    ns = sorted(r.n for r in spark.sql("SELECT * FROM sessions").collect())
+    assert ns == [1, 2]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T00:00:30", "value": 1.0},  # dup user
+        {"user_id": 2, "ts": "2024-01-01T00:01:00", "value": 2.0},
+    ]
+    dedup = (
+        _stream_events(spark, tmp_path, rows)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    _run_to_memory(dedup, "dedup_stream")
+    assert spark.sql("SELECT count(*) FROM dedup_stream").collect()[0][0] == 2
