@@ -522,6 +522,93 @@ def topk_per_group_q(spark, sf_dir):
     )
 
 
+@_q(
+    "asof_join_events_orders",
+    """
+    WITH o AS (  -- one order per (custkey, date): deterministic as-of target
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2)
+    SELECT event_id, user_id, ts,
+           o.o_orderkey AS r_o_orderkey, o.o_orderdate AS r_o_orderdate
+    FROM (SELECT event_id, user_id, ts FROM events) e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def asof_join_events_orders(spark, sf_dir):
+    from boann_ocsf_security_data_platform_spark.operators import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select("user_id", "o_orderkey", "o_orderdate")
+    )
+    return asof_join(e, o, on="user_id", left_time="ts", right_time="o_orderdate")
+
+
+@_q(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    out = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@_q(
+    "agg_percentiles",
+    """
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.9), 4) AS p90
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+@_q(
+    "explode_with_position",
+    """
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part)
+    SELECT p_partkey,
+           CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos,
+           unnest(ws) AS word
+    FROM t
+    """,
+)
+def explode_with_position(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    ).select(
+        "p_partkey", (F.col("pos") + 1).cast("long").alias("pos"), "word"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

@@ -1,0 +1,184 @@
+"""Command-line surface — parity with the reference's three entry points.
+
+Reference CLIs (scripts/base_cli.py template method + per-tool subclasses):
+- ``sarif_to_ocsf.py input.sarif output.ocsf.json [--enrichment-dir D]
+  [--enrichment Name:k=v] [--no-uid-generation] [--sdlc-type T]``
+- ``ingest_raw_ocsf_findings.py --input-file f.ocsf.json``
+- ``ocsf_monitor.py --source-folder S --processed-folder P --failed-folder F
+  [--batch | --interval N]``
+
+Usage: ``python -m boann_ocsf_security_data_platform_spark.cli <convert|ingest|monitor|stage> ...``
+
+Each subcommand builds one SparkSession, runs the lazy plan, and exits
+non-zero on failure (the reference's fail-fast contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+
+logger = logging.getLogger(__name__)
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(app_name=f"boann-{args.command}", master=args.master)
+
+
+def _load_enrichments(args):
+    from .plans.enrich import (
+        FindingUIDGenerator,
+        discover_enrichments,
+        instantiate_enrichments,
+        parse_enrichment_args,
+    )
+
+    plugins = []
+    if not args.no_uid_generation:
+        plugins.append(FindingUIDGenerator(sdlc_type=args.sdlc_type))
+    if args.enrichment_dir:
+        classes = discover_enrichments(args.enrichment_dir)
+        plugins.extend(
+            instantiate_enrichments(classes, parse_enrichment_args(args.enrichment))
+        )
+    return plugins
+
+
+def cmd_convert(args) -> int:
+    from .plans.convert import convert_sarif_to_ocsf, ocsf_to_json
+    from .plans.enrich import apply_enrichments
+    from .sources.sarif import read_sarif
+
+    spark = _spark(args)
+    ocsf = apply_enrichments(
+        convert_sarif_to_ocsf(read_sarif(spark, args.input)), _load_enrichments(args)
+    )
+    rows = ocsf_to_json(ocsf).select("raw_ocsf_json").collect()
+    findings = [json.loads(r[0]) for r in rows]
+    with open(args.output, "w", encoding="utf-8") as f:
+        json.dump(findings, f, indent=2)
+    print(f"converted {len(findings)} findings -> {args.output}")
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from .plans.landing import land
+    from .sources.ocsf import read_ocsf_batch
+
+    if not args.input_file.endswith(".ocsf.json"):
+        print(f"error: not an .ocsf.json file: {args.input_file}", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+    df = read_ocsf_batch(spark, args.input_file)
+    n = df.count()
+    bad = df.filter(df.finding_uid.isNull()).count()
+    if bad:
+        print(f"error: {bad} findings without finding_info.uid", file=sys.stderr)
+        return 1
+    land(df, args.landing_path)
+    print(f"ingested {n} findings -> {args.landing_path}")
+    return 0
+
+
+def cmd_stage(args) -> int:
+    from .plans.landing import read_landing
+    from .plans.quality import run_quality_checks
+    from .plans.staging import high_water_mark, stage, write_staging
+
+    spark = _spark(args)
+    hwm = high_water_mark(spark, args.staging_path)
+    stg = stage(read_landing(spark, args.landing_path), hwm=hwm)
+    write_staging(stg, args.staging_path)
+    counts = run_quality_checks(
+        spark.read.parquet(args.staging_path), uid_pattern=args.uid_pattern
+    )
+    failing = {k: v for k, v in counts.items() if v}
+    print(f"staged incrementally above hwm={hwm}; quality={counts}")
+    return 1 if failing else 0
+
+
+def cmd_monitor(args) -> int:
+    from .streaming.monitor import (
+        process_directory,
+        start_monitor_stream,
+        stop_on_signal,
+    )
+
+    spark = _spark(args)
+    if args.batch:
+        res = process_directory(
+            spark,
+            args.source_folder,
+            args.landing_path,
+            args.processed_folder,
+            args.failed_folder,
+        )
+        print(
+            f"processed={len(res['processed'])} failed={len(res['failed'])}"
+        )
+        return 0 if not res["failed"] else 1
+    q = start_monitor_stream(
+        spark,
+        args.source_folder,
+        args.landing_path,
+        args.checkpoint,
+        archive_dir=args.processed_folder,
+        trigger_seconds=args.interval,
+    )
+    stop_on_signal(q)
+    print("monitor stream started; Ctrl-C to stop")
+    while q.isActive:
+        time.sleep(1)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="boann-spark")
+    p.add_argument("--master", default=None, help="Spark master (default local[*])")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("convert", help="SARIF -> OCSF json array file")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--enrichment-dir", action="append", default=[])
+    c.add_argument("--enrichment", action="append", default=[])
+    c.add_argument("--no-uid-generation", action="store_true")
+    c.add_argument("--sdlc-type", default="sast")
+    c.set_defaults(fn=cmd_convert)
+
+    i = sub.add_parser("ingest", help="load one .ocsf.json file into landing")
+    i.add_argument("--input-file", required=True)
+    i.add_argument("--landing-path", required=True)
+    i.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("stage", help="incremental landing -> staging transform")
+    s.add_argument("--landing-path", required=True)
+    s.add_argument("--staging-path", required=True)
+    s.add_argument("--uid-pattern", default=None)
+    s.set_defaults(fn=cmd_stage)
+
+    m = sub.add_parser("monitor", help="continuous/batch directory ingestion")
+    m.add_argument("--source-folder", required=True)
+    m.add_argument("--landing-path", required=True)
+    m.add_argument("--processed-folder", required=True)
+    m.add_argument("--failed-folder")
+    m.add_argument("--checkpoint")
+    m.add_argument("--batch", action="store_true")
+    m.add_argument("--interval", type=int, default=5)
+    m.set_defaults(fn=cmd_monitor)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -44,10 +44,14 @@ def high_water_mark(spark: SparkSession, staging_path: str) -> datetime.datetime
     """MAX(staging_loaded_at) of the existing target, epoch when absent
     (stg:24-28 COALESCE(..., '1970-01-01'))."""
     epoch = datetime.datetime(1970, 1, 1)
-    try:
-        existing = spark.read.parquet(staging_path)
-    except Exception:
+    # existence check through the Hadoop FS API (works for any URI scheme)
+    # instead of a try/except read, which logs a noisy stacktrace
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(staging_path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return epoch
+    existing = spark.read.parquet(staging_path)
     row = existing.agg(F.max("staging_loaded_at").alias("hwm")).collect()[0]
     return row["hwm"] or epoch
 
