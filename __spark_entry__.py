@@ -523,6 +523,130 @@ def topk_per_group_q(spark, sf_dir):
 
 
 @_q(
+    "q17_small_quantity_correlated",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_correlated(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (DecorrelateInnerQuery), no per-row re-execution."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@_q(
+    "q8_market_share",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           round(sum(CASE WHEN n_name = 'CHINA'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "CHINA", rev).otherwise(0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "agg_histogram_buckets",
+    """
+    SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+    FROM customer GROUP BY 1
+    """,
+)
+def agg_histogram_buckets(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy(
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
+
+
+@_q(
+    "map_and_array_functions",
+    """
+    WITH t AS (
+      SELECT n_nationkey,
+             map_from_entries(list_transform(string_split(n_name, ' '),
+                                             w -> struct_pack(k := w, v := length(w)))) AS m,
+             string_split(n_name, ' ') AS words
+      FROM nation)
+    SELECT n_nationkey,
+           array_to_string(map_keys(m), ',') AS keys_joined,
+           CAST(list_sum(map_values(m)) AS BIGINT) AS total_len,
+           CAST(len(list_filter(words, w -> length(w) > 4)) AS BIGINT) AS long_words,
+           array_to_string(list_sort(words), '|') AS sorted_words
+    FROM t
+    """,
+)
+def map_and_array_functions(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    words = F.split("n_name", " ")
+    m = F.map_from_entries(
+        F.transform(words, lambda w: F.struct(w.alias("k"), F.length(w).alias("v")))
+    )
+    return n.select(
+        "n_nationkey",
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+        F.aggregate(
+            F.map_values(m), F.lit(0), lambda acc, v: acc + v
+        )
+        .cast("long")
+        .alias("total_len"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4))
+        .cast("long")
+        .alias("long_words"),
+        F.array_join(F.array_sort(words), "|").alias("sorted_words"),
+    )
+
+
+@_q(
     "asof_join_events_orders",
     """
     WITH o AS (  -- one order per (custkey, date): deterministic as-of target

@@ -137,6 +137,15 @@ def cmd_monitor(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .operators.relational import compact_table
+
+    spark = _spark(args)
+    n = compact_table(spark, args.path, target_partition_bytes=args.target_mb * 1024 * 1024)
+    print(f"compacted {args.path} -> {n} files")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="boann-spark")
     p.add_argument("--master", default=None, help="Spark master (default local[*])")
@@ -171,6 +180,11 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--batch", action="store_true")
     m.add_argument("--interval", type=int, default=5)
     m.set_defaults(fn=cmd_monitor)
+
+    k = sub.add_parser("compact", help="small-file compaction for a table dir")
+    k.add_argument("--path", required=True)
+    k.add_argument("--target-mb", type=int, default=128)
+    k.set_defaults(fn=cmd_compact)
     return p
 
 

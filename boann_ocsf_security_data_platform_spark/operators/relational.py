@@ -28,6 +28,71 @@ def topk_per_group(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot fact key over ``n_salts``
+    shuffle partitions by salting, replicating the (small) dim side per
+    salt. Semantically identical to ``fact.join(dim, key, how)``.
+
+    Use when one key dominates (AQE skew-join splits oversized partitions
+    post-shuffle, but salting also parallelizes the *map-side* build and
+    works for aggregations feeding the join). The fact salt is
+    row-deterministic (spark_partition_id + row position hash), never a
+    key hash — hashing the key would put the whole hot key in one salt
+    again.
+    """
+    spark = fact.sparkSession
+    fact_s = fact.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), n_salts).cast("int")
+    )
+    salts = spark.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+    dim_s = dim.crossJoin(F.broadcast(salts))
+    return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = "load_date",
+) -> int:
+    """Small-file compaction for the append-only landing/staging tables.
+
+    Streaming micro-batches and frequent appends accumulate many small
+    parquet files; at scale that degrades scan planning and NameNode/
+    listing pressure. Rewrites the table to ~target-sized files (returns
+    the file count written), preserving the date partitioning, then
+    atomically swaps directories via the Hadoop FS.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(src).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_partition_bytes))
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_col and partition_col in df.columns:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__pre_compact")
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.rename(src, backup)
+    fs.rename(tmp_path, src)
+    fs.delete(backup, True)
+    return n_files
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
