@@ -949,6 +949,20 @@ def _duck_shingles(k: int = 3) -> str:
     )
 
 
+def _duck_hashed_shingles(k: int = 3) -> str:
+    """Integer shingles matching operators.dedup.with_hashed_shingles:
+    per-word md5-hash64, combined as weighted XOR (h_i * 2^(k-1-j))."""
+    gram = f"xor(xor(wh[i] * 4, wh[i + 1] * 2), wh[i + 2])"
+    assert k == 3, "oracle written for k=3"
+    word_hash = _H64.format(expr="w")
+    whole = _H64.format(expr="array_to_string(ws, ' ')")
+    return (
+        f"CASE WHEN len(ws) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len(ws) - {k - 2}), i -> {gram})) "
+        f"ELSE [{whole}] END"
+    ), f"list_transform(ws, w -> {word_hash})"
+
+
 @_q(
     "dedup_exact",
     f"""
@@ -973,12 +987,11 @@ def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4) -> str:
         + ")) AS band_hash FROM sig"
         for b in range(n_bands)
     )
+    shingle_expr, word_hash_expr = _duck_hashed_shingles(3)
     return f"""
     WITH words AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
-    sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM words),
-    hh AS (SELECT doc_id,
-                  list_transform(shingles, s -> {_H64.format(expr='s')}) AS hs
-           FROM sh),
+    wh_t AS (SELECT doc_id, ws, {word_hash_expr} AS wh FROM words),
+    hh AS (SELECT doc_id, {shingle_expr} AS hs FROM wh_t),
     sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hh),
     bands AS ({band_rows})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1011,11 +1024,15 @@ def dedup_simhash(spark, sf_dir):
     return simhash16(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
 
+_HS_EXPR, _WH_EXPR = _duck_hashed_shingles(3)
+
+
 @_q(
     "dedup_ngram_jaccard",
     f"""
     WITH words AS (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
-    sh AS (SELECT doc_id, source, {_duck_shingles(3)} AS shingles FROM words),
+    wh_t AS (SELECT doc_id, source, ws, {_WH_EXPR} AS wh FROM words),
+    sh AS (SELECT doc_id, source, {_HS_EXPR} AS shingles FROM wh_t),
     ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
     sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
     inter AS (
