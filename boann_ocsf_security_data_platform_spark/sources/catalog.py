@@ -31,6 +31,16 @@ _NANO_TS_COLUMNS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive runtime confs for caller-provided sessions (e.g. the
+    # verification driver's): timestamps must render in UTC to agree with
+    # the naive parquet values DuckDB sees, and nanos columns need the
+    # legacy long read. Both are runtime-settable.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        if name in _NANO_TS_COLUMNS:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLUMNS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
