@@ -166,13 +166,22 @@ def lsh_candidate_pairs(
     minhash_col: str = "minhash",
     n_bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: documents sharing ANY band hash become a candidate pair.
 
     explode(bands) → self-equi-join on (band_idx, band_hash) → distinct
-    (a < b) pairs. The join is the only shuffle; at 100 TB add a bucket-size
-    cap (count per band_hash, drop degenerate buckets) before the join —
-    a degenerate bucket (e.g. the empty-document shingle) is quadratic.
+    (a < b) pairs. The join is the only shuffle.
+
+    ``max_bucket_size`` is the 100 TB safety valve: a degenerate bucket
+    (boilerplate text, empty documents) produces |bucket|² candidate pairs
+    and stalls the join. Buckets larger than the cap are dropped from
+    candidate generation (a window count, one extra shuffle) — their
+    members are near-identical boilerplate that exact dedup (one
+    hash-aggregate) already collapses. Recall loss: a pair is missed only
+    when EVERY band it matches on is degenerate (typically both documents
+    are the boilerplate itself). Default None keeps exact LSH semantics
+    for oracle verification.
     """
     bands = F.array(
         *[
@@ -194,6 +203,17 @@ def lsh_candidate_pairs(
     exploded = df.select(
         F.col(id_col), F.explode(bands).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
+
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_hash")
+        exploded = (
+            exploded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
+    exploded = exploded.persist()  # both sides of the self-join
 
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -219,6 +239,7 @@ def minhash_near_dup_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     jaccard_threshold: float | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: hashed shingles → MinHash → LSH candidates →
     (optional) exact Jaccard verification of candidates only. Shingles are
@@ -238,7 +259,11 @@ def minhash_near_dup_pairs(
         sh, shingle_col="shingle_hashes", n_hashes=n_hashes, pre_hashed=True
     )
     pairs = lsh_candidate_pairs(
-        sig, id_col=id_col, n_bands=n_bands, rows_per_band=n_hashes // n_bands
+        sig,
+        id_col=id_col,
+        n_bands=n_bands,
+        rows_per_band=n_hashes // n_bands,
+        max_bucket_size=max_bucket_size,
     )
     if jaccard_threshold is None:
         return pairs

@@ -182,3 +182,30 @@ def test_quality_scores_bounded(spark, sf_smoke):
         F.min("quality_score"), F.max("quality_score")
     ).collect()[0]
     assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark, sf_smoke):
+    """5k identical docs form one quadratic LSH bucket; the cap drops it
+    from candidate generation while normal near-dups still surface."""
+    docs = load_table(spark, sf_smoke, "documents")
+    one = docs.limit(1).collect()[0]
+    clones = spark.range(200).select(
+        (F.col("id") + 900000).alias("doc_id"),
+        F.lit(one.text).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("srcHOT").alias("source"),
+        F.lit(0).alias("n_chars"),
+    )
+    skewed = docs.unionByName(clones)
+    uncapped = minhash_near_dup_pairs(skewed).count()
+    capped_pairs = minhash_near_dup_pairs(skewed, max_bucket_size=50).collect()
+    baseline_pairs = minhash_near_dup_pairs(docs).collect()
+    assert uncapped >= 200 * 199 / 2  # quadratic clone pairs present
+    # no clone pair survives the cap
+    assert all(p.id_a < 900000 and p.id_b < 900000 for p in capped_pairs)
+    # capped output is a subset of the uncapped baseline: only pairs whose
+    # every matching band was degenerate are lost, nothing is invented
+    capped_set = {(p.id_a, p.id_b) for p in capped_pairs}
+    baseline_set = {(p.id_a, p.id_b) for p in baseline_pairs}
+    assert capped_set <= baseline_set
+    assert len(capped_set) >= 0.8 * len(baseline_set)  # bounded recall loss
