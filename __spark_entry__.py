@@ -1097,6 +1097,33 @@ def embedding_near_dup(spark, sf_dir):
     )
 
 
+@_q(
+    "variant_json_path",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_variant,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_string
+    FROM events
+    """,
+)
+def variant_json_path(spark, sf_dir):
+    """Spark 4 VariantType (the JSONB analog, SURVEY §1.3) vs string-level
+    JSON path over the same document — both must agree with DuckDB's JSON
+    extraction."""
+    from boann_ocsf_security_data_platform_spark.functions.json_fns import (
+        json_get,
+        variant_get,
+        with_variant,
+    )
+
+    e = with_variant(_t(spark, sf_dir, "events"), json_col="props", out="doc")
+    return e.select(
+        "event_id",
+        variant_get("doc", "$.k", "int").alias("k_variant"),
+        json_get("props", "$.k").cast("int").alias("k_string"),
+    )
+
+
 # approximate scale-path — deliberately NO oracle (recall < 1 by design)
 @_q("knn_lsh_approx")
 def knn_lsh_approx(spark, sf_dir):
