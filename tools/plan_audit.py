@@ -92,6 +92,19 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
 
     # whole-stage codegen present in the hot relational path (codegen
     # explain mode — the formatted mode hides codegen under AQE)
+    # join strategy hints are honored: the same join planned as broadcast
+    # by default flips to sort-merge under hint("merge")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    hinted = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    ph = plan_of(hinted)
+    default = plan_of(o.join(c, o.o_custkey == c.c_custkey))
+    check(
+        "join strategy hints honored",
+        "SortMergeJoin" in ph and "BroadcastHashJoin" in default,
+        f"hinted has SMJ={'SortMergeJoin' in ph}, default has BHJ={'BroadcastHashJoin' in default}",
+    )
+
     # an unexecuted AdaptiveSparkPlan reports 0 subtrees, so toggle AQE off
     # just for this static-plan inspection
     spark.conf.set("spark.sql.adaptive.enabled", "false")
