@@ -15,11 +15,16 @@ Semantic notes (reference file:line):
   conversion-time now, epoch ms).
 - scan_run_id :261-292 (automationDetails.id ?? .guid ??
   "<tool>_run_<first startTimeUtc>" ?? null).
-- rules lookup :294-312 → row-local `map_from_entries`; duplicate rule ids
-  keep the last one (Python dict semantics) via mapKeyDedupPolicy=LAST_WIN.
-  A broadcast join would also work; a per-run map keeps the operator
-  shuffle-free, which is the right call at scale because rules arrays are
-  tiny and results arrays are huge.
+- rules lookup :294-312 → **broadcast hash join** on (document, run,
+  ruleId); duplicate rule ids keep the last one (Python dict semantics)
+  via a max-position window. A row-local map was tried first and is a
+  scale trap: Catalyst pulls the map-building projection above the
+  results explode, so every generated row drags the whole multi-MB `run`
+  struct (8 GB heap OOM at just 10k findings). The narrow per-run columns
+  are therefore materialized behind a repartition barrier — which also
+  spreads each run's results across the cluster instead of one task —
+  and rule metadata arrives via broadcast, costing O(|rules|) per
+  executor instead of O(|rules| × |results|) row payload.
 - title/desc :327-367 (title = ruleId or "ruleId: shortDescription";
   desc = message.text, else first location's region.snippet.text, else "").
 - vulnerabilities :369-446 (result.properties.cwe ?? rule.properties.cwe,
@@ -103,9 +108,9 @@ def convert_sarif_to_ocsf(sarif_df: DataFrame, now_ms: int | None = None) -> Dat
 
     lineage = [F.col("_source_file")] if "_source_file" in sarif_df.columns else []
 
-    runs = sarif_df.select(
-        *lineage, F.posexplode_outer("runs").alias("_run_index", "run")
-    )
+    runs = sarif_df.withColumn(
+        "_doc_id", F.monotonically_increasing_id()
+    ).select(*lineage, "_doc_id", F.posexplode_outer("runs").alias("_run_index", "run"))
 
     driver = F.col("run.tool.driver")
     inv = F.col("run.invocations")
@@ -124,8 +129,14 @@ def convert_sarif_to_ocsf(sarif_df: DataFrame, now_ms: int | None = None) -> Dat
     )
     tool_name = F.coalesce(driver["name"], F.lit(UNKNOWN))
 
+    # Narrow per-run columns, materialized once per run. The repartition is
+    # a deliberate optimizer barrier AND the scale lever: without it the
+    # per-run expressions float above the results explode, forcing every
+    # generated row to carry the full `run` struct; with it, one run's
+    # results also fan out across the cluster instead of one task.
     per_run = runs.select(
         *lineage,
+        "_doc_id",
         "_run_index",
         tool_name.alias("_tool_name"),
         F.coalesce(driver["semanticVersion"], driver["version"]).alias("_tool_version"),
@@ -135,21 +146,52 @@ def convert_sarif_to_ocsf(sarif_df: DataFrame, now_ms: int | None = None) -> Dat
             F.col("run.automationDetails.guid"),
             F.concat(tool_name, F.lit("_run_"), first_start_raw),
         ).alias("_scan_run_id"),
-        F.map_from_entries(
-            F.transform(
-                F.filter(driver["rules"], lambda r: r["id"].isNotNull()),
-                lambda r: F.struct(r["id"].alias("key"), r.alias("value")),
-            )
-        ).alias("_rules"),
-        F.explode_outer("run.results").alias("result"),
+        driver["rules"].alias("_rules_arr"),
+        F.col("run.results").alias("_results"),
+    ).repartition(sarif_df.sparkSession.sparkContext.defaultParallelism)
+
+    # rules as a (small) broadcast side: last rule wins for duplicate ids
+    # (Python dict build semantics, reference :304-312)
+    rules_exploded = per_run.select(
+        "_doc_id",
+        "_run_index",
+        F.posexplode_outer("_rules_arr").alias("_rule_pos", "_rule"),
+    ).where(F.col("_rule.id").isNotNull())
+    from pyspark.sql import Window
+
+    last_wins = Window.partitionBy("_doc_id", "_run_index", "_rule.id").orderBy(
+        F.desc("_rule_pos")
+    )
+    rules_side = (
+        rules_exploded.withColumn("_rn", F.row_number().over(last_wins))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_doc_id").alias("_r_doc_id"),
+            F.col("_run_index").alias("_r_run_index"),
+            F.col("_rule.id").alias("_rule_id"),
+            F.col("_rule.shortDescription.text").alias("_rule_short_desc"),
+            F.col("_rule.properties.cwe").alias("_rule_cwe"),
+        )
+    )
+
+    results = per_run.drop("_rules_arr").select(
+        *[c for c in per_run.columns if c not in ("_rules_arr", "_results")],
+        F.explode_outer("_results").alias("result"),
     ).where(F.col("result").isNotNull())
+
+    joined = results.join(
+        F.broadcast(rules_side),
+        (F.col("_doc_id") == F.col("_r_doc_id"))
+        & (F.col("_run_index") == F.col("_r_run_index"))
+        & (F.col("result.ruleId") == F.col("_rule_id")),
+        "left",
+    )
 
     r = F.col("result")
     level = F.coalesce(r["level"], F.lit("none"))
     rule_id = F.coalesce(r["ruleId"], F.lit(UNKNOWN))
-    rule = F.element_at(F.col("_rules"), r["ruleId"])
 
-    short_desc = _nonempty(rule["shortDescription"]["text"])
+    short_desc = _nonempty(F.col("_rule_short_desc"))
     title = F.when(
         short_desc.isNotNull(), F.concat(rule_id, F.lit(": "), short_desc)
     ).otherwise(rule_id)
@@ -160,7 +202,7 @@ def convert_sarif_to_ocsf(sarif_df: DataFrame, now_ms: int | None = None) -> Dat
 
     # --- vulnerability (reference :369-446) ---
     cwe_raw = F.coalesce(
-        _nonempty(r["properties"]["cwe"]), _nonempty(rule["properties"]["cwe"])
+        _nonempty(r["properties"]["cwe"]), _nonempty(F.col("_rule_cwe"))
     )
     cwe_joined = _join_cwe(cwe_raw)
     has_cwe = cwe_joined.isNotNull()
@@ -248,7 +290,7 @@ def convert_sarif_to_ocsf(sarif_df: DataFrame, now_ms: int | None = None) -> Dat
     )
     enrichments = F.when(F.size(enrichments) > 0, enrichments)
 
-    return per_run.select(
+    return joined.select(
         *lineage,
         "_run_index",
         F.lit(CLASS_NAME).alias("class_name"),
