@@ -32,8 +32,9 @@ _DEFAULT_CONF: dict[str, str] = {
     # ANSI off: engine contract is permissive-null arithmetic (PostgreSQL's
     # NULLIF guards are re-expressed explicitly where the reference used them).
     "spark.sql.ansi.enabled": "false",
-    # Python-dict semantics for duplicate map keys (rules lookup keeps the
-    # last rule with a given id, like the reference's dict build).
+    # Python-dict semantics for duplicate map keys wherever maps are built
+    # from data (e.g. fingerprints); the reference's dict builds keep the
+    # last value for a repeated key.
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.shuffle.partitions": "32",
     # Parquet TIMESTAMP(NANOS) columns (events.ts in the test tables) read
