@@ -198,3 +198,28 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     )
     _run_to_memory(dedup, "dedup_stream")
     assert spark.sql("SELECT count(*) FROM dedup_stream").collect()[0][0] == 2
+
+
+def test_stream_static_join(spark, tmp_path, sf_smoke):
+    """Streaming events enriched with a static dimension (stream-static
+    join — no watermark needed on the static side)."""
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0},
+        {"user_id": 2, "ts": "2024-01-01T00:01:00", "value": 2.0},
+        {"user_id": 999999, "ts": "2024-01-01T00:02:00", "value": 3.0},  # no dim row
+    ]
+    stream = _stream_events(spark, tmp_path, rows)
+    dim = load_table(spark, sf_smoke, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.join(dim, "user_id", "left")
+    _run_to_memory(joined, "stream_static")
+    got = {
+        r.user_id: r.c_mktsegment
+        for r in spark.sql("SELECT * FROM stream_static").collect()
+    }
+    assert len(got) == 3
+    assert got[1] is not None and got[2] is not None  # enriched
+    assert got[999999] is None  # left join keeps unmatched stream rows
