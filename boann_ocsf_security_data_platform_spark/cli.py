@@ -54,11 +54,29 @@ def cmd_convert(args) -> int:
     from .plans.enrich import apply_enrichments
     from .sources.sarif import read_sarif
 
+    if bool(args.output) == bool(args.output_dir):
+        print(
+            "error: give either OUTPUT (single array file) or --output-dir "
+            "(distributed JSON lines)",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark(args)
     ocsf = apply_enrichments(
         convert_sarif_to_ocsf(read_sarif(spark, args.input)), _load_enrichments(args)
     )
-    rows = ocsf_to_json(ocsf).select("raw_ocsf_json").collect()
+    out_df = ocsf_to_json(ocsf).select("raw_ocsf_json")
+    if args.output_dir:
+        # distributed sink: one JSON line per finding, written by the
+        # executors — no driver collect, scales to arbitrarily large SARIF
+        out_df.write.mode("overwrite").text(args.output_dir)
+        n = spark.read.text(args.output_dir).count()
+        print(f"converted {n} findings -> {args.output_dir}/ (JSON lines)")
+        return 0
+    # reference parity: one JSON array file (sarif_to_ocsf.py writes a
+    # single array) — inherently a driver-side collect; use --output-dir
+    # for large inputs
+    rows = out_df.collect()
     findings = [json.loads(r[0]) for r in rows]
     with open(args.output, "w", encoding="utf-8") as f:
         json.dump(findings, f, indent=2)
@@ -74,13 +92,22 @@ def cmd_ingest(args) -> int:
         print(f"error: not an .ocsf.json file: {args.input_file}", file=sys.stderr)
         return 1
     spark = _spark(args)
-    df = read_ocsf_batch(spark, args.input_file)
-    n = df.count()
-    bad = df.filter(df.finding_uid.isNull()).count()
-    if bad:
-        print(f"error: {bad} findings without finding_info.uid", file=sys.stderr)
-        return 1
-    land(df, args.landing_path)
+    df = read_ocsf_batch(spark, args.input_file).cache()
+    try:
+        if df.filter(~df._parse_ok).count():
+            print(f"error: malformed JSON array: {args.input_file}", file=sys.stderr)
+            return 1
+        findings = df.filter(df.raw_ocsf_json.isNotNull())
+        # stricter than the reference (which inserts NULL finding_uid via
+        # .get()): enforce the dbt not_null contract at the door
+        bad = findings.filter(findings.finding_uid.isNull()).count()
+        if bad:
+            print(f"error: {bad} findings without finding_info.uid", file=sys.stderr)
+            return 1
+        n = findings.count()
+        land(findings.select("finding_uid", "raw_ocsf_json"), args.landing_path)
+    finally:
+        df.unpersist()
     print(f"ingested {n} findings -> {args.landing_path}")
     return 0
 
@@ -104,11 +131,33 @@ def cmd_stage(args) -> int:
 
 def cmd_monitor(args) -> int:
     from .streaming.monitor import (
+        make_subprocess_validator,
         process_directory,
         start_monitor_stream,
         stop_on_signal,
     )
 
+    # argparse-level contract (mirrors the reference CLI's required args):
+    # batch mode needs somewhere to quarantine failures; streaming needs a
+    # checkpoint for exactly-once bookkeeping
+    if args.batch and not args.failed_folder:
+        print("error: --failed-folder is required with --batch", file=sys.stderr)
+        return 2
+    if not args.batch and not args.checkpoint:
+        print("error: --checkpoint is required for streaming mode", file=sys.stderr)
+        return 2
+    if bool(args.validator) != bool(args.schema_file):
+        print(
+            "error: --validator and --schema-file must be given together",
+            file=sys.stderr,
+        )
+        return 2
+
+    validator = (
+        make_subprocess_validator(args.validator, args.schema_file)
+        if args.validator
+        else None
+    )
     spark = _spark(args)
     if args.batch:
         res = process_directory(
@@ -117,17 +166,25 @@ def cmd_monitor(args) -> int:
             args.landing_path,
             args.processed_folder,
             args.failed_folder,
+            validator=validator,
         )
         print(
             f"processed={len(res['processed'])} failed={len(res['failed'])}"
         )
         return 0 if not res["failed"] else 1
+    if validator is not None:
+        print(
+            "warning: --validator applies per file; streaming mode validates "
+            "content inline and quarantines to --failed-folder",
+            file=sys.stderr,
+        )
     q = start_monitor_stream(
         spark,
         args.source_folder,
         args.landing_path,
         args.checkpoint,
         archive_dir=args.processed_folder,
+        failed_dir=args.failed_folder,
         trigger_seconds=args.interval,
     )
     stop_on_signal(q)
@@ -153,7 +210,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("convert", help="SARIF -> OCSF json array file")
     c.add_argument("input")
-    c.add_argument("output")
+    c.add_argument("output", nargs="?", default=None)
+    c.add_argument(
+        "--output-dir",
+        default=None,
+        help="distributed JSON-lines sink (executors write; no driver collect)",
+    )
     c.add_argument("--enrichment-dir", action="append", default=[])
     c.add_argument("--enrichment", action="append", default=[])
     c.add_argument("--no-uid-generation", action="store_true")
@@ -175,10 +237,12 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--source-folder", required=True)
     m.add_argument("--landing-path", required=True)
     m.add_argument("--processed-folder", required=True)
-    m.add_argument("--failed-folder")
-    m.add_argument("--checkpoint")
+    m.add_argument("--failed-folder", help="required with --batch")
+    m.add_argument("--checkpoint", help="required for streaming mode")
     m.add_argument("--batch", action="store_true")
     m.add_argument("--interval", type=int, default=5)
+    m.add_argument("--validator", help="external validator command (exit 0 = valid)")
+    m.add_argument("--schema-file", help="schema file passed to --validator")
     m.set_defaults(fn=cmd_monitor)
 
     k = sub.add_parser("compact", help="small-file compaction for a table dir")

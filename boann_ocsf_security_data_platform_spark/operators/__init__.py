@@ -3,6 +3,7 @@ from .dedup import (  # noqa: F401
     lsh_candidate_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
+    release_caches,
     simhash16,
     with_shingles,
 )

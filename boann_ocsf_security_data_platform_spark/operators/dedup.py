@@ -33,6 +33,24 @@ def _xor_constant(j: int) -> int:
     return int(hashlib.md5(f"minhash-perm-{j}".encode()).hexdigest()[:15], 16)
 
 
+def _register_caches(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Attach persisted intermediates to the result so callers own their
+    lifecycle: the returned (lazy) DataFrame still needs them, so they
+    cannot be unpersisted here. Call :func:`release_caches` after the
+    consuming action. Long-lived sessions (the monitor) would otherwise
+    accumulate cached blocks across runs."""
+    result._boann_caches = getattr(result, "_boann_caches", []) + cached
+    return result
+
+
+def release_caches(df: DataFrame) -> None:
+    """Blocking-unpersist every intermediate a dedup/similarity operator
+    cached on behalf of ``df``. Safe to call on any DataFrame; idempotent."""
+    for c in getattr(df, "_boann_caches", []):
+        c.unpersist(blocking=True)
+    df._boann_caches = []
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread CPU-bound per-row work (shingling, hashing) across cores.
 
@@ -213,11 +231,12 @@ def lsh_candidate_pairs(
             .filter(F.col("_bucket_n") <= max_bucket_size)
             .drop("_bucket_n")
         )
-    exploded = exploded.persist()  # both sides of the self-join
+    # both sides of the self-join; caller releases via release_caches()
+    exploded = exploded.persist()
 
     a = exploded.alias("a")
     b = exploded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -229,6 +248,7 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    return _register_caches(pairs, [exploded])
 
 
 def minhash_near_dup_pairs(
@@ -249,6 +269,8 @@ def minhash_near_dup_pairs(
     of the Jaccard verification join, and Spark re-evaluates an unpersisted
     subplan once per use (measured ~50× blowup on the sibling n-gram
     operator). At warehouse scale, materialize shingles as a table instead.
+    Caller releases the cached intermediates with :func:`release_caches`
+    after consuming the result.
     """
     sh = (
         with_hashed_shingles(_ensure_parallelism(df), text_col, k)
@@ -266,7 +288,7 @@ def minhash_near_dup_pairs(
         max_bucket_size=max_bucket_size,
     )
     if jaccard_threshold is None:
-        return pairs
+        return _register_caches(pairs, [sh])
     sh_a = sh.select(
         F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a")
     )
@@ -275,13 +297,14 @@ def minhash_near_dup_pairs(
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    return (
+    verified = (
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _register_caches(verified, getattr(pairs, "_boann_caches", []) + [sh])
 
 
 def simhash16(
@@ -360,7 +383,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -372,3 +395,4 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _register_caches(out, [sh])

@@ -66,8 +66,14 @@ def compact_table(
     Streaming micro-batches and frequent appends accumulate many small
     parquet files; at scale that degrades scan planning and NameNode/
     listing pressure. Rewrites the table to ~target-sized files (returns
-    the file count written), preserving the date partitioning, then
-    atomically swaps directories via the Hadoop FS.
+    the file count written), preserving the date partitioning, then swaps
+    directories via two Hadoop FS renames.
+
+    NOT atomic and NOT safe under concurrent writers: a crash between the
+    renames leaves the table only at ``<path>__pre_compact`` (recover by
+    renaming it back), and rows appended between the snapshot read and the
+    swap are lost with the deleted backup. Callers must quiesce appends
+    (stop the monitor stream / batch sweeps) for the duration.
     """
     import math
 

@@ -201,8 +201,14 @@ def convert_sarif_to_ocsf(sarif_df: DataFrame, now_ms: int | None = None) -> Dat
     desc = F.coalesce(_nonempty(r["message"]["text"]), snippet, F.lit(""))
 
     # --- vulnerability (reference :369-446) ---
+    # Python truthiness on each source: '' AND an empty JSON list ('[]' in
+    # the string-typed schema) are both absent — `if cwe:` in the reference
+    # (sarif_to_ocsf.py:400) skips [] and falls back to the rule's cwe.
+    def _cwe_present(c: Column) -> Column:
+        return F.nullif(_nonempty(c), F.lit("[]"))
+
     cwe_raw = F.coalesce(
-        _nonempty(r["properties"]["cwe"]), _nonempty(F.col("_rule_cwe"))
+        _cwe_present(r["properties"]["cwe"]), _cwe_present(F.col("_rule_cwe"))
     )
     cwe_joined = _join_cwe(cwe_raw)
     has_cwe = cwe_joined.isNotNull()

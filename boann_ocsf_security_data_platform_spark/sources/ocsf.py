@@ -3,11 +3,16 @@ scripts/ingest_raw_ocsf_findings.py:131-179 and scripts/ocsf_monitor.py:144-159,
 
 A `*.ocsf.json` file is a JSON **array** of findings; the reference gates on
 the extension, loads with json.load, and fails the whole file on malformed
-JSON. Here the array is read multiLine as one row per finding; extension
-gating happens via the glob; URI backends (file://, gs://, s3a://...) are
-delegated to the Hadoop FileSystem layer, so the reference's dual-backend
-resolution (S4/S5) needs no custom code — a `gs://` path just works when the
-connector is on the classpath.
+JSON. Here each file is read as ONE whole-text row and the array is split
+into per-finding raw JSON strings JVM-side, so `raw_ocsf_json` keeps every
+field of the original document — including attributes outside the fixed OCSF
+schema (custom enrichment payloads, unmapped fields) — matching the
+reference's verbatim `raw_ocsf_json=event` JSONB insert
+(ingest_raw_ocsf_findings.py:115-123). No schema round-trip ever touches the
+stored text. URI backends (file://, gs://, s3a://...) are delegated to the
+Hadoop FileSystem layer, so the reference's dual-backend resolution (S4/S5)
+needs no custom code — a `gs://` path just works when the connector is on
+the classpath.
 """
 
 from __future__ import annotations
@@ -15,7 +20,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import OCSF_FINDING_SCHEMA
+
+def split_findings(whole_text: F.Column) -> F.Column:
+    """Split one JSON-array document into per-finding raw JSON strings.
+
+    ``from_json`` to ``array<string>`` copies each element's tokens verbatim
+    (field order and unknown attributes preserved; inter-token whitespace
+    normalized — the same fidelity level as the reference's Postgres JSONB,
+    which also normalizes whitespace). Malformed JSON and non-array roots
+    yield NULL, the per-file fail signal.
+    """
+    return F.from_json(whole_text, "array<string>")
 
 
 def read_ocsf_batch(spark: SparkSession, path: str | list[str]) -> DataFrame:
@@ -23,21 +38,29 @@ def read_ocsf_batch(spark: SparkSession, path: str | list[str]) -> DataFrame:
 
     Returns the landing-shaped projection: `finding_uid` (from
     finding_info.uid, the reference's insert key,
-    ingest_raw_ocsf_findings.py:115-118), the full-fidelity
-    `raw_ocsf_json` text, plus `_source_file` lineage.
+    ingest_raw_ocsf_findings.py:115-118), the verbatim per-finding
+    `raw_ocsf_json` text, plus `_source_file` lineage. Unparseable files
+    yield one row with a NULL `raw_ocsf_json` so callers can gate per file
+    (the reference fails the whole file on malformed JSON).
     """
-    parsed = (
-        spark.read.schema(OCSF_FINDING_SCHEMA)
-        .option("multiLine", True)
-        .json(path)
+    whole = (
+        spark.read.option("wholetext", True)
+        .text(path)
         .withColumn("_source_file", F.input_file_name())
+        .withColumn("_findings", split_findings(F.col("value")))
     )
-    # Re-render the parsed struct to JSON text. For full fidelity of unknown
-    # fields the monitor path (streaming.monitor) reads files as whole text;
-    # this batch reader covers the known-OCSF contract.
-    known = [c for c in parsed.columns if not c.startswith("_")]
-    return parsed.select(
-        F.col("finding_info.uid").alias("finding_uid"),
-        F.to_json(F.struct(*known)).alias("raw_ocsf_json"),
+    # explode_outer keeps a NULL-raw row for unparseable files (parse failed)
+    # while empty arrays ([] — valid, zero findings) also keep one NULL row;
+    # distinguish via _parse_ok.
+    return whole.select(
+        F.col("_source_file"),
+        F.col("_findings").isNotNull().alias("_parse_ok"),
+        F.explode_outer("_findings").alias("raw_ocsf_json"),
+    ).select(
+        F.get_json_object("raw_ocsf_json", "$.finding_info.uid").alias(
+            "finding_uid"
+        ),
+        "raw_ocsf_json",
         "_source_file",
+        "_parse_ok",
     )

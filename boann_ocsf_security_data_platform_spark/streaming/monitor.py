@@ -32,7 +32,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import OCSF_FINDING_SCHEMA
 from ..sources.ocsf import read_ocsf_batch
 
 logger = logging.getLogger(__name__)
@@ -113,47 +112,39 @@ def process_directory(
 
     candidates = [f for f in files if f not in failed]
     if candidates:
-        # one distributed read of every remaining file; per-file parse
-        # health decided from the data itself
-        from pyspark.sql.types import StringType, StructField, StructType
-
-        # copy-extend: StructType.add mutates in place
-        parse_schema = StructType(
-            list(OCSF_FINDING_SCHEMA.fields)
-            + [StructField("_corrupt", StringType())]
-        )
-        raw = (
-            spark.read.schema(parse_schema)
-            .option("multiLine", True)
-            .option("columnNameOfCorruptRecord", "_corrupt")
-            .json(candidates)
-            .withColumn("_source_file", F.input_file_name())
-            .cache()
-        )
-        # a file fails if it is unparseable OR any finding lacks
-        # finding_info.uid (reference fail-fast: the ingest loop raises on
-        # event['finding_info']['uid'], ingest_raw_ocsf_findings.py:115-127)
+        # one distributed whole-text read of every remaining file; per-file
+        # parse health decided from the data itself. raw_ocsf_json is the
+        # VERBATIM array element (sources.ocsf.split_findings) — no schema
+        # round-trip, so unknown/extra fields survive into landing exactly
+        # like the reference's raw JSONB insert.
+        raw = read_ocsf_batch(spark, candidates).cache()
+        # a file fails if it is unparseable (non-JSON / non-array root) OR
+        # any finding lacks finding_info.uid. The uid gate is stricter than
+        # the reference (which .get()s and inserts NULL finding_uid,
+        # ingest_raw_ocsf_findings.py:115-123): quarantining the file here
+        # keeps the dbt not_null contract on finding_uid
+        # (dbt_project/models/.../schema.yml) enforceable downstream instead
+        # of landing rows that are guaranteed to fail quality checks.
         bad_files = {
             r["_source_file"]
             for r in raw.filter(
-                F.col("_corrupt").isNotNull()
-                | F.col("finding_info.uid").isNull()
+                ~F.col("_parse_ok")
+                | (
+                    F.col("raw_ocsf_json").isNotNull()
+                    & F.col("finding_uid").isNull()
+                )
             )
             .select("_source_file")
             .distinct()
             .collect()
         }
-        good = raw.filter(~F.col("_source_file").isin(*bad_files) if bad_files else F.lit(True))
-        known = [
-            c for c in good.columns if not c.startswith("_") and c != "_corrupt"
-        ]
-        to_land = good.select(
-            F.col("finding_info.uid").alias("finding_uid"),
-            F.to_json(F.struct(*known)).alias("raw_ocsf_json"),
+        good = raw.filter(
+            (~F.col("_source_file").isin(*bad_files) if bad_files else F.lit(True))
+            & F.col("raw_ocsf_json").isNotNull()
         )
         from ..plans.landing import land
 
-        land(to_land, landing_path)
+        land(good.select("finding_uid", "raw_ocsf_json"), landing_path)
         raw.unpersist()
         failed.update(_norm_matches(bad_files, candidates))
 
@@ -163,6 +154,37 @@ def process_directory(
     for f in sorted(failed):
         move_file(spark, f, failed_dir)
     return {"processed": processed, "failed": sorted(failed)}
+
+
+def make_subprocess_validator(
+    validator_cmd: str, schema_file: str
+) -> Callable[[SparkSession, str], bool]:
+    """External schema-validator hook with the reference's exact contract
+    (ocsf_monitor.py:81-117): run ``validator_cmd --schema-file SCHEMA
+    --data-file FILE``; exit 0 → valid, non-zero / missing command → invalid
+    (file goes to failed/). ``file://`` URIs are mapped to local paths; other
+    schemes are passed through for the validator to resolve (the reference
+    downloads GCS objects locally before validating)."""
+    import subprocess
+
+    def _validate(spark: SparkSession, file_uri: str) -> bool:
+        path = file_uri
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        elif path.startswith("file:"):
+            path = path[len("file:"):]
+        cmd = [validator_cmd, "--schema-file", schema_file, "--data-file", path]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            return True
+        except subprocess.CalledProcessError as e:
+            logger.error("validation failed for %s: %s", path, e.stderr or e)
+            return False
+        except FileNotFoundError:
+            logger.error("validator command not found: %s", validator_cmd)
+            return False
+
+    return _validate
 
 
 def _norm_matches(uri_set: set[str], candidates: list[str]) -> set[str]:
@@ -186,37 +208,93 @@ def start_monitor_stream(
     landing_path: str,
     checkpoint_dir: str,
     archive_dir: str | None = None,
+    failed_dir: str | None = None,
     max_files_per_trigger: int = 100,
     trigger_seconds: int = 5,
 ):
-    """Continuous ingestion: file-source stream → foreachBatch landing.
+    """Continuous ingestion: whole-text file stream → foreachBatch landing.
 
     At-least-once with exactly-once batch bookkeeping via the checkpoint;
     ``archive_dir`` enables the source-side processed-file move
     (``cleanSource=archive`` ≙ the reference's processed/ folder).
-    Returns the StreamingQuery — callers own its lifecycle
-    (``stop_on_signal`` wires SIGTERM like the reference's handler).
+
+    Each file is one stream row (``wholetext``), split into verbatim
+    per-finding JSON inside the batch — same fidelity contract as
+    ``process_directory`` (no schema round-trip). Files that fail to parse
+    or contain a NULL ``finding_info.uid`` contribute NO landed rows; with
+    ``failed_dir`` set they are quarantined there inside the batch
+    (reference failed/ contract, ocsf_monitor.py:192-207). The source's
+    archival then logs a can't-find warning for quarantined files — benign;
+    the checkpoint still marks them consumed. Returns the StreamingQuery —
+    callers own its lifecycle (``stop_on_signal`` wires SIGTERM like the
+    reference's handler).
     """
     reader = (
-        spark.readStream.schema(OCSF_FINDING_SCHEMA)
-        .option("multiLine", True)
+        spark.readStream.option("wholetext", True)
         .option("maxFilesPerTrigger", max_files_per_trigger)
     )
     if archive_dir is not None:
         reader = reader.option("cleanSource", "archive").option(
             "sourceArchiveDir", archive_dir
         )
-    stream = reader.json(f"{source_dir}/*.ocsf.json")
+    stream = reader.text(f"{source_dir}/*.ocsf.json").withColumn(
+        "_source_file", F.input_file_name()
+    )
 
     def _land_batch(batch_df: DataFrame, batch_id: int) -> None:
-        known = [c for c in batch_df.columns if not c.startswith("_")]
-        rows = batch_df.filter(F.col("finding_info").isNotNull()).select(
-            F.col("finding_info.uid").alias("finding_uid"),
-            F.to_json(F.struct(*known)).alias("raw_ocsf_json"),
-        )
-        from ..plans.landing import land
+        from ..sources.ocsf import split_findings
 
-        land(rows, landing_path)
+        rows = (
+            batch_df.withColumn("_findings", split_findings(F.col("value")))
+            .select(
+                "_source_file",
+                F.col("_findings").isNotNull().alias("_parse_ok"),
+                F.explode_outer("_findings").alias("raw_ocsf_json"),
+            )
+            .select(
+                F.get_json_object("raw_ocsf_json", "$.finding_info.uid").alias(
+                    "finding_uid"
+                ),
+                "raw_ocsf_json",
+                "_source_file",
+                "_parse_ok",
+            )
+            .cache()
+        )
+        try:
+            bad_files = {
+                r["_source_file"]
+                for r in rows.filter(
+                    ~F.col("_parse_ok")
+                    | (
+                        F.col("raw_ocsf_json").isNotNull()
+                        & F.col("finding_uid").isNull()
+                    )
+                )
+                .select("_source_file")
+                .distinct()
+                .collect()
+            }
+            good = rows.filter(
+                (
+                    ~F.col("_source_file").isin(*bad_files)
+                    if bad_files
+                    else F.lit(True)
+                )
+                & F.col("raw_ocsf_json").isNotNull()
+            )
+            from ..plans.landing import land
+
+            land(good.select("finding_uid", "raw_ocsf_json"), landing_path)
+            if bad_files:
+                logger.warning(
+                    "batch %d: %d file(s) rejected", batch_id, len(bad_files)
+                )
+                if failed_dir is not None:
+                    for f in sorted(bad_files):
+                        move_file(spark, f, failed_dir)
+        finally:
+            rows.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_land_batch)

@@ -46,3 +46,104 @@ def test_parser_wires_all_subcommands():
         a for a in p._actions if isinstance(a, type(p._subparsers._group_actions[0]))
     )
     assert set(subs.choices) == {"convert", "ingest", "stage", "monitor", "compact"}
+
+
+# ---------------------------------------------------------------------------
+# argument-contract validation (runs before any SparkSession is built)
+# ---------------------------------------------------------------------------
+
+def _main(argv):
+    from boann_ocsf_security_data_platform_spark.cli import main
+
+    return main(argv)
+
+
+def test_monitor_batch_requires_failed_folder(tmp_path):
+    rc = _main(
+        ["monitor", "--source-folder", str(tmp_path), "--landing-path",
+         str(tmp_path / "l"), "--processed-folder", str(tmp_path / "p"),
+         "--batch"]
+    )
+    assert rc == 2
+
+
+def test_monitor_streaming_requires_checkpoint(tmp_path):
+    rc = _main(
+        ["monitor", "--source-folder", str(tmp_path), "--landing-path",
+         str(tmp_path / "l"), "--processed-folder", str(tmp_path / "p")]
+    )
+    assert rc == 2
+
+
+def test_monitor_validator_requires_schema_file(tmp_path):
+    rc = _main(
+        ["monitor", "--source-folder", str(tmp_path), "--landing-path",
+         str(tmp_path / "l"), "--processed-folder", str(tmp_path / "p"),
+         "--failed-folder", str(tmp_path / "f"), "--batch",
+         "--validator", "/bin/true"]
+    )
+    assert rc == 2
+
+
+def test_convert_requires_exactly_one_output(fixtures_dir, tmp_path):
+    sarif = f"{fixtures_dir}/sample.sarif"
+    assert _main(["convert", sarif]) == 2  # neither
+    assert (
+        _main(["convert", sarif, str(tmp_path / "o.json"), "--output-dir",
+               str(tmp_path / "d")])
+        == 2
+    )  # both
+
+
+# ---------------------------------------------------------------------------
+# end-to-end subcommand behavior (in-process; reuses the test SparkSession)
+# ---------------------------------------------------------------------------
+
+def test_monitor_batch_validator_cli(spark, tmp_path):
+    """--validator CMD --schema-file F drives the reference's external
+    validator contract: CMD --schema-file F --data-file FILE, exit != 0
+    -> file quarantined in failed/ without ingestion."""
+    import json as _json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    finding = {"finding_info": {"uid": "u1"}}
+    (src / "ok.ocsf.json").write_text(_json.dumps([finding]))
+    (src / "bad.ocsf.json").write_text(_json.dumps([finding]))
+    validator = tmp_path / "validator.py"
+    validator.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "args = dict(zip(sys.argv[1::2], sys.argv[2::2]))\n"
+        "assert args['--schema-file'] == 'schema.json'\n"
+        "sys.exit(1 if 'bad' in args['--data-file'] else 0)\n"
+    )
+    validator.chmod(0o755)
+    rc = _main(
+        ["monitor", "--source-folder", str(src), "--landing-path",
+         str(tmp_path / "landing"), "--processed-folder", str(tmp_path / "proc"),
+         "--failed-folder", str(tmp_path / "failed"), "--batch",
+         "--validator", str(validator), "--schema-file", "schema.json"]
+    )
+    assert rc == 1  # failures present -> non-zero, like the reference
+    assert sorted(os.listdir(tmp_path / "failed")) == ["bad.ocsf.json"]
+    assert sorted(os.listdir(tmp_path / "proc")) == ["ok.ocsf.json"]
+
+
+def test_convert_output_dir_distributed_sink(spark, fixtures_dir, tmp_path):
+    import json as _json
+
+    out_dir = tmp_path / "out_jsonl"
+    rc = _main(
+        ["convert", f"{fixtures_dir}/sample.sarif", "--output-dir",
+         str(out_dir), "--no-uid-generation"]
+    )
+    assert rc == 0
+    docs = [
+        _json.loads(line)
+        for p in out_dir.iterdir()
+        if p.name.startswith("part-")
+        for line in p.read_text().splitlines()
+    ]
+    assert len(docs) >= 1
+    assert all(d["class_uid"] == 2007 for d in docs)

@@ -209,3 +209,36 @@ def test_lsh_bucket_cap_drops_degenerate_bucket(spark, sf_smoke):
     baseline_set = {(p.id_a, p.id_b) for p in baseline_pairs}
     assert capped_set <= baseline_set
     assert len(capped_set) >= 0.8 * len(baseline_set)  # bounded recall loss
+
+
+def test_release_caches_frees_persisted_intermediates(spark, sf_smoke):
+    """Dedup operators persist reused subplans (shingles, LSH buckets) and
+    hand lifecycle to the caller: after release_caches() the session holds
+    no more cached blocks than before the run (long-lived monitor sessions
+    must not accumulate)."""
+    from boann_ocsf_security_data_platform_spark.operators import release_caches
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    # identical plans share CacheManager entries; drop any cache leaked by
+    # earlier tests so the before/after accounting is exact
+    spark.catalog.clearCache()
+    before = n_cached()
+    docs = load_table(spark, sf_smoke, "documents")
+
+    pairs = minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+    pairs.count()
+    assert n_cached() > before  # intermediates really were cached
+    release_caches(pairs)
+    assert n_cached() == before
+
+    ng = ngram_jaccard_pairs(docs, threshold=0.5)
+    ng.count()
+    release_caches(ng)
+    assert n_cached() == before
+    release_caches(ng)  # idempotent
+    assert n_cached() == before

@@ -223,3 +223,62 @@ def test_stream_static_join(spark, tmp_path, sf_smoke):
     assert len(got) == 3
     assert got[1] is not None and got[2] is not None  # enriched
     assert got[999999] is None  # left join keeps unmatched stream rows
+
+
+def test_streaming_monitor_quarantines_bad_files(spark, monitor_dirs):
+    """Streaming failed-path disposition (reference ocsf_monitor.py:192-207):
+    unparseable / null-uid files land nothing and move to failed/."""
+    d = monitor_dirs
+    _write_ocsf(d["src"], "good.ocsf.json", [FINDING])
+    (d["src"] / "broken.ocsf.json").write_text("{not json at all")
+    no_uid = {**FINDING, "finding_info": {"title": "no uid here"}}
+    _write_ocsf(d["src"], "nouid.ocsf.json", [no_uid])
+
+    q = start_monitor_stream(
+        spark,
+        str(d["src"]),
+        d["landing"],
+        d["checkpoint"],
+        failed_dir=d["failed"],
+        trigger_seconds=1,
+    )
+    try:
+        import os
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if os.path.isdir(d["failed"]) and len(os.listdir(d["failed"])) >= 2:
+                break
+            time.sleep(1)
+        assert sorted(os.listdir(d["failed"])) == [
+            "broken.ocsf.json",
+            "nouid.ocsf.json",
+        ]
+        landed = read_landing(spark, d["landing"])
+        assert landed.count() == 1
+        assert landed.collect()[0]["finding_uid"] == FINDING["finding_info"]["uid"]
+    finally:
+        q.stop()
+
+
+def test_landing_preserves_unknown_fields_verbatim(spark, monitor_dirs):
+    """Fidelity contract: fields OUTSIDE the fixed OCSF schema survive into
+    raw_ocsf_json (reference stores the original event as JSONB verbatim —
+    ingest_raw_ocsf_findings.py raw_ocsf_json=event)."""
+    d = monitor_dirs
+    extra = {
+        **FINDING,
+        "zz_custom_payload": {"nested": [1, 2, {"deep": True}]},
+        "unmapped_attr": "kept",
+    }
+    _write_ocsf(d["src"], "x.ocsf.json", [extra])
+    process_directory(
+        spark, str(d["src"]), d["landing"], d["processed"], d["failed"]
+    )
+    raw = read_landing(spark, d["landing"]).collect()[0]["raw_ocsf_json"]
+    assert '"zz_custom_payload":{"nested":[1,2,{"deep":true}]}' in raw
+    assert '"unmapped_attr":"kept"' in raw
+    # round-trips to the exact original document (whitespace-normalized)
+    assert json.loads(raw) == extra
+    # field order preserved (not alphabetized by a schema round-trip)
+    assert raw.index('"class_uid"') < raw.index('"zz_custom_payload"')
