@@ -69,6 +69,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Broadcast policy (scale contract): an explicit F.broadcast hint is a
+# promise the table fits in every executor FOREVER — only `nation` (25 rows)
+# and `region` (5 rows) keep that promise at any scale factor, so only they
+# carry hints below. Tables that grow with the data (customer, supplier,
+# part, orders, lineitem) carry NO hint: Spark's autoBroadcastJoinThreshold
+# + AQE pick broadcast when the (filtered) side is actually small at runtime
+# and degrade to shuffle joins past the threshold, instead of OOMing
+# executors at 100×.
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational core
 # ---------------------------------------------------------------------------
@@ -134,7 +144,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -170,9 +180,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -292,7 +302,7 @@ def join_theta_inequality(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     return (
         c.join(
-            F.broadcast(s),
+            s,
             (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -572,7 +582,7 @@ def q8_market_share(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
         .agg(
@@ -692,7 +702,7 @@ def q14_promo_share(spark, sf_dir):
     )
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+    return l.join(p, l.l_partkey == p.p_partkey).agg(
         F.round(
             100.0
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))

@@ -105,6 +105,36 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         f"hinted has SMJ={'SortMergeJoin' in ph}, default has BHJ={'BroadcastHashJoin' in default}",
     )
 
+    # broadcast-hint scale audit: with the size threshold disabled, ONLY
+    # tables bounded at any scale factor (nation 25 rows, region 5) may
+    # still plan as broadcast — they carry explicit hints. A BHJ that
+    # survives here on customer/supplier/part/orders/lineitem would mean a
+    # hardcoded hint that OOMs executors at 100× data.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        expected_bhj = {  # hinted bounded-dim joins per query
+            "q3_shipping_priority": 0,
+            "q5_local_supplier_volume": 2,  # nation, region
+            "q8_market_share": 1,  # nation
+            "q14_promo_share": 0,
+            "join_theta_inequality": 1,  # nation
+        }
+        # count node detail headers "(NN) BroadcastHashJoin" — the formatted
+        # output also repeats each node in the tree sketch
+        bad = {
+            q: len(re.findall(r"\(\d+\) BroadcastHashJoin", plan_of(qs[q](spark, sf_dir))))
+            for q in expected_bhj
+        }
+        check(
+            "no broadcast hints on scaling tables",
+            all(bad[q] <= n for q, n in expected_bhj.items()),
+            f"BHJ counts with threshold off: {bad}",
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
     # an unexecuted AdaptiveSparkPlan reports 0 subtrees, so toggle AQE off
     # just for this static-plan inspection
     spark.conf.set("spark.sql.adaptive.enabled", "false")
