@@ -32,3 +32,49 @@ def test_entry_contract(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) == 10
+
+
+# ---------------------------------------------------------------------------
+# invariants for the approximate operators (no SQL oracle possible; the
+# driver records rows-only — these properties are the correctness story)
+# ---------------------------------------------------------------------------
+
+def test_lsh_topk_subset_of_bruteforce(spark, sf_smoke):
+    """Every LSH-approx neighbor must also be a brute-force neighbor pair
+    with the IDENTICAL cosine (LSH only prunes candidates — it never
+    invents similarity), and per-query result sets are <= k."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    k = 5
+    approx = cosine_topk_lsh(emb, queries, k=k).collect()
+    # brute-force with k = |corpus| gives the full scored ranking
+    n = emb.count()
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, queries, k=n).collect()
+    }
+    assert len(approx) > 0
+    per_query = {}
+    for r in approx:
+        assert (r.query_id, r.neighbor_id) in exact
+        assert r.cosine == exact[(r.query_id, r.neighbor_id)]
+        per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
+    assert all(c <= k for c in per_query.values())
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_smoke):
+    """HyperLogLog++ default rsd is 0.05; allow 4 sigma against the exact
+    distinct count."""
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_smoke, "lineitem")
+    approx = l.agg(F.approx_count_distinct("l_orderkey")).collect()[0][0]
+    exact = l.agg(F.countDistinct("l_orderkey")).collect()[0][0]
+    assert abs(approx - exact) <= 4 * 0.05 * exact
