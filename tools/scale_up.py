@@ -1,0 +1,91 @@
+"""Synthesize a larger scale factor from an existing testdata dir by
+key-offset replication — for scale-curve benchmarking only.
+
+Each copy i shifts every surrogate key by i × (its table's key range), so
+referential integrity (orders→customer, lineitem→orders/part/supplier)
+holds and join/agg cardinalities scale linearly, like a real TPC-H scale-up.
+Value columns are left as-is: the copies share value distributions, which
+is what the bench queries exercise (group-bys keep the same key counts per
+group ratio; dedup/similarity operators see proportionally more near-dups,
+matching their real scaling behavior).
+
+region/nation stay fixed (bounded dims at any SF). Timestamps are not
+shifted: the reference workload is also date-range-filtered, so keeping the
+same time window grows rows-per-window linearly — the worst (hardest) case
+for the windowed queries.
+
+Usage: python tools/scale_up.py SRC_DIR DST_DIR N_COPIES
+e.g.   python tools/scale_up.py /root/testdata/sf0.1 /tmp/sf1 10
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+# table -> columns that must shift per copy (key, step source table)
+KEYED = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "customer"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+FIXED = ["region", "nation"]
+# key column whose max defines each table's offset step
+STEP_KEY = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def scale_up(spark, src: str, dst: str, n_copies: int) -> None:
+    steps = {
+        t: spark.read.parquet(f"{src}/{t}.parquet").agg(F.max(k)).collect()[0][0]
+        + 1
+        for t, k in STEP_KEY.items()
+    }
+    for t in FIXED:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    for t, key_cols in KEYED.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        # one distributed plan: cross-join with the copy index, shift keys
+        copies = spark.range(n_copies).select(F.col("id").alias("_copy"))
+        out = df.crossJoin(copies)
+        for col, step_tbl in key_cols.items():
+            out = out.withColumn(
+                col, F.col(col) + F.col("_copy") * F.lit(steps[step_tbl])
+            )
+        out.drop("_copy").write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        print(f"  {t}: x{n_copies}")
+
+
+def main():
+    src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    from boann_ocsf_security_data_platform_spark import get_spark
+
+    spark = get_spark(app_name="scale-up")
+    spark.sparkContext.setLogLevel("ERROR")
+    scale_up(spark, src, dst, n)
+    print(f"wrote {dst} = {src} x {n}")
+
+
+if __name__ == "__main__":
+    main()
