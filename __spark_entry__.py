@@ -39,6 +39,7 @@ from boann_ocsf_security_data_platform_spark.operators.multimodal import (
 from boann_ocsf_security_data_platform_spark.operators.similarity import (
     cosine_sim,
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
 )
@@ -1372,6 +1373,332 @@ def multimodal_media_meta(spark, sf_dir):
     return extract_media_meta(
         attach_binary_payload(_t(spark, sf_dir, "documents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: remaining declared primitives (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "join_right_outer",
+    """
+    SELECT n_name, CAST(count(s_suppkey) AS BIGINT) AS n_rich_suppliers,
+           round(coalesce(sum(s_acctbal), 0), 2) AS total_bal
+    FROM (SELECT * FROM supplier WHERE s_acctbal > 5000) s
+    RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_rich_suppliers"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias(
+                "total_bal"
+            ),
+        )
+    )
+
+
+@_q(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(sum(o_totalprice) OVER w, 2)  AS near_total,
+           CAST(count(*) OVER w AS BIGINT)     AS near_n
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("near_total"),
+        F.count(F.lit(1)).over(w).alias("near_n"),
+    )
+
+
+@_q(
+    "window_last_nth_cume",
+    """
+    SELECT c_custkey, c_nationkey,
+           round(last_value(c_acctbal)   OVER wf, 2) AS top_bal,
+           round(nth_value(c_acctbal, 2) OVER wf, 2) AS second_bal,
+           round(cume_dist() OVER wo, 6)             AS cdist
+    FROM customer
+    WINDOW wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           wo AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_last_nth_cume(spark, sf_dir):
+    wf = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.last("c_acctbal").over(wf), 2).alias("top_bal"),
+        F.round(F.nth_value("c_acctbal", 2).over(wf), 2).alias("second_bal"),
+        F.round(F.cume_dist().over(wo), 6).alias("cdist"),
+    )
+
+
+@_q(
+    "setop_intersect_all",
+    """
+    SELECT nationkey, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier) t
+    GROUP BY nationkey
+    """,
+)
+def setop_intersect_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "setop_except_all",
+    """
+    SELECT nationkey, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier) t
+    GROUP BY nationkey
+    """,
+)
+def setop_except_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "setop_union_by_name",
+    """
+    SELECT src, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(seg) AS BIGINT) AS n_with_seg,
+           round(sum(bal), 2) AS total_bal
+    FROM (
+      SELECT c_custkey AS id, c_acctbal AS bal, 'cust' AS src,
+             c_mktsegment AS seg
+      FROM customer
+      UNION ALL BY NAME
+      SELECT 'supp' AS src, s_suppkey AS id, s_acctbal AS bal FROM supplier) t
+    GROUP BY src
+    """,
+)
+def setop_union_by_name(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("cust").alias("src"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("src"),
+        F.col("s_suppkey").alias("id"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    return (
+        c.unionByName(s, allowMissingColumns=True)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("seg").alias("n_with_seg"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@_q(
+    "events_sliding_window",
+    """
+    SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws,
+             value
+      FROM events) t
+    GROUP BY ws
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Hopping window (length 10 min, slide 5 min): every event lands in
+    exactly two windows; the oracle expands the two containing bucket
+    starts explicitly."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+
+@_q(
+    "scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6)        AS abs_disc,
+           CAST(ceil(l_quantity)  AS BIGINT)       AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT)       AS qty_floor,
+           round(sqrt(l_extendedprice), 6)         AS price_sqrt,
+           round(ln(l_extendedprice), 6)           AS price_ln,
+           round(log10(l_extendedprice), 6)        AS price_log10,
+           round(power(1 + l_tax, 2), 6)           AS tax_sq,
+           CAST(l_linenumber % 3 AS BIGINT)        AS mod3,
+           round(sign(l_discount - 0.05), 1)       AS disc_sign
+    FROM lineitem
+    """,
+)
+def scalar_math(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_linenumber") % 3).cast("long").alias("mod3"),
+        F.round(F.signum(F.col("l_discount") - 0.05), 1).alias("disc_sign"),
+    )
+
+
+@_q(
+    "agg_median_countif_bool",
+    """
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 2) AS med_price,
+           CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big,
+           bool_and(o_totalprice > 0)      AS all_positive,
+           bool_or(o_orderstatus = 'F')    AS any_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_median_countif_bool(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 2).alias("med_price"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q19_disjunctive_predicates",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1  AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H q19 shape: OR of conjunctive predicate groups across the join —
+    exercises CNF conversion / partial pushdown of disjunctions."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & q.between(1, 11) & sz.between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 20) & sz.between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & q.between(20, 30) & sz.between(1, 15))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q("knn_ivf_approx")
+def knn_ivf_approx(spark, sf_dir):
+    """IVF-Flat ANN (approximate by design — no SQL oracle; invariants
+    pinned in tests/test_oracle.py: results ⊆ brute-force with identical
+    cosines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 # ---------------------------------------------------------------------------

@@ -78,3 +78,33 @@ def test_approx_count_distinct_within_rsd(spark, sf_smoke):
     approx = l.agg(F.approx_count_distinct("l_orderkey")).collect()[0][0]
     exact = l.agg(F.countDistinct("l_orderkey")).collect()[0][0]
     assert abs(approx - exact) <= 4 * 0.05 * exact
+
+
+def test_ivf_topk_subset_of_bruteforce(spark, sf_smoke):
+    """IVF-Flat prunes via inverted lists but never invents similarity:
+    every reported neighbor must be a brute-force pair with identical
+    cosine; probing ALL lists must recover the exact top-k."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    n = emb.count()
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, queries, k=n).collect()
+    }
+    approx = cosine_topk_ivf(emb, queries, k=5, n_centroids=16, n_probe=4).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert (r.query_id, r.neighbor_id) in exact_all
+        assert r.cosine == exact_all[(r.query_id, r.neighbor_id)]
+    # full probe == exact top-k (rank-for-rank)
+    full = cosine_topk_ivf(emb, queries, k=5, n_centroids=16, n_probe=16)
+    exact5 = cosine_topk(emb, queries, k=5)
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in full.collect()}
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in exact5.collect()}
+    assert got == want
