@@ -1114,6 +1114,37 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _clusters_oracle() -> str:
+    """Connected components via recursive reachability: min reachable node
+    per source = the cluster id (small pair sets only — the engine side is
+    the scalable iterative version)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
+    """
+
+
+@_q("dedup_clusters", _clusters_oracle())
+def dedup_clusters(spark, sf_dir):
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        connected_components,
+        release_caches,
+    )
+
+    pairs = minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+    out = connected_components(pairs)  # eager: result is checkpointed
+    release_caches(pairs)
+    return out
+
+
 def _simhash_oracle() -> str:
     votes = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "

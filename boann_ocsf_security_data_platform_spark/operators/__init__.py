@@ -1,4 +1,5 @@
 from .dedup import (  # noqa: F401
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signature,
@@ -7,7 +8,12 @@ from .dedup import (  # noqa: F401
     simhash16,
     with_shingles,
 )
-from .relational import asof_join, asof_join_pandas, topk_per_group  # noqa: F401
+from .relational import (  # noqa: F401
+    asof_join,
+    asof_join_pandas,
+    topk_per_group,
+    write_bucketed,
+)
 from .similarity import cosine_sim, cosine_topk, embedding_near_dup_pairs  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprint,

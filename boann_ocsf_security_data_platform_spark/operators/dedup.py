@@ -307,6 +307,65 @@ def minhash_near_dup_pairs(
     return _register_caches(verified, getattr(pairs, "_boann_caches", []) + [sh])
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs → dedup clusters.
+
+    The canonical step after pair generation in a training-data pipeline:
+    transitively-linked documents form one cluster (keep one representative
+    per cluster). Returns ``(node, cluster_id)`` for every node appearing in
+    at least one pair, ``cluster_id`` = minimum node id of the component.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels — pure joins + aggregates, O(diameter)
+    rounds. Near-dup graphs are unions of near-cliques (LSH buckets), so
+    convergence is typically 2-3 rounds. Every round is materialized via
+    ``localCheckpoint`` — cuts the exponentially growing lineage AND gives
+    the convergence check a cheap comparison base. For adversarial
+    long-path graphs at 100 TB switch to the large-star/small-star
+    alternation (same join shapes, O(log n) rounds).
+    """
+    e = pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    labels = (
+        edges.select("a")
+        .distinct()
+        .select(F.col("a").alias("node"), F.col("a").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.a == labels.node)
+            .groupBy("b")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.b, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
 def simhash16(
     df: DataFrame, text_col: str = "text", col_name: str = "simhash"
 ) -> DataFrame:

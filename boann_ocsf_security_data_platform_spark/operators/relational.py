@@ -55,6 +55,31 @@ def salted_join(
     return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    The 100 TB co-location play: two tables bucketed by the same key into
+    the same bucket count join WITHOUT a shuffle — each task reads matching
+    bucket files from both sides (plan shows SortMergeJoin with zero
+    Exchange). Worth it for fact tables re-joined on the same key across
+    many queries (e.g. landing/staging on finding_uid, lineitem on
+    orderkey); the one-time bucketed write replaces a per-query shuffle of
+    the big side. Pick n_buckets ≈ cluster cores × small multiple; it is
+    fixed at write time, so size for the target scale, not today's.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def compact_table(
     spark,
     path: str,

@@ -242,3 +242,20 @@ def test_release_caches_frees_persisted_intermediates(spark, sf_smoke):
     assert n_cached() == before
     release_caches(ng)  # idempotent
     assert n_cached() == before
+
+
+def test_connected_components_known_graph(spark):
+    """Path a-b-c plus pair d-e: two clusters labeled by their min id;
+    path shape needs >1 propagation round (transitivity, not just direct
+    pairs)."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -106,3 +106,53 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
         latest[r.user_id] = (r.n_events, r.total_value)
     assert latest[1] == (3, 22.0)  # state carried across micro-batches
     assert latest[2] == (1, 1.0)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_smoke, tmp_path):
+    """Tables bucketed on the join key by the same bucket count join with
+    zero Exchange nodes (co-located join); the plain parquet join of the
+    same data shuffles both sides."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        write_bucketed,
+    )
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    o = load_table(spark, sf_smoke, "orders")
+    l = load_table(spark, sf_smoke, "lineitem")
+    write_bucketed(o, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+        "o_orderkey", n_buckets=8,
+    )
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = (
+                bo.join(bl, "o_orderkey")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            baseline = (
+                o.join(l, o.o_orderkey == l.l_orderkey)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        assert "Exchange" in baseline  # same join, unbucketed: shuffles
+        # results identical to the unbucketed join
+        assert bo.join(bl, "o_orderkey").count() == o.join(
+            l, o.o_orderkey == l.l_orderkey
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
