@@ -282,3 +282,42 @@ def test_landing_preserves_unknown_fields_verbatim(spark, monitor_dirs):
     assert json.loads(raw) == extra
     # field order preserved (not alphabetized by a schema round-trip)
     assert raw.index('"class_uid"') < raw.index('"zz_custom_payload"')
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream inner join with an event-time interval
+    bound — Spark buffers both sides in state and evicts by watermark."""
+    left_rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0},
+        {"user_id": 2, "ts": "2024-01-01T01:00:00", "value": 2.0},
+    ]
+    right_rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:03:00", "score": 10.0},  # +3m: joins
+        {"user_id": 1, "ts": "2024-01-01T00:30:00", "score": 20.0},  # +30m: out of bound
+        {"user_id": 2, "ts": "2024-01-01T01:01:00", "score": 30.0},  # +1m: joins
+    ]
+    ldir = tmp_path / "ss_left"
+    rdir = tmp_path / "ss_right"
+    ldir.mkdir(), rdir.mkdir()
+    (ldir / "l.json").write_text("\n".join(json.dumps(r) for r in left_rows))
+    (rdir / "r.json").write_text("\n".join(json.dumps(r) for r in right_rows))
+    left = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .json(str(ldir))
+        .withWatermark("ts", "2 hours")
+    )
+    right = (
+        spark.readStream.schema("user_id long, ts timestamp, score double")
+        .json(str(rdir))
+        .withColumnRenamed("ts", "r_ts")
+        .withWatermark("r_ts", "2 hours")
+    )
+    joined = left.join(
+        right,
+        (left.user_id == right.user_id)
+        & (F.col("r_ts") >= F.col("ts"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 5 minutes")),
+    ).select(left.user_id, "value", "score")
+    _run_to_memory(joined, "ss_join")
+    got = {(r.user_id, r.score) for r in spark.sql("SELECT * FROM ss_join").collect()}
+    assert got == {(1, 10.0), (2, 30.0)}
