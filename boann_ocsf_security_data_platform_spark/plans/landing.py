@@ -21,13 +21,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def land(findings_json_df: DataFrame, path: str, mode: str = "append") -> None:
+def land(
+    findings_json_df: DataFrame,
+    path: str,
+    mode: str = "append",
+    batch_id: int | None = None,
+) -> None:
     """Append findings (columns ``finding_uid``, ``raw_ocsf_json`` — from
     ``plans.convert.ocsf_to_json`` or an OCSF batch source) to the landing
     table at ``path``.
 
     Fail-fast semantics (reference ingest_raw_ocsf_findings.py:125-127) are
     Spark's native all-or-nothing job commit: no partial batch is visible.
+
+    ``batch_id`` (the streaming micro-batch id) upgrades at-least-once to
+    effectively-once: rows are partitioned by ``_batch_id`` and written with
+    DYNAMIC partition overwrite, so a replayed micro-batch overwrites its
+    own partition instead of appending duplicates. (Caveat: a replay that
+    crosses midnight writes a new ``load_date`` sub-partition and leaves the
+    previous day's — same at-least-once floor the reference's re-ingest
+    has.)
     """
     # keep any extra (non-lineage) columns: on_schema_change='append_new_columns'
     extra = [
@@ -36,15 +49,32 @@ def land(findings_json_df: DataFrame, path: str, mode: str = "append") -> None:
         if c not in ("finding_uid", "raw_ocsf_json", "loaded_at", "load_date")
         and not c.startswith("_")
     ]
-    (
+    out = (
         findings_json_df.select("finding_uid", "raw_ocsf_json", *extra)
         .withColumn("loaded_at", F.current_timestamp())
         .withColumn("load_date", F.to_date(F.col("loaded_at")))
-        .write.mode(mode)
-        .option("mergeSchema", "true")  # on_schema_change='append_new_columns'
-        .partitionBy("load_date")
-        .parquet(path)
     )
+    if batch_id is None:
+        (
+            out.write.mode(mode)
+            .option("mergeSchema", "true")  # on_schema_change='append_new_columns'
+            .partitionBy("load_date")
+            .parquet(path)
+        )
+        return
+    spark = findings_json_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            out.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")  # dynamic: only this batch's partitions
+            .option("mergeSchema", "true")
+            .partitionBy("_batch_id", "load_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def read_landing(spark: SparkSession, path: str) -> DataFrame:

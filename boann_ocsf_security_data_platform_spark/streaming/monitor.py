@@ -285,7 +285,13 @@ def start_monitor_stream(
             )
             from ..plans.landing import land
 
-            land(good.select("finding_uid", "raw_ocsf_json"), landing_path)
+            # batch_id-keyed dynamic overwrite: micro-batch replays after a
+            # crash overwrite their own partition instead of duplicating
+            land(
+                good.select("finding_uid", "raw_ocsf_json"),
+                landing_path,
+                batch_id=batch_id,
+            )
             if bad_files:
                 logger.warning(
                     "batch %d: %d file(s) rejected", batch_id, len(bad_files)

@@ -321,3 +321,41 @@ def test_stream_stream_interval_join(spark, tmp_path):
     _run_to_memory(joined, "ss_join")
     got = {(r.user_id, r.score) for r in spark.sql("SELECT * FROM ss_join").collect()}
     assert got == {(1, 10.0), (2, 30.0)}
+
+
+def test_land_batch_id_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) overwrites its own partition
+    instead of appending duplicates; new batch_ids still append."""
+    from boann_ocsf_security_data_platform_spark.plans.landing import land
+
+    path = str(tmp_path / "landing")
+    df = spark.createDataFrame(
+        [("u1", "{}"), ("u2", "{}")], "finding_uid string, raw_ocsf_json string"
+    )
+    land(df, path, batch_id=0)
+    land(df, path, batch_id=0)  # replay
+    assert read_landing(spark, path).count() == 2
+    land(df, path, batch_id=1)
+    assert read_landing(spark, path).count() == 4
+
+
+def test_sql_over_registered_views(spark, sf_smoke):
+    """register_views exposes the catalog to raw spark.sql — the SQL text
+    must agree with the DataFrame-API q1."""
+    from boann_ocsf_security_data_platform_spark.sources.catalog import register_views
+    import __spark_entry__ as em
+
+    register_views(spark, sf_smoke)
+    sql_rows = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    api = {
+        (r.l_returnflag, r.l_linestatus): r.sum_qty
+        for r in em.queries()["q1_pricing_summary"](spark, sf_smoke).collect()
+    }
+    got = {(r.l_returnflag, r.l_linestatus): r.sum_qty for r in sql_rows}
+    assert got == api
