@@ -6,12 +6,17 @@ Arrow-batched ``mapInPandas`` stages so each executor touches only its own
 partition's bytes (at 100 TB the payload column stays columnar in Parquet
 and is NEVER collected).
 
-The actual codec step is environment-dependent (PIL / ffmpeg are not in
-this container), so decoding is stubbed: ``decode_image`` raises
-NotImplementedError unless a decoder import succeeds, while
-``extract_media_meta`` computes a deterministic fake "decode" (md5-derived
-dimensions) that exercises the full Spark plumbing — schema, batching,
-partitioning — and is reproducible for the oracle harness.
+What needs a codec and what doesn't:
+
+- ``sniff_image_meta`` — REAL header-level decode (PNG/GIF/BMP/JPEG
+  dimensions) in pure byte parsing; no library needed.
+- ``byte_histogram`` — real 256-bin byte features (numpy-vectorized).
+- ``frame_sample`` — real frame sampling for raw fixed-frame-size media;
+  compressed containers swap the slicing body for an ffmpeg demux.
+- ``extract_media_meta`` — deterministic md5-derived dimensions standing in
+  for a header parse, kept for the cross-engine oracle harness.
+- ``decode_image`` — full pixel decode, the ONE step that genuinely needs a
+  codec; import-gated on Pillow (not in this container).
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -84,24 +90,154 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame
     return df.mapInPandas(batches, MEDIA_META_SCHEMA)
 
 
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def _sniff_header(b: bytes) -> tuple[str | None, int | None, int | None]:
+    """Real container-header parse — no codec library needed. PNG IHDR,
+    GIF logical screen descriptor, BMP info header, and JPEG SOFn marker
+    walk; anything else → (None, None, None)."""
+    import struct
+
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return "png", w, h
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            return "gif", w, h
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return "bmp", w, abs(h)
+        if b[:2] == b"\xff\xd8":  # JPEG: walk markers to SOF0..SOF15
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return "jpeg", w, h
+                i += 2 + struct.unpack(">H", b[i + 2 : i + 4])[0]
+    except (struct.error, IndexError):
+        pass
+    return None, None, None
+
+
+def sniff_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode real image dimensions from the payload's container header
+    (PNG/GIF/BMP/JPEG) — Arrow-batched, pure byte parsing, no PIL needed.
+    Unknown formats yield NULL format/width/height rather than failing the
+    batch (bad bytes are data, not errors, at 100 TB)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sniffed = [_sniff_header(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [s[0] for s in sniffed],
+                    "width": pd.array([s[1] for s in sniffed], dtype="Int32"),
+                    "height": pd.array([s[2] for s in sniffed], dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+BYTE_HIST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("histogram", ArrayType(LongType())),
+    ]
+)
+
+
+def byte_histogram(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """256-bin byte histogram per payload — a real, model-free feature
+    vector for binary media (entropy/type signals). numpy ``bincount`` over
+    a zero-copy ``frombuffer`` view, so the batch stays vectorized."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hists = [
+                np.bincount(
+                    np.frombuffer(bytes(b), dtype=np.uint8), minlength=256
+                ).astype("int64")
+                for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "histogram": hists}
+            )
+
+    return df.mapInPandas(batches, BYTE_HIST_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    frame_size: int,
+    every_n: int = 10,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sample every ``every_n``-th frame from RAW (uncompressed,
+    fixed-frame-size) media payloads: one input row fans out to one output
+    row per sampled frame — the UDTF shape a video pipeline needs.
+
+    Real and tested for raw streams (frame k = bytes
+    [k*frame_size, (k+1)*frame_size)); compressed containers need a codec —
+    keep this exact mapInPandas shape and swap the slicing body for an
+    ffmpeg/av demux (import-gated in that environment). Trailing partial
+    frames are dropped, matching raw-video reader conventions.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf[payload_col]):
+                raw = bytes(b)
+                n_frames = len(raw) // frame_size
+                for k in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(raw[k * frame_size : (k + 1) * frame_size])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode — requires a decoder library at runtime."""
+    """Full pixel decode — the one step that genuinely needs a codec
+    library. Import-gated on Pillow; header-level metadata needs no codec
+    at all (use :func:`sniff_image_meta`)."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "image decoding requires Pillow; this environment ships none. "
-            "The Spark plumbing is extract_media_meta — swap its batch body "
-            "for PIL.Image.open(BytesIO(payload))."
+            "pixel decoding requires Pillow (not in this environment); "
+            "header metadata works without it via sniff_image_meta, and the "
+            "mapInPandas plumbing to extend is extract_media_meta/"
+            "frame_sample."
         ) from e
-    raise NotImplementedError("wire the PIL decode into extract_media_meta's body")
-
-
-def frame_sample(
-    df: DataFrame, payload_col: str = "payload", every_n: int = 10
-) -> DataFrame:
-    """Video frame sampling stub — same contract as decode_image."""
     raise NotImplementedError(
-        "frame sampling requires ffmpeg/av; plumbing pattern: mapInPandas "
-        "yielding one row per sampled frame with (media_id, frame_idx, frame_png)."
-    )
+        "wire PIL.Image.open(BytesIO(payload)) into a mapInPandas body "
+        "shaped like frame_sample"
+    )  # pragma: no cover

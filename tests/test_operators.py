@@ -259,3 +259,70 @@ def test_connected_components_known_graph(spark):
         r.node: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_sniff_image_meta_real_headers(spark):
+    """Header sniffing decodes real container bytes — a crafted PNG IHDR,
+    GIF screen descriptor, JPEG SOF0 walk, BMP info header — and NULLs
+    unknown formats instead of failing the batch."""
+    import struct
+
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        sniff_image_meta,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(
+        ">IIBBBBB", 640, 480, 8, 6, 0, 0, 0
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    # JPEG: SOI, APP0 (len 16), SOF0 (len 17) with height 2000 width 3000
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 2000, 3000) + b"\x03" + b"\x00" * 9
+    )
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 101, -55) + b"\x00" * 4
+    rows = [(1, png), (2, gif), (3, jpeg), (4, bmp), (5, b"not an image")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.format, r.width, r.height)
+        for r in sniff_image_meta(df).collect()
+    }
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("jpeg", 3000, 2000)
+    assert got[4] == ("bmp", 101, 55)  # negative height = top-down BMP
+    assert got[5] == (None, None, None)
+
+
+def test_byte_histogram_counts(spark):
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        byte_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"aabc"), (2, b"")], "media_id long, payload binary"
+    )
+    got = {r.media_id: r.histogram for r in byte_histogram(df).collect()}
+    assert len(got[1]) == 256
+    assert got[1][ord("a")] == 2 and got[1][ord("b")] == 1 and got[1][ord("c")] == 1
+    assert sum(got[1]) == 4
+    assert sum(got[2]) == 0
+
+
+def test_frame_sample_raw_frames(spark):
+    """One payload row fans out to one row per sampled frame; trailing
+    partial frame dropped."""
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    payload = bytes(range(10)) * 5 + b"\xff"  # 5 full 10-byte frames + tail
+    df = spark.createDataFrame([(7, payload)], "media_id long, payload binary")
+    got = sorted(
+        (r.frame_idx, bytes(r.frame))
+        for r in frame_sample(df, frame_size=10, every_n=2).collect()
+    )
+    assert [i for i, _ in got] == [0, 2, 4]
+    assert all(f == bytes(range(10)) for _, f in got)
