@@ -12,7 +12,6 @@ the driver records a rows-only check for them.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -23,21 +22,17 @@ from boann_ocsf_security_data_platform_spark.operators import (
     lang_id,
     simhash16,
     text_quality,
-    topk_per_group,
 )
 from boann_ocsf_security_data_platform_spark.operators.dedup import (
     _xor_constant,
     minhash_near_dup_pairs,
-    minhash_signature,
     ngram_jaccard_pairs,
-    with_shingles,
 )
 from boann_ocsf_security_data_platform_spark.operators.multimodal import (
     attach_binary_payload,
     extract_media_meta,
 )
 from boann_ocsf_security_data_platform_spark.operators.similarity import (
-    cosine_sim,
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
