@@ -57,9 +57,20 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     A small parquet input arrives as one split, serializing the whole
     map stage on one task. When the plan has fewer partitions than the
     cluster's default parallelism, repartition up; on real at-scale inputs
-    (thousands of splits) this is a no-op so no gratuitous shuffle."""
+    (thousands of splits) this is a no-op so no gratuitous shuffle.
+
+    The probe prefers ``inputFiles()`` (a catalog listing — no physical
+    planning) over ``df.rdd.getNumPartitions()``, which materializes the
+    RDD plan driver-side on every call; the RDD probe remains only as the
+    fallback for non-file sources (in-memory test frames)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits == 0:  # non-file source
+        n_splits = df.rdd.getNumPartitions()
+    if n_splits < target:
         return df.repartition(target)
     return df
 

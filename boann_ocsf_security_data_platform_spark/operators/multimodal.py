@@ -84,10 +84,9 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame
                 }
             )
 
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    return df.mapInPandas(batches, MEDIA_META_SCHEMA)
+    from .dedup import _ensure_parallelism
+
+    return _ensure_parallelism(df).mapInPandas(batches, MEDIA_META_SCHEMA)
 
 
 IMAGE_META_SCHEMA = StructType(
