@@ -1718,6 +1718,101 @@ def q19_disjunctive_predicates(spark, sf_dir):
     )
 
 
+@_q(
+    "scalar_string_advanced",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1)      AS first_word,
+           split_part(p_type, ' ', 1)                 AS type_head,
+           translate(p_brand, '#', '-')               AS brand_dash,
+           upper(p_name)                              AS name_upper,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')      AS size_padded,
+           repeat('*', p_size % 5)                    AS stars,
+           reverse(p_brand)                           AS brand_rev,
+           CAST(position('o' IN p_name) AS BIGINT)    AS first_o,
+           trim(BOTH ' ' FROM concat(' ', p_name, ' ')) AS retrimmed
+    FROM part
+    """,
+)
+def scalar_string_advanced(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.upper("p_name").alias("name_upper"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_name", "o").cast("long").alias("first_o"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias(
+            "retrimmed"
+        ),
+    )
+
+
+@_q(
+    "scalar_null_semantics",
+    """
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')              AS status_or_open,
+           ifnull(nullif(o_totalprice, 0), -1)                       AS price_nz,
+           (o_orderstatus IS NOT DISTINCT FROM 'F')                  AS null_safe_f,
+           (nullif(o_orderstatus, o_orderstatus) IS NOT DISTINCT FROM
+            nullif('x', 'x'))                                        AS null_eq_null,
+           CAST(count(o_orderstatus = 'zzz' OR NULL) OVER () AS BIGINT) AS zero_true
+    FROM orders
+    """,
+)
+def scalar_null_semantics(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    st = F.col("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(st, F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.ifnull(F.nullif("o_totalprice", F.lit(0)), F.lit(-1)).alias(
+            "price_nz"
+        ),
+        st.eqNullSafe("F").alias("null_safe_f"),
+        F.nullif(st, st)
+        .eqNullSafe(F.nullif(F.lit("x"), F.lit("x")))
+        .alias("null_eq_null"),
+        F.count(
+            F.when(st == "zzz", F.lit(True))
+        ).over(Window.partitionBy()).alias("zero_true"),
+    )
+
+
+@_q(
+    "join_null_safe",
+    """
+    WITH l AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders),
+         r AS (SELECT nullif(s, 'P') AS k, tag FROM (VALUES ('O', 'open'),
+               ('F', 'finished'), ('P', 'pending')) v(s, tag))
+    SELECT tag, CAST(count(o_orderkey) AS BIGINT) AS n
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY tag
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of being dropped — Spark still plans this as a
+    hash join (the operator treats null as a normal key value)."""
+    o = _t(spark, sf_dir, "orders")
+    l = o.select("o_orderkey", F.nullif("o_orderstatus", F.lit("P")).alias("k"))
+    r = o.sparkSession.createDataFrame(
+        [("O", "open"), ("F", "finished"), ("P", "pending")], "s string, tag string"
+    ).select(F.nullif("s", F.lit("P")).alias("k"), "tag")
+    return (
+        l.join(r, l.k.eqNullSafe(r.k))
+        .groupBy("tag")
+        .agg(F.count("o_orderkey").alias("n"))
+    )
+
+
 @_q("knn_ivf_approx")
 def knn_ivf_approx(spark, sf_dir):
     """IVF-Flat ANN (approximate by design — no SQL oracle; invariants
