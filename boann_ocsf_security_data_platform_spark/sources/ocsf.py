@@ -49,18 +49,40 @@ def read_ocsf_batch(spark: SparkSession, path: str | list[str]) -> DataFrame:
         .withColumn("_source_file", F.input_file_name())
         .withColumn("_findings", split_findings(F.col("value")))
     )
-    # explode_outer keeps a NULL-raw row for unparseable files (parse failed)
-    # while empty arrays ([] — valid, zero findings) also keep one NULL row;
-    # distinguish via _parse_ok.
-    return whole.select(
-        F.col("_source_file"),
-        F.col("_findings").isNotNull().alias("_parse_ok"),
-        F.explode_outer("_findings").alias("raw_ocsf_json"),
-    ).select(
-        F.get_json_object("raw_ocsf_json", "$.finding_info.uid").alias(
-            "finding_uid"
-        ),
-        "raw_ocsf_json",
-        "_source_file",
-        "_parse_ok",
+    return split_findings_rows(whole)
+
+
+def split_findings_rows(whole: DataFrame) -> DataFrame:
+    """Explode a (_source_file, _findings) frame into per-finding rows.
+
+    ``_parse_ok`` is projected BEFORE the explode: a column computed beside
+    a Generate lands in its requiredChildOutput, so deriving it after would
+    make every exploded row carry the file's ENTIRE findings array
+    (quadratic memory on large files — same Catalyst trap as the converter's
+    run-struct explode, see plans/convert.py). Pre-projected, the Generate
+    carries only (_source_file, _parse_ok).
+
+    explode_outer keeps a NULL-raw row for unparseable files (parse failed)
+    while empty arrays ([] — valid, zero findings) also keep one NULL row;
+    distinguish via _parse_ok.
+    """
+    return (
+        whole.select(
+            "_source_file",
+            F.col("_findings").isNotNull().alias("_parse_ok"),
+            "_findings",
+        )
+        .select(
+            "_source_file",
+            "_parse_ok",
+            F.explode_outer("_findings").alias("raw_ocsf_json"),
+        )
+        .select(
+            F.get_json_object("raw_ocsf_json", "$.finding_info.uid").alias(
+                "finding_uid"
+            ),
+            "raw_ocsf_json",
+            "_source_file",
+            "_parse_ok",
+        )
     )

@@ -242,25 +242,11 @@ def start_monitor_stream(
     )
 
     def _land_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from ..sources.ocsf import split_findings
+        from ..sources.ocsf import split_findings, split_findings_rows
 
-        rows = (
+        rows = split_findings_rows(
             batch_df.withColumn("_findings", split_findings(F.col("value")))
-            .select(
-                "_source_file",
-                F.col("_findings").isNotNull().alias("_parse_ok"),
-                F.explode_outer("_findings").alias("raw_ocsf_json"),
-            )
-            .select(
-                F.get_json_object("raw_ocsf_json", "$.finding_info.uid").alias(
-                    "finding_uid"
-                ),
-                "raw_ocsf_json",
-                "_source_file",
-                "_parse_ok",
-            )
-            .cache()
-        )
+        ).cache()
         try:
             bad_files = {
                 r["_source_file"]
