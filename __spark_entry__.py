@@ -1813,6 +1813,39 @@ def join_null_safe(spark, sf_dir):
     )
 
 
+@_q(
+    "scalar_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 1 MONTH                     AS next_month,
+           o_orderdate + INTERVAL 10 DAY                      AS plus_10d,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(date_part('dow', o_orderdate) + 1 AS BIGINT)  AS dow_1sun,
+           CAST(week(o_orderdate)    AS BIGINT)               AS iso_week,
+           CAST(quarter(o_orderdate) AS BIGINT)               AS qtr,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start
+    FROM orders
+    """,
+)
+def scalar_date_arithmetic(spark, sf_dir):
+    """Date arithmetic parity notes: Spark ``add_months`` and DuckDB
+    ``+ INTERVAL 1 MONTH`` both clamp to month end; Spark ``dayofweek`` is
+    1=Sunday vs DuckDB ``dow`` 0=Sunday (offset in the oracle); both
+    ``weekofyear``/``week`` are ISO weeks."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 1).cast("timestamp").alias("next_month"),
+        F.date_add(d.cast("date"), 10).cast("timestamp").alias("plus_10d"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.dayofweek(d).cast("long").alias("dow_1sun"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.date_trunc("week", d).alias("week_start"),
+    )
+
+
 @_q("knn_ivf_approx")
 def knn_ivf_approx(spark, sf_dir):
     """IVF-Flat ANN (approximate by design — no SQL oracle; invariants
