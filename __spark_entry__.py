@@ -1846,6 +1846,85 @@ def scalar_date_arithmetic(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_corr_covar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covs,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS qty_price_covp,
+           round(stddev_samp(l_discount), 6)                 AS disc_sd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covs"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covp"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("disc_sd"),
+    )
+
+
+@_q(
+    "scalar_regexp_extract_all",
+    """
+    SELECT p_partkey,
+           regexp_extract_all(p_name, '[aeiou]+')       AS vowel_runs,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words
+    FROM part
+    """,
+)
+def scalar_regexp_extract_all(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract_all("p_name", F.lit("[aeiou]+"), 0).alias("vowel_runs"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0))
+        .cast("long")
+        .alias("n_words"),
+    )
+
+
+@_q(
+    "agg_cube_grouping_id",
+    """
+    SELECT coalesce(o_orderstatus, '<all>')   AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_grouping_id(spark, sf_dir):
+    """grouping_id distinguishes 'NULL because subtotal' from data NULLs —
+    the standard cube disambiguator."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+        )
+    )
+
+
 @_q("knn_ivf_approx")
 def knn_ivf_approx(spark, sf_dir):
     """IVF-Flat ANN (approximate by design — no SQL oracle; invariants
