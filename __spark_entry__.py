@@ -1140,6 +1140,43 @@ def dedup_clusters(spark, sf_dir):
     return out
 
 
+@_q(
+    "dedup_filtered_corpus",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    losers AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM losers)
+    """,
+)
+def dedup_filtered_corpus(spark, sf_dir):
+    """The full training-data dedup flow: near-dup pairs → transitive
+    clusters → keep one representative (the min id) per cluster, drop the
+    rest. Anti-join of the corpus against cluster losers — the shape a
+    100 TB dedup job materializes."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        connected_components,
+        release_caches,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs)
+    clusters = connected_components(pairs)
+    release_caches(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster_id"))
+    return docs.join(
+        losers, docs.doc_id == losers.node, "left_anti"
+    ).select("doc_id", "n_chars")
+
+
 def _simhash_oracle() -> str:
     votes = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "

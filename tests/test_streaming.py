@@ -359,3 +359,52 @@ def test_sql_over_registered_views(spark, sf_smoke):
     }
     got = {(r.l_returnflag, r.l_linestatus): r.sum_qty for r in sql_rows}
     assert got == api
+
+
+def test_stream_to_staging_incremental_e2e(spark, monitor_dirs, tmp_path):
+    """Full pipeline atop the stream: files → monitor stream → landing →
+    incremental staging. A second staging run after more files arrive
+    picks up ONLY the new rows (high-water mark over streamed batches)."""
+    from boann_ocsf_security_data_platform_spark.plans.staging import (
+        high_water_mark,
+        stage,
+        write_staging,
+    )
+
+    d = monitor_dirs
+    staging = str(tmp_path / "staging")
+    q = start_monitor_stream(
+        spark, str(d["src"]), d["landing"], d["checkpoint"], trigger_seconds=1
+    )
+    try:
+        _write_ocsf(d["src"], "w1.ocsf.json", [FINDING, FINDING])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if read_landing(spark, d["landing"]).count() >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        write_staging(
+            stage(read_landing(spark, d["landing"]),
+                  hwm=high_water_mark(spark, staging)),
+            staging,
+        )
+        assert spark.read.parquet(staging).count() == 2
+
+        _write_ocsf(d["src"], "w2.ocsf.json", [FINDING])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if read_landing(spark, d["landing"]).count() >= 3:
+                break
+            time.sleep(1)
+        incr = stage(
+            read_landing(spark, d["landing"]), hwm=high_water_mark(spark, staging)
+        )
+        n_new = incr.count()
+        assert n_new == 1  # only the late file's finding is above the HWM
+        write_staging(incr, staging)
+        assert spark.read.parquet(staging).count() == 3
+    finally:
+        q.stop()
