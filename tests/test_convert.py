@@ -255,3 +255,26 @@ def test_malformed_file_yields_no_findings(spark, tmp_path):
     p = tmp_path / "bad.sarif"
     p.write_text("{not json")
     assert convert_sarif_to_ocsf(read_sarif(spark, str(p)), now_ms=NOW_MS).count() == 0
+
+
+def test_vulnerability_empty_cwe_list_falls_back(spark, tmp_path):
+    """A result-level cwe of [] is Python-falsy in the reference
+    (`if cwe:` skips it) — it must fall back to the RULE's cwe, and to
+    UNKNOWN when the rule has none but a location exists."""
+    loc = {"physicalLocation": {"artifactLocation": {"uri": "x.c"}, "region": {}}}
+    run = {
+        "tool": {
+            "driver": {
+                "name": "T",
+                "rules": [{"id": "R1", "properties": {"cwe": "CWE-22"}}],
+            }
+        },
+        "results": [
+            {"ruleId": "R1", "properties": {"cwe": []}},
+            {"ruleId": "R-none", "properties": {"cwe": []}, "locations": [loc]},
+        ],
+    }
+    rows = convert_sarif_to_ocsf(_sarif_df(spark, tmp_path, [run]), now_ms=NOW_MS).collect()
+    uids = [r.vulnerabilities[0].cwe.uid if r.vulnerabilities else None for r in rows]
+    assert "CWE-22" in uids      # [] ignored, rule cwe used
+    assert "UNKNOWN" in uids     # [] ignored, no rule cwe, location present
