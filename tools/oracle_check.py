@@ -6,7 +6,12 @@ row count, column names, and cell values (columns sorted by name, rows
 sorted by all columns — order-insensitive, exact equality so a pass here
 predicts a value-hash match).
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--hostile] [sf_dir] [query ...]
+
+``--hostile`` simulates the verification driver's session instead of the
+engine's defaults: ANSI mode ON, session timezone America/New_York, none of
+session.py's engine confs — every query must still match (load_table sets
+the confs it needs defensively at runtime).
 """
 
 from __future__ import annotations
@@ -32,6 +37,10 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    # arrays arrive as numpy ndarrays (Arrow fetch) or Python lists
+    # (non-Arrow session) — normalize element-wise so both render the same
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "∅"
     if isinstance(v, float):
@@ -77,14 +86,30 @@ def compare_one(spark, con, name: str, fn, sql: str, sf_dir: str):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-
-    from boann_ocsf_security_data_platform_spark import get_spark
+    args = sys.argv[1:]
+    hostile = "--hostile" in args
+    if hostile:
+        args.remove("--hostile")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="oracle-check", master="local[8]")
+    if hostile:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-hostile")
+            .master("local[8]")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from boann_ocsf_security_data_platform_spark import get_spark
+
+        spark = get_spark(app_name="oracle-check", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
 
