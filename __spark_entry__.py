@@ -1962,6 +1962,29 @@ def agg_cube_grouping_id(spark, sf_dir):
     )
 
 
+_SUBQ_SQL = """
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders
+                           WHERE o_totalprice > 300000)) AS n_big_spenders,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders
+       WHERE o_orderstatus NOT IN (SELECT nullif(o_orderstatus, 'P')
+                                   FROM orders))          AS n_not_in_with_null
+    """
+
+
+@_q("subquery_in_not_in", _SUBQ_SQL)
+def subquery_in_not_in(spark, sf_dir):
+    """IN / NOT IN subqueries with three-valued-logic semantics: the NOT IN
+    list contains NULLs (every 'P' nullified), so the predicate is never
+    TRUE and the count is 0 — the classic NOT-IN-with-NULL trap, identical
+    in Spark and DuckDB. Catalyst plans IN as left-semi and NOT IN as
+    null-aware anti join."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SUBQ_SQL)
+
+
 @_q("knn_ivf_approx")
 def knn_ivf_approx(spark, sf_dir):
     """IVF-Flat ANN (approximate by design — no SQL oracle; invariants
