@@ -186,8 +186,13 @@ def cmd_monitor(args) -> int:
         archive_dir=args.processed_folder,
         failed_dir=args.failed_folder,
         trigger_seconds=args.interval,
+        available_now=args.drain,
     )
     stop_on_signal(q)
+    if args.drain:
+        q.awaitTermination()
+        print("drained pending files; checkpoint advanced")
+        return 0
     print("monitor stream started; Ctrl-C to stop")
     while q.isActive:
         time.sleep(1)
@@ -243,6 +248,12 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--interval", type=int, default=5)
     m.add_argument("--validator", help="external validator command (exit 0 = valid)")
     m.add_argument("--schema-file", help="schema file passed to --validator")
+    m.add_argument(
+        "--drain",
+        action="store_true",
+        help="streaming mode: process everything pending, then exit "
+        "(availableNow trigger — resumable via the checkpoint)",
+    )
     m.set_defaults(fn=cmd_monitor)
 
     k = sub.add_parser("compact", help="small-file compaction for a table dir")

@@ -211,6 +211,7 @@ def start_monitor_stream(
     failed_dir: str | None = None,
     max_files_per_trigger: int = 100,
     trigger_seconds: int = 5,
+    available_now: bool = False,
 ):
     """Continuous ingestion: whole-text file stream → foreachBatch landing.
 
@@ -228,6 +229,12 @@ def start_monitor_stream(
     the checkpoint still marks them consumed. Returns the StreamingQuery —
     callers own its lifecycle (``stop_on_signal`` wires SIGTERM like the
     reference's handler).
+
+    ``available_now=True`` drains everything currently in the directory
+    (still rate-limited by ``max_files_per_trigger`` per micro-batch, still
+    checkpointed) and then stops — the stream-native analog of the
+    reference's ``--batch`` sweep, resumable where ``process_directory``
+    is not.
     """
     reader = (
         spark.readStream.option("wholetext", True)
@@ -288,12 +295,14 @@ def start_monitor_stream(
         finally:
             rows.unpersist()
 
-    return (
-        stream.writeStream.foreachBatch(_land_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
+    writer = stream.writeStream.foreachBatch(_land_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
 
 
 def stop_on_signal(query) -> None:

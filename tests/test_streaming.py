@@ -408,3 +408,24 @@ def test_stream_to_staging_incremental_e2e(spark, monitor_dirs, tmp_path):
         assert spark.read.parquet(staging).count() == 3
     finally:
         q.stop()
+
+
+def test_streaming_drain_available_now(spark, monitor_dirs):
+    """availableNow trigger: drain pending files, stop, and stay resumable —
+    a re-drain after new files processes ONLY the new ones (checkpoint)."""
+    d = monitor_dirs
+    _write_ocsf(d["src"], "d1.ocsf.json", [FINDING])
+    _write_ocsf(d["src"], "d2.ocsf.json", [FINDING, FINDING])
+    q = start_monitor_stream(
+        spark, str(d["src"]), d["landing"], d["checkpoint"], available_now=True
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert read_landing(spark, d["landing"]).count() == 3
+
+    _write_ocsf(d["src"], "d3.ocsf.json", [FINDING])
+    q2 = start_monitor_stream(
+        spark, str(d["src"]), d["landing"], d["checkpoint"], available_now=True
+    )
+    q2.awaitTermination(120)
+    assert read_landing(spark, d["landing"]).count() == 4
