@@ -1985,6 +1985,64 @@ def subquery_in_not_in(spark, sf_dir):
     return spark.sql(_SUBQ_SQL)
 
 
+@_q(
+    "range_join_purchases_after_signup",
+    """
+    SELECT s.event_id AS signup_id, CAST(count(p.event_id) AS BIGINT) AS n_purchases,
+           round(coalesce(sum(p.value), 0), 2) AS purchase_value
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+      ON p.user_id = s.user_id
+     AND s.ts <= p.ts AND p.ts < s.ts + INTERVAL '1 hour'
+    GROUP BY s.event_id
+    """,
+)
+def range_join_purchases_after_signup(spark, sf_dir):
+    """Point-in-interval range join via bin bucketing
+    (operators.relational.range_join_binned): purchases within 1 h after
+    each signup — an equi-join on (user, time-bin) instead of a per-key
+    theta scan. Left-join semantics restored by re-attaching empty signups."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        range_join_binned,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    matched = range_join_binned(
+        purchases,
+        signups,
+        key="user_id",
+        left_ts="p_ts",
+        right_start="w_start",
+        right_end="w_end",
+        bin_seconds=3600,
+    )
+    counts = matched.groupBy("signup_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("purchase_value"),
+    )
+    return (
+        signups.select("signup_id")
+        .join(counts, "signup_id", "left")
+        .select(
+            "signup_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.round(F.coalesce("purchase_value", F.lit(0.0)), 2).alias(
+                "purchase_value"
+            ),
+        )
+    )
+
+
 @_q("knn_ivf_approx")
 def knn_ivf_approx(spark, sf_dir):
     """IVF-Flat ANN (approximate by design — no SQL oracle; invariants

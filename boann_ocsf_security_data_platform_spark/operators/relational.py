@@ -55,6 +55,59 @@ def salted_join(
     return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")
 
 
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int = 86400,
+) -> DataFrame:
+    """Point-in-interval range join as an equi-join: ``left.key = right.key
+    AND right_start <= left_ts < right_end``.
+
+    A naive range join is a theta join — every (key-match) pair compared,
+    quadratic per key. Binning makes it shuffle-friendly: intervals explode
+    to the time bins they cover, points map to their single bin, and the
+    join runs on ``(key, bin)`` with the exact range predicate re-applied —
+    the same trick as Databricks' range-join hints, here in plain DataFrame
+    ops. Cost scales with interval length / bin_seconds (pick bins near the
+    typical interval length); no distinct pass is needed since a point's
+    single bin meets each interval at most once.
+    """
+    bin_l = (F.unix_timestamp(F.col(left_ts)) / bin_seconds).cast("long")
+    l = left.withColumn("_bin", bin_l)
+    start_bin = (F.unix_timestamp(F.col(right_start)) / bin_seconds).cast("long")
+    end_bin = (F.unix_timestamp(F.col(right_end)) / bin_seconds).cast("long")
+    r = right.withColumn(
+        "_bin", F.explode(F.sequence(start_bin, end_bin))
+    )
+    return (
+        l.join(r, [key, "_bin"])
+        .filter(
+            (F.col(right_start) <= F.col(left_ts))
+            & (F.col(left_ts) < F.col(right_end))
+        )
+        .drop("_bin")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): downsample dominant
+    classes while keeping rare ones — the training-data rebalancing step
+    (e.g. cap 'en' web text at 10% while keeping 100% of low-resource
+    languages). Distributed filter, no shuffle; counts are binomial around
+    fraction × stratum size, deterministic for a fixed seed + partitioning.
+    Strata absent from ``fractions`` are dropped (fraction 0.0)."""
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -326,3 +326,56 @@ def test_frame_sample_raw_frames(spark):
     )
     assert [i for i, _ in got] == [0, 2, 4]
     assert all(f == bytes(range(10)) for _, f in got)
+
+
+def test_range_join_binned_equals_theta(spark, sf_smoke):
+    """The binned range join must return exactly the rows of the plain
+    theta join (binning only routes, never changes the predicate)."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        range_join_binned,
+    )
+
+    e = load_table(spark, sf_smoke, "events")
+    pts = e.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("p_ts"), "event_id"
+    )
+    spans = e.filter("event_type = 'signup'").select(
+        "user_id",
+        F.col("event_id").alias("span_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    binned = {
+        (r.event_id, r.span_id)
+        for r in range_join_binned(
+            pts, spans, "user_id", "p_ts", "w_start", "w_end", bin_seconds=1800
+        ).collect()
+    }
+    theta = {
+        (r.event_id, r.span_id)
+        for r in pts.join(
+            spans,
+            (pts.user_id == spans.user_id)
+            & (F.col("w_start") <= F.col("p_ts"))
+            & (F.col("p_ts") < F.col("w_end")),
+        ).collect()
+    }
+    assert binned == theta and len(theta) > 0
+
+
+def test_stratified_sample_proportions(spark, sf_smoke):
+    """sampleBy keeps ~fraction per stratum and drops unlisted strata."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        stratified_sample,
+    )
+
+    e = load_table(spark, sf_smoke, "events")
+    frac = {"click": 0.5, "error": 1.0}
+    out = stratified_sample(e, "event_type", frac, seed=7)
+    got = {r.event_type: r.n for r in
+           out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r.event_type: r.n for r in
+            e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) == {"click", "error"}  # unlisted strata dropped
+    assert got["error"] == base["error"]  # fraction 1.0 keeps all
+    assert 0.3 * base["click"] < got["click"] < 0.7 * base["click"]
