@@ -1318,9 +1318,7 @@ def approx_count_distinct_q(spark, sf_dir):
 _STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
 
 
-@_q(
-    "text_quality_metrics",
-    f"""
+_TQ_ORACLE = f"""
     WITH t AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents),
     m AS (SELECT doc_id,
             CAST(len(ws) AS BIGINT) AS n_tokens,
@@ -1337,8 +1335,10 @@ _STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
                + 0.25 * least(sr * 4, 1.0)
                + 0.25 * (1 - least((pr + dr) * 4, 1.0)), 6) AS quality_score
     FROM m
-    """,
-)
+    """
+
+
+@_q("text_quality_metrics", _TQ_ORACLE)
 def text_quality_metrics(spark, sf_dir):
     return text_quality(_t(spark, sf_dir, "documents")).select(
         "doc_id",
@@ -1348,6 +1348,50 @@ def text_quality_metrics(spark, sf_dir):
         "punct_ratio",
         "digit_ratio",
         "quality_score",
+    )
+
+
+@_q(
+    "text_quality_filtered",
+    f"""
+    SELECT doc_id, quality_score FROM ({_TQ_ORACLE}) m
+    WHERE quality_score >= 0.75 AND n_tokens >= 10
+    """,
+)
+def text_quality_filtered(spark, sf_dir):
+    """The composite keep/drop gate (operators.text.quality_filter):
+    surviving documents with their score — the corpus a pretraining run
+    would actually ingest."""
+    from boann_ocsf_security_data_platform_spark.operators.text import quality_filter
+
+    return quality_filter(
+        _t(spark, sf_dir, "documents"), min_score=0.75, min_tokens=10
+    ).select("doc_id", "quality_score")
+
+
+_PII_SQL_REPL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'), "
+    "'[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '[SSN]', 'g'), "
+    "'(\\+?[0-9]{{1,3}}[-. ])?\\(?[0-9]{{3}}\\)?[-. ][0-9]{{3}}[-. ][0-9]{{4}}', '[PHONE]', 'g'), "
+    "'([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '[IPV4]', 'g')"
+).format()
+
+
+@_q(
+    "text_redact_pii",
+    f"""
+    SELECT doc_id, md5({_PII_SQL_REPL}) AS redacted_md5
+    FROM documents
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII scrub (operators.text.redact_pii) — compare via md5 of the
+    redacted text so the oracle exchange stays small."""
+    from boann_ocsf_security_data_platform_spark.operators.text import redact_pii
+
+    return redact_pii(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text_redacted").alias("redacted_md5")
     )
 
 

@@ -111,3 +111,50 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint over the canonicalized text —
     the exact-dedup / provenance key."""
     return df.withColumn("fingerprint", F.md5(normalize_text(F.col(text_col))))
+
+
+# PII patterns deliberately conservative and ENGINE-PORTABLE (RE2-safe: no
+# backreferences/lookaround so the same regex runs in Spark, DuckDB, and
+# most scrubbing stacks).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Replace PII spans with ``[TYPE]`` placeholders — the standard
+    pre-training scrub. Chained ``regexp_replace`` stays a pure Column
+    expression (codegen'd, scan-bandwidth); order matters: SSN before phone
+    so the more specific pattern claims its span first."""
+    c = F.col(text_col)
+    for kind in ("email", "ssn", "phone", "ipv4"):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return df.withColumn(out_col, c)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_score: float = 0.75,
+    min_tokens: int = 10,
+    lang_whitelist: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """The composite pretraining keep/drop gate: quality score + length +
+    (optional) language whitelist. Pure column predicates over the metric
+    operators — one scan, no shuffle; returns the surviving rows with their
+    metrics attached."""
+    scored = text_quality(df, text_col)
+    out = scored.filter(
+        (F.col("quality_score") >= min_score)
+        & (F.col("n_tokens") >= min_tokens)
+    )
+    if lang_whitelist:
+        out = lang_id(out, text_col).filter(
+            F.col("lang_pred").isin(*lang_whitelist)
+        )
+    return out

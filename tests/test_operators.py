@@ -379,3 +379,20 @@ def test_stratified_sample_proportions(spark, sf_smoke):
     assert set(got) == {"click", "error"}  # unlisted strata dropped
     assert got["error"] == base["error"]  # fraction 1.0 keeps all
     assert 0.3 * base["click"] < got["click"] < 0.7 * base["click"]
+
+
+def test_redact_pii_crafted(spark):
+    from boann_ocsf_security_data_platform_spark.operators.text import redact_pii
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call 555-123-4567", "en", "s", 0),
+            (2, "ssn 123-45-6789 from host 192.168.10.1", "en", "s", 0),
+            (3, "nothing sensitive here", "en", "s", 0),
+        ],
+    )
+    got = {r.doc_id: r.text_redacted for r in redact_pii(df).collect()}
+    assert got[1] == "mail me at [EMAIL] or call [PHONE]"
+    assert got[2] == "ssn [SSN] from host [IPV4]"
+    assert got[3] == "nothing sensitive here"
