@@ -2087,6 +2087,27 @@ def range_join_purchases_after_signup(spark, sf_dir):
     )
 
 
+@_q(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """Wide → long melt (`DataFrame.unpivot`, the inverse of pivot)."""
+    return _t(spark, sf_dir, "lineitem").unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn("metric", F.replace(F.col("metric"), F.lit("l_"), F.lit("")))
+
+
 @_q("knn_ivf_approx")
 def knn_ivf_approx(spark, sf_dir):
     """IVF-Flat ANN (approximate by design — no SQL oracle; invariants
