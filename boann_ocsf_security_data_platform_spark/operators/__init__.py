@@ -1,5 +1,6 @@
 from .dedup import (  # noqa: F401
     connected_components,
+    connected_components_two_phase,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signature,

@@ -377,6 +377,78 @@ def connected_components(
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
+def connected_components_two_phase(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round scale path for adversarial graphs where plain
+    min-label propagation (:func:`connected_components`, O(diameter)
+    rounds) degrades, e.g. long chains of pairwise near-dups.
+
+    Each round is two grouped-min + join passes over the edge list:
+    large-star hangs every larger neighbor off the neighborhood minimum,
+    small-star re-hangs the smaller ones; at the fixed point the edge set
+    is a star per component centered on its minimum. Same output contract
+    as :func:`connected_components`: ``(node, cluster_id)``.
+    """
+    e = pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
+    # canonical undirected edges, self-loops dropped
+    edges = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(ed: DataFrame) -> DataFrame:
+        return ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    def _star(ed: DataFrame, large: bool) -> DataFrame:
+        nbr = _sym(ed)
+        mins = nbr.groupBy("a").agg(F.min("b").alias("_mb"))
+        mins = mins.select(
+            "a", F.least(F.col("a"), F.col("_mb")).alias("m")
+        )
+        j = nbr.join(mins, "a")
+        if large:
+            hung = j.filter(F.col("b") > F.col("a")).select(
+                F.col("b").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            hung = (
+                j.filter(F.col("b") <= F.col("a"))
+                .select(F.col("b").alias("u"), F.col("m").alias("v"))
+                .union(j.select(F.col("a").alias("u"), F.col("m").alias("v")))
+            )
+        return (
+            hung.filter(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            )
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_edges = _star(_star(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        changed = (
+            new_edges.exceptAll(edges).count() + edges.exceptAll(new_edges).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    # fixed point: star per component; canonical (least, greatest) puts the
+    # center (component min) in `a`, leaves in `b`
+    centers = edges.select(F.col("a").alias("node"), F.col("a").alias("cluster_id"))
+    leaves = edges.select(F.col("b").alias("node"), F.col("a").alias("cluster_id"))
+    return leaves.union(centers).distinct()
+
+
 def simhash16(
     df: DataFrame, text_col: str = "text", col_name: str = "simhash"
 ) -> DataFrame:

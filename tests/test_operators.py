@@ -396,3 +396,32 @@ def test_redact_pii_crafted(spark):
     assert got[1] == "mail me at [EMAIL] or call [PHONE]"
     assert got[2] == "ssn [SSN] from host [IPV4]"
     assert got[3] == "nothing sensitive here"
+
+
+def test_connected_components_two_phase_matches_min_label(spark):
+    """Large-star/small-star must agree with min-label propagation on a
+    long path (worst case for min-label), a clique, and a random graph."""
+    import random
+
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(42)
+    path = [(i, i + 1) for i in range(20, 40)]  # 20-node chain
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    rand = [
+        (rng.randrange(100, 140), rng.randrange(100, 140)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in path + clique + rand if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    two_phase = {
+        r.node: r.cluster_id
+        for r in connected_components_two_phase(pairs).collect()
+    }
+    min_label = {
+        r.node: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert two_phase == min_label
+    assert two_phase[39] == 20  # chain end reaches the chain min
