@@ -2108,6 +2108,32 @@ def unpivot_lineitem_measures(spark, sf_dir):
     ).withColumn("metric", F.replace(F.col("metric"), F.lit("l_"), F.lit("")))
 
 
+@_q(
+    "scalar_try_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN (l_linenumber % 3) = 0 THEN NULL
+                ELSE round(l_quantity / (l_linenumber % 3), 6) END AS safe_div,
+           TRY_CAST(l_returnflag AS INTEGER)                       AS rf_int,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER)      AS ln_int
+    FROM lineitem
+    """,
+)
+def scalar_try_functions(spark, sf_dir):
+    """ANSI-safe `try_*` family: errors become NULLs instead of failing the
+    job — division by zero and non-numeric casts. The oracle spells the
+    same semantics with CASE/TRY_CAST."""
+    l = _t(spark, sf_dir, "lineitem")
+    denom = F.col("l_linenumber") % 3
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_quantity"), denom), 6).alias("safe_div"),
+        F.col("l_returnflag").try_cast("int").alias("rf_int"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("ln_int"),
+    )
+
+
 @_q("knn_ivf_approx")
 def knn_ivf_approx(spark, sf_dir):
     """IVF-Flat ANN (approximate by design — no SQL oracle; invariants

@@ -108,3 +108,17 @@ def test_ivf_topk_subset_of_bruteforce(spark, sf_smoke):
     got = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in full.collect()}
     want = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in exact5.collect()}
     assert got == want
+
+
+def test_percentile_approx_within_tolerance(spark, sf_smoke):
+    """approx percentile lands within a small rank-error band of the exact
+    percentile (accuracy parameter 10000 → ~0.01% rank error)."""
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_smoke, "lineitem")
+    row = l.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.01
