@@ -223,6 +223,53 @@ def frame_sample(
     return df.mapInPandas(batches, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_raw(
+    df: DataFrame,
+    width: int,
+    height: int,
+    factor: int = 2,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Nearest-neighbor downsample of RAW grayscale bitmaps (width×height
+    uint8 payloads) by an integer factor — real pixel math via numpy strided
+    slicing, no codec. Payloads of the wrong byte length yield NULL pixels
+    (bad bytes are data). Compressed images decode first (PIL-gated
+    ``decode_image``), then come through here."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_w, out_h = width // factor, height // factor
+        for pdf in it:
+            pixels = []
+            for b in pdf[payload_col]:
+                raw = bytes(b)
+                if len(raw) != width * height:
+                    pixels.append(None)
+                    continue
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
+                pixels.append(img[::factor, ::factor].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "pixels": pixels,
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Full pixel decode — the one step that genuinely needs a codec
     library. Import-gated on Pillow; header-level metadata needs no codec

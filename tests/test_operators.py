@@ -425,3 +425,20 @@ def test_connected_components_two_phase_matches_min_label(spark):
     }
     assert two_phase == min_label
     assert two_phase[39] == 20  # chain end reaches the chain min
+
+
+def test_resize_raw_nearest_neighbor(spark):
+    import numpy as np
+
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        resize_raw,
+    )
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)  # 4x4 gradient
+    rows = [(1, img.tobytes()), (2, b"wrong length")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in resize_raw(df, 4, 4, factor=2).collect()}
+    assert (got[1].out_w, got[1].out_h) == (2, 2)
+    out = np.frombuffer(bytes(got[1].pixels), dtype=np.uint8).reshape(2, 2)
+    assert (out == img[::2, ::2]).all()  # rows 0,2 / cols 0,2
+    assert got[2].pixels is None  # malformed payload -> NULL, not a crash
