@@ -2134,6 +2134,27 @@ def scalar_try_functions(spark, sf_dir):
     )
 
 
+@_q(
+    "sort_nulls_ordering",
+    """
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+    FROM orders
+    ORDER BY st NULLS FIRST, o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_ordering(spark, sf_dir):
+    """NULLS FIRST/LAST placement: the row-set compare is order-agnostic,
+    so the LIMIT makes null placement observable — only with NULLS FIRST do
+    the nullified rows win the cut."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.nullif("o_orderstatus", F.lit("P")).alias("st"))
+        .orderBy(F.col("st").asc_nulls_first(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
 @_q("knn_ivf_approx")
 def knn_ivf_approx(spark, sf_dir):
     """IVF-Flat ANN (approximate by design — no SQL oracle; invariants

@@ -147,3 +147,31 @@ def test_convert_output_dir_distributed_sink(spark, fixtures_dir, tmp_path):
     ]
     assert len(docs) >= 1
     assert all(d["class_uid"] == 2007 for d in docs)
+
+
+def test_ingest_rejects_malformed_and_null_uid(spark, tmp_path):
+    import json as _json
+
+    bad = tmp_path / "bad.ocsf.json"
+    bad.write_text("{not json")
+    rc = _main(["ingest", "--input-file", str(bad), "--landing-path",
+                str(tmp_path / "landing")])
+    assert rc == 1
+
+    nouid = tmp_path / "nouid.ocsf.json"
+    nouid.write_text(_json.dumps([{"finding_info": {"title": "t"}}]))
+    rc = _main(["ingest", "--input-file", str(nouid), "--landing-path",
+                str(tmp_path / "landing")])
+    assert rc == 1
+    import os
+
+    assert not os.path.exists(tmp_path / "landing")  # nothing landed
+
+    ok = tmp_path / "ok.ocsf.json"
+    ok.write_text(_json.dumps([{"finding_info": {"uid": "u9"}}]))
+    rc = _main(["ingest", "--input-file", str(ok), "--landing-path",
+                str(tmp_path / "landing")])
+    assert rc == 0
+    from boann_ocsf_security_data_platform_spark.plans.landing import read_landing
+
+    assert read_landing(spark, str(tmp_path / "landing")).count() == 1
