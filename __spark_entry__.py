@@ -2155,6 +2155,35 @@ def sort_nulls_ordering(spark, sf_dir):
     )
 
 
+@_q(
+    "window_moving_average",
+    """
+    SELECT user_id, event_id, ts,
+           round(avg(value) OVER w, 6)      AS ma3,
+           round(max(value) OVER w, 6)      AS max3,
+           CAST(count(*) OVER w AS BIGINT)  AS n_in_frame
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_average(spark, sf_dir):
+    """Bounded ROWS frame (trailing window): the moving-average shape."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("ma3"),
+        F.round(F.max("value").over(w), 6).alias("max3"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
 @_q("knn_ivf_approx")
 def knn_ivf_approx(spark, sf_dir):
     """IVF-Flat ANN (approximate by design — no SQL oracle; invariants
