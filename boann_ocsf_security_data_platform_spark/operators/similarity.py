@@ -220,23 +220,32 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold, blocked by
-    ``block_col`` (use an LSH bucket as the block when no natural key
-    exists — never an unblocked self-cross-join at scale)."""
+    ``block_col``. When no bounded natural key exists, derive the block
+    with :func:`lsh_bucket` (``df.withColumn("blk", lsh_bucket(...))``) —
+    its cardinality grows with 2^n_planes, so per-block pair counts stay
+    sub-quadratic as data grows. ``block_col=None`` raises: a silent
+    unblocked self-cross-join is exactly the O(n²) footgun this operator
+    exists to avoid."""
+    if block_col is None:
+        raise ValueError(
+            "embedding_near_dup_pairs requires a blocking column; derive one "
+            "with lsh_bucket(...) when no natural key exists — an unblocked "
+            "self-cross-join is O(n²) and will not survive at scale"
+        )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        F.col(block_col).alias("blk"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("v_b"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        F.col(block_col).alias("blk"),
     )
-    cond = F.col("id_a") < F.col("id_b")
-    joined = a.join(b, "blk") if block_col else a.crossJoin(b)
     sim = F.round(cosine_sim(F.col("v_a"), F.col("v_b")), 6)
     return (
-        joined.filter(cond)
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

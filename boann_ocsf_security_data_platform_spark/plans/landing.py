@@ -41,6 +41,14 @@ def land(
     crosses midnight writes a new ``load_date`` sub-partition and leaves the
     previous day's — same at-least-once floor the reference's re-ingest
     has.)
+
+    ONE physical layout for both modes — ``(_batch_id, load_date)`` — with
+    the sentinel ``_batch_id = -1`` for plain batch appends (no replay
+    bookkeeping to key on). Both the CLI ``ingest`` path and the streaming
+    monitor feed the same table (the reference has a single
+    raw_ocsf_findings); mixing two partition layouts under one root makes
+    the table unreadable (CONFLICTING_PARTITION_COLUMN_NAMES), so batch
+    appends MUST carry the sentinel partition rather than omit the column.
     """
     # keep any extra (non-lineage) columns: on_schema_change='append_new_columns'
     extra = [
@@ -56,9 +64,10 @@ def land(
     )
     if batch_id is None:
         (
-            out.write.mode(mode)
+            out.withColumn("_batch_id", F.lit(-1))  # sentinel: non-replayable
+            .write.mode(mode)
             .option("mergeSchema", "true")  # on_schema_change='append_new_columns'
-            .partitionBy("load_date")
+            .partitionBy("_batch_id", "load_date")
             .parquet(path)
         )
         return

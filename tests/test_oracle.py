@@ -34,6 +34,51 @@ def test_entry_contract(spark):
     assert len(df.schema.fields) == 10
 
 
+def test_gate_window_covers_every_family():
+    """The driver's correctness gate verifies the first 50 queries() entries
+    in iteration order — pin that window: it must match _GATE_ORDER exactly,
+    every gate entry except the approximate-by-design ones must carry an
+    oracle, and one representative of each operator-family prefix must sit
+    inside the window."""
+    names = list(QS)
+    assert names[:50] == entrymod._GATE_ORDER
+    assert len(set(entrymod._GATE_ORDER)) == 50
+    rows_only_by_design = {"knn_ivf_approx"}
+    for n in names[:50]:
+        assert n in ORACLES or n in rows_only_by_design, n
+    window = set(names[:50])
+    for family in (
+        "q1", "q3", "join_", "agg_", "window_", "setop_", "scalar_",
+        "events_", "dedup_", "knn_", "text_", "multimodal_", "subquery_",
+        "range_join_", "unpivot_", "sort_", "asof_", "embedding_", "variant_",
+    ):
+        assert any(n.startswith(family) for n in window), family
+    # everything outside the window was driver-verified in rounds 1-2 or is
+    # approximate by design — nothing waits outside that never had a row
+    never_verified_ok = {"knn_lsh_approx", "approx_count_distinct"}
+    r2_green = {
+        "join_left_outer", "join_full_outer", "join_semi", "join_anti",
+        "join_cross", "join_theta_inequality", "agg_distinct_and_stats",
+        "agg_collect_sorted", "agg_grouping_sets", "window_running_sum",
+        "window_lag_lead", "topk_per_group", "q8_market_share",
+        "agg_histogram_buckets", "map_and_array_functions", "q14_promo_share",
+        "pivot_status_by_priority", "agg_percentiles", "explode_with_position",
+        "setop_intersect", "setop_except", "setop_union_all",
+        "events_json_extract",
+    }
+    assert set(names[50:]) <= r2_green | never_verified_ok
+
+
+def test_embedding_near_dup_requires_block():
+    """block_col=None must raise, not silently cross-join (O(n²))."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    with pytest.raises(ValueError, match="blocking column"):
+        embedding_near_dup_pairs(None, block_col=None)
+
+
 # ---------------------------------------------------------------------------
 # invariants for the approximate operators (no SQL oracle possible; the
 # driver records rows-only — these properties are the correctness story)

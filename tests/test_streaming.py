@@ -339,6 +339,34 @@ def test_land_batch_id_replay_is_idempotent(spark, tmp_path):
     assert read_landing(spark, path).count() == 4
 
 
+def test_land_mixed_batch_and_stream_layouts_coexist(spark, tmp_path):
+    """Batch appends (sentinel _batch_id=-1) and streaming micro-batches
+    (real batch ids) share one partition layout: after BOTH have written,
+    the table stays readable and stageable (regression: two layouts under
+    one root → CONFLICTING_PARTITION_COLUMN_NAMES)."""
+    from boann_ocsf_security_data_platform_spark.plans.landing import land
+    from boann_ocsf_security_data_platform_spark.plans.staging import stage
+
+    path = str(tmp_path / "landing_mixed")
+    df = spark.createDataFrame(
+        [("u1", '{"severity": "Low"}'), ("u2", '{"severity": "High"}')],
+        "finding_uid string, raw_ocsf_json string",
+    )
+    land(df, path)  # batch append — sentinel partition
+    land(df, path, batch_id=3)  # streaming micro-batch
+    landed = read_landing(spark, path)
+    assert landed.count() == 4
+    assert set(r["_batch_id"] for r in landed.select("_batch_id").collect()) == {-1, 3}
+    # streaming replay stays idempotent, batch rows untouched
+    land(df, path, batch_id=3)
+    assert read_landing(spark, path).count() == 4
+    # a second batch append appends (sentinel partition is append-only)
+    land(df, path)
+    assert read_landing(spark, path).count() == 6
+    # and the staging model consumes the mixed table end-to-end
+    assert stage(read_landing(spark, path)).count() == 6
+
+
 def test_sql_over_registered_views(spark, sf_smoke):
     """register_views exposes the catalog to raw spark.sql — the SQL text
     must agree with the DataFrame-API q1."""
