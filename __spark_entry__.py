@@ -1229,12 +1229,14 @@ def _clusters_oracle() -> str:
 @_q("dedup_clusters", _clusters_oracle())
 def dedup_clusters(spark, sf_dir):
     from boann_ocsf_security_data_platform_spark.operators.dedup import (
-        connected_components,
+        cluster_pairs,
         release_caches,
     )
 
     pairs = minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
-    out = connected_components(pairs)  # eager: result is checkpointed
+    # auto: iterative min-label under the pair threshold, large-star/
+    # small-star O(log n) above it — same (node, cluster_id) contract
+    out = cluster_pairs(pairs)  # eager: result is checkpointed
     release_caches(pairs)
     return out
 
@@ -1262,13 +1264,13 @@ def dedup_filtered_corpus(spark, sf_dir):
     rest. Anti-join of the corpus against cluster losers — the shape a
     100 TB dedup job materializes."""
     from boann_ocsf_security_data_platform_spark.operators.dedup import (
-        connected_components,
+        cluster_pairs,
         release_caches,
     )
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(docs)
-    clusters = connected_components(pairs)
+    clusters = cluster_pairs(pairs)
     release_caches(pairs)
     losers = clusters.filter(F.col("node") != F.col("cluster_id"))
     return docs.join(

@@ -1,10 +1,12 @@
 from .dedup import (  # noqa: F401
+    cluster_pairs,
     connected_components,
     connected_components_two_phase,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
+    release_all_caches,
     release_caches,
     simhash16,
     with_shingles,

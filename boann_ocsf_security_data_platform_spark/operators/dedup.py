@@ -20,17 +20,27 @@ integers in either engine.
 from __future__ import annotations
 
 import hashlib
+import logging
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hash_fns import hash64, normalize_text
 
+logger = logging.getLogger(__name__)
+
 
 def _xor_constant(j: int) -> int:
     """Deterministic 60-bit MinHash permutation constant (same formula the
     DuckDB oracle uses)."""
     return int(hashlib.md5(f"minhash-perm-{j}".encode()).hexdigest()[:15], 16)
+
+
+#: every persisted intermediate any dedup/similarity operator registered and
+#: has not yet released — the process-wide safety net behind the per-result
+#: handles (see :func:`release_all_caches`).
+_LIVE_CACHES: list[DataFrame] = []
 
 
 def _register_caches(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
@@ -40,15 +50,37 @@ def _register_caches(result: DataFrame, cached: list[DataFrame]) -> DataFrame:
     consuming action. Long-lived sessions (the monitor) would otherwise
     accumulate cached blocks across runs."""
     result._boann_caches = getattr(result, "_boann_caches", []) + cached
+    _LIVE_CACHES.extend(cached)
     return result
 
 
 def release_caches(df: DataFrame) -> None:
     """Blocking-unpersist every intermediate a dedup/similarity operator
-    cached on behalf of ``df``. Safe to call on any DataFrame; idempotent."""
+    cached on behalf of ``df``. Idempotent.
+
+    MUST be called on the EXACT DataFrame object the operator returned:
+    the handle rides on that object, so any further transformation
+    (``.filter``/``.select``/…) yields a new object without it and the call
+    becomes a silent no-op. Either release before deriving, keep a
+    reference to the original, or fall back to :func:`release_all_caches`.
+    """
     for c in getattr(df, "_boann_caches", []):
         c.unpersist(blocking=True)
+        try:
+            _LIVE_CACHES.remove(c)
+        except ValueError:
+            pass
     df._boann_caches = []
+
+
+def release_all_caches() -> None:
+    """Unpersist EVERY intermediate any dedup/similarity operator has
+    registered in this process and not yet released — the long-lived-
+    session safety valve for when the exact returned object is no longer
+    in hand (unpersist on an already-released plan is a no-op, so this is
+    always safe between pipeline runs)."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist(blocking=True)
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -318,11 +350,24 @@ def minhash_near_dup_pairs(
     return _register_caches(verified, getattr(pairs, "_boann_caches", []) + [sh])
 
 
+def _unconverged(name: str, max_iter: int, on_max_iter: str) -> None:
+    msg = (
+        f"{name} exhausted max_iter={max_iter} before converging — the "
+        "returned cluster ids are SPLIT (transitively linked nodes may "
+        "carry different labels); raise max_iter or use the two-phase "
+        "variant (O(log n) rounds)"
+    )
+    if on_max_iter == "raise":
+        raise RuntimeError(msg)
+    logger.warning(msg)
+
+
 def connected_components(
     pairs: DataFrame,
     id_col_a: str = "id_a",
     id_col_b: str = "id_b",
     max_iter: int = 50,
+    on_max_iter: str = "warn",
 ) -> DataFrame:
     """Connected components over near-dup pairs → dedup clusters.
 
@@ -348,6 +393,7 @@ def connected_components(
         .select(F.col("a").alias("node"), F.col("a").alias("label"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.a == labels.node)
@@ -372,8 +418,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        _unconverged("connected_components", max_iter, on_max_iter)
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
@@ -382,6 +431,7 @@ def connected_components_two_phase(
     id_col_a: str = "id_a",
     id_col_b: str = "id_b",
     max_iter: int = 30,
+    on_max_iter: str = "warn",
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -432,6 +482,7 @@ def connected_components_two_phase(
             .distinct()
         )
 
+    converged = False
     for _ in range(max_iter):
         new_edges = _star(_star(edges, large=True), large=False).localCheckpoint(
             eager=True
@@ -441,12 +492,76 @@ def connected_components_two_phase(
         )
         edges = new_edges
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        _unconverged("connected_components_two_phase", max_iter, on_max_iter)
     # fixed point: star per component; canonical (least, greatest) puts the
     # center (component min) in `a`, leaves in `b`
     centers = edges.select(F.col("a").alias("node"), F.col("a").alias("cluster_id"))
     leaves = edges.select(F.col("b").alias("node"), F.col("a").alias("cluster_id"))
     return leaves.union(centers).distinct()
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    algorithm: str = "auto",
+    two_phase_pair_threshold: int = 1_000_000,
+    max_iter: int | None = None,
+    on_max_iter: str = "warn",
+) -> DataFrame:
+    """Near-dup pairs → dedup clusters, choosing the right connected-
+    components algorithm for the graph size — the entry point the dedup
+    pipeline (dedup_clusters / dedup_filtered_corpus) calls.
+
+    ``algorithm``:
+    - ``"iterative"`` — min-label propagation, O(diameter) rounds. Ideal
+      for LSH near-dup graphs (unions of near-cliques, diameter 2-3).
+    - ``"two_phase"`` — large-star/small-star, O(log n) rounds. The scale
+      path for adversarial graphs (long chains) where diameter ≈ n.
+    - ``"auto"`` (default) — persist + count the pair list once (the
+      count's join work is reused by the clustering pass) and pick:
+      iterative below ``two_phase_pair_threshold`` pairs, two-phase above.
+      Pair count is the available proxy for worst-case diameter: small
+      graphs converge in a few rounds either way, while a huge pair list
+      is exactly where an accidental long chain would turn O(diameter)
+      into hundreds of shuffle rounds.
+    """
+    if algorithm == "auto":
+        pairs = pairs.persist()
+        n_pairs = pairs.count()
+        algorithm = (
+            "two_phase" if n_pairs > two_phase_pair_threshold else "iterative"
+        )
+        fn = (
+            connected_components_two_phase
+            if algorithm == "two_phase"
+            else connected_components
+        )
+        out = fn(
+            pairs,
+            id_col_a,
+            id_col_b,
+            **({"max_iter": max_iter} if max_iter is not None else {}),
+            on_max_iter=on_max_iter,
+        )
+        pairs.unpersist()
+        return out
+    if algorithm == "iterative":
+        fn = connected_components
+    elif algorithm == "two_phase":
+        fn = connected_components_two_phase
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    return fn(
+        pairs,
+        id_col_a,
+        id_col_b,
+        **({"max_iter": max_iter} if max_iter is not None else {}),
+        on_max_iter=on_max_iter,
+    )
 
 
 def simhash16(

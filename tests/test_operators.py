@@ -261,6 +261,87 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_cluster_pairs_two_phase_converges_in_log_rounds(spark):
+    """End-to-end on an adversarial 64-node chain (diameter 63): the
+    two-phase path must converge within the O(log n) bound — max_iter=8 ≥
+    log2(64)+1 with on_max_iter='raise' proves it actually did — and match
+    the iterative variant; cluster_pairs dispatches to it explicitly and
+    via the auto threshold."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        cluster_pairs,
+        connected_components,
+    )
+
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    expect = {i: 0 for i in range(n)}
+    two_phase = {
+        r.node: r.cluster_id
+        for r in cluster_pairs(
+            chain, algorithm="two_phase", max_iter=8, on_max_iter="raise"
+        ).collect()
+    }
+    assert two_phase == expect
+    # iterative agrees — but needs O(diameter)=63 rounds (the default
+    # max_iter=50 is NOT enough for this chain, which is precisely why
+    # two-phase is the scale path for adversarial graphs)
+    iterative = {
+        r.node: r.cluster_id
+        for r in connected_components(chain, max_iter=100).collect()
+    }
+    assert iterative == expect
+    # auto mode picks two-phase once the pair count crosses the threshold
+    auto = {
+        r.node: r.cluster_id
+        for r in cluster_pairs(
+            chain, two_phase_pair_threshold=10, max_iter=8, on_max_iter="raise"
+        ).collect()
+    }
+    assert auto == expect
+
+
+def test_connected_components_unconverged_raises_when_asked(spark):
+    """Exhausting max_iter without convergence must not silently return
+    split clusters: on_max_iter='raise' raises, the default warns."""
+    import pytest
+
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="before converging"):
+        connected_components(chain, max_iter=2, on_max_iter="raise")
+    # default path: returns (possibly split) labels without raising
+    assert connected_components(chain, max_iter=2).count() == 21
+
+
+def test_release_all_caches_safety_valve(spark, sf_smoke):
+    """When the exact returned object is gone (derived frames drop the
+    cache handle), release_all_caches() still frees every registered
+    intermediate."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        release_all_caches,
+    )
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    release_all_caches()  # drain anything earlier tests leaked
+    before = n_cached()
+    docs = load_table(spark, sf_smoke, "documents")
+    derived = minhash_near_dup_pairs(docs).filter("id_a >= 0")  # handle lost
+    derived.count()
+    assert n_cached() > before
+    release_all_caches()
+    assert n_cached() == before
+
+
 def test_sniff_image_meta_real_headers(spark):
     """Header sniffing decodes real container bytes — a crafted PNG IHDR,
     GIF screen descriptor, JPEG SOF0 walk, BMP info header — and NULLs
