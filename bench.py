@@ -6,8 +6,10 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Methodology: one shared session (JVM startup excluded — the reference's
 per-process cost model would count it, a long-lived engine shouldn't),
 one warm-up pass of a cheap query, then each headline query executed to a
-no-op sink (full materialization, no driver collect); best of 2 runs per
-query to damp co-tenant machine-load noise.
+no-op sink (full materialization, no driver collect); best of N runs per
+query (default 3, env SPARK_GRAFT_BENCH_RUNS) to damp co-tenant
+machine-load noise — the JSON records n_runs plus each query's per-run
+spread so a noisy co-tenant round is distinguishable from a regression.
 """
 
 from __future__ import annotations
@@ -55,14 +57,17 @@ def main() -> None:
     # warm-up: JIT + filesystem caches on a trivial query
     qs["setop_union_all"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        spreads[name] = runs
 
     print(
         json.dumps(
@@ -72,6 +77,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_runs": n_runs,
+                "runs": spreads,
             }
         )
     )

@@ -120,10 +120,18 @@ def _sniff_header(b: bytes) -> tuple[str | None, int | None, int | None]:
             while i + 9 < len(b):
                 if b[i] != 0xFF:
                     break
+                # 0xFF fill/padding bytes may precede any marker — skip runs
+                while i + 9 < len(b) and b[i + 1] == 0xFF:
+                    i += 1
                 marker = b[i + 1]
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                     h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                     return "jpeg", w, h
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    # standalone markers (TEM, RSTn, SOI, EOI) carry no
+                    # length segment — advance past the marker only
+                    i += 2
+                    continue
                 i += 2 + struct.unpack(">H", b[i + 2 : i + 4])[0]
     except (struct.error, IndexError):
         pass

@@ -133,6 +133,45 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def recover_compaction(spark, path: str) -> str:
+    """Finish or roll back a compaction interrupted between renames.
+
+    State machine (``_SUCCESS`` written by the compaction job is the commit
+    marker): if the table dir is missing but the pre-compact backup exists,
+    the crash happened mid-swap — roll FORWARD (rename the completed
+    ``__compacting`` output into place) when its ``_SUCCESS`` marker is
+    present, otherwise roll BACK the backup. Leftover temp/backup dirs next
+    to an intact table are stale and are cleared. Returns one of
+    ``"clean" | "completed" | "rolled_back"``.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    src = P(path)
+    fs = src.getFileSystem(conf)
+    tmp = P(path.rstrip("/") + "__compacting")
+    backup = P(path.rstrip("/") + "__pre_compact")
+
+    if fs.exists(src):
+        # table intact — anything else is debris from a finished/failed run
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        if fs.exists(backup):
+            fs.delete(backup, True)
+        return "clean"
+    if fs.exists(tmp) and fs.exists(P(tmp.toString() + "/_SUCCESS")):
+        fs.rename(tmp, src)  # compaction output is complete — roll forward
+        if fs.exists(backup):
+            fs.delete(backup, True)
+        return "completed"
+    if fs.exists(backup):
+        fs.rename(backup, src)  # incomplete output — restore the original
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        return "rolled_back"
+    raise FileNotFoundError(f"no table, backup, or completed output at {path}")
+
+
 def compact_table(
     spark,
     path: str,
@@ -147,13 +186,18 @@ def compact_table(
     the file count written), preserving the date partitioning, then swaps
     directories via two Hadoop FS renames.
 
-    NOT atomic and NOT safe under concurrent writers: a crash between the
-    renames leaves the table only at ``<path>__pre_compact`` (recover by
-    renaming it back), and rows appended between the snapshot read and the
-    swap are lost with the deleted backup. Callers must quiesce appends
-    (stop the monitor stream / batch sweeps) for the duration.
+    Crash-safe via :func:`recover_compaction`: the compacted output's
+    ``_SUCCESS`` marker gates roll-forward vs roll-back, and every entry
+    point (including this one) runs recovery first, so a crash at ANY
+    point — during the rewrite, between the renames, before the backup
+    delete — heals on the next call without manual intervention. Still NOT
+    safe under concurrent writers: rows appended between the snapshot read
+    and the swap are lost with the deleted backup. Callers must quiesce
+    appends (stop the monitor stream / batch sweeps) for the duration.
     """
     import math
+
+    recover_compaction(spark, path)  # heal any interrupted prior run
 
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()

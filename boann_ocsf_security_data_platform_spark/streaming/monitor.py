@@ -125,28 +125,29 @@ def process_directory(
         # keeps the dbt not_null contract on finding_uid
         # (dbt_project/models/.../schema.yml) enforceable downstream instead
         # of landing rows that are guaranteed to fail quality checks.
-        bad_files = {
-            r["_source_file"]
-            for r in raw.filter(
-                ~F.col("_parse_ok")
-                | (
-                    F.col("raw_ocsf_json").isNotNull()
-                    & F.col("finding_uid").isNull()
-                )
-            )
-            .select("_source_file")
-            .distinct()
-            .collect()
-        }
-        good = raw.filter(
-            (~F.col("_source_file").isin(*bad_files) if bad_files else F.lit(True))
-            & F.col("raw_ocsf_json").isNotNull()
+        bad = _bad_file_frame(raw)
+        # exclusion of bad files from landing is a distributed anti-join —
+        # NEVER keyed off the (capped) driver-side list, so correctness is
+        # independent of how many files failed
+        good = raw.join(bad, "_source_file", "left_anti").filter(
+            F.col("raw_ocsf_json").isNotNull()
         )
         from ..plans.landing import land
 
         land(good.select("finding_uid", "raw_ocsf_json"), landing_path)
+        bad_files, overflowed = _collect_bad_files(bad)
         raw.unpersist()
         failed.update(_norm_matches(bad_files, candidates))
+        if overflowed:
+            # beyond the cap we cannot tell good files from bad driver-side,
+            # so nothing is archived as processed: quarantine the capped bad
+            # set, leave the rest in place for the next sweep. Re-swept good
+            # files re-land — the documented at-least-once floor of the
+            # duplicate-preserving landing table (same as a crash
+            # mid-disposition).
+            for f in sorted(failed):
+                move_file(spark, f, failed_dir)
+            return {"processed": [], "failed": sorted(failed)}
 
     processed = [f for f in files if f not in failed]
     for f in processed:
@@ -185,6 +186,44 @@ def make_subprocess_validator(
             return False
 
     return _validate
+
+
+#: disposition safety valve — the per-sweep cap on how many failing files
+#: the driver will collect for the move loop (a pathological drop of a
+#: million bad files must not OOM the driver or turn the sweep into a
+#: million sequential renames). Excess bad files stay in the source dir,
+#: are NOT landed (exclusion is join-based), and quarantine on a later
+#: sweep — the same at-least-once floor as a crash mid-disposition.
+MAX_BAD_FILES_PER_SWEEP = 10_000
+
+
+def _bad_file_frame(rows: DataFrame) -> DataFrame:
+    """Distinct source files with any unparseable or uid-less finding —
+    stays distributed; join against it to exclude from landing."""
+    return (
+        rows.filter(
+            ~F.col("_parse_ok")
+            | (F.col("raw_ocsf_json").isNotNull() & F.col("finding_uid").isNull())
+        )
+        .select("_source_file")
+        .distinct()
+    )
+
+
+def _collect_bad_files(bad: DataFrame) -> tuple[set[str], bool]:
+    """Driver-side bad-file list for the disposition move loop, capped at
+    MAX_BAD_FILES_PER_SWEEP (+1 row to detect overflow). Returns
+    ``(bad_files, overflowed)``."""
+    rows = bad.limit(MAX_BAD_FILES_PER_SWEEP + 1).collect()
+    overflowed = len(rows) > MAX_BAD_FILES_PER_SWEEP
+    if overflowed:
+        logger.warning(
+            "more than %d failing files in one sweep; quarantine capped — "
+            "the remainder stays in the source directory for a later sweep",
+            MAX_BAD_FILES_PER_SWEEP,
+        )
+        rows = rows[:MAX_BAD_FILES_PER_SWEEP]
+    return {r["_source_file"] for r in rows}, overflowed
 
 
 def _norm_matches(uri_set: set[str], candidates: list[str]) -> set[str]:
@@ -255,26 +294,9 @@ def start_monitor_stream(
             batch_df.withColumn("_findings", split_findings(F.col("value")))
         ).cache()
         try:
-            bad_files = {
-                r["_source_file"]
-                for r in rows.filter(
-                    ~F.col("_parse_ok")
-                    | (
-                        F.col("raw_ocsf_json").isNotNull()
-                        & F.col("finding_uid").isNull()
-                    )
-                )
-                .select("_source_file")
-                .distinct()
-                .collect()
-            }
-            good = rows.filter(
-                (
-                    ~F.col("_source_file").isin(*bad_files)
-                    if bad_files
-                    else F.lit(True)
-                )
-                & F.col("raw_ocsf_json").isNotNull()
+            bad = _bad_file_frame(rows)
+            good = rows.join(bad, "_source_file", "left_anti").filter(
+                F.col("raw_ocsf_json").isNotNull()
             )
             from ..plans.landing import land
 
@@ -285,6 +307,7 @@ def start_monitor_stream(
                 landing_path,
                 batch_id=batch_id,
             )
+            bad_files, _ = _collect_bad_files(bad)
             if bad_files:
                 logger.warning(
                     "batch %d: %d file(s) rejected", batch_id, len(bad_files)

@@ -139,6 +139,18 @@ def test_asof_join_pandas_matches_declarative(spark):
     assert a == b and len(a) == 6
 
 
+def test_declared_asof_query_has_no_fanout_join(spark):
+    """The declared asof_join_events_orders must plan as the cogrouped
+    merge_asof (FlatMapCoGroupsInPandas) — per-left-row cost bounded by a
+    constant — with NO range-join + window fan-out in the plan."""
+    import __spark_entry__ as em
+
+    df = em.queries()["asof_join_events_orders"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Window" not in plan  # the fan-out shape would rank-1 a window
+
+
 def test_topk_per_group(spark):
     df = spark.createDataFrame(
         [("a", i, float(i)) for i in range(10)] + [("b", 1, 5.0)],
@@ -375,6 +387,32 @@ def test_sniff_image_meta_real_headers(spark):
     assert got[3] == ("jpeg", 3000, 2000)
     assert got[4] == ("bmp", 101, 55)  # negative height = top-down BMP
     assert got[5] == (None, None, None)
+
+
+def test_sniff_jpeg_padding_and_standalone_markers(spark):
+    """Valid JPEGs may pad with 0xFF fill bytes before a marker and contain
+    length-less standalone markers (TEM, RSTn) — the SOF walk must step over
+    both instead of misreading a length and returning NULL dimensions."""
+    import struct
+
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        sniff_image_meta,
+    )
+
+    jpeg_padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes before the next marker
+        + b"\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\x01"  # TEM: standalone, no length
+        + b"\xff\xd0"  # RST0: standalone, no length
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9
+    )
+    df = spark.createDataFrame(
+        [(1, jpeg_padded)], "media_id long, payload binary"
+    )
+    got = sniff_image_meta(df).collect()[0]
+    assert (got.format, got.width, got.height) == ("jpeg", 640, 480)
 
 
 def test_byte_histogram_counts(spark):

@@ -63,6 +63,53 @@ def test_compact_table(spark, tmp_path):
     assert after < before and after <= 4
 
 
+def test_compact_recovers_from_crash_between_renames(spark, tmp_path):
+    """Kill the swap at its most dangerous point — table dir already moved
+    to backup, compacted output not yet moved in — and at every other
+    intermediate state: the next compact_table/recover_compaction call must
+    heal without manual intervention and lose no rows."""
+    import os
+    import shutil
+
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        recover_compaction,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("finding_uid").cast("string"),
+        F.lit("{}").alias("raw_ocsf_json"),
+        F.lit("2024-01-01").cast("date").alias("load_date"),
+    )
+    df.write.mode("append").partitionBy("load_date").parquet(path)
+
+    # crash state A: output fully written (_SUCCESS present), table renamed
+    # to backup, second rename never happened → roll FORWARD
+    spark.read.parquet(path).repartition(1).write.partitionBy(
+        "load_date"
+    ).parquet(path + "__compacting")
+    os.rename(path, path + "__pre_compact")
+    assert recover_compaction(spark, path) == "completed"
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "__pre_compact")
+
+    # crash state B: rewrite died mid-job (no _SUCCESS), table already
+    # moved aside → roll BACK the backup
+    os.makedirs(path + "__compacting")
+    open(path + "__compacting/part-00000.parquet", "w").close()  # partial
+    os.rename(path, path + "__pre_compact")
+    assert recover_compaction(spark, path) == "rolled_back"
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "__compacting")
+
+    # crash state C: swap finished but backup delete didn't — stale debris
+    # is cleared and a fresh compaction runs end-to-end on top
+    shutil.copytree(path, path + "__pre_compact")
+    compact_table(spark, path)
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "__pre_compact")
+
+
 def test_stateful_running_stats_across_batches(spark, tmp_path):
     src = tmp_path / "stateful_in"
     src.mkdir()

@@ -96,6 +96,79 @@ def test_batch_sweep_empty_dir(spark, monitor_dirs):
     assert res == {"processed": [], "failed": []}
 
 
+def test_batch_sweep_bad_file_cap(spark, monitor_dirs, monkeypatch):
+    """A pathological flood of bad files must not be collected unbounded:
+    quarantine is capped per sweep, nothing is mis-filed as processed, good
+    rows still land, and the overflow stays in the source dir for a later
+    sweep."""
+    import os
+
+    from boann_ocsf_security_data_platform_spark.streaming import monitor as mon
+
+    d = monitor_dirs
+    _write_ocsf(d["src"], "good.ocsf.json", [FINDING])
+    for i in range(4):
+        (d["src"] / f"bad{i}.ocsf.json").write_text("{not json")
+    monkeypatch.setattr(mon, "MAX_BAD_FILES_PER_SWEEP", 2)
+
+    res = process_directory(
+        spark, str(d["src"]), d["landing"], d["processed"], d["failed"]
+    )
+    # capped quarantine, no processed archival on an overflowing sweep
+    assert res["processed"] == []
+    assert len(res["failed"]) == 2
+    assert read_landing(spark, d["landing"]).count() == 1  # good rows landed
+    assert len(os.listdir(d["failed"])) == 2
+    assert not os.path.exists(d["processed"]) or os.listdir(d["processed"]) == []
+    # remainder still in source → a later sweep finishes the disposition
+    leftover = sorted(os.listdir(d["src"]))
+    assert "good.ocsf.json" in leftover and len(leftover) == 3
+    monkeypatch.setattr(mon, "MAX_BAD_FILES_PER_SWEEP", 10_000)
+    res2 = process_directory(
+        spark, str(d["src"]), d["landing"], d["processed"], d["failed"]
+    )
+    assert [p.rsplit("/", 1)[-1] for p in res2["processed"]] == ["good.ocsf.json"]
+    assert len(res2["failed"]) == 2
+    # at-least-once floor: the re-swept good file re-lands (duplicate-
+    # preserving landing table)
+    assert read_landing(spark, d["landing"]).count() == 2
+
+
+def test_batch_sweep_on_non_file_scheme(spark, tmp_path):
+    """S4/S5 evidence beyond file://: the whole sweep — listing, landing
+    write, disposition renames — runs against viewfs:// (a second Hadoop
+    FileSystem scheme resolving through a mount table), exercising the same
+    FS abstraction a gs:///s3a:// connector plugs into."""
+    import os
+
+    root = tmp_path / "vfsroot"
+    (root / "incoming").mkdir(parents=True)
+    _write_ocsf(root / "incoming", "a.ocsf.json", [FINDING])
+    (root / "incoming" / "bad.ocsf.json").write_text("{nope")
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set(
+        "fs.viewfs.mounttable.testcluster.link./data", f"file://{root}"
+    )
+    base = "viewfs://testcluster/data"
+    res = process_directory(
+        spark,
+        f"{base}/incoming",
+        f"{base}/landing",
+        f"{base}/processed",
+        f"{base}/failed",
+    )
+    assert [p.rsplit("/", 1)[-1] for p in res["processed"]] == ["a.ocsf.json"]
+    assert [p.rsplit("/", 1)[-1] for p in res["failed"]] == ["bad.ocsf.json"]
+    assert res["processed"][0].startswith("viewfs://testcluster/")
+    # disposition really happened on the backing store
+    assert sorted(os.listdir(root / "processed")) == ["a.ocsf.json"]
+    assert sorted(os.listdir(root / "failed")) == ["bad.ocsf.json"]
+    assert os.listdir(root / "incoming") == []
+    # and the landing table written through viewfs:// reads back
+    assert read_landing(spark, f"{base}/landing").count() == 1
+
+
 def test_streaming_monitor_ingests(spark, monitor_dirs):
     d = monitor_dirs
     _write_ocsf(d["src"], "s1.ocsf.json", [FINDING])
