@@ -2178,6 +2178,93 @@ def knn_ivf_approx(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-3 additions: decontamination, centroids, sequence packing
+# ---------------------------------------------------------------------------
+
+_DECON_BENCH = "src0"  # stands in for the held-out eval/benchmark set
+
+
+@_q(
+    "text_decontaminate",
+    f"""
+    WITH words AS (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+    wh_t AS (SELECT doc_id, source, ws, {_WH_EXPR} AS wh FROM words),
+    sh AS (SELECT doc_id, source, {_HS_EXPR} AS shingles FROM wh_t),
+    bench_sh AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+                 WHERE source = '{_DECON_BENCH}'),
+    corpus_sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+                  WHERE source <> '{_DECON_BENCH}'),
+    contaminated AS (SELECT DISTINCT doc_id FROM corpus_sh
+                     WHERE s IN (SELECT s FROM bench_sh))
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE source <> '{_DECON_BENCH}'
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Train/test-overlap removal: corpus documents sharing ANY word
+    3-gram with the benchmark shard are dropped (operators.dedup.
+    decontaminate — broadcast semi-join probe, corpus never shuffled)."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == _DECON_BENCH)
+    corpus = docs.filter(F.col("source") != _DECON_BENCH)
+    return decontaminate(corpus, bench).select("doc_id", "source", "n_chars")
+
+
+def _centroid_oracle(dim: int = 64) -> str:
+    comps = ", ".join(f"round(avg(v[{i + 1}]), 6)" for i in range(dim))
+    return f"""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT label, [{comps}] AS centroid, CAST(count(*) AS BIGINT) AS n_members
+    FROM e GROUP BY label
+    """
+
+
+@_q("embedding_centroids", _centroid_oracle())
+def embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding + member count (operators.similarity.
+    label_centroids) — the IVF-training / class-prototype aggregate; one
+    hash-aggregate, shuffle carries |labels|×dim doubles."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "text_pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, source, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+            coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(cb / 512) AS BIGINT) AS pack_id,
+           CAST(cb % 512 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (operators.text.pack_sequences): per-shard
+    exclusive token prefix sum → pack id/offset in one window scan — the
+    concat-then-chunk batch layout a pretraining dataloader produces."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        pack_sequences,
+    )
+
+    return pack_sequences(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_tokens", "pack_id", "pack_offset"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -2215,6 +2302,10 @@ _GATE_ORDER = [
     "q10_returned_items",
     "q19_disjunctive_predicates",
     "knn_ivf_approx",  # rows-only by design (invariant-tested)
+    # new this round — need first driver rows
+    "text_decontaminate",
+    "embedding_centroids",
+    "text_pack_sequences",
     # reworked this round (scale-safe plans) — need fresh driver rows
     "text_levenshtein_fuzzy",
     "asof_join_events_orders",
@@ -2228,9 +2319,6 @@ _GATE_ORDER = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q4_order_priority_check",
-    "q17_small_quantity_correlated",
-    "agg_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

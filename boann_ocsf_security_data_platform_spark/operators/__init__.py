@@ -2,6 +2,7 @@ from .dedup import (  # noqa: F401
     cluster_pairs,
     connected_components,
     connected_components_two_phase,
+    decontaminate,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signature,
@@ -17,10 +18,16 @@ from .relational import (  # noqa: F401
     topk_per_group,
     write_bucketed,
 )
-from .similarity import cosine_sim, cosine_topk, embedding_near_dup_pairs  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_sim,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    label_centroids,
+)
 from .text import (  # noqa: F401
     doc_fingerprint,
     lang_id,
+    pack_sequences,
     text_quality,
     tokens,
 )

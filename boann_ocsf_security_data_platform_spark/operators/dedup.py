@@ -564,6 +564,38 @@ def cluster_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing ANY
+    word ``k``-gram with the benchmark set — the train/test-overlap removal
+    step every serious pretraining pipeline runs before training.
+
+    Shape at 100 TB: the benchmark side (eval sets) is tiny relative to the
+    corpus, so its distinct shingle set broadcasts and the contamination
+    probe is a broadcast LEFT SEMI join against exploded corpus shingles —
+    the corpus is scanned once and never shuffled; the final keep-filter is
+    a broadcast-able anti join on contaminated ids. Shingles are the same
+    62-bit integers as the dedup family (no shingle strings).
+    """
+    c_sh = with_hashed_shingles(
+        _ensure_parallelism(corpus), text_col, k
+    ).select(id_col, F.explode("shingle_hashes").alias("_sh"))
+    b_sh = (
+        with_hashed_shingles(_ensure_parallelism(benchmark), text_col, k)
+        .select(F.explode("shingle_hashes").alias("_sh"))
+        .distinct()
+    )
+    contaminated = (
+        c_sh.join(F.broadcast(b_sh), "_sh", "left_semi").select(id_col).distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def simhash16(
     df: DataFrame, text_col: str = "text", col_name: str = "simhash"
 ) -> DataFrame:

@@ -212,6 +212,33 @@ def cosine_topk_ivf(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-label mean vector (element-wise) + member count — the centroid
+    computation behind IVF training / class prototypes / drift monitoring.
+
+    One hash-aggregate: each of the ``dim`` components is an independent
+    ``avg`` with map-side partial aggregation, so the shuffle carries
+    |labels| × dim doubles, not the vectors. No explode — ``element_at``
+    keeps the row count at |input| during the partial phase.
+    """
+    comps = [
+        F.round(
+            F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")), decimals
+        )
+        for i in range(dim)
+    ]
+    return df.groupBy(label_col).agg(
+        F.array(*comps).alias("centroid"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

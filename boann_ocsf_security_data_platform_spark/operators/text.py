@@ -137,6 +137,40 @@ def redact_pii(
     return df.withColumn(out_col, c)
 
 
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    ctx_len: int = 512,
+) -> DataFrame:
+    """Assign documents to fixed-size training sequences ("packing"): in a
+    deterministic per-shard order, each document starts at the running
+    token offset of everything before it, and its pack id is that offset
+    divided by the context length — the streaming-concatenation packing a
+    pretraining dataloader performs, computed as ONE window scan.
+
+    No driver loop and no state: exclusive prefix sum over ``shard_col``
+    (shards are independent, so packing parallelizes across them at 100 TB
+    and the shuffle is the one window repartition). Documents may straddle
+    a pack boundary — the concat-then-chunk semantic, matching how packed
+    pretraining batches are actually cut.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn("n_tokens", F.size(tokens(F.col(text_col))).cast("long"))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        out.withColumn("pack_id", F.floor(cum_before / ctx_len).cast("long"))
+        .withColumn("pack_offset", (cum_before % ctx_len).cast("long"))
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

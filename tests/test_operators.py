@@ -332,6 +332,79 @@ def test_connected_components_unconverged_raises_when_asked(spark):
     assert connected_components(chain, max_iter=2).count() == 21
 
 
+def test_decontaminate_removes_ngram_overlap(spark):
+    """Known contamination: the corpus doc sharing a 3-gram with the
+    benchmark is dropped, the clean doc survives, short docs fall back to
+    whole-text matching."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "tiny")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday"),  # shares a 3-gram
+            (2, "completely unrelated clean document text"),
+            (3, "tiny"),  # whole-text match with the short benchmark doc
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in decontaminate(corpus, bench).collect()}
+    assert kept == {2}
+
+
+def test_label_centroids_match_hand_computed(spark):
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [10.0, 20.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {
+        r.label: (r.centroid, r.n_members)
+        for r in label_centroids(df, dim=2).collect()
+    }
+    assert got[0] == ([2.0, 3.0], 2)
+    assert got[1] == ([10.0, 20.0], 1)
+
+
+def test_pack_sequences_invariants(spark):
+    """Offsets stay inside the context window, packs fill in shard order,
+    and the exclusive prefix sum reconstructs: offset(i) ==
+    (offset(i-1) + n_tokens(i-1)) mod ctx within a shard."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(["w"] * (3 + i % 5)), "s%d" % (i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sorted(
+        pack_sequences(df, ctx_len=10).collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    by_shard: dict = {}
+    for r in out:
+        assert 0 <= r.pack_offset < 10
+        prev = by_shard.get(r.source)
+        if prev is not None:
+            cum_prev = prev.pack_id * 10 + prev.pack_offset
+            assert r.pack_id * 10 + r.pack_offset == cum_prev + prev.n_tokens
+            assert r.pack_id >= prev.pack_id  # packs only move forward
+        by_shard[r.source] = r
+    # both shards start at pack 0 offset 0
+    firsts = [r for r in out if by_shard[r.source] and r.doc_id in (0, 1)]
+    assert all(r.pack_id == 0 and r.pack_offset == 0 for r in firsts)
+
+
 def test_release_all_caches_safety_valve(spark, sf_smoke):
     """When the exact returned object is gone (derived frames drop the
     cache handle), release_all_caches() still frees every registered

@@ -64,7 +64,8 @@ def test_gate_window_covers_every_family():
         "agg_histogram_buckets", "map_and_array_functions", "q14_promo_share",
         "pivot_status_by_priority", "agg_percentiles", "explode_with_position",
         "setop_intersect", "setop_except", "setop_union_all",
-        "events_json_extract",
+        "events_json_extract", "q4_order_priority_check",
+        "q17_small_quantity_correlated", "agg_rollup",
     }
     assert set(names[50:]) <= r2_green | never_verified_ok
 
