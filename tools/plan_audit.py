@@ -135,6 +135,34 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
 
+    # decontamination probe: benchmark shingles broadcast into a LEFT SEMI
+    # join (corpus side never shuffles for the probe), keep-filter is an
+    # anti join — the 100 TB shape
+    pdc = plan_of(qs["text_decontaminate"](spark, sf_dir))
+    check(
+        "decontaminate probes via broadcast semi-join",
+        re.search(r"BroadcastHashJoin .*LeftSemi", pdc) is not None
+        and "LeftAnti" in pdc,
+        "broadcast LeftSemi probe + LeftAnti keep-filter",
+    )
+
+    # centroids: one partial+final hash-aggregate, no explode of vectors
+    pct = plan_of(qs["embedding_centroids"](spark, sf_dir))
+    check(
+        "centroids partial agg, no explode",
+        pct.count("HashAggregate") >= 2 and "Generate" not in pct,
+        "partial+final HashAggregate without Generate",
+    )
+
+    # packing: exactly one exchange (the per-shard window repartition)
+    pps = plan_of(qs["text_pack_sequences"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", pps))
+    check(
+        "pack_sequences single shuffle",
+        n_ex == 1 and "Window" in pps,
+        f"exchanges={n_ex}",
+    )
+
     # an unexecuted AdaptiveSparkPlan reports 0 subtrees, so toggle AQE off
     # just for this static-plan inspection
     spark.conf.set("spark.sql.adaptive.enabled", "false")
