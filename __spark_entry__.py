@@ -2264,6 +2264,53 @@ def text_pack_sequences(spark, sf_dir):
     )
 
 
+@_q(
+    "text_vocabulary",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM t GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+)
+def text_vocabulary(spark, sf_dir):
+    """Corpus vocabulary top-100 (operators.text.vocabulary) — tokenizer-
+    training aggregate; global top-N plans as TakeOrderedAndProject so the
+    driver never materializes the full vocab."""
+    from boann_ocsf_security_data_platform_spark.operators.text import vocabulary
+
+    return vocabulary(_t(spark, sf_dir, "documents"), top_n=100)
+
+
+@_q(
+    "corpus_shuffle_sample",
+    """
+    SELECT doc_id, md5(concat('epoch0', CAST(doc_id AS VARCHAR))) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key
+    LIMIT 100
+    """,
+)
+def corpus_shuffle_sample(spark, sf_dir):
+    """Deterministic epoch shuffle (operators.relational.
+    deterministic_shuffle): the row-set compare is order-insensitive, so
+    the LIMIT makes the global shuffle order observable — only the correct
+    hash order yields these 100 ids."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        deterministic_shuffle,
+    )
+
+    return (
+        deterministic_shuffle(
+            _t(spark, sf_dir, "documents").select("doc_id"), seed="epoch0"
+        )
+        .limit(100)
+        .select("doc_id", F.col("_shuffle_key").alias("shuffle_key"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2306,6 +2353,8 @@ _GATE_ORDER = [
     "text_decontaminate",
     "embedding_centroids",
     "text_pack_sequences",
+    "text_vocabulary",
+    "corpus_shuffle_sample",
     # reworked this round (scale-safe plans) — need fresh driver rows
     "text_levenshtein_fuzzy",
     "asof_join_events_orders",
@@ -2323,12 +2372,10 @@ _GATE_ORDER = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_filtered_corpus",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
     "knn_bruteforce_cosine",
     "text_quality_metrics",
     "text_quality_filtered",
-    "events_tumbling_window",
     "events_sessionize",
     "variant_json_path",
 ]

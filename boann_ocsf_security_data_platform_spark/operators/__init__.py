@@ -15,6 +15,7 @@ from .dedup import (  # noqa: F401
 from .relational import (  # noqa: F401
     asof_join,
     asof_join_pandas,
+    deterministic_shuffle,
     topk_per_group,
     write_bucketed,
 )
@@ -30,4 +31,5 @@ from .text import (  # noqa: F401
     pack_sequences,
     text_quality,
     tokens,
+    vocabulary,
 )

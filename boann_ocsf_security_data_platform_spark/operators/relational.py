@@ -93,6 +93,24 @@ def range_join_binned(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "epoch0"
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering: order by a
+    salted hash of the row id. The same (seed, id) always lands in the
+    same position — across runs, engines, and cluster sizes — so epoch
+    shuffles are replayable (seed = epoch label) and resumable mid-epoch.
+
+    The sort is a Spark range-partitioned TotalOrder (sampled boundaries,
+    fully parallel); md5 keys distribute uniformly so range partitions
+    balance regardless of id skew. At 100 TB prefer writing the shuffled
+    order once per epoch (the sort is the cost of a full repartition) and
+    reading it back sequentially.
+    """
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return df.withColumn("_shuffle_key", key).orderBy("_shuffle_key")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -171,6 +171,32 @@ def pack_sequences(
     )
 
 
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: top-``top_n`` tokens by total occurrence count
+    with document frequency — the tokenizer-training / vocab-pruning
+    aggregate.
+
+    Two hash-aggregates (token counts get map-side partial aggregation;
+    doc_freq distincts (token, doc) first) and the global top-N plans as
+    TakeOrderedAndProject — each partition ships only its local top-N, so
+    the driver never sees the full vocabulary. Ties at the cut break on
+    the token itself for cross-engine determinism.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    return agg.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_n)
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

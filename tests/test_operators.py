@@ -405,6 +405,36 @@ def test_pack_sequences_invariants(spark):
     assert all(r.pack_id == 0 and r.pack_offset == 0 for r in firsts)
 
 
+def test_vocabulary_counts_and_tiebreak(spark):
+    from boann_ocsf_security_data_platform_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+        "doc_id long, text string",
+    )
+    rows = vocabulary(df, top_n=2).collect()
+    # apple: 3 occurrences / 2 docs; banana: 2 / 2; cherry cut by top_n
+    assert [(r.token, r.n_occurrences, r.doc_freq) for r in rows] == [
+        ("apple", 3, 2),
+        ("banana", 2, 2),
+    ]
+
+
+def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark):
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    e0a = [r.doc_id for r in deterministic_shuffle(df, seed="epoch0").collect()]
+    e0b = [r.doc_id for r in deterministic_shuffle(df, seed="epoch0").collect()]
+    e1 = [r.doc_id for r in deterministic_shuffle(df, seed="epoch1").collect()]
+    assert e0a == e0b  # replayable
+    assert e0a != e1  # epochs reshuffle
+    assert e0a != sorted(e0a)  # actually shuffled
+    assert sorted(e0a) == sorted(e1) == list(range(200))  # a permutation
+
+
 def test_release_all_caches_safety_valve(spark, sf_smoke):
     """When the exact returned object is gone (derived frames drop the
     cache handle), release_all_caches() still frees every registered

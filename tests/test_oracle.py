@@ -65,7 +65,8 @@ def test_gate_window_covers_every_family():
         "pivot_status_by_priority", "agg_percentiles", "explode_with_position",
         "setop_intersect", "setop_except", "setop_union_all",
         "events_json_extract", "q4_order_priority_check",
-        "q17_small_quantity_correlated", "agg_rollup",
+        "q17_small_quantity_correlated", "agg_rollup", "dedup_simhash",
+        "events_tumbling_window",
     }
     assert set(names[50:]) <= r2_green | never_verified_ok
 
