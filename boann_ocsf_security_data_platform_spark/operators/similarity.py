@@ -155,30 +155,41 @@ def cosine_topk_ivf(
 
     Centroids are a deterministic sample (lowest ids) instead of k-means —
     reproducible across engines and good enough for recall testing; swap in
-    trained centroids at scale. Assignment is a broadcast loop over the
-    constant-size centroid set (corpus never shuffles); candidate probing is
-    an equi-join on ``cent_id``, so at 1000 executors it is a plain hash
-    join keyed by list id — the same shape a warehouse IVF index gives you.
-    Recall rises with ``n_probe`` (= exact when n_probe >= n_centroids).
+    trained centroids at scale. The centroid set is a bounded model
+    parameter (n_centroids × dim floats), so it is collected once and
+    inlined as literals: per-row assignment becomes a PURE PROJECTION
+    (array of (−cos, cent_id) structs → array_sort → slice) — no
+    cross-join fan-out, no window shuffle, the corpus is never shuffled
+    for assignment. Candidate probing is then an equi-join on ``cent_id``,
+    so at 1000 executors it is a plain hash join keyed by list id — the
+    same shape a warehouse IVF index gives you. Recall rises with
+    ``n_probe`` (= exact when n_probe >= n_centroids).
     """
-    cent = (
+    cents = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .collect()  # bounded: the IVF "model", not data
     )
 
     def _assign(df: DataFrame, idc: str, vecc: str, n_best: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).select(
-            idc,
-            vecc,
-            "cent_id",
-            cosine_sim(F.col(vecc), F.col("cent_vec")).alias("_cs"),
+        # (−cos, cent_id) sorts ascending == (cos desc, cent_id asc)
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        -cosine_sim(
+                            F.col(vecc), F.array(*[F.lit(float(x)) for x in c.cent_vec])
+                        )
+                    ).alias("ncs"),
+                    F.lit(c.cent_id).alias("cent_id"),
+                )
+                for c in cents
+            ]
         )
-        w = Window.partitionBy(idc).orderBy(F.desc("_cs"), F.asc("cent_id"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= n_best)
-            .drop("_cs", "_r")
+        best = F.slice(F.array_sort(scored), 1, n_best)
+        return df.select(
+            idc, vecc, F.explode(F.transform(best, lambda s: s.cent_id)).alias("cent_id")
         )
 
     cb = _assign(
