@@ -82,12 +82,26 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     pd_ = plan_of(qs["dedup_exact"](spark, sf_dir))
     check("dedup_exact partial agg", pd_.count("HashAggregate") >= 2, "")
 
-    # knn: corpus not shuffled; queries broadcast
+    # knn: corpus not shuffled; queries broadcast; and the per-query top-k
+    # cuts map-side (WindowGroupLimit) so the rank shuffle carries at most
+    # k rows per (query, partition), not every scored pair
     pk = plan_of(qs["knn_bruteforce_cosine"](spark, sf_dir))
     check(
         "knn broadcasts query side",
         "BroadcastNestedLoopJoin" in pk or "BroadcastHashJoin" in pk,
         "",
+    )
+    check(
+        "knn top-k cuts map-side (WindowGroupLimit)",
+        "WindowGroupLimit" in pk,
+        "rank<=k pushed below the shuffle",
+    )
+    pivf = plan_of(qs["knn_ivf_approx"](spark, sf_dir))
+    check(
+        "ivf assignment is projection-only",
+        "CartesianProduct" not in pivf
+        and "BroadcastNestedLoopJoin" not in pivf,
+        "no cross-join fan-out for centroid assignment",
     )
 
     # whole-stage codegen present in the hot relational path (codegen
