@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis): randomized inputs against pure-Python
+reference implementations for the engine-portable primitives — the
+invariants the DuckDB oracles can't reach (arbitrary text, not just the
+fixture corpus)."""
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# latin-1 text incl. control chars, whitespace runs, punctuation — capped
+# below the codepoints where Java and Python toLowerCase() diverge (e.g.
+# dotted İ), which would falsify the PYTHON reference, not the engine
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0xFF),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _py_hash64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@SET
+@given(texts=st.lists(st.text(min_size=1, max_size=40), min_size=1, max_size=10))
+def test_hash64_matches_python_md5(spark, texts):
+    """The engine-portable 60-bit hash is bit-identical to the Python
+    definition for arbitrary strings — the contract every MinHash/SimHash/
+    LSH oracle rests on."""
+    from boann_ocsf_security_data_platform_spark.functions.hash_fns import hash64
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = {r.s: r.h for r in df.select("s", hash64(F.col("s")).alias("h")).collect()}
+    for t in texts:
+        assert got[t] == _py_hash64(t)
+
+
+def _py_norm(s: str) -> str:
+    """Python replica of functions.hash_fns.normalize_text with JAVA
+    whitespace semantics: Spark's regex \\s is [ \\t\\n\\x0b\\f\\r], while
+    Python's str.strip() also eats control chars like \\x1f — so the
+    reference must use the Java class explicitly."""
+    import re
+
+    ws = r"[ \t\n\x0b\f\r]"
+    collapsed = re.sub(ws + "+", " ", s.lower())
+    return re.sub(f"^{ws}+|{ws}+$", "", collapsed)
+
+
+@SET
+@given(texts=TEXTS)
+def test_exact_dedup_matches_reference(spark, texts):
+    """exact_dedup == a dict-based reference dedup on normalized text for
+    arbitrary corpora: one keeper (min id) per distinct content, copy
+    counts sum to corpus size."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import exact_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.content_hash: (r.keep_id, r.n_copies)
+        for r in exact_dedup(df).collect()
+    }
+    ref: dict = {}
+    for i, t in enumerate(texts):
+        h = hashlib.md5(_py_norm(t).encode()).hexdigest()
+        keep, n = ref.get(h, (i, 0))
+        ref[h] = (min(keep, i), n + 1)
+    assert got == ref
+    assert sum(n for _, n in got.values()) == len(texts)
+
+
+@SET
+@given(texts=TEXTS, dup_idx=st.integers(min_value=0, max_value=11))
+def test_identical_docs_always_lsh_candidates(spark, texts, dup_idx):
+    """An exact duplicate pair MUST survive MinHash-LSH candidate
+    generation (identical shingle sets → identical signatures → every band
+    collides): recall 1.0 on true duplicates, for arbitrary text."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        release_caches,
+    )
+
+    base = texts[dup_idx % len(texts)]
+    if not base.strip():
+        base = "fallback duplicate text"
+    rows = [(i, t if t.strip() else f"doc {i}") for i, t in enumerate(texts)]
+    a_id, b_id = 1000, 1001
+    rows += [(a_id, base), (b_id, base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_near_dup_pairs(df)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    release_caches(pairs)
+    assert (a_id, b_id) in got
+
+
+@SET
+@given(
+    n_tokens=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+    ctx=st.integers(min_value=1, max_value=16),
+)
+def test_pack_sequences_reconstructs_prefix_sums(spark, n_tokens, ctx):
+    """pack_id/pack_offset always decompose the exclusive prefix sum:
+    pack_id*ctx + offset == sum of tokens before the row, for any token
+    distribution and context length."""
+    from boann_ocsf_security_data_platform_spark.operators.text import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(n_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sorted(pack_sequences(df, ctx_len=ctx).collect(), key=lambda r: r.doc_id)
+    cum = 0
+    for r, n in zip(out, n_tokens):
+        assert r.n_tokens == n
+        assert r.pack_id * ctx + r.pack_offset == cum
+        assert 0 <= r.pack_offset < ctx
+        cum += n
+
+
+@SET
+@given(ids=st.sets(st.integers(min_value=0, max_value=10_000), min_size=2, max_size=40))
+def test_deterministic_shuffle_is_stable_permutation(spark, ids):
+    """For any id set: the shuffle is a permutation, reproducible, and
+    matches the Python definition of the ordering key."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = [r.doc_id for r in deterministic_shuffle(df, seed="e1").collect()]
+    want = sorted(ids, key=lambda i: hashlib.md5(f"e1{i}".encode()).hexdigest())
+    assert got == want
