@@ -49,5 +49,20 @@ def hash64(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def hash64_fast(col: Column | str) -> Column:
+    """Production 60-bit hash: Spark-native ``xxhash64`` masked to 60 bits
+    (the mask keeps the weighted-XOR shingle combination overflow-free
+    under ANSI mode, same bound as :func:`hash64`).
+
+    NOT engine-portable — use for throughput once cross-engine oracle
+    verification isn't needed; every dedup operator takes
+    ``hash_fn=hash64_fast`` to switch. Identical algorithmic guarantees
+    (uniformity, per-shingle independence); the LSH candidate set differs
+    only as any hash-family member's does.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c).bitwiseAND(F.lit((1 << 60) - 1))
+
+
 # DuckDB-side rendering of hash64(expr) — format with the SQL expression text.
 DUCKDB_HASH64_SQL = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"

@@ -332,6 +332,51 @@ def test_connected_components_unconverged_raises_when_asked(spark):
     assert connected_components(chain, max_iter=2).count() == 21
 
 
+def test_minhash_fast_hash_path(spark, sf_smoke):
+    """The xxhash64 production path (hash_fn=hash64_fast) keeps the LSH
+    guarantee — every exact-duplicate pair is a candidate under BOTH hash
+    families (identical shingle sets collide regardless of the hash), and
+    the fast path verifies jaccard=1.0 for them."""
+    import re
+    from collections import defaultdict
+
+    from boann_ocsf_security_data_platform_spark.functions.hash_fns import (
+        hash64_fast,
+    )
+    from boann_ocsf_security_data_platform_spark.operators import release_caches
+
+    base_docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    # inject exact duplicates: copies of three docs under fresh ids
+    originals = base_docs.orderBy("doc_id").limit(3).collect()
+    clones = spark.createDataFrame(
+        [(900_000 + i, r.text) for i, r in enumerate(originals)],
+        "doc_id long, text string",
+    )
+    docs = base_docs.unionByName(clones)
+    # ground truth: exact-duplicate pairs by normalized text
+    groups = defaultdict(list)
+    for r in docs.collect():
+        groups[re.sub(r"\s+", " ", r.text.lower()).strip()].append(r.doc_id)
+    dup_pairs = {
+        (a, b)
+        for ids in groups.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    assert len(dup_pairs) >= 3
+
+    fast = minhash_near_dup_pairs(docs, hash_fn=hash64_fast, jaccard_threshold=0.99)
+    got_fast = {(r.id_a, r.id_b) for r in fast.collect()}
+    release_caches(fast)
+    assert dup_pairs <= got_fast
+
+    base = minhash_near_dup_pairs(docs, jaccard_threshold=0.99)
+    got_base = {(r.id_a, r.id_b) for r in base.collect()}
+    release_caches(base)
+    assert dup_pairs <= got_base
+
+
 def test_decontaminate_removes_ngram_overlap(spark):
     """Known contamination: the corpus doc sharing a 3-gram with the
     benchmark is dropped, the clean doc survives, short docs fall back to
