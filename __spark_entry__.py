@@ -2285,6 +2285,33 @@ def text_vocabulary(spark, sf_dir):
 
 
 @_q(
+    "embedding_quantize",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
+    SELECT vec_id,
+           CASE WHEN mx > mn
+                THEN list_transform(v, x -> CAST(round((x - mn) / ((mx - mn) / 254.0)) AS INT) - 127)
+                ELSE list_transform(v, x -> 0) END AS q_vec,
+           CASE WHEN mx > mn THEN (mx - mn) / 254.0 ELSE 0.0 END AS q_scale,
+           mn AS q_offset
+    FROM s
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding corpus (operators.
+    similarity.quantize_embeddings) — 4× smaller storage at a bounded
+    scale/2 per-component reconstruction error; shuffle-free projection."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "q_vec", "q_scale", "q_offset"
+    )
+
+
+@_q(
     "corpus_shuffle_sample",
     """
     SELECT doc_id, md5(concat('epoch0', CAST(doc_id AS VARCHAR))) AS shuffle_key
@@ -2355,6 +2382,7 @@ _GATE_ORDER = [
     "text_pack_sequences",
     "text_vocabulary",
     "corpus_shuffle_sample",
+    "embedding_quantize",
     # reworked this round (scale-safe plans) — need fresh driver rows
     "text_levenshtein_fuzzy",
     "asof_join_events_orders",
@@ -2372,7 +2400,6 @@ _GATE_ORDER = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_filtered_corpus",
-    "dedup_ngram_jaccard",
     "knn_bruteforce_cosine",
     "text_quality_metrics",
     "text_quality_filtered",

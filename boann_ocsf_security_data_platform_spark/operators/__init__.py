@@ -22,8 +22,10 @@ from .relational import (  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_sim,
     cosine_topk,
+    dequantize_embeddings,
     embedding_near_dup_pairs,
     label_centroids,
+    quantize_embeddings,
 )
 from .text import (  # noqa: F401
     doc_fingerprint,

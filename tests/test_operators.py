@@ -401,6 +401,31 @@ def test_decontaminate_removes_ngram_overlap(spark):
     assert kept == {2}
 
 
+def test_quantize_dequantize_error_bound(spark, sf_smoke):
+    """Int8 quantization round-trip: every reconstructed component within
+    scale/2 of the original (+fp eps); constant vectors reconstruct
+    exactly; quantized values stay in [-127, 127]."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(50)
+    const = spark.createDataFrame(
+        [(999_000, [0.5] * 8, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    both = emb.select("vec_id", "embedding", "label").unionByName(const)
+    rt = dequantize_embeddings(quantize_embeddings(both)).collect()
+    assert len(rt) == 51
+    for r in rt:
+        assert all(-127 <= q <= 127 for q in r.q_vec)
+        for orig, dq in zip(r.embedding, r.embedding_dq):
+            assert abs(dq - orig) <= r.q_scale / 2 + 1e-9
+        if r.vec_id == 999_000:
+            assert r.q_scale == 0.0
+            assert all(abs(dq - 0.5) < 1e-6 for dq in r.embedding_dq)
+
+
 def test_label_centroids_match_hand_computed(spark):
     from boann_ocsf_security_data_platform_spark.operators.similarity import (
         label_centroids,

@@ -66,7 +66,7 @@ def test_gate_window_covers_every_family():
         "setop_intersect", "setop_except", "setop_union_all",
         "events_json_extract", "q4_order_priority_check",
         "q17_small_quantity_correlated", "agg_rollup", "dedup_simhash",
-        "events_tumbling_window",
+        "events_tumbling_window", "dedup_ngram_jaccard",
     }
     assert set(names[50:]) <= r2_green | never_verified_ok
 
