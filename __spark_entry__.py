@@ -2708,6 +2708,143 @@ def q22_inactive_customers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline, round-3 batch 2: within-doc repetition filters, RAG-style
+# chunking, TF-IDF keyword extraction, SemDeDup-style semantic dedup.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_repetition_metrics",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws, length({_NORM}) AS nl FROM documents),
+    g AS (SELECT doc_id, ws, nl,
+            CASE WHEN len(ws) >= 2
+                 THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                 ELSE CAST([] AS VARCHAR[]) END AS gs
+          FROM w)
+    SELECT doc_id,
+      CAST(len(ws) AS BIGINT) AS n_words,
+      round(CASE WHEN len(ws) > 0
+                 THEN 1 - len(list_distinct(ws)) / len(ws) ELSE 0.0 END, 6)
+        AS dup_word_frac,
+      round(CASE WHEN len(gs) > 0
+                 THEN list_sum(list_transform(gs, x ->
+                        CASE WHEN len(list_filter(gs, y -> y = x)) > 1
+                             THEN 1 ELSE 0 END)) / len(gs)
+                 ELSE 0.0 END, 6) AS dup_2gram_frac,
+      round(CASE WHEN len(gs) > 0 AND nl > 0
+                 THEN list_max(list_transform(gs, x ->
+                        len(list_filter(gs, y -> y = x)) * length(x))) / nl
+                 ELSE 0.0 END, 6) AS top_2gram_cover
+    FROM g
+    """,
+)
+def text_repetition_metrics(spark, sf_dir):
+    """Gopher/RefinedWeb-style within-document repetition filters
+    (operators.text.repetition_metrics): row-local array expressions, no
+    shuffle — the per-row cost is quadratic in the document's OWN length,
+    never in corpus size."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_chunk_overlap",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    s AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 16)) AS st
+          FROM w WHERE len(ws) > 0)
+    SELECT doc_id,
+           CAST((st - 1) // 16 + 1 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(ws, st, st + 31)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(ws, st, st + 31), ' ') AS chunk_text
+    FROM s
+    """,
+)
+def text_chunk_overlap(spark, sf_dir):
+    """Overlapping fixed-size token chunking (operators.text.
+    chunk_documents, size=32 stride=16) — the RAG / embedding-indexing
+    splitter. One generate, no shuffle; chunks stay co-partitioned with
+    their parent document."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), size=32, stride=16)
+
+
+@_q(
+    "text_tfidf_top_terms",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS dft FROM w GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM documents)
+    SELECT doc_id, term, tf, score, rank FROM (
+      SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+             round(tf.tf * (ln((nn + 1.0) / (dft + 1.0)) + 1.0), 6) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * (ln((nn + 1.0) / (dft + 1.0)) + 1.0), 6) DESC,
+                        tf.term) AS rank
+      FROM tf JOIN dfq USING (term), n) t
+    WHERE rank <= 5
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Smoothed TF-IDF top-5 terms per document (operators.text.
+    tfidf_top_terms): two map-side-combinable aggregates + a broadcast
+    one-row corpus count + a WindowGroupLimit top-k. Scores rounded before
+    ranking, term tie-break — deterministic across engines."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    out = tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q(
+    "semantic_dedup_survivors",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, {_lsh_bucket_sql(4, 64)} AS blk,
+                                CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
+      WHERE round({_COS}, 6) >= 0.3),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a
+    ),
+    losers AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM losers)
+    """,
+)
+def semantic_dedup_survivors(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embedding corpus
+    (operators.similarity.semantic_dedup): LSH-blocked cosine pairs →
+    connected components → keep the min-id representative per group. The
+    full embedding-space analogue of dedup_filtered_corpus."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    ).select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -26,12 +26,16 @@ from .similarity import (  # noqa: F401
     embedding_near_dup_pairs,
     label_centroids,
     quantize_embeddings,
+    semantic_dedup,
 )
 from .text import (  # noqa: F401
+    chunk_documents,
     doc_fingerprint,
     lang_id,
     pack_sequences,
+    repetition_metrics,
     text_quality,
+    tfidf_top_terms,
     tokens,
     vocabulary,
 )

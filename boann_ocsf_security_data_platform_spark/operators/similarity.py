@@ -303,6 +303,37 @@ def dequantize_embeddings(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop all but one member of
+    every group of embeddings whose pairwise cosine exceeds ``threshold``,
+    keeping the minimum id as the representative. Returns the surviving
+    rows of ``df`` unchanged.
+
+    The three stages are each scale-safe: candidate pairs come from an LSH
+    bucket equi-join (cardinality grows with 2^n_planes — never an
+    all-pairs comparison), transitive groups from the connected-components
+    entry point (O(diameter) or O(log n) rounds, auto-selected), and the
+    final keep/drop is one anti-join against the loser set.
+    """
+    from .dedup import cluster_pairs
+
+    blocked = df.withColumn("_blk", lsh_bucket(F.col(vec_col), n_planes, dim))
+    pairs = embedding_near_dup_pairs(
+        blocked, id_col=id_col, vec_col=vec_col, block_col="_blk",
+        threshold=threshold,
+    )
+    clusters = cluster_pairs(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select("node")
+    return df.join(losers, df[id_col] == losers.node, "left_anti")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

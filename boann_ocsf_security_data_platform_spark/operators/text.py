@@ -197,6 +197,146 @@ def vocabulary(
     return agg.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_n)
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher / RefinedWeb filter
+    family): word-level duplicate fraction, duplicate-2-gram instance
+    fraction, and the character share claimed by the most frequent 2-gram.
+    Boilerplate and degenerate generations score high on all three; the
+    caller thresholds them as keep/drop gates.
+
+    Row-local array expressions only — no explode, no shuffle, scan
+    bandwidth at any scale. The per-row work is O(w²) in the document's own
+    word count (nested ``filter`` inside ``aggregate``), bounded by document
+    length, never by corpus size.
+    """
+    step = df.withColumn("_ws", tokens(F.col(text_col)))
+    n = F.size(F.col("_ws"))
+    step = step.withColumn(
+        "_grams",
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("_ws"), i),
+                    F.element_at(F.col("_ws"), i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    g = F.col("_grams")
+    ng = F.size(g)
+    norm_len = F.length(normalize_text(F.col(text_col)))
+    dup_gram_instances = F.aggregate(
+        g,
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(F.size(F.filter(g, lambda y: y == x)) > 1, 1).otherwise(0),
+    )
+    top_gram_chars = F.aggregate(
+        g,
+        F.lit(0),
+        lambda acc, x: F.greatest(
+            acc, F.size(F.filter(g, lambda y: y == x)) * F.length(x)
+        ),
+    )
+    return step.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(
+            F.when(n > 0, 1 - F.size(F.array_distinct(F.col("_ws"))) / n).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(ng > 0, dup_gram_instances / ng).otherwise(0.0), 6
+        ).alias("dup_2gram_frac"),
+        F.round(
+            F.when((ng > 0) & (norm_len > 0), top_gram_chars / norm_len).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("top_2gram_cover"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows — the
+    RAG / embedding-indexing chunker. Chunk starts advance by ``stride``
+    tokens (stride < size → overlap); the final chunk may be short.
+
+    ``sequence`` + ``transform`` + one ``explode`` — the only data movement
+    is the generate itself; chunks inherit the parent's partition, so a
+    downstream embed/encode stage runs without a shuffle. Empty documents
+    yield no chunks.
+    """
+    step = df.withColumn("_ws", tokens(F.col(text_col)))
+    n = F.size(F.col("_ws"))
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride)))
+    step = step.select(
+        F.col(id_col), F.col("_ws"), F.explode(starts).alias("_start")
+    )
+    chunk = F.slice(F.col("_ws"), F.col("_start"), size)
+    return step.select(
+        F.col(id_col),
+        (F.floor((F.col("_start") - 1) / stride) + 1).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the scikit-style smoothing) — the
+    keyword-extraction / corpus-exploration primitive.
+
+    Two hash-aggregates (term frequency per doc, document frequency per
+    term — both map-side combinable), a broadcast one-row corpus count, and
+    a per-doc top-k that Spark 4 plans as WindowGroupLimit (partial top-k
+    before the shuffle). Score is rounded BEFORE ranking and ties break on
+    the term so the cut is deterministic across engines.
+    """
+    from pyspark.sql import Window
+
+    w = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = w.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    idf = F.log((F.col("_n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0))) + 1.0
+    scored = (
+        tf.join(dft, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * idf, 6))
+    )
+    win = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

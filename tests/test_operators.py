@@ -734,3 +734,98 @@ def test_resize_raw_nearest_neighbor(spark):
     out = np.frombuffer(bytes(got[1].pixels), dtype=np.uint8).reshape(2, 2)
     assert (out == img[::2, ::2]).all()  # rows 0,2 / cols 0,2
     assert got[2].pixels is None  # malformed payload -> NULL, not a crash
+
+
+def test_repetition_metrics_known_answers(spark):
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # heavy repetition: grams a-b,b-a,a-b,b-a
+            (2, "x y z"),           # all unique words, unique grams
+            (3, "w"),               # single word: no grams
+            (4, ""),                # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    # doc 1: 5 words, 2 distinct -> dup_word_frac = 1 - 2/5 = 0.6
+    assert got[1].n_words == 5 and abs(got[1].dup_word_frac - 0.6) < 1e-9
+    # all 4 gram instances ("a b" x2, "b a" x2) are duplicates
+    assert abs(got[1].dup_2gram_frac - 1.0) < 1e-9
+    # top gram covers 2 copies x 3 chars / 9 norm chars
+    assert abs(got[1].top_2gram_cover - 6 / 9) < 1e-6
+    assert got[2].dup_word_frac == 0.0 and got[2].dup_2gram_frac == 0.0
+    assert got[3].n_words == 1 and got[3].dup_2gram_frac == 0.0
+    assert got[4].n_words == 0 and got[4].top_2gram_cover == 0.0
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "only two"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, size=4, stride=2).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # starts 1,3,5,7,9 -> 5 chunks; all full except the last (w8 w9)
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 4, 2]
+    assert c1[0].chunk_text == "w0 w1 w2 w3"
+    assert c1[1].chunk_text == "w2 w3 w4 w5"  # stride-2 overlap
+    assert c1[-1].chunk_text == "w8 w9"
+    # short doc -> one chunk; empty doc -> no chunks
+    assert [r.chunk_text for r in by_doc[2]] == ["only two"]
+    assert 3 not in by_doc
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare common"),
+            (2, "common other"),
+            (3, "common third"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    top1 = {r.rank: r for r in out if r.doc_id == 1}
+    # doc 1: score(common) = 2*(ln(4/4)+1) = 2.0 beats
+    #        score(rare)   = 1*(ln(4/2)+1) ≈ 1.693
+    assert [top1[r].term for r in sorted(top1)] == ["common", "rare"]
+    assert top1[1].score >= top1[2].score
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in out)
+    assert all(v <= 2 for v in per_doc.values())
+
+
+def test_semantic_dedup_keeps_min_id_per_group(spark):
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # two exact-duplicate groups + one singleton, in 4-d space
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 0),   # dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, 1.0, 0.0, 0.0], 1),   # dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0], 2),   # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    kept = sorted(
+        r.vec_id for r in semantic_dedup(df, threshold=0.99, dim=4).collect()
+    )
+    assert kept == [1, 3, 5]
