@@ -203,3 +203,70 @@ def test_bucketed_join_is_shuffle_free(spark, sf_smoke, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_transform_with_state_profile_across_batches(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: composite typed state (ValueState
+    running totals + bounded ListState recent window) carried across
+    micro-batches, updated per key. The runtime needs google.protobuf for
+    the state-server protocol — skip (not fail) where it isn't installed."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state server requires protobuf",
+    )
+    from boann_ocsf_security_data_platform_spark.streaming.stateful import (
+        user_profile_stats,
+    )
+
+    src = tmp_path / "tws_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "tws_ckpt")
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 10.0},
+                {"user_id": 1, "ts": "2024-01-01T00:01:00", "value": 5.0},
+                {"user_id": 2, "ts": "2024-01-01T00:02:00", "value": 1.0},
+            ]
+        )
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).json(str(src))
+    q = (
+        user_profile_stats(stream, recent_n=3)
+        .writeStream.format("memory")
+        .queryName("tws_profile")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 1 gets two more values; recent window must slide
+        (src / "b2.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"user_id": 1, "ts": "2024-01-01T00:05:00", "value": 7.0},
+                    {"user_id": 1, "ts": "2024-01-01T00:06:00", "value": 2.0},
+                ]
+            )
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, n_events, total_value, recent_avg FROM tws_profile"
+        ).collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        latest[r.user_id] = (r.n_events, r.total_value, r.recent_avg)
+    n1, total1, avg1 = latest[1]
+    assert (n1, total1) == (4, 24.0)  # totals survive the batch boundary
+    # recent window = last 3 of [10, 5, 7, 2] -> (5+7+2)/3
+    assert abs(avg1 - (5.0 + 7.0 + 2.0) / 3) < 1e-9
+    assert latest[2] == (1, 1.0, 1.0)
