@@ -2707,6 +2707,170 @@ def q22_inactive_customers(spark, sf_dir):
     )
 
 
+@_q(
+    "q2_min_balance_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_partkey, p_name, s_name, round(s_acctbal, 2) AS acctbal, n_name
+    FROM part
+      JOIN ps ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size = 15
+      AND s_acctbal = (SELECT min(s2.s_acctbal)
+                       FROM ps ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+                       WHERE ps2.l_partkey = p_partkey)
+    """,
+)
+def q2_min_balance_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: the part-supplier relation is derived from
+    lineitem since there is no partsupp table, and min acctbal stands in
+    for min supplycost): correlated min subquery ≡ a per-part window min —
+    the equality compares a double against the min OF THE SAME SET, so it
+    is exact on both engines without rounding."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("p_partkey")
+    return (
+        p.join(ps, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("_min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_min_bal"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
+@_q(
+    "q11_important_parts",
+    """
+    WITH pr AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey < 5
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, round(val, 2) AS value
+    FROM pr
+    WHERE val > (SELECT sum(val) * 0.02 FROM pr)
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: value = revenue through suppliers of a
+    nation group, no partsupp): aggregate filtered by a scalar aggregate
+    OVER THE SAME aggregate — the grouped frame is computed once and feeds
+    both the total (one-row broadcast) and the probe side."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    pr = (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+        )
+    )
+    total = pr.agg((F.sum("val") * 0.02).alias("_cut"))
+    return (
+        pr.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("_cut"))
+        .select(
+            F.col("l_partkey").alias("partkey"), F.round("val", 2).alias("value")
+        )
+    )
+
+
+@_q(
+    "q12_shipping_delay_classes",
+    """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_shipping_delay_classes(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: no l_shipmode, so lineitems classify by
+    ship delay instead): two-class conditional counting inside one
+    aggregate pass — the CASE-in-sum pivot that avoids two scans."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, "SLOW"
+            )
+            .otherwise("FAST")
+            .alias("ship_class")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q16_supplier_part_counts",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN ps ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: negated IN-list + NOT IN subquery (anti-join; the
+    excluded supplier set is tiny and non-null, so it broadcasts) feeding a
+    count-distinct aggregate over a derived part-supplier relation."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        p.join(ps, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline, round-3 batch 2: within-doc repetition filters, RAG-style
 # chunking, TF-IDF keyword extraction, SemDeDup-style semantic dedup.
