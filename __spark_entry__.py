@@ -3062,20 +3062,29 @@ _GATE_ORDER = [
     "scalar_datetime",
     "agg_cube",
     "window_rank",
-    # driver-green representatives of the remaining families
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_filtered_corpus",
-    "knn_bruteforce_cosine",
-    "text_quality_metrics",
-    "text_quality_filtered",
-    "events_sessionize",
-    "variant_json_path",
+    # new this round, second wave — TPC-H plan-shape sweep and the
+    # TF-IDF / chunking / repetition / semantic-dedup text operators
+    "q2_min_balance_supplier",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_shipping_delay_classes",
+    "q16_supplier_part_counts",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "text_repetition_metrics",
+    "text_chunk_overlap",
+    "text_tfidf_top_terms",
+    "semantic_dedup_survivors",
 ]
+# Entries beyond the 50-row window are either (a) driver-green in rounds 1-2
+# (q1/q3/q5, the join/agg/window/setop/scalar variants, dedup_exact,
+# dedup_minhash_lsh, dedup_clusters, knn_bruteforce_cosine, text_quality_*,
+# events_*, variant_json_path, ...) — their CORRECTNESS_r01/r02 rows stand and
+# tools/oracle_check.py keeps re-verifying them — or (b) four round-3 TPC-H
+# shapes (q6, q13, q15, q22) whose plan shapes are covered by driver-green
+# cousins (q1/q19 filter-agg, left-outer join, top-k, anti-join + scalar
+# subquery); they are oracle-checked by tools/oracle_check.py every round.
 
 
 def _gate_ordered(d: dict) -> dict:
