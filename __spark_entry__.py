@@ -3009,6 +3009,188 @@ def semantic_dedup_survivors(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-3 additions, third wave: corpus-management operators (domain caps,
+# token budgets, mixture resampling, boilerplate stripping) and the skew
+# toolkit (salted join, key profiler)
+# ---------------------------------------------------------------------------
+
+_H64_CAP = _H64.format(expr="concat('cap:', CAST(doc_id AS VARCHAR))")
+_H64_MIX = _H64.format(expr="concat('mix0:', CAST(doc_id AS VARCHAR))")
+
+
+@_q(
+    "join_salted_skew",
+    """
+    SELECT o_orderkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-resistant salted equi-join (operators.relational.salted_join):
+    the oracle is the PLAIN join — salting must be invisible in the result
+    while spreading each hot key over n_salts shuffle partitions."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return salted_join(o, c, "c_custkey", n_salts=8).select(
+        "o_orderkey", "c_name", "c_mktsegment"
+    )
+
+
+@_q(
+    "corpus_domain_cap",
+    f"""
+    SELECT doc_id, source FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY {_H64_CAP}, doc_id) <= 10
+    """,
+)
+def corpus_domain_cap(spark, sf_dir):
+    """Per-domain document cap in deterministic hash order
+    (operators.text.domain_cap) — survivors are an unbiased, reproducible
+    uniform sample of each domain; WindowGroupLimit bounds the shuffle."""
+    from boann_ocsf_security_data_platform_spark.operators.text import domain_cap
+
+    return domain_cap(
+        _t(spark, sf_dir, "documents"), max_per_domain=10
+    ).select("doc_id", "source")
+
+
+@_q(
+    "corpus_token_budget",
+    f"""
+    WITH m AS ({_TQ_ORACLE}),
+    j AS (SELECT d.doc_id, d.source, m.n_tokens, m.quality_score
+          FROM documents d JOIN m USING (doc_id)),
+    w AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+              PARTITION BY source
+              ORDER BY quality_score DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS tokens_before
+          FROM j)
+    SELECT doc_id, source, n_tokens, quality_score, tokens_before
+    FROM w WHERE tokens_before < 1500
+    """,
+)
+def corpus_token_budget(spark, sf_dir):
+    """Greedy best-first selection under a per-domain token budget
+    (operators.text.token_budget_select) — one exclusive-prefix-sum window
+    scan per domain."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        text_quality,
+        token_budget_select,
+    )
+
+    scored = text_quality(_t(spark, sf_dir, "documents"))
+    return token_budget_select(scored, budget=1500).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_score",
+        "tokens_before",
+    )
+
+
+@_q(
+    "text_strip_boilerplate",
+    """
+    WITH segs AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS seg,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      FROM documents),
+    total AS (SELECT count(*) AS n_docs FROM documents),
+    boiler AS (
+      SELECT seg FROM segs, total
+      WHERE seg <> ''
+      GROUP BY seg, n_docs
+      HAVING count(DISTINCT doc_id) > 0.8 * n_docs),
+    kept AS (SELECT doc_id, pos, seg FROM segs
+             WHERE seg NOT IN (SELECT seg FROM boiler)),
+    re AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned_text
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(re.cleaned_text, '') AS cleaned_text
+    FROM documents d LEFT JOIN re USING (doc_id)
+    """,
+)
+def text_strip_boilerplate(spark, sf_dir):
+    """Corpus-frequency boilerplate removal
+    (operators.text.strip_frequent_segments): segments shared by >80% of
+    documents are dropped, survivors reassembled in original order."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        strip_frequent_segments,
+    )
+
+    return strip_frequent_segments(
+        _t(spark, sf_dir, "documents"), delim=" ", max_doc_ratio=0.8
+    )
+
+
+@_q(
+    "corpus_mixture_sample",
+    f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n,
+             1 + CAST(substr(source, 4) AS INT) % 3 AS w
+      FROM documents GROUP BY source),
+    tot AS (SELECT sum(w) AS wsum FROM counts),
+    shares AS (SELECT source, n, w / wsum AS share FROM counts, tot),
+    tmax AS (SELECT min(n / share) AS t_max FROM shares),
+    fracs AS (SELECT source, round(least(1.0, share * t_max / n), 6) AS frac
+              FROM shares, tmax)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN fracs f USING (source)
+    WHERE ({_H64_MIX} % 1000000) < f.frac * 1000000
+    """,
+)
+def corpus_mixture_sample(spark, sf_dir):
+    """Deterministic resampling to a target domain mixture
+    (operators.relational.mixture_sample): target share per source is
+    1 + (source number mod 3); the operator finds the largest total the
+    mixture admits without upsampling and hash-samples each stratum to its
+    derived fraction — exact expected sizes, reproducible across engines."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        mixture_sample,
+    )
+
+    weight = F.lit(1) + F.substring(F.col("source"), 4, 10).cast("int") % 3
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        strata_col="source",
+        weight=weight,
+        id_col="doc_id",
+        seed="mix0",
+    ).select("doc_id", "source")
+
+
+@_q(
+    "profile_key_skew",
+    """
+    WITH total AS (SELECT count(*) AS t FROM orders),
+    c AS (SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, CAST(n_rows AS BIGINT) AS n_rows,
+           round(n_rows / t, 6) AS share
+    FROM c, total
+    ORDER BY n_rows DESC, o_custkey ASC LIMIT 20
+    """,
+)
+def profile_key_skew(spark, sf_dir):
+    """Heavy-hitter join-key profiler (operators.relational.profile_keys):
+    the diagnosis step before choosing salting / AQE skew-join /
+    broadcast; top-k plans as TakeOrderedAndProject."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        profile_keys,
+    )
+
+    return profile_keys(_t(spark, sf_dir, "orders"), "o_custkey", k=20)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

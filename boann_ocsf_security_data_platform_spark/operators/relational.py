@@ -334,3 +334,102 @@ def asof_join_pandas(
         return merged[out_names]
 
     return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(merge, schema)
+
+
+def hash_sample_bucket(id_col: Column | str, seed: str = "sample0") -> Column:
+    """Deterministic sampling bucket in [0, 1e6): ``hash64(seed || id) %
+    1_000_000``. Engine-portable (md5-based, see
+    functions.hash_fns.DUCKDB_HASH64_SQL), so a keep/drop decision is
+    reproducible across Spark, DuckDB, and any md5-capable engine — unlike
+    ``sample``/``sampleBy``, whose draws depend on seed AND partitioning."""
+    from ..functions.hash_fns import hash64
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        hash64(F.concat(F.lit(seed + ":"), c.cast("string"))), F.lit(1000000)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight: Column,
+    id_col: str,
+    seed: str = "mix0",
+) -> DataFrame:
+    """Resample a corpus to a target domain mixture, deterministically.
+
+    ``weight`` is an (unnormalized) target-share expression over
+    ``strata_col`` values; the operator finds the LARGEST total corpus the
+    target mixture admits without upsampling any stratum (T_max =
+    min over strata of count / share), derives each stratum's keep
+    fraction, and keeps a row iff its portable hash bucket falls under the
+    fraction — the training-mix rebalancing step (e.g. "web 60 / code 30 /
+    books 10") as one declarative plan.
+
+    Fully distributed: a per-stratum count aggregate (map-side combined),
+    two one-row scalar aggregates carried via broadcast, a broadcast join
+    of the tiny per-stratum fraction table back onto the corpus, and a
+    scan-bandwidth hash filter. Nothing is collected to the driver, and
+    the expected output size is exact per stratum (hash buckets are
+    uniform), not binomial-noisy like ``sampleBy``.
+    """
+    # Keep the weight un-cast: integer weights sum EXACTLY (long), so the
+    # derived doubles are bit-identical regardless of aggregation order —
+    # summing doubles would make `share` depend on partial-agg order and
+    # could flip rows sitting on a hash-bucket boundary between engines.
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", weight)
+    )
+    wsum = counts.agg(F.sum("_w").alias("_wsum"))
+    shares = counts.join(F.broadcast(wsum)).withColumn(
+        "_share", F.col("_w") / F.col("_wsum")
+    )
+    t_max = shares.agg(F.min(F.col("_n") / F.col("_share")).alias("_t_max"))
+    fracs = (
+        shares.join(F.broadcast(t_max))
+        .withColumn(
+            "_frac",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("_share") * F.col("_t_max") / F.col("_n"),
+                ),
+                6,
+            ),
+        )
+        .select(strata_col, "_frac")
+    )
+    bucket = hash_sample_bucket(id_col, seed)
+    return (
+        df.join(F.broadcast(fracs), strata_col)
+        .filter(bucket < F.col("_frac") * 1000000)
+        .drop("_frac")
+    )
+
+
+def profile_keys(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Join/aggregation key profiler: the ``k`` heaviest keys with their
+    row counts and share of the table — the diagnosis step before choosing
+    a skew mitigation (salting, AQE skew-join, broadcast).
+
+    One map-side-combinable count aggregate, a broadcast one-row total, and
+    a global top-k that Catalyst plans as TakeOrderedAndProject (each
+    partition ships only its local top-k). Run it on both sides of a
+    planned join: a key carrying >1% of a 100 TB table is a salting
+    candidate."""
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .join(F.broadcast(total))
+        .select(
+            key_col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc(key_col))
+        .limit(k)
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hash_fns import normalize_text
+from ..functions.hash_fns import hash64, normalize_text
 
 # Tiny deterministic stopword lists per language for the n-gram/stopword
 # language-ID heuristic. Order matters: ties break toward the first listed.
@@ -358,3 +358,122 @@ def quality_filter(
             F.col("lang_pred").isin(*lang_whitelist)
         )
     return out
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    max_per_domain: int = 100,
+) -> DataFrame:
+    """Cap every domain at ``max_per_domain`` documents, chosen by
+    deterministic hash order — the per-site / per-source downsampling step
+    that stops a single crawl domain from dominating the training mix.
+
+    Ordering by ``hash64(id)`` (not by id) makes the survivors an unbiased
+    uniform sample of the domain, yet fully reproducible across runs,
+    engines, and cluster sizes (unlike ``sampleBy``, whose draw depends on
+    the seed AND the partitioning). Spark 4 plans the row_number-≤-k filter
+    as a map-side partial WindowGroupLimit, so the shuffle carries at most
+    ``max_per_domain`` rows per (partition, domain) — the cap itself bounds
+    the data movement at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    key = hash64(F.concat(F.lit("cap:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_domain)
+        .drop("_rn")
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy per-domain corpus selection under a token budget: walk each
+    domain's documents best-score-first and keep a document iff the budget
+    is not yet exhausted when its turn comes — the "take the best N tokens
+    per domain" curriculum/budgeting step of a training-data pipeline.
+
+    One window scan (exclusive prefix sum of ``tokens_col`` ordered by
+    score desc, id asc): a document is kept when the tokens accumulated
+    BEFORE it are under budget, so the last kept document may straddle the
+    boundary — the same concat-then-cut semantic as sequence packing.
+    Domains are independent window partitions; at 100 TB the single shuffle
+    is the window repartition by domain.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("tokens_before", cum_before)
+        .filter(F.col("tokens_before") < budget)
+    )
+
+
+def strip_frequent_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    max_doc_ratio: float = 0.5,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the C4 recipe): split every
+    document into segments (lines by default), drop each segment whose
+    document frequency exceeds ``max_doc_ratio`` of the corpus (navigation
+    chrome, cookie banners, license headers), and reassemble the survivors
+    in their original order. With ``delim=" "`` it degrades to
+    document-frequency stopword pruning (the index-building variant).
+
+    Plan shape: posexplode → one hash-aggregate for per-segment document
+    frequency (map-side combinable) → broadcast one-row corpus count →
+    left-anti join back → ordered reassembly as
+    ``array_join(array_sort(collect_list(struct(pos, seg))))`` — the sort
+    is per-document and row-local, never a global order. The boilerplate
+    set is by construction small (only segments shared by > ratio of ALL
+    documents), so at 100 TB the anti-join side stays broadcastable no
+    matter how large the corpus grows. Documents whose every segment is
+    boilerplate survive with empty text (the caller's length filter drops
+    them explicitly — silent row loss would skew corpus accounting).
+    """
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("pos", "seg"),
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    boiler = (
+        segs.filter(F.col("seg") != "")
+        .groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("df_seg"))
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df_seg") > F.lit(max_doc_ratio) * F.col("_n_docs"))
+        .select("seg")
+    )
+    kept = segs.join(boiler, "seg", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            delim,
+        ).alias("cleaned_text")
+    )
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .fillna({"cleaned_text": ""})
+    )

@@ -83,6 +83,11 @@ def test_gate_window_covers_every_family():
     judge_only = {
         "q6_forecast_revenue", "q13_customer_distribution",
         "q15_top_supplier", "q22_inactive_customers",
+        # round-3 third wave — window already full of first-timers; these
+        # have driver-green plan cousins and oracle rows every round
+        "join_salted_skew", "corpus_domain_cap", "corpus_token_budget",
+        "text_strip_boilerplate", "corpus_mixture_sample",
+        "profile_key_skew",
     }
     stragglers = set(names[50:]) - prior_green - never_verified_ok - judge_only
     assert not stragglers, stragglers

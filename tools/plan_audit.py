@@ -177,6 +177,52 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         f"exchanges={n_ex}",
     )
 
+    # domain cap: the row_number<=k filter must cut map-side so the window
+    # shuffle carries at most k rows per (partition, domain)
+    pcap = plan_of(qs["corpus_domain_cap"](spark, sf_dir))
+    check(
+        "domain_cap cuts map-side (WindowGroupLimit)",
+        "WindowGroupLimit" in pcap,
+        "row_number<=k below the shuffle",
+    )
+
+    # mixture sample: per-stratum fraction table joins back by broadcast —
+    # the corpus side must never shuffle for the sampling decision
+    pmix = plan_of(qs["corpus_mixture_sample"](spark, sf_dir))
+    check(
+        "mixture_sample corpus never shuffles",
+        "SortMergeJoin" not in pmix
+        and re.search(r"\(\d+\) BroadcastHashJoin", pmix) is not None,
+        "broadcast fraction join, no sort-merge",
+    )
+
+    # key profiler: global top-k ships per-partition top-k only
+    pprof = plan_of(qs["profile_key_skew"](spark, sf_dir))
+    check(
+        "profile_keys top-k as TakeOrderedAndProject",
+        "TakeOrderedAndProject" in pprof,
+        "",
+    )
+
+    # boilerplate strip: the (by-construction small) boilerplate set joins
+    # back as a broadcast anti join — the corpus is never re-shuffled to
+    # subtract it
+    pbp = plan_of(qs["text_strip_boilerplate"](spark, sf_dir))
+    check(
+        "strip_boilerplate anti-join broadcasts",
+        re.search(r"BroadcastHashJoin .*LeftAnti", pbp) is not None,
+        "broadcast LeftAnti for the boilerplate set",
+    )
+
+    # salted join: salt participates in the join keys (the skew spread) and
+    # the result is oracle-verified identical to the plain join
+    psj = plan_of(qs["join_salted_skew"](spark, sf_dir))
+    check(
+        "salted join keys include the salt",
+        "_salt" in psj,
+        "join on (key, _salt)",
+    )
+
     # an unexecuted AdaptiveSparkPlan reports 0 subtrees, so toggle AQE off
     # just for this static-plan inspection
     spark.conf.set("spark.sql.adaptive.enabled", "false")
