@@ -38,6 +38,10 @@ HEADLINE = [
     "knn_bruteforce_cosine",
     "text_quality_metrics",
     "multimodal_media_meta",
+    # round-3 additions (new ops; r1/r2 totals exclude these three)
+    "text_tfidf_top_terms",
+    "text_strip_boilerplate",
+    "corpus_mixture_sample",
 ]
 
 
