@@ -3008,6 +3008,247 @@ def semantic_dedup_survivors(spark, sf_dir):
     ).select("vec_id", "label")
 
 
+@_q(
+    "events_funnel",
+    """
+    WITH u1 AS (
+      SELECT user_id, min(ts) FILTER (WHERE event_type = 'click') AS t1
+      FROM events GROUP BY user_id),
+    u2 AS (
+      SELECT e.user_id, u1.t1,
+             min(e.ts) FILTER (WHERE e.event_type = 'signup'
+                               AND e.ts > u1.t1) AS t2
+      FROM events e JOIN u1 ON e.user_id = u1.user_id
+      GROUP BY e.user_id, u1.t1),
+    u3 AS (
+      SELECT e.user_id, u2.t1, u2.t2,
+             min(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                               AND e.ts > u2.t2) AS t3
+      FROM events e JOIN u2 ON e.user_id = u2.user_id
+      GROUP BY e.user_id, u2.t1, u2.t2)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t1) AS BIGINT) AS n_click,
+           CAST(count(t2) AS BIGINT) AS n_signup_after_click,
+           CAST(count(t3) AS BIGINT) AS n_purchase_after_signup
+    FROM u3
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (click → signup → purchase, each step
+    strictly after the previous): one conditional-min aggregate per step,
+    re-joined on user_id — per-user state is a fixed number of timestamps,
+    never a collected event array, so hot users cost nothing extra and
+    every round shuffles on the same key (AQE reuses the partitioning)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    u1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t1")
+    )
+    u2 = (
+        e.join(u1, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "signup")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    u3 = (
+        e.join(u2, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    return u3.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_click"),
+        F.count("t2").alias("n_signup_after_click"),
+        F.count("t3").alias("n_purchase_after_signup"),
+    )
+
+
+@_q(
+    "events_retention_cohorts",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events)
+    SELECT cohort_day,
+           CAST(datediff('day', cohort_day, day) AS BIGINT) AS days_since,
+           CAST(count(user_id) AS BIGINT) AS n_users
+    FROM act JOIN first USING (user_id)
+    GROUP BY cohort_day, days_since
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each subsequent active day. Two aggregates (cohort min,
+    distinct activity days) shuffling on user_id, then one small
+    (cohort, offset) aggregate — the standard product-analytics rollup."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("days_since"),
+        )
+        .agg(F.count("user_id").alias("n_users"))
+    )
+
+
+@_q(
+    "events_gap_fill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS n_events, round(max(value), 6) AS day_max
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM daily GROUP BY user_id),
+    series AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds),
+    joined AS (
+      SELECT s.user_id, s.day,
+             coalesce(d.n_events, 0) AS n_events, d.day_max
+      FROM series s LEFT JOIN daily d USING (user_id, day))
+    SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+           last_value(day_max IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
+    FROM joined
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Time-series regularization: zero-fill each user's daily series over
+    their own [first, last] activity span (sequence + explode — the
+    generated rows stay co-partitioned with the user), then forward-fill
+    the last observed per-day max with an ignore-nulls window — the
+    resample/ffill primitive. Day aggregation uses max (order-independent)
+    so doubles compare bit-exactly across engines."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max("value"), 6).alias("day_max"),
+    )
+    series = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    joined = series.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "day_max",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumn(
+        "filled_max", F.last("day_max", ignorenulls=True).over(w)
+    ).drop("day_max")
+
+
+@_q(
+    "q20_excess_suppliers",
+    """
+    WITH widget_li AS (
+      SELECT l_partkey, l_suppkey, l_quantity
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%widget%')),
+    part_totals AS (
+      SELECT l_partkey, sum(l_quantity) AS part_total
+      FROM widget_li GROUP BY l_partkey),
+    eligible AS (
+      SELECT w.l_suppkey
+      FROM widget_li w JOIN part_totals t ON w.l_partkey = t.l_partkey
+      GROUP BY w.l_suppkey, w.l_partkey, t.part_total
+      HAVING sum(w.l_quantity) > 0.2 * t.part_total)
+    SELECT s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name LIKE 'NATION_1%'
+      AND s_suppkey IN (SELECT l_suppkey FROM eligible)
+    ORDER BY s_name
+    """,
+)
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: no partsupp table, so 'excess
+    availability' becomes 'carries >20% of a part's two-year shipped
+    volume'): IN-subquery on a LIKE-filtered part list → left-semi join;
+    the correlated availability threshold → a per-part total joined back
+    and compared in HAVING; the outer IN → another left-semi. Both
+    aggregates group on l_partkey, so the total and the per-supplier sum
+    share one shuffle family; quantities are whole doubles, so the sums
+    are order-exact and the 0.2× boundary is engine-stable."""
+    part_w = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(part_w, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    totals = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("part_total")
+    )
+    eligible = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+        .join(totals, "l_partkey")
+        .filter(F.col("supp_qty") > 0.2 * F.col("part_total"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").like("NATION_1%"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "inner")
+        .join(eligible, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-3 additions, third wave: corpus-management operators (domain caps,
 # token budgets, mixture resampling, boilerplate stripping) and the skew

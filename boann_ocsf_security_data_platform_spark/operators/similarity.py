@@ -317,10 +317,17 @@ def semantic_dedup(
     rows of ``df`` unchanged.
 
     The three stages are each scale-safe: candidate pairs come from an LSH
-    bucket equi-join (cardinality grows with 2^n_planes — never an
-    all-pairs comparison), transitive groups from the connected-components
-    entry point (O(diameter) or O(log n) rounds, auto-selected), and the
-    final keep/drop is one anti-join against the loser set.
+    bucket equi-join (never an all-pairs comparison), transitive groups
+    from the connected-components entry point (O(diameter) or O(log n)
+    rounds, auto-selected), and the final keep/drop is one anti-join
+    against the loser set.
+
+    ``n_planes`` must GROW with the corpus: per-bucket pair counts are
+    ~(n / 2^n_planes)² per bucket, so hold the expected bucket size
+    constant by picking n_planes ≈ log2(n / target_bucket_size) — e.g. 64k
+    vectors / 4k-vector buckets → 4 planes, 1B vectors / 4k buckets → 18
+    planes. A fixed plane count at growing n degrades toward quadratic
+    work, the exact failure mode blocking exists to prevent.
     """
     from .dedup import cluster_pairs
 

@@ -87,7 +87,8 @@ def test_gate_window_covers_every_family():
         # have driver-green plan cousins and oracle rows every round
         "join_salted_skew", "corpus_domain_cap", "corpus_token_budget",
         "text_strip_boilerplate", "corpus_mixture_sample",
-        "profile_key_skew",
+        "profile_key_skew", "q20_excess_suppliers",
+        "events_funnel", "events_retention_cohorts", "events_gap_fill",
     }
     stragglers = set(names[50:]) - prior_green - never_verified_ok - judge_only
     assert not stragglers, stragglers
