@@ -164,3 +164,36 @@ def test_profile_keys_exact_counts(spark):
     top = profile_keys(df, "k", k=2).collect()
     assert [(r["k"], r["n_rows"]) for r in top] == [("hot", 50), ("warm", 10)]
     assert top[0]["share"] == round(50 / 65, 6)
+
+
+def test_token_budget_always_keeps_best_doc(spark):
+    # tokens_before of a domain's best doc is 0, so ANY positive budget
+    # keeps at least (exactly, here) one doc per domain
+    rows = [(i, 0.5 + i / 100, 1000, f"d{i % 3}") for i in range(9)]
+    df = spark.createDataFrame(rows, ["doc_id", "quality_score", "n_tokens", "source"])
+    out = token_budget_select(df, budget=1)
+    assert out.groupBy("source").count().collect()[0]["count"] == 1
+    assert out.count() == 3
+
+
+def test_strip_boilerplate_identity_below_threshold(spark):
+    # no segment reaches the document-frequency threshold -> text unchanged
+    rows = [(1, "alpha beta", "en", "s", 0), (2, "gamma delta", "en", "s", 0)]
+    out = strip_frequent_segments(_docs(spark, rows), delim=" ", max_doc_ratio=0.5)
+    got = {r["doc_id"]: r["cleaned_text"] for r in out.collect()}
+    assert got == {1: "alpha beta", 2: "gamma delta"}
+
+
+def test_strip_boilerplate_idempotent(spark, sf_smoke):
+    # removing boilerplate cannot create new boilerplate: surviving
+    # segments keep their document frequency, so a second pass is a no-op
+    docs = load_table(spark, sf_smoke, "documents")
+    once = strip_frequent_segments(docs, delim=" ", max_doc_ratio=0.8)
+    again_in = once.withColumnRenamed("cleaned_text", "text")
+    twice = strip_frequent_segments(again_in, delim=" ", max_doc_ratio=0.8)
+    diff = (
+        once.withColumnRenamed("cleaned_text", "a")
+        .join(twice.withColumnRenamed("cleaned_text", "b"), "doc_id")
+        .filter(F.col("a") != F.col("b"))
+    )
+    assert diff.count() == 0
