@@ -438,42 +438,38 @@ def strip_frequent_segments(
     in their original order. With ``delim=" "`` it degrades to
     document-frequency stopword pruning (the index-building variant).
 
-    Plan shape: posexplode → one hash-aggregate for per-segment document
-    frequency (map-side combinable) → broadcast one-row corpus count →
-    left-anti join back → ordered reassembly as
-    ``array_join(array_sort(collect_list(struct(pos, seg))))`` — the sort
-    is per-document and row-local, never a global order. The boilerplate
-    set is by construction small (only segments shared by > ratio of ALL
-    documents), so at 100 TB the anti-join side stays broadcastable no
-    matter how large the corpus grows. Documents whose every segment is
-    boilerplate survive with empty text (the caller's length filter drops
-    them explicitly — silent row loss would skew corpus accounting).
+    Plan shape: ONE explode feeds one hash-aggregate for per-segment
+    document frequency (map-side combinable, distinct on (seg, doc));
+    the surviving boilerplate set — by construction small, only segments
+    shared by > ratio of ALL documents — collapses to a single-row array
+    that broadcasts back onto the corpus, so the removal itself is a
+    row-local ``filter(split(text), s -> !array_contains(boiler, s))``:
+    original order is free, no anti-join shuffle, and the corpus is
+    scanned exactly twice (count + rewrite) regardless of size. Documents
+    whose every segment is boilerplate survive with empty text (the
+    caller's length filter drops them explicitly — silent row loss would
+    skew corpus accounting).
     """
     segs = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("pos", "seg"),
+        F.col(id_col), F.explode(F.split(F.col(text_col), delim, -1)).alias("seg")
     )
     n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
-    boiler = (
+    boiler_arr = (
         segs.filter(F.col("seg") != "")
         .groupBy("seg")
         .agg(F.countDistinct(id_col).alias("df_seg"))
         .join(F.broadcast(n_docs))
         .filter(F.col("df_seg") > F.lit(max_doc_ratio) * F.col("_n_docs"))
-        .select("seg")
+        .agg(F.collect_list("seg").alias("_boiler"))
     )
-    kept = segs.join(boiler, "seg", "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                lambda s: s["seg"],
-            ),
-            delim,
-        ).alias("cleaned_text")
+    cleaned = F.array_join(
+        F.filter(
+            F.split(F.col(text_col), delim, -1),
+            lambda s: ~F.array_contains(F.col("_boiler"), s),
+        ),
+        delim,
     )
     return (
-        df.select(id_col)
-        .join(reassembled, id_col, "left")
-        .fillna({"cleaned_text": ""})
+        df.join(F.broadcast(boiler_arr))
+        .select(F.col(id_col), cleaned.alias("cleaned_text"))
     )

@@ -204,14 +204,17 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         "",
     )
 
-    # boilerplate strip: the (by-construction small) boilerplate set joins
-    # back as a broadcast anti join — the corpus is never re-shuffled to
-    # subtract it
+    # boilerplate strip: the (by-construction small) boilerplate set
+    # collapses to one broadcast row and the removal is a row-local array
+    # filter — the corpus itself never shuffles (no sort-merge, no window,
+    # no re-aggregation of the rewrite side)
     pbp = plan_of(qs["text_strip_boilerplate"](spark, sf_dir))
     check(
-        "strip_boilerplate anti-join broadcasts",
-        re.search(r"BroadcastHashJoin .*LeftAnti", pbp) is not None,
-        "broadcast LeftAnti for the boilerplate set",
+        "strip_boilerplate removal is row-local",
+        "BroadcastNestedLoopJoin" in pbp
+        and "SortMergeJoin" not in pbp
+        and "Window" not in pbp,
+        "single-row boiler broadcast + array filter",
     )
 
     # salted join: salt participates in the join keys (the skew spread) and
