@@ -305,17 +305,21 @@ def tfidf_top_terms(
     (idf = ln((N+1)/(df+1)) + 1, the scikit-style smoothing) — the
     keyword-extraction / corpus-exploration primitive.
 
-    Two hash-aggregates (term frequency per doc, document frequency per
-    term — both map-side combinable), a broadcast one-row corpus count, and
-    a per-doc top-k that Spark 4 plans as WindowGroupLimit (partial top-k
-    before the shuffle). Score is rounded BEFORE ranking and ties break on
-    the term so the cut is deterministic across engines.
+    Document frequency re-aggregates the (doc, term) counts rather than
+    re-distincting the raw token stream — on real corpora the distinct
+    (doc, term) set is an order of magnitude smaller than the token
+    instances, so the second aggregate reads the reduced side (on the
+    synthetic tiny-vocabulary corpus the two coincide and the rewrite is
+    timing-neutral). A broadcast one-row corpus count supplies N, and the
+    per-doc top-k plans as WindowGroupLimit (partial top-k before the
+    shuffle). Score is rounded BEFORE ranking and ties break on the term
+    so the cut is deterministic across engines.
     """
     from pyspark.sql import Window
 
     w = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dft = w.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
     idf = F.log((F.col("_n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0))) + 1.0
     scored = (
