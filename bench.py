@@ -73,6 +73,9 @@ def main() -> None:
         timings[name] = min(runs)
         spreads[name] = runs
 
+    core15 = [q for q in HEADLINE if q not in (
+        "text_tfidf_top_terms", "text_strip_boilerplate", "corpus_mixture_sample"
+    )]
     print(
         json.dumps(
             {
@@ -83,6 +86,10 @@ def main() -> None:
                 "sf": sf,
                 "n_runs": n_runs,
                 "runs": spreads,
+                # subtotal over the r1/r2 headline set — compare THIS to
+                # prior rounds' totals (the 18-query total includes three
+                # queries that didn't exist before round 3)
+                "core15_seconds": round(sum(timings[q] for q in core15), 3),
             }
         )
     )
