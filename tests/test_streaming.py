@@ -530,3 +530,42 @@ def test_streaming_drain_available_now(spark, monitor_dirs):
     )
     q2.awaitTermination(120)
     assert read_landing(spark, d["landing"]).count() == 4
+
+
+def test_streaming_corpus_quality_dedup_pipeline(spark, tmp_path):
+    """The LLM-corpus operators compose with Structured Streaming: a
+    document stream is quality-scored, fingerprinted, and deduped with
+    bounded state (dropDuplicatesWithinWatermark on the content
+    fingerprint) — the streaming ingestion front of a training-data
+    pipeline. Near-dup detection stays a periodic batch job by design
+    (LSH banding needs corpus-global aggregates); this covers the
+    exact-dedup + filter gate that CAN run incrementally."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        doc_fingerprint,
+        text_quality,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": good},
+        # exact dup after whitespace normalization -> dropped by fingerprint
+        {"doc_id": 2, "ts": "2024-01-01T00:00:10", "text": "  " + good.replace(" ", "  ")},
+        # degenerate short doc -> dropped by the quality gate
+        {"doc_id": 3, "ts": "2024-01-01T00:00:20", "text": "x"},
+        {"doc_id": 4, "ts": "2024-01-01T00:00:30", "text": good + " again tonight"},
+    ]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").json(
+        str(src)
+    )
+    cleaned = (
+        doc_fingerprint(text_quality(stream))
+        .filter(F.col("n_tokens") >= 10)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+    _run_to_memory(cleaned, "corpus_stream")
+    kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM corpus_stream").collect()}
+    assert kept == {1, 4}
