@@ -3182,6 +3182,70 @@ def events_gap_fill(spark, sf_dir):
 
 
 @_q(
+    "events_zscore_anomalies",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma
+      FROM events WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT user_id, event_id, round(value, 6) AS value,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM s
+    WHERE sigma > 0 AND abs((value - mu) / sigma) > 2
+    """,
+)
+def events_zscore_anomalies(spark, sf_dir):
+    """Per-entity anomaly flagging: z-score of each event's value against
+    its user's own distribution (whole-partition window — one shuffle on
+    user_id, no self-join), keep |z| > 2. The partition-wide avg/stddev
+    window is the standard streaming-adjacent outlier primitive."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sigma
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value"), 6).alias("value"),
+            F.round(z, 4).alias("zscore"),
+            sigma.alias("_sigma"),
+            z.alias("_z"),
+        )
+        .filter((F.col("_sigma") > 0) & (F.abs(F.col("_z")) > 2))
+        .drop("_sigma", "_z")
+    )
+
+
+@_q(
+    "agg_argmax",
+    """
+    SELECT o_orderpriority,
+           max_by(o_orderkey, o_totalprice * 100000 + o_orderkey)
+             AS top_orderkey,
+           round(max(o_totalprice), 2) AS top_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_argmax(spark, sf_dir):
+    """Argmax per group via max_by. The ordering key is made UNIQUE
+    (price scaled to an exact integer plus the orderkey — both under 2^53,
+    so the double arithmetic is exact) because max_by on a tied key is
+    nondeterministic in any engine; tie-free keys make the result
+    engine-portable."""
+    o = _t(spark, sf_dir, "orders")
+    ord_key = F.col("o_totalprice") * 100000 + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ord_key).alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+@_q(
     "q20_excess_suppliers",
     """
     WITH widget_li AS (
