@@ -3246,6 +3246,48 @@ def agg_argmax(spark, sf_dir):
 
 
 @_q(
+    "events_cumulative_users",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS first_day
+      FROM events GROUP BY user_id),
+    daily_new AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM first GROUP BY first_day)
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (
+             ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM daily_new
+    """,
+)
+def events_cumulative_users(spark, sf_dir):
+    """Cumulative distinct users over time WITHOUT a running-distinct
+    window (which doesn't exist in any engine): each user reduces to their
+    first-seen day, daily first-seen counts get a running sum. Two
+    aggregates + one tiny ordered window over days — the growth-curve
+    primitive at any scale (the global window runs over #days rows, not
+    #events)."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    daily_new = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@_q(
     "q20_excess_suppliers",
     """
     WITH widget_li AS (

@@ -89,7 +89,7 @@ def test_gate_window_covers_every_family():
         "text_strip_boilerplate", "corpus_mixture_sample",
         "profile_key_skew", "q20_excess_suppliers",
         "events_funnel", "events_retention_cohorts", "events_gap_fill",
-        "events_zscore_anomalies", "agg_argmax",
+        "events_zscore_anomalies", "agg_argmax", "events_cumulative_users",
     }
     stragglers = set(names[50:]) - prior_green - never_verified_ok - judge_only
     assert not stragglers, stragglers
