@@ -1154,11 +1154,11 @@ def events_sessionize(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # microsecond-exact gap comparison, same as DuckDB's interval compare
-    gap_ok = (
-        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-        <= 30 * 60 * 1_000_000
-    )
+    # Interval compare, same as DuckDB's `ts - lag(ts) <= INTERVAL '30 minutes'`.
+    # Deliberately NOT unix_micros: timestamp subtraction works for both
+    # TIMESTAMP and TIMESTAMP_NTZ (the driver's parquet is tz-less, which
+    # Spark 4 reads as NTZ), and needs no session-timezone interpretation.
+    gap_ok = F.col("ts") - F.lag("ts").over(w) <= F.expr("INTERVAL '30' MINUTE")
     flagged = e.withColumn(
         "new_sess", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
     )
@@ -3535,6 +3535,94 @@ def profile_key_skew(spark, sf_dir):
     )
 
     return profile_keys(_t(spark, sf_dir, "orders"), "o_custkey", k=20)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline, fourth wave (round 3): deterministic dataset splits,
+# fixed-budget per-stratum sampling, and n-gram LM statistics.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_train_val_test_split",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(concat('split0:',
+                      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS b
+          FROM documents)
+    """,
+)
+def corpus_train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 split (operators.relational.
+    train_val_test_split): portable-hash bucket vs cumulative thresholds —
+    a document's split never changes under resharding or corpus growth,
+    unlike randomSplit. Shuffle-free row-local projection."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        train_val_test_split,
+    )
+
+    return train_val_test_split(
+        _t(spark, sf_dir, "documents"), id_col="doc_id"
+    ).select("doc_id", "split")
+
+
+@_q(
+    "corpus_sample_k_per_group",
+    """
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(concat('0x', substr(md5(concat('samp0:',
+                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+                        doc_id) AS rn
+      FROM documents) WHERE rn <= 7
+    """,
+)
+def corpus_sample_k_per_group(spark, sf_dir):
+    """Fixed-budget per-stratum draw (operators.relational.
+    sample_k_per_group): exactly min(7, stratum size) docs per source by
+    portable-hash order; the rank filter plans as WindowGroupLimit so map
+    tasks forward at most k rows per group before the exchange."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        sample_k_per_group,
+    )
+
+    return sample_k_per_group(
+        _t(spark, sf_dir, "documents"), group_col="source", k=7, id_col="doc_id"
+    ).select("source", "doc_id")
+
+
+@_q(
+    "text_bigram_counts",
+    f"""
+    WITH toks AS (
+      SELECT list_filter(string_split({_NORM}, ' '), t -> t <> '') AS l
+      FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+                                   s -> concat(s[1], ' ', s[2]))) AS ngram
+      FROM toks WHERE len(l) >= 2
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM grams GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram ASC LIMIT 50
+    """,
+)
+def text_bigram_counts(spark, sf_dir):
+    """Corpus bigram table (operators.text.ngram_counts): row-local n-gram
+    construction via transform(sequence)+slice — no token self-join — then
+    one map-side-combined count; the top-50 cut plans as
+    TakeOrderedAndProject."""
+    from boann_ocsf_security_data_platform_spark.operators.text import ngram_counts
+
+    return ngram_counts(
+        _t(spark, sf_dir, "documents"), text_col="text", n=2, top_k=50
+    )
 
 
 # ---------------------------------------------------------------------------

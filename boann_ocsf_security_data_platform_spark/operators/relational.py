@@ -410,6 +410,83 @@ def mixture_sample(
     )
 
 
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    seed: str = "split0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket.
+
+    Every row lands in exactly one split based on ``hash64(seed || id)``
+    mod 1e6 against cumulative fraction thresholds — stable across reruns,
+    repartitioning, cluster size, and engines (the md5-based bucket is
+    reproducible in DuckDB/Postgres, unlike ``randomSplit``, whose
+    assignment depends on partitioning). That stability is the property a
+    training pipeline needs: a document's split never changes when the
+    corpus grows, so eval contamination can't creep in through resharding.
+
+    Shuffle-free, scan-bandwidth: one row-local hash + CASE per row.
+    Fractions are normalized; the last split absorbs rounding remainder.
+    """
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    total = float(sum(f for _, f in splits))
+    bucket = hash_sample_bucket(F.col(id_col), seed)
+    cum = 0.0
+    assign = F.lit(splits[-1][0])
+    cases = []
+    for name, frac in splits[:-1]:
+        cum += frac / total
+        cases.append((int(round(cum * 1_000_000)), name))
+    expr = None
+    for threshold, name in cases:
+        cond = bucket < F.lit(threshold)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise(assign))
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    seed: str = "samp0",
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen by deterministic
+    hash order — the fixed-budget variant of :func:`stratified_sample`
+    (which draws a binomial *fraction*). Use it when each stratum must
+    contribute a hard row budget (k eval docs per language, k examples per
+    label) regardless of stratum size.
+
+    One shuffle on the group key; the rank-≤-k filter is planned as
+    WindowGroupLimit (Spark ≥3.5), so each map task forwards at most k rows
+    per group it sees before the exchange — per-reducer input is bounded by
+    k × upstream partitions, not by the group's full size. Ordering by the
+    portable ``hash64`` (ties broken by id) makes the draw reproducible
+    across engines and immune to partitioning, unlike rand()-ordered
+    row_number.
+    """
+    from ..functions.hash_fns import hash64
+
+    order_key = hash64(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        order_key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def profile_keys(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
     """Join/aggregation key profiler: the ``k`` heaviest keys with their
     row counts and share of the table — the diagnosis step before choosing

@@ -341,6 +341,49 @@ def tfidf_top_terms(
     )
 
 
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-wide word n-gram frequencies — the language-model statistics
+    primitive (bigram/trigram tables for contamination screens, boilerplate
+    discovery, perplexity-free LM baselines).
+
+    N-grams are built ROW-LOCALLY with array higher-order functions
+    (``transform(sequence(...))`` over a positional ``slice``), so the only
+    shuffle is the final count aggregate — map-side combined, and the
+    distinct n-gram space (≪ token instances on real corpora) is what moves.
+    No explode-then-self-join: joining the token stream to itself on
+    position would shuffle every token ``n`` times.
+
+    With ``top_k`` the global cut plans as TakeOrderedAndProject (each
+    partition ships only its local top-k); ties break on the n-gram text so
+    the cut is deterministic. Returns ``ngram, n_occurrences``.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    t = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    if top_k is not None:
+        counted = counted.orderBy(
+            F.desc("n_occurrences"), F.asc("ngram")
+        ).limit(top_k)
+    return counted
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -829,3 +829,85 @@ def test_semantic_dedup_keeps_min_id_per_group(spark):
         r.vec_id for r in semantic_dedup(df, threshold=0.99, dim=4).collect()
     )
     assert kept == [1, 3, 5]
+
+
+def test_train_val_test_split_deterministic_and_exhaustive(spark):
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        train_val_test_split,
+    )
+
+    df = _docs(
+        spark,
+        [(i, f"doc {i}", "en", "s", 5) for i in range(200)],
+    )
+    out = train_val_test_split(df, id_col="doc_id")
+    rows = {r.doc_id: r.split for r in out.collect()}
+    # every row assigned, only the declared labels
+    assert len(rows) == 200
+    assert set(rows.values()) <= {"train", "val", "test"}
+    # roughly 80/10/10 (hash buckets are uniform; wide tolerance on n=200)
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    # deterministic: same assignment after a reshuffle of the input
+    again = {
+        r.doc_id: r.split
+        for r in train_val_test_split(
+            df.repartition(7), id_col="doc_id"
+        ).collect()
+    }
+    assert again == rows
+    # different seed → different assignment for at least one row
+    moved = {
+        r.doc_id: r.split
+        for r in train_val_test_split(df, id_col="doc_id", seed="other").collect()
+    }
+    assert moved != rows
+
+
+def test_sample_k_per_group_budget_and_determinism(spark):
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        sample_k_per_group,
+    )
+
+    rows = [(i, f"t{i}", "en", "big" if i < 50 else "small", 2) for i in range(55)]
+    df = _docs(spark, rows)
+    out = sample_k_per_group(df, group_col="source", k=8, id_col="doc_id")
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    from collections import Counter
+
+    per = Counter(s for s, _ in got)
+    assert per["big"] == 8           # capped at the budget
+    assert per["small"] == 5         # min(k, group size)
+    # deterministic under repartitioning
+    again = sorted(
+        (r.source, r.doc_id)
+        for r in sample_k_per_group(
+            df.repartition(9), group_col="source", k=8, id_col="doc_id"
+        ).collect()
+    )
+    assert again == got
+
+
+def test_ngram_counts_known_answers(spark):
+    from boann_ocsf_security_data_platform_spark.operators.text import ngram_counts
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c a b", "en", "s", 9),
+            (2, "a  B", "en", "s", 4),     # normalization folds case/space
+            (3, "solo", "en", "s", 4),     # shorter than n → contributes none
+        ],
+    )
+    bi = {
+        r.ngram: r.n_occurrences for r in ngram_counts(df, n=2).collect()
+    }
+    assert bi == {"a b": 3, "b c": 1, "c a": 1}
+    tri = {
+        r.ngram: r.n_occurrences for r in ngram_counts(df, n=3).collect()
+    }
+    assert tri == {"a b c": 1, "b c a": 1, "c a b": 1}
+    top = ngram_counts(df, n=2, top_k=1).collect()
+    assert [(r.ngram, r.n_occurrences) for r in top] == [("a b", 3)]

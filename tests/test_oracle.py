@@ -90,6 +90,10 @@ def test_gate_window_covers_every_family():
         "profile_key_skew", "q20_excess_suppliers",
         "events_funnel", "events_retention_cohorts", "events_gap_fill",
         "events_zscore_anomalies", "agg_argmax", "events_cumulative_users",
+        # round-3 fourth wave — deterministic split / fixed-budget stratum
+        # sample / n-gram LM stats; oracle-checked every round
+        "corpus_train_val_test_split", "corpus_sample_k_per_group",
+        "text_bigram_counts",
     }
     stragglers = set(names[50:]) - prior_green - never_verified_ok - judge_only
     assert not stragglers, stragglers
