@@ -3625,6 +3625,68 @@ def text_bigram_counts(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_prefix_filter_jaccard",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split({_NORM}, ' '),
+                                       x -> x <> '')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+                 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+    """,
+)
+def dedup_prefix_filter_jaccard(spark, sf_dir):
+    """Exact set-similarity join WITHOUT a blocking key (operators.dedup.
+    prefix_filter_jaccard_pairs, PPJoin-style prefix filtering): candidates
+    join only on globally-rare prefix tokens, then exact Jaccard verifies —
+    output provably identical to the oracle's O(n²) loop (which the oracle
+    runs; the operator does not)."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    return prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.9
+    )
+
+
+@_q(
+    "corpus_weighted_sample",
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             -ln((CAST(concat('0x', substr(md5(concat('wsamp0:',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+                  + 0.5) / 1000000.0) / n_chars AS es_key
+      FROM documents WHERE n_chars > 0)
+    ORDER BY es_key, doc_id LIMIT 100
+    """,
+)
+def corpus_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample without replacement (operators.
+    relational.weighted_sample, Efraimidis–Spirakis keys over the portable
+    hash): inclusion probability ∝ n_chars; the k-smallest-keys cut plans
+    as TakeOrderedAndProject."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        weighted_sample,
+    )
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=100,
+    ).select("doc_id", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -692,3 +692,112 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return _register_caches(out, [sh])
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT word-set Jaccard similarity join via prefix filtering — no
+    blocking key needed, no all-pairs comparison (the PPJoin family of
+    algorithms, Xiao et al., WWW 2008).
+
+    Order every document's distinct tokens by GLOBAL frequency (rarest
+    first); for threshold ``t`` two sets can only reach Jaccard ≥ t if they
+    share a token among each one's first ``|x| - ceil(t·|x|) + 1`` tokens
+    (the prefix). Candidates are therefore an equi-join on PREFIX tokens
+    only — the most frequent tokens, which drive the quadratic blowup in a
+    naive token join, never generate candidates because they sort to the
+    suffix. A length filter (t·|x| ≤ |y| ≤ |x|/t) prunes further, then the
+    exact Jaccard over the full sets verifies each candidate. Zero false
+    negatives — output is identical to the O(n²) loop.
+
+    Scale: one token-frequency aggregate (map-side combined), one per-doc
+    re-sort shuffle, a candidate join keyed by rare tokens (bounded fan-out
+    by construction; residual hot prefixes are AQE skew-join territory),
+    and an id-keyed verify join. Per-pair work never materializes a
+    cartesian block, unlike natural-key blocking with a fixed-cardinality
+    key. Returns ``id_a, id_b, jaccard`` (rounded to 6).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    toks = F.array_distinct(
+        F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != "")
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tok = base.select("id", F.explode("toks").alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # re-aggregate each doc's tokens sorted by (global freq, token): struct
+    # ordering makes array_sort give the canonical rarest-first order
+    sorted_docs = (
+        tok.join(freq, "token")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("freq", "token"))),
+                lambda s: s["token"],
+            ).alias("toks")
+        )
+        .withColumn("sz", F.size("toks"))
+        # prefix length |x| - ceil(t·|x|) + 1; round() kills the float-ulp
+        # noise in t·|x| so ceil can't overshoot on exact multiples
+        .withColumn(
+            "prefix",
+            F.slice(
+                "toks",
+                1,
+                F.col("sz")
+                - F.ceil(F.round(F.lit(threshold) * F.col("sz"), 6)).cast("int")
+                + 1,
+            ),
+        )
+        .persist()
+    )
+    prefixes = sorted_docs.select(
+        "id", "sz", F.explode("prefix").alias("token")
+    )
+    pa = prefixes.alias("pa")
+    pb = prefixes.alias("pb")
+    candidates = (
+        pa.join(
+            pb,
+            (F.col("pa.token") == F.col("pb.token"))
+            & (F.col("pa.id") < F.col("pb.id"))
+            # length filter: |y| ∈ [t·|x|, |x|/t] (generous bounds, exactness
+            # comes from the verify step)
+            & (
+                F.col("pb.sz")
+                >= F.floor(F.round(F.lit(threshold) * F.col("pa.sz"), 6))
+            )
+            & (
+                F.col("pb.sz")
+                <= F.ceil(F.round(F.col("pa.sz") / F.lit(threshold), 6))
+            ),
+        )
+        .select(
+            F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = sorted_docs.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a")
+    )
+    tb = sorted_docs.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    out = (
+        candidates.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.col("sz_a") + F.col("sz_b") - inter), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return _register_caches(out, [sorted_docs])

@@ -487,6 +487,39 @@ def sample_k_per_group(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsamp0",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of exactly ``k`` rows, where a
+    row's inclusion probability is proportional to ``weight_col`` — the
+    quality-weighted corpus selection step (sample documents ∝ quality
+    score, examples ∝ importance weight).
+
+    Efraimidis–Spirakis exponential-jitter keys: each row gets
+    ``key = -ln(u) / w`` with ``u`` uniform in (0,1); the k SMALLEST keys
+    are a correct weighted draw. ``u`` comes from the portable hash bucket
+    (``(bucket + 0.5) / 1e6``), so the draw is deterministic across reruns,
+    partitioning, and engines — no rand(), no driver-side pass.
+
+    One scan + a global top-k that Catalyst plans as TakeOrderedAndProject
+    (each partition ships only its local k rows). Weights must be > 0;
+    nonpositive-weight rows are excluded (they have probability 0).
+    """
+    u = (hash_sample_bucket(F.col(id_col), seed) + F.lit(0.5)) / F.lit(1_000_000.0)
+    key = -F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_key", key)
+        .orderBy(F.asc("_es_key"), F.asc(id_col))
+        .limit(k)
+        .drop("_es_key")
+    )
+
+
 def profile_keys(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
     """Join/aggregation key profiler: the ``k`` heaviest keys with their
     row counts and share of the table — the diagnosis step before choosing

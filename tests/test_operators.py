@@ -911,3 +911,69 @@ def test_ngram_counts_known_answers(spark):
     assert tri == {"a b c": 1, "b c a": 1, "c a b": 1}
     top = ngram_counts(df, n=2, top_k=1).collect()
     assert [(r.ngram, r.n_occurrences) for r in top] == [("a b", 3)]
+
+
+def test_prefix_filter_jaccard_matches_bruteforce(spark):
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        release_caches,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon", "en", "s", 30),
+        (2, "alpha beta gamma delta zeta", "en", "s", 27),     # J=4/6 vs 1
+        (3, "alpha beta gamma delta epsilon", "en", "s", 30),  # J=1.0 vs 1
+        (4, "omega psi chi", "en", "s", 13),                   # disjoint-ish
+        (5, "omega psi chi phi", "en", "s", 17),               # J=3/4 vs 4
+        (6, "unrelated words entirely here", "en", "s", 28),
+    ]
+    df = _docs(spark, docs)
+
+    def brute(threshold):
+        sets = {i: set(t.lower().split()) for i, t, *_ in docs}
+        out = {}
+        ids = sorted(sets)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    inter = len(sets[i] & sets[j])
+                    jac = inter / len(sets[i] | sets[j])
+                    if jac >= threshold:
+                        out[(i, j)] = round(jac, 6)
+        return out
+
+    for t in (0.5, 0.66, 0.75, 1.0):
+        res = prefix_filter_jaccard_pairs(df, threshold=t)
+        got = {(r.id_a, r.id_b): r.jaccard for r in res.collect()}
+        release_caches(res)
+        assert got == brute(t), f"threshold {t}"
+
+
+def test_weighted_sample_deterministic_and_bounded(spark):
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        weighted_sample,
+    )
+
+    rows = [(i, f"d{i}", "en", "s", (i % 10) + 1) for i in range(100)]
+    rows.append((100, "zero", "en", "s", 0))    # weight 0 → never sampled
+    rows.append((101, "neg", "en", "s", -3))    # negative → never sampled
+    df = _docs(spark, rows)
+    out = sorted(
+        r.doc_id
+        for r in weighted_sample(
+            df, id_col="doc_id", weight_col="n_chars", k=20
+        ).collect()
+    )
+    assert len(out) == 20
+    assert 100 not in out and 101 not in out
+    again = sorted(
+        r.doc_id
+        for r in weighted_sample(
+            df.repartition(11), id_col="doc_id", weight_col="n_chars", k=20
+        ).collect()
+    )
+    assert again == out
+    # heavier rows should dominate: mean weight of the sample exceeds the
+    # population mean (weights 1..10 uniform → pop mean 5.5)
+    wts = {i: (i % 10) + 1 for i in range(100)}
+    assert sum(wts[i] for i in out) / 20 > 5.5

@@ -242,6 +242,34 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         bool(m) and int(m.group(1)) >= 1,
         m.group(0) if m else "no codegen subtrees found",
     )
+
+    # round-3 fourth wave: split is shuffle-free, stratum sampling cuts
+    # map-side, bigram construction is row-local (no token self-join), and
+    # the weighted draw is a TakeOrderedAndProject
+    psplit = plan_of(qs["corpus_train_val_test_split"](spark, sf_dir))
+    check(
+        "train/val/test split is shuffle-free",
+        "Exchange" not in psplit,
+        "no Exchange in split plan",
+    )
+    pks = plan_of(qs["corpus_sample_k_per_group"](spark, sf_dir))
+    check(
+        "sample_k_per_group cuts map-side (WindowGroupLimit)",
+        "WindowGroupLimit" in pks,
+        "WindowGroupLimit in plan",
+    )
+    pbg = plan_of(qs["text_bigram_counts"](spark, sf_dir))
+    check(
+        "bigram construction is row-local (single join-free agg)",
+        "Join" not in pbg and pbg.count("HashAggregate") >= 2,
+        "no Join; partial+final HashAggregate",
+    )
+    pws = plan_of(qs["corpus_weighted_sample"](spark, sf_dir))
+    check(
+        "weighted_sample top-k as TakeOrderedAndProject",
+        "TakeOrderedAndProject" in pws,
+        "TakeOrderedAndProject in plan",
+    )
     return results
 
 
