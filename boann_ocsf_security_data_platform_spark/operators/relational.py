@@ -543,3 +543,125 @@ def profile_keys(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc(key_col))
         .limit(k)
     )
+
+
+def zorder_key(
+    cols: list[Column | str],
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) key over ``cols``: each column is min-max bucketed
+    to ``bits`` bits, then the bucket bits are interleaved. Pure Column
+    arithmetic (shifts/masks), whole-stage-codegen'd — no UDF.
+
+    ``mins``/``maxs`` are the per-column value bounds (one stats aggregate
+    upstream; pass constants for stable layouts across incremental writes).
+    Bucket resolution 2^bits per column; 2 cols × 16 bits = a 32-bit key,
+    well inside long range.
+    """
+    if not (cols and len(cols) == len(mins) == len(maxs)):
+        raise ValueError("cols/mins/maxs must be equal-length and non-empty")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must fit a signed long")
+    scale = (1 << bits) - 1
+    buckets = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        c = F.col(c) if isinstance(c, str) else c
+        span = float(hi) - float(lo)
+        if span <= 0:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        norm = (c.cast("double") - F.lit(float(lo))) / F.lit(span)
+        clamped = F.least(F.greatest(norm, F.lit(0.0)), F.lit(1.0))
+        buckets.append(F.floor(clamped * scale).cast("long"))
+    n = len(buckets)
+    key = F.lit(0).cast("long")
+    # bit b of column i lands at position b*n + (n-1-i): column 0 owns the
+    # most significant bit of each interleaved group
+    for i, bkt in enumerate(buckets):
+        for b in range(bits):
+            bit = F.shiftright(bkt, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + (n - 1 - i)))
+    return key
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet laid out along a Z-order curve over ``cols``
+    — the multi-column data-skipping play at 100 TB.
+
+    A single-column sort gives perfect min/max pruning on that column and
+    none on the others; range-partitioning + sorting by the interleaved
+    :func:`zorder_key` gives every listed column locality ∝ 2^(bits/n), so
+    a selective predicate on ANY of them skips most files via parquet
+    footer stats (and most row groups within a file). The column bounds
+    come from one min/max aggregate; ``repartitionByRange`` samples the key
+    to build balanced file splits — both are single light passes before the
+    write. Readers need nothing special: Spark's scan prunes from the same
+    footer stats the layout narrowed.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    mins = [stats[f"mn_{i}"] for i in range(len(cols))]
+    maxs = [stats[f"mx_{i}"] for i in range(len(cols))]
+    key = zorder_key(list(cols), mins, maxs, bits=bits)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def distinct_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog sketches (Apache DataSketches via Spark's
+    ``hll_sketch_agg``) — the MERGEABLE distinct-count building block.
+
+    At 100 TB you never re-scan history to refresh a distinct-users metric:
+    build one sketch per (partition, day), persist the binary column, and
+    answer any coarser rollup by unioning sketches (:func:`merge_distinct_
+    sketches`) — seconds over kilobytes instead of a shuffle over
+    terabytes. Error ~1.04/√2^lg_k (≈1.6% at lg_k=12); sketches union
+    losslessly, so incremental daily builds compose exactly like one big
+    aggregate.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll_sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_distinct_sketches(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Roll up persisted HLL sketches to a coarser grain (or to one global
+    row when ``group_cols`` is None/empty) and estimate the distinct count.
+    The union aggregate moves only the kilobyte sketch binaries; the raw
+    data is never touched."""
+    agg = [
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(
+            "approx_distinct"
+        ),
+        F.sum("n_rows").alias("n_rows"),
+    ]
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(*agg)
+    return sketches.agg(*agg)

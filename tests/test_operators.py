@@ -977,3 +977,95 @@ def test_weighted_sample_deterministic_and_bounded(spark):
     # population mean (weights 1..10 uniform → pop mean 5.5)
     wts = {i: (i % 10) + 1 for i in range(100)}
     assert sum(wts[i] for i in out) / 20 > 5.5
+
+
+def test_zorder_key_interleaves_known_bits(spark):
+    from boann_ocsf_security_data_platform_spark.operators.relational import zorder_key
+
+    df = spark.createDataFrame([(2, 1), (3, 3), (0, 0)], "a int, b int")
+    out = {
+        (r.a, r.b): r.z
+        for r in df.withColumn(
+            "z", zorder_key(["a", "b"], mins=[0, 0], maxs=[3, 3], bits=2)
+        ).collect()
+    }
+    # col a owns odd bit positions, col b even: a=10,b=01 → 1001 = 9
+    assert out[(2, 1)] == 0b1001
+    assert out[(3, 3)] == 0b1111
+    assert out[(0, 0)] == 0
+
+
+def test_zorder_write_enables_multi_column_file_skipping(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob as globmod
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        zorder_write,
+    )
+
+    n = 20000
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") % 1000).cast("int"))
+        .withColumn("y", ((F.col("id") * 7919) % 1000).cast("int"))
+    )
+    zpath, xpath = str(tmp_path / "zorder"), str(tmp_path / "xsort")
+    zorder_write(df, zpath, cols=["x", "y"], n_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+
+    def files_overlapping(path, col, lo, hi):
+        hit = total = 0
+        for f in globmod.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            mn = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            total += 1
+            if mx >= lo and mn <= hi:
+                hit += 1
+        return hit, total
+
+    # single-column sort: y ranges span everything — no pruning on y
+    yhit_x, ytot_x = files_overlapping(xpath, "y", 500, 510)
+    assert yhit_x == ytot_x
+    # z-order: BOTH columns narrow per file — a y point-range touches a
+    # strict subset of files, and x keeps locality too
+    yhit_z, ytot_z = files_overlapping(zpath, "y", 500, 510)
+    xhit_z, _ = files_overlapping(zpath, "x", 500, 510)
+    assert yhit_z < ytot_z / 2, (yhit_z, ytot_z)
+    assert xhit_z < ytot_z / 2, (xhit_z, ytot_z)
+
+
+def test_hll_sketches_merge_like_one_big_aggregate(spark):
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    # 40k events, 1200 distinct users, across 10 days
+    df = (
+        spark.range(40000)
+        .withColumn("day", (F.col("id") % 10).cast("int"))
+        .withColumn("user", (F.col("id") % 1200).cast("long"))
+    )
+    daily = distinct_sketches(df, ["day"], "user", lg_k=14)
+    assert daily.count() == 10
+
+    # per-day estimates close to the exact per-day distincts
+    est = {r.day: r.approx_distinct for r in merge_distinct_sketches(daily, ["day"]).collect()}
+    exact = {
+        r.day: r.d
+        for r in df.groupBy("day").agg(F.countDistinct("user").alias("d")).collect()
+    }
+    for d in exact:
+        assert abs(est[d] - exact[d]) / exact[d] < 0.05, (d, est[d], exact[d])
+
+    # union of daily sketches ≈ global distinct (the whole point: rollup
+    # from persisted sketches without touching raw data)
+    top = merge_distinct_sketches(daily).first()
+    assert abs(top.approx_distinct - 1200) / 1200 < 0.05
+    assert top.n_rows == 40000
