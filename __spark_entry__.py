@@ -3687,6 +3687,49 @@ def corpus_weighted_sample(spark, sf_dir):
     ).select("doc_id", "n_chars")
 
 
+@_q(
+    "events_transition_counts",
+    """
+    WITH seq AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS ev
+      FROM events GROUP BY user_id
+    ), trans AS (
+      SELECT unnest(list_transform(list_zip(ev[1:len(ev)-1], ev[2:len(ev)]),
+                                   s -> concat(s[1], '->', s[2]))) AS transition
+      FROM seq WHERE len(ev) >= 2
+    )
+    SELECT transition, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM trans GROUP BY transition
+    """,
+)
+def events_transition_counts(spark, sf_dir):
+    """User-journey transition matrix (Markov counts): per-user event
+    sequences ordered by (ts, event_id), consecutive pairs counted
+    corpus-wide. One shuffle groups each user's events; the pairing is
+    row-local (`zip_with` over two slices — no self-join on position), and
+    the final count is map-side combined over the tiny transition space."""
+    e = _t(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("s")
+    )
+    ev = F.transform("s", lambda x: x["event_type"])
+    trans = F.when(
+        F.size(ev) >= 2,
+        F.zip_with(
+            F.slice(ev, 1, F.size(ev) - 1),
+            F.slice(ev, 2, F.size(ev) - 1),
+            lambda a, b: F.concat(a, F.lit("->"), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        seq.select(F.explode(trans).alias("transition"))
+        .groupBy("transition")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
