@@ -665,3 +665,60 @@ def merge_distinct_sketches(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(*agg)
     return sketches.agg(*agg)
+
+
+def upsert_table(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """MERGE-style upsert into a parquet table: target rows whose key
+    appears in ``updates`` are replaced, unseen keys are inserted
+    (WHEN MATCHED UPDATE * / WHEN NOT MATCHED INSERT *). New columns in
+    ``updates`` evolve the schema (``unionByName`` with missing-column
+    fill).
+
+    Parquet has no transactional MERGE; this reuses :func:`compact_table`'s
+    crash-safe swap protocol — the merged table is fully written to a
+    ``__compacting`` temp (materializing ``updates`` WHILE the target is
+    still intact, so updates derived from the target itself are safe), then
+    swapped in via two renames gated by the ``_SUCCESS`` marker.
+    :func:`recover_compaction` heals a crash at any point, and every entry
+    point runs it first. Same caveat as compaction: quiesce concurrent
+    writers for the duration.
+
+    Scale: one anti-join of the target against the distinct update keys
+    (shuffle on the key — unavoidable for merge semantics without a
+    transaction log; keep the target bucketed by the merge key via
+    :func:`write_bucketed` to make it exchange-free) plus a full rewrite
+    of the table. For high-frequency small updates prefer appending with a
+    version column and resolving latest-per-key at read (the
+    read-optimized vs write-optimized trade).
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    src = P(path)
+    fs = src.getFileSystem(conf)
+    if not fs.exists(src):
+        tmp = P(path.rstrip("/") + "__compacting")
+        backup = P(path.rstrip("/") + "__pre_compact")
+        if fs.exists(tmp) or fs.exists(backup):
+            recover_compaction(spark, path)  # heal an interrupted swap
+    if not fs.exists(src):
+        updates.write.mode("errorifexists").parquet(path)
+        return
+    recover_compaction(spark, path)
+
+    target = spark.read.option("mergeSchema", "true").parquet(path)
+    keys = updates.select(*key_cols).distinct()
+    kept = target.join(keys, key_cols, "left_anti")
+    merged = kept.unionByName(updates, allowMissingColumns=True)
+
+    tmp = path.rstrip("/") + "__compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    backup = P(path.rstrip("/") + "__pre_compact")
+    fs.rename(src, backup)
+    fs.rename(P(tmp), src)
+    fs.delete(backup, True)

@@ -270,3 +270,56 @@ def test_transform_with_state_profile_across_batches(spark, tmp_path):
     # recent window = last 3 of [10, 5, 7, 2] -> (5+7+2)/3
     assert abs(avg1 - (5.0 + 7.0 + 2.0) / 3) < 1e-9
     assert latest[2] == (1, 1.0, 1.0)
+
+
+def test_upsert_table_merge_semantics_and_recovery(spark, tmp_path):
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        recover_compaction,
+        upsert_table,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, n int"
+    )
+    # first call on a missing table = plain write
+    upsert_table(spark, path, base, ["k"])
+    assert spark.read.parquet(path).count() == 3
+
+    # matched keys replaced, new key inserted, new column evolves schema
+    updates = spark.createDataFrame(
+        [(2, "B", 21, "x"), (4, "d", 40, "y")], "k int, v string, n int, extra string"
+    )
+    upsert_table(spark, path, updates, ["k"])
+    got = {
+        r.k: (r.v, r.n, r.extra)
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got == {
+        1: ("a", 10, None),
+        2: ("B", 21, "x"),
+        3: ("c", 30, None),
+        4: ("d", 40, "y"),
+    }
+
+    # updates derived FROM the target must not self-destruct (read-then-
+    # overwrite hazard): bump n for k<=2 from the table itself
+    from pyspark.sql import functions as F
+
+    derived = (
+        spark.read.option("mergeSchema", "true").parquet(path)
+        .filter("k <= 2")
+        .withColumn("n", F.col("n") + 100)
+    )
+    upsert_table(spark, path, derived, ["k"])
+    got = {r.k: r.n for r in spark.read.option("mergeSchema", "true").parquet(path).collect()}
+    assert got == {1: 110, 2: 121, 3: 30, 4: 40}
+
+    # crash between the renames heals on the next recover/upsert call
+    import os
+    import shutil
+
+    shutil.move(path, path + "__pre_compact")      # simulate: src renamed away
+    os.makedirs(path + "__compacting")             # incomplete tmp (no _SUCCESS)
+    assert recover_compaction(spark, path) == "rolled_back"
+    assert spark.read.option("mergeSchema", "true").parquet(path).count() == 4
