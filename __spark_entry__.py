@@ -3730,6 +3730,47 @@ def events_transition_counts(spark, sf_dir):
     )
 
 
+@_q(
+    "profile_lineitem_columns",
+    """
+    SELECT 'l_quantity' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(min(l_quantity) AS DOUBLE) AS min_val,
+           CAST(max(l_quantity) AS DOUBLE) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(min(l_extendedprice) AS DOUBLE),
+           CAST(max(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           CAST(min(l_discount) AS DOUBLE),
+           CAST(max(l_discount) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def profile_lineitem_columns(spark, sf_dir):
+    """One-pass data-quality profile (operators.relational.
+    profile_columns, exact mode for the oracle; approx=True is the scale
+    default — HLL distincts keep it a single partial+final aggregate with
+    no Expand duplication)."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        profile_columns,
+    )
+
+    return profile_columns(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        approx=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

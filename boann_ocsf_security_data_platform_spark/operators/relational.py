@@ -722,3 +722,44 @@ def upsert_table(
     fs.rename(src, backup)
     fs.rename(P(tmp), src)
     fs.delete(backup, True)
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str],
+    approx: bool = True,
+) -> DataFrame:
+    """Numeric-column data-quality profile in ONE aggregate pass: row
+    count, nulls, distincts, min, max per column, returned long-format
+    (one row per column) — the scan you run before trusting a new drop of
+    data.
+
+    ``approx=True`` (default) uses HyperLogLog distinct counts so the
+    whole profile stays a single partial+final aggregate at any scale;
+    ``approx=False`` gives exact distincts at the cost of Catalyst's
+    Expand duplication (one data copy per profiled column in the shuffle
+    — fine for validation runs, wasteful as a routine 100 TB scan). The
+    wide→long pivot is a row-local ``stack`` of the single result row.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    cd = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{i}"),
+            cd(c).alias(f"nd_{i}"),
+            F.min(c).cast("double").alias(f"mn_{i}"),
+            F.max(c).cast("double").alias(f"mx_{i}"),
+        ]
+    row = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', nn_{i}, nd_{i}, mn_{i}, mx_{i}" for i, c in enumerate(cols)
+    )
+    return row.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {parts}) AS "
+            "(column_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")

@@ -1069,3 +1069,27 @@ def test_hll_sketches_merge_like_one_big_aggregate(spark):
     top = merge_distinct_sketches(daily).first()
     assert abs(top.approx_distinct - 1200) / 1200 < 0.05
     assert top.n_rows == 40000
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 30.0)], "a int, b double"
+    )
+    exact = {
+        r.column_name: r
+        for r in profile_columns(df, ["a", "b"], approx=False).collect()
+    }
+    assert exact["a"].n_rows == 4 and exact["a"].n_nulls == 0
+    assert exact["a"].n_distinct == 4
+    assert (exact["a"].min_val, exact["a"].max_val) == (1.0, 4.0)
+    assert exact["b"].n_nulls == 1 and exact["b"].n_distinct == 2
+    assert (exact["b"].min_val, exact["b"].max_val) == (10.0, 30.0)
+    # approx mode: same shape, HLL counts near exact on tiny input
+    approx = {
+        r.column_name: r for r in profile_columns(df, ["a", "b"]).collect()
+    }
+    assert approx["a"].n_distinct == 4 and approx["b"].n_distinct == 2
