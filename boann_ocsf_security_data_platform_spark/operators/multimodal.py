@@ -10,6 +10,9 @@ What needs a codec and what doesn't:
 
 - ``sniff_image_meta`` — REAL header-level decode (PNG/GIF/BMP/JPEG
   dimensions) in pure byte parsing; no library needed.
+- ``sniff_audio_meta`` / ``audio_sample_pcm`` — REAL WAV/RIFF chunk walk
+  (channels, rate, bit depth, duration) and 16-bit PCM waveform sampling;
+  compressed audio needs a codec — same shape, swap the parser body.
 - ``byte_histogram`` — real 256-bin byte features (numpy-vectorized).
 - ``frame_sample`` — real frame sampling for raw fixed-frame-size media;
   compressed containers swap the slicing body for an ffmpeg demux.
@@ -295,3 +298,142 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "wire PIL.Image.open(BytesIO(payload)) into a mapInPandas body "
         "shaped like frame_sample"
     )  # pragma: no cover
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate_hz", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def _sniff_wav(b: bytes):
+    """Real RIFF/WAVE container parse — chunk walk, no codec library.
+    Returns (format, channels, sample_rate, bits, n_frames) or Nones."""
+    import struct
+
+    none = (None, None, None, None, None)
+    try:
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return none
+        i = 12
+        fmt = None
+        n_frames = None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+            body = b[i + 8 : i + 8 + size]
+            if cid == b"fmt " and size >= 16:
+                audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+                block_align, bits = struct.unpack("<HH", body[12:16])
+                fmt = (
+                    "wav-pcm" if audio_fmt == 1 else f"wav-{audio_fmt}",
+                    channels,
+                    rate,
+                    bits,
+                    block_align,
+                )
+            elif cid == b"data" and fmt is not None:
+                block = fmt[4] or 1
+                n_frames = size // block
+            i += 8 + size + (size & 1)  # chunks pad to even offsets
+        if fmt is None:
+            return none
+        return fmt[0], fmt[1], fmt[2], fmt[3], n_frames
+    except (struct.error, IndexError):
+        return none
+
+
+def sniff_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode real audio metadata from WAV/RIFF container headers
+    (channels, sample rate, bit depth, frame count, duration) —
+    Arrow-batched pure byte parsing, the audio sibling of
+    :func:`sniff_image_meta`. Non-WAV payloads yield NULLs rather than
+    failing the batch. Compressed formats (mp3/flac/ogg) need a codec;
+    keep this mapInPandas shape and swap the parser body."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [_sniff_wav(bytes(b)) for b in pdf[payload_col]]
+            frames = pd.array([r[4] for r in rows], dtype="Int64")
+            rates = pd.array([r[2] for r in rows], dtype="Int32")
+            dur = pd.array(
+                [
+                    (r[4] * 1000) // r[2]
+                    if r[4] is not None and r[2]
+                    else None
+                    for r in rows
+                ],
+                dtype="Int64",
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [r[0] for r in rows],
+                    "n_channels": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "sample_rate_hz": rates,
+                    "bits_per_sample": pd.array(
+                        [r[3] for r in rows], dtype="Int32"
+                    ),
+                    "n_frames": frames,
+                    "duration_ms": dur,
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
+PCM_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("samples", ArrayType(IntegerType())),
+    ]
+)
+
+
+def audio_sample_pcm(
+    df: DataFrame, n_points: int = 16, payload_col: str = "payload"
+) -> DataFrame:
+    """Evenly-spaced first-channel samples from 16-bit PCM WAV payloads —
+    the waveform-fingerprint feature (coarse envelope for dedup /
+    silence detection) without any codec. numpy ``frombuffer`` slicing
+    over the data chunk; non-PCM-16 payloads yield NULL."""
+    import struct
+
+    import numpy as np
+
+    def extract(b: bytes):
+        fmt, channels, _rate, bits, _frames = _sniff_wav(b)
+        if fmt != "wav-pcm" or bits != 16 or not channels:
+            return None
+        # find the data chunk again (cheap: header bytes only)
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+            if cid == b"data":
+                pcm = np.frombuffer(b, dtype="<i2", offset=i + 8, count=size // 2)
+                ch0 = pcm[::channels]
+                if len(ch0) == 0:
+                    return []
+                idx = np.linspace(0, len(ch0) - 1, num=min(n_points, len(ch0)))
+                return ch0[idx.astype(np.int64)].astype("int32").tolist()
+            i += 8 + size + (size & 1)
+        return None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "samples": [extract(bytes(b)) for b in pdf[payload_col]],
+                }
+            )
+
+    return df.mapInPandas(batches, PCM_SAMPLE_SCHEMA)

@@ -1093,3 +1093,55 @@ def test_profile_columns_exact_and_approx(spark):
         r.column_name: r for r in profile_columns(df, ["a", "b"]).collect()
     }
     assert approx["a"].n_distinct == 4 and approx["b"].n_distinct == 2
+
+
+def _wav_bytes(channels=2, rate=8000, n_frames=100, bits=16):
+    import struct
+
+    block = channels * bits // 8
+    data = b"".join(
+        struct.pack("<" + "h" * channels, *[(k * 31) % 1000] * channels)
+        for k in range(n_frames)
+    )
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_sniff_audio_meta_wav_roundtrip(spark):
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        sniff_audio_meta,
+    )
+
+    rows = [
+        (1, bytearray(_wav_bytes(channels=2, rate=8000, n_frames=100))),
+        (2, bytearray(_wav_bytes(channels=1, rate=44100, n_frames=44100))),
+        (3, bytearray(b"not audio at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in sniff_audio_meta(df).collect()}
+    assert got[1].format == "wav-pcm" and got[1].n_channels == 2
+    assert got[1].sample_rate_hz == 8000 and got[1].bits_per_sample == 16
+    assert got[1].n_frames == 100 and got[1].duration_ms == 12  # 100/8000 s
+    assert got[2].n_frames == 44100 and got[2].duration_ms == 1000
+    assert got[3].format is None and got[3].n_frames is None
+
+
+def test_audio_sample_pcm_extracts_first_channel(spark):
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        audio_sample_pcm,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(channels=2, rate=8000, n_frames=64))),
+            (2, bytearray(b"junk")),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.samples for r in audio_sample_pcm(df, n_points=8).collect()}
+    # frame k carries value (k*31)%1000 on every channel; 8 evenly spaced
+    # points over frames 0..63 land on multiples of 9
+    assert got[1] == [((k * 9) * 31) % 1000 for k in range(8)]
+    assert got[2] is None
