@@ -13,6 +13,8 @@ What needs a codec and what doesn't:
 - ``sniff_audio_meta`` / ``audio_sample_pcm`` — REAL WAV/RIFF chunk walk
   (channels, rate, bit depth, duration) and 16-bit PCM waveform sampling;
   compressed audio needs a codec — same shape, swap the parser body.
+- ``sniff_video_meta`` — REAL MP4/ISO-BMFF box walk (brand, movie
+  timescale/duration, track count); frame decode needs a demuxer.
 - ``byte_histogram`` — real 256-bin byte features (numpy-vectorized).
 - ``frame_sample`` — real frame sampling for raw fixed-frame-size media;
   compressed containers swap the slicing body for an ffmpeg demux.
@@ -437,3 +439,94 @@ def audio_sample_pcm(
             )
 
     return df.mapInPandas(batches, PCM_SAMPLE_SCHEMA)
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("brand", StringType()),
+        StructField("timescale", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_tracks", IntegerType()),
+    ]
+)
+
+
+def _sniff_mp4(b: bytes):
+    """Real ISO-BMFF (MP4/MOV) box walk — ftyp major brand, mvhd
+    timescale/duration, trak count. Pure byte parsing, no codec; the
+    sample data itself stays opaque. Returns Nones for non-ISO-BMFF."""
+    import struct
+
+    none = (None, None, None, None, None)
+    try:
+        if len(b) < 12 or b[4:8] != b"ftyp":
+            return none
+        brand = b[8:12].decode("ascii", "replace")
+        timescale = duration = None
+        n_tracks = 0
+
+        def walk(lo: int, hi: int, depth: int):
+            nonlocal timescale, duration, n_tracks
+            i = lo
+            while i + 8 <= hi and depth < 8:
+                (size,) = struct.unpack(">I", b[i : i + 4])
+                box = b[i + 4 : i + 8]
+                hdr = 8
+                if size == 1:  # 64-bit largesize
+                    (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+                    hdr = 16
+                elif size == 0:  # box extends to end of enclosing scope
+                    size = hi - i
+                if size < hdr:
+                    return
+                if box == b"moov":
+                    walk(i + hdr, min(i + size, hi), depth + 1)
+                elif box == b"trak":
+                    n_tracks += 1
+                elif box == b"mvhd":
+                    ver = b[i + hdr]
+                    if ver == 1:
+                        timescale, duration = struct.unpack(
+                            ">IQ", b[i + hdr + 20 : i + hdr + 32]
+                        )
+                    else:
+                        timescale, duration = struct.unpack(
+                            ">II", b[i + hdr + 12 : i + hdr + 20]
+                        )
+                i += size
+
+        walk(0, len(b), 0)
+        dur_ms = (
+            (duration * 1000) // timescale
+            if duration is not None and timescale
+            else None
+        )
+        return "mp4", brand, timescale, dur_ms, (n_tracks or None)
+    except (struct.error, IndexError):
+        return none
+
+
+def sniff_video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode real video container metadata from MP4/ISO-BMFF boxes
+    (brand, movie timescale, duration, track count) — the video sibling of
+    the image/audio sniffers: Arrow-batched pure byte parsing, NULLs for
+    non-ISO-BMFF payloads, sample data never decoded (frame-level work
+    needs a demuxer — swap the parser body, keep this mapInPandas shape)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [_sniff_mp4(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [r[0] for r in rows],
+                    "brand": [r[1] for r in rows],
+                    "timescale": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "duration_ms": pd.array([r[3] for r in rows], dtype="Int64"),
+                    "n_tracks": pd.array([r[4] for r in rows], dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, VIDEO_META_SCHEMA)

@@ -1145,3 +1145,49 @@ def test_audio_sample_pcm_extracts_first_channel(spark):
     # points over frames 0..63 land on multiples of 9
     assert got[1] == [((k * 9) * 31) % 1000 for k in range(8)]
     assert got[2] is None
+
+
+def _mp4_bytes(timescale=1000, duration=5500, n_tracks=2, version=0):
+    import struct
+
+    def box(name, payload):
+        return struct.pack(">I", 8 + len(payload)) + name + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    if version == 1:
+        mvhd = box(
+            b"mvhd",
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">IQ", timescale, duration)
+            + b"\x00" * 80,
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            bytes([0, 0, 0, 0])
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration)
+            + b"\x00" * 80,
+        )
+    traks = b"".join(box(b"trak", b"\x00" * 16) for _ in range(n_tracks))
+    return ftyp + box(b"moov", mvhd + traks) + box(b"mdat", b"\xab" * 64)
+
+
+def test_sniff_video_meta_mp4_roundtrip(spark):
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        sniff_video_meta,
+    )
+
+    rows = [
+        (1, bytearray(_mp4_bytes(timescale=1000, duration=5500, n_tracks=2))),
+        (2, bytearray(_mp4_bytes(timescale=600, duration=1200, n_tracks=1, version=1))),
+        (3, bytearray(b"definitely not a video")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in sniff_video_meta(df).collect()}
+    assert got[1].format == "mp4" and got[1].brand == "isom"
+    assert got[1].timescale == 1000 and got[1].duration_ms == 5500
+    assert got[1].n_tracks == 2
+    assert got[2].duration_ms == 2000 and got[2].n_tracks == 1  # v1 64-bit
+    assert got[3].format is None and got[3].duration_ms is None
