@@ -42,6 +42,10 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_strip_boilerplate",
     "corpus_mixture_sample",
+    # round-3 fourth wave (r1/r2 totals exclude these too)
+    "corpus_train_val_test_split",
+    "corpus_weighted_sample",
+    "events_transition_counts",
 ]
 
 
@@ -74,7 +78,9 @@ def main() -> None:
         spreads[name] = runs
 
     core15 = [q for q in HEADLINE if q not in (
-        "text_tfidf_top_terms", "text_strip_boilerplate", "corpus_mixture_sample"
+        "text_tfidf_top_terms", "text_strip_boilerplate", "corpus_mixture_sample",
+        "corpus_train_val_test_split", "corpus_weighted_sample",
+        "events_transition_counts",
     )]
     print(
         json.dumps(
