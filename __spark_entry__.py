@@ -3771,6 +3771,43 @@ def profile_lineitem_columns(spark, sf_dir):
     )
 
 
+@_q(
+    "text_bm25_search",
+    f"""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS l
+      FROM documents
+    ), b2 AS (SELECT doc_id, len(l) AS dl, l FROM base),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM b2),
+    hits AS (SELECT doc_id, dl, unnest(l) AS term FROM b2),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM hits
+      WHERE term IN ('hash', 'join', 'filter')
+      GROUP BY doc_id, dl, term
+    ), dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_dl))), 6) AS bm25
+    FROM tf JOIN dft USING (term), stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_search(spark, sf_dir):
+    """Okapi BM25 keyword retrieval (operators.text.bm25_search): the
+    lexical RAG-search baseline. Token stream filters to the query terms
+    before any shuffle; corpus stats ride one broadcast row; the cut is
+    TakeOrderedAndProject."""
+    from boann_ocsf_security_data_platform_spark.operators.text import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"),
+        query_terms=["hash", "join", "filter"],
+        k=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

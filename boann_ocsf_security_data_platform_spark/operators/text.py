@@ -520,3 +520,62 @@ def strip_frequent_segments(
         df.join(F.broadcast(boiler_arr))
         .select(F.col(id_col), cleaned.alias("cleaned_text"))
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the lexical-search baseline
+    every RAG stack needs next to its vector index.
+
+    Okapi BM25 with the standard smoothed idf
+    (ln(1 + (N - df + 0.5)/(df + 0.5))): per-document score is the sum
+    over matched query terms of idf · tf·(k1+1)/(tf + k1·(1 − b + b·|d|/avg|d|)).
+
+    Scale shape: the token stream filters to the query terms FIRST (a
+    broadcast hash lookup against a literal array — the scan discards
+    non-query tokens before any shuffle), so the tf aggregate moves only
+    matching tokens; document length and corpus stats are one broadcast
+    row; the final cut is TakeOrderedAndProject. No inverted index is
+    materialized — for repeated query workloads, persist the (term, doc,
+    tf) aggregate bucketed by term and this becomes an index lookup.
+    Scores round to 6 decimals with id tiebreak for a deterministic cut.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, "_toks", F.size("_toks").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+    hits = base.select(
+        id_col, "dl", F.explode("_toks").alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = hits.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    score_t = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avg_dl")))
+    )
+    return (
+        tf.join(dft, "term")
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(score_t), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1191,3 +1191,31 @@ def test_sniff_video_meta_mp4_roundtrip(spark):
     assert got[1].n_tracks == 2
     assert got[2].duration_ms == 2000 and got[2].n_tracks == 1  # v1 64-bit
     assert got[3].format is None and got[3].duration_ms is None
+
+
+def test_bm25_search_hand_computed(spark):
+    import math
+
+    from boann_ocsf_security_data_platform_spark.operators.text import bm25_search
+
+    docs = [
+        (1, "cat dog cat", "en", "s", 11),     # cat tf=2, dl=3
+        (2, "cat mouse bird fish", "en", "s", 19),
+        (3, "dog dog dog dog", "en", "s", 15),
+        (4, "nothing relevant here", "en", "s", 21),
+    ]
+    df = _docs(spark, docs)
+    got = {r.doc_id: r.bm25 for r in bm25_search(df, ["cat", "dog"], k=4).collect()}
+    # N=4, avg_dl=(3+4+4+3)/4=3.5; df(cat)=2, df(dog)=2
+    k1, b = 1.2, 0.75
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 3.5))
+
+    assert got[1] == round(s(2, 3) + s(1, 3), 6)   # cat tf2 + dog tf1
+    assert got[2] == round(s(1, 4), 6)
+    assert got[3] == round(s(4, 4), 6)
+    assert 4 not in got                             # no matching terms
+    # ranking: doc1 (two terms) above doc3 above doc2
+    assert got[1] > got[3] > got[2]

@@ -95,7 +95,7 @@ def test_gate_window_covers_every_family():
         "corpus_train_val_test_split", "corpus_sample_k_per_group",
         "text_bigram_counts", "dedup_prefix_filter_jaccard",
         "corpus_weighted_sample", "events_transition_counts",
-        "profile_lineitem_columns",
+        "profile_lineitem_columns", "text_bm25_search",
     }
     stragglers = set(names[50:]) - prior_green - never_verified_ok - judge_only
     assert not stragglers, stragglers
