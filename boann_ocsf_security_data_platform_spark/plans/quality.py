@@ -93,3 +93,36 @@ def assert_quality(stg_df: DataFrame, uid_pattern: str | None = None) -> dict[st
     if failing:
         raise QualityError(f"quality checks failed: {failing}")
     return counts
+
+
+def reconciliation_violations(
+    landing: DataFrame, staging: DataFrame
+) -> DataFrame:
+    """Landing rows the staging table SHOULD contain but doesn't — the
+    cross-table completeness audit for the incremental pipeline.
+
+    The staging contract (plans/staging.py): every landing row with
+    ``loaded_at`` ≤ the staging high-water mark has exactly one staged row
+    keyed by (finding_uid, staging_loaded_at = loaded_at). A non-empty
+    result means the incremental filter skipped rows — e.g. a landing
+    backfill wrote rows with loaded_at BELOW the current HWM, which the
+    ``loaded_at > hwm`` filter will never pick up (the classic silent gap
+    of HWM pipelines; the reference's dbt incremental model has the same
+    hazard).
+
+    Scale: one anti-join on (finding_uid, loaded_at) — staging side
+    projected to its key columns only, so the shuffle carries keys, not
+    the wide rows; the HWM is a one-row broadcast aggregate. Returns
+    violating landing keys (dbt convention: empty = pass).
+    """
+    hwm = staging.agg(F.max("staging_loaded_at").alias("_hwm"))
+    staged_keys = staging.select(
+        "finding_uid", F.col("staging_loaded_at").alias("loaded_at")
+    )
+    due = (
+        landing.select("finding_uid", "loaded_at")
+        .join(F.broadcast(hwm))
+        .filter(F.col("loaded_at") <= F.col("_hwm"))
+        .drop("_hwm")
+    )
+    return due.join(staged_keys, ["finding_uid", "loaded_at"], "left_anti")

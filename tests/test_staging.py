@@ -193,3 +193,35 @@ def test_schema_evolution_append_new_columns(spark, tmp_path):
     merged = read_landing(spark, path)
     assert "new_col" in merged.columns
     assert merged.count() == 2
+
+
+def test_reconciliation_catches_backfill_below_hwm(spark):
+    from boann_ocsf_security_data_platform_spark.plans.quality import (
+        reconciliation_violations,
+    )
+
+    doc = {"finding_info": {"title": "t"}}
+    landing = spark.createDataFrame(
+        [
+            ("uid-1", json.dumps(doc), T0),
+            ("uid-2", json.dumps(doc), T0 + datetime.timedelta(hours=1)),
+        ],
+        schema=LANDING_SCHEMA,
+    )
+    staging = stage(landing)
+    # fully staged: zero violations
+    assert reconciliation_violations(landing, staging).count() == 0
+
+    # a backfill lands BELOW the high-water mark: incremental stage() will
+    # never pick it up — reconciliation must report exactly that key
+    backfill = spark.createDataFrame(
+        [("uid-0", json.dumps(doc), T0 - datetime.timedelta(hours=2))],
+        schema=LANDING_SCHEMA,
+    )
+    landing2 = landing.unionByName(backfill)
+    incr = stage(landing2, hwm=T0 + datetime.timedelta(hours=1))
+    assert incr.count() == 0  # the HWM filter silently skips the backfill
+    bad = reconciliation_violations(landing2, staging).collect()
+    assert [(r.finding_uid, r.loaded_at) for r in bad] == [
+        ("uid-0", T0 - datetime.timedelta(hours=2))
+    ]
