@@ -3808,6 +3808,41 @@ def text_bm25_search(spark, sf_dir):
     )
 
 
+@_q(
+    "feature_quantile_bins",
+    """
+    WITH th AS (
+      SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS t
+      FROM lineitem
+    )
+    SELECT CAST(len(list_filter(t, x -> l_extendedprice > x)) + 1 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(l_extendedprice), 2) AS bin_min,
+           round(max(l_extendedprice), 2) AS bin_max
+    FROM lineitem, th
+    GROUP BY 1
+    """,
+)
+def feature_quantile_bins(spark, sf_dir):
+    """Equi-depth feature discretization (operators.relational.
+    quantile_bins): quartile boundaries from one exact-percentile
+    aggregate, broadcast as a one-row table; assignment is a row-local
+    count over the threshold array — no data shuffle."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        quantile_bins,
+    )
+
+    return (
+        quantile_bins(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

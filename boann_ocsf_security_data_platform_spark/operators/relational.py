@@ -763,3 +763,38 @@ def profile_columns(
             "(column_name, n_nulls, n_distinct, min_val, max_val)"
         ),
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Equi-depth discretization: bucket a numeric column by its own
+    quantiles (bin = #thresholds strictly below the value, 1-based) — the
+    feature-binning step that turns a heavy-tailed raw signal into a
+    balanced categorical.
+
+    One exact-percentile aggregate produces the boundary row, broadcast to
+    every partition; the assignment is a row-local count over the tiny
+    threshold array (``size(filter(...))``), so the whole operator is a
+    scan plus a one-row broadcast — no shuffle of the data, and the SAME
+    boundary table can be persisted and reused to bin future data
+    consistently (the train/serve-skew guard). Use approx percentiles
+    (``percentile_approx``) when the exact sort-based aggregate is too
+    heavy at full scale.
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    th = df.agg(
+        F.percentile(value_col, F.array(*[F.lit(p) for p in probs])).alias("_th")
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(th))
+        .withColumn(
+            "bin",
+            (F.size(F.filter("_th", lambda t: v > t)) + 1).cast("long"),
+        )
+        .drop("_th")
+    )

@@ -1219,3 +1219,21 @@ def test_bm25_search_hand_computed(spark):
     assert 4 not in got                             # no matching terms
     # ranking: doc1 (two terms) above doc3 above doc2
     assert got[1] > got[3] > got[2]
+
+
+def test_quantile_bins_equi_depth(spark):
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        quantile_bins,
+    )
+
+    df = spark.range(1, 101).withColumn("v", F.col("id").cast("double"))
+    out = quantile_bins(df, "v")
+    from collections import Counter
+
+    bins = Counter(r.bin for r in out.collect())
+    # quartile boundaries 25.75/50.5/75.25 → 25/25/25/25 split (±1)
+    assert sorted(bins) == [1, 2, 3, 4]
+    assert all(24 <= bins[b] <= 26 for b in bins)
+    # assignment respects boundaries: v=1 in bin 1, v=100 in bin 4
+    vals = {r.v: r.bin for r in out.collect()}
+    assert vals[1.0] == 1 and vals[100.0] == 4 and vals[50.0] == 1 + (50.0 > 25.75)

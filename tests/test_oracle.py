@@ -96,6 +96,7 @@ def test_gate_window_covers_every_family():
         "text_bigram_counts", "dedup_prefix_filter_jaccard",
         "corpus_weighted_sample", "events_transition_counts",
         "profile_lineitem_columns", "text_bm25_search",
+        "feature_quantile_bins",
     }
     stragglers = set(names[50:]) - prior_green - never_verified_ok - judge_only
     assert not stragglers, stragglers
