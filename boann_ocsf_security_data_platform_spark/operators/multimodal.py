@@ -420,7 +420,13 @@ def audio_sample_pcm(
             cid = b[i : i + 4]
             (size,) = struct.unpack("<I", b[i + 4 : i + 8])
             if cid == b"data":
-                pcm = np.frombuffer(b, dtype="<i2", offset=i + 8, count=size // 2)
+                # declared chunk size can exceed the actual bytes on a
+                # truncated payload — clamp so frombuffer can't raise
+                # (bad bytes are data, not task failures)
+                avail = max(0, (len(b) - (i + 8)) // 2)
+                pcm = np.frombuffer(
+                    b, dtype="<i2", offset=i + 8, count=min(size // 2, avail)
+                )
                 ch0 = pcm[::channels]
                 if len(ch0) == 0:
                     return []

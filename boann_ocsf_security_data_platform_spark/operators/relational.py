@@ -8,6 +8,8 @@ are exactly what we want; wrapping them would only hide the plan.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -611,8 +613,12 @@ def zorder_write(
         *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
     ).first()
-    mins = [stats[f"mn_{i}"] for i in range(len(cols))]
-    maxs = [stats[f"mx_{i}"] for i in range(len(cols))]
+    # an entirely-NULL column yields None bounds — degrade to the
+    # degenerate span (bucket 0 for every row) instead of a TypeError
+    mins = [stats[f"mn_{i}"] if stats[f"mn_{i}"] is not None else 0.0
+            for i in range(len(cols))]
+    maxs = [stats[f"mx_{i}"] if stats[f"mx_{i}"] is not None else 0.0
+            for i in range(len(cols))]
     key = zorder_key(list(cols), mins, maxs, bits=bits)
     (
         df.withColumn("_zkey", key)
@@ -743,6 +749,15 @@ def profile_columns(
     """
     if not cols:
         raise ValueError("cols must be non-empty")
+    # names are interpolated into the stack() expression string below —
+    # restrict to identifier characters so a quoted/special name can't
+    # break the expr (or smuggle SQL in from an untrusted schema)
+    bad_names = [c for c in cols if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c)]
+    if bad_names:
+        raise ValueError(
+            f"profile_columns: non-identifier column names {bad_names}; "
+            "rename (alias) them before profiling"
+        )
     cd = F.approx_count_distinct if approx else F.count_distinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, c in enumerate(cols):

@@ -119,10 +119,13 @@ def reconciliation_violations(
     staged_keys = staging.select(
         "finding_uid", F.col("staging_loaded_at").alias("loaded_at")
     )
+    # NULL HWM (staging staged NOTHING yet) must not vacuously pass: with
+    # a non-empty landing every row is missing, so treat them all as due —
+    # a dead staging load surfaces as violations instead of silence
     due = (
         landing.select("finding_uid", "loaded_at")
         .join(F.broadcast(hwm))
-        .filter(F.col("loaded_at") <= F.col("_hwm"))
+        .filter(F.col("_hwm").isNull() | (F.col("loaded_at") <= F.col("_hwm")))
         .drop("_hwm")
     )
     return due.join(staged_keys, ["finding_uid", "loaded_at"], "left_anti")

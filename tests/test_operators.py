@@ -1040,6 +1040,23 @@ def test_zorder_write_enables_multi_column_file_skipping(spark, tmp_path):
     assert xhit_z < ytot_z / 2, (xhit_z, ytot_z)
 
 
+def test_zorder_write_all_null_column_degrades_gracefully(spark, tmp_path):
+    """An entirely-NULL z-order column has no min/max — it must map to the
+    degenerate bucket (span 0) instead of raising on float(None)."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        zorder_write,
+    )
+
+    df = (
+        spark.range(100)
+        .withColumn("x", (F.col("id") % 10).cast("int"))
+        .withColumn("y", F.lit(None).cast("int"))
+    )
+    path = str(tmp_path / "znull")
+    zorder_write(df, path, cols=["x", "y"], n_files=4)
+    assert spark.read.parquet(path).count() == 100
+
+
 def test_hll_sketches_merge_like_one_big_aggregate(spark):
     from boann_ocsf_security_data_platform_spark.operators.relational import (
         distinct_sketches,
@@ -1095,6 +1112,19 @@ def test_profile_columns_exact_and_approx(spark):
     assert approx["a"].n_distinct == 4 and approx["b"].n_distinct == 2
 
 
+def test_profile_columns_rejects_non_identifier_names(spark):
+    """Column names are interpolated into the stack() expr — quoted or
+    special-character names must be rejected, not break the SQL."""
+    import pytest
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame([(1,)], "a int").withColumnRenamed("a", "a'b")
+    with pytest.raises(ValueError, match="non-identifier"):
+        profile_columns(df, ["a'b"])
+
+
 def _wav_bytes(channels=2, rate=8000, n_frames=100, bits=16):
     import struct
 
@@ -1145,6 +1175,28 @@ def test_audio_sample_pcm_extracts_first_channel(spark):
     # points over frames 0..63 land on multiples of 9
     assert got[1] == [((k * 9) * 31) % 1000 for k in range(8)]
     assert got[2] is None
+
+
+def test_audio_sample_pcm_tolerates_truncated_payload(spark):
+    """A data chunk whose declared size exceeds the actual bytes (truncated
+    upload) must yield the available samples, not crash the task — bad
+    bytes are data, not errors."""
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        audio_sample_pcm,
+    )
+
+    full = _wav_bytes(channels=1, rate=8000, n_frames=64)
+    truncated = full[: len(full) - 60]  # declared 128 bytes, 68 present
+    header_only = full[:44]  # cut right after the data chunk header
+    df = spark.createDataFrame(
+        [(1, bytearray(truncated)), (2, bytearray(header_only))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.samples for r in audio_sample_pcm(df, n_points=8).collect()}
+    # 34 frames survive the cut; samples come from what's actually there
+    assert got[1] is not None and len(got[1]) == 8
+    assert all(s == (k * 31) % 1000 for s, k in zip(got[1], [0, 4, 9, 14, 18, 23, 28, 33]))
+    assert got[2] == []
 
 
 def _mp4_bytes(timescale=1000, duration=5500, n_tracks=2, version=0):

@@ -225,3 +225,24 @@ def test_reconciliation_catches_backfill_below_hwm(spark):
     assert [(r.finding_uid, r.loaded_at) for r in bad] == [
         ("uid-0", T0 - datetime.timedelta(hours=2))
     ]
+
+
+def test_reconciliation_null_hwm_is_not_a_silent_pass(spark):
+    """Empty staging → NULL high-water mark. With non-empty landing, every
+    landing row is missing — the audit must report them all, not vacuously
+    pass because loaded_at <= NULL filters everything out."""
+    from boann_ocsf_security_data_platform_spark.plans.quality import (
+        reconciliation_violations,
+    )
+
+    doc = {"finding_info": {"title": "t"}}
+    landing = spark.createDataFrame(
+        [
+            ("uid-1", json.dumps(doc), T0),
+            ("uid-2", json.dumps(doc), T0 + datetime.timedelta(hours=1)),
+        ],
+        schema=LANDING_SCHEMA,
+    )
+    empty_staging = stage(landing.limit(0))
+    bad = reconciliation_violations(landing, empty_staging)
+    assert bad.count() == 2
