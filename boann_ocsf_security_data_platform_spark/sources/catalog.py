@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampType
 
 TABLES = (
     "region",
@@ -46,6 +46,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
             # ns → µs truncation, identical to DuckDB's read of the file
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # The driver regenerates testdata between rounds and the timestamp
+    # flavor drifts with it: TIMESTAMP(MICROS, isAdjustedToUTC=false) reads
+    # as TIMESTAMP_NTZ (under inferTimestampNTZ), tz-adjusted files and the
+    # nanos fallback above read as TIMESTAMP(LTZ). Normalize every
+    # timestamp column to NTZ here — under the UTC session forced above the
+    # cast is value-preserving, every downstream query sees ONE type, and
+    # results render naive exactly like DuckDB's read of the same file.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
     return df
 
 
