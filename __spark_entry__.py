@@ -3036,8 +3036,11 @@ def semantic_dedup_survivors(spark, sf_dir):
         semantic_dedup,
     )
 
+    # n_planes pinned to 4 so the DuckDB oracle (which inlines the same 4
+    # hyperplanes) stays bit-identical; production callers omit it and get
+    # the auto-tuned count (auto_n_planes) that grows with the corpus
     return semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4
     ).select("vec_id", "label")
 
 

@@ -79,12 +79,48 @@ def release_caches(df: DataFrame) -> None:
 
 def release_all_caches() -> None:
     """Unpersist EVERY intermediate any dedup/similarity operator has
-    registered in this process and not yet released — the long-lived-
-    session safety valve for when the exact returned object is no longer
+    registered in this process and not yet released — the EMERGENCY valve
+    for when neither a :func:`cache_scope` nor the exact returned object is
     in hand (unpersist on an already-released plan is a no-op, so this is
-    always safe between pipeline runs)."""
+    always safe between pipeline runs). Prefer :func:`cache_scope`."""
     while _LIVE_CACHES:
         _LIVE_CACHES.pop().unpersist(blocking=True)
+
+
+class cache_scope:
+    """Scope-based lifecycle for operator-persisted intermediates — the
+    handle that CANNOT silently no-op.
+
+    :func:`release_caches` must be called on the exact DataFrame object an
+    operator returned; any derivation (``.filter``/``.select``) drops the
+    attribute and the release becomes a no-op. This context manager
+    instead releases by REGISTRATION WINDOW: every intermediate persisted
+    by operators invoked inside the ``with`` block is unpersisted on exit,
+    no matter how the results were transformed in between::
+
+        with cache_scope():
+            pairs = minhash_near_dup_pairs(docs)
+            pairs.filter("jaccard > 0.9").count()   # derived — still fine
+        # all intermediates from the block are unpersisted here
+
+    Scopes nest (each releases only its own window); exceptions inside the
+    block still release (``finally`` semantics). ``scope.release()`` frees
+    early without leaving the block. One Spark caveat: the CacheManager
+    dedupes identical plans, so if an inner scope persists the SAME plan an
+    outer scope already holds, the inner release drops the shared entry —
+    the outer result stays correct (it recomputes), it just loses the
+    cache benefit."""
+
+    def __enter__(self) -> "cache_scope":
+        self._mark = len(_LIVE_CACHES)
+        return self
+
+    def release(self) -> None:
+        while len(_LIVE_CACHES) > self._mark:
+            _LIVE_CACHES.pop().unpersist(blocking=True)
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:

@@ -303,13 +303,25 @@ def dequantize_embeddings(
     )
 
 
+def auto_n_planes(n: int, target_bucket_size: int = 4096) -> int:
+    """Plane count that holds the EXPECTED LSH bucket size at
+    ``target_bucket_size`` as the corpus grows: the smallest ``p`` with
+    n / 2^p <= target — so expected bucket size stays in
+    (target/2, target] at every scale (floor 1, cap 24: 16M buckets is
+    past any useful blocking granularity)."""
+    if n <= 0 or target_bucket_size <= 0:
+        return 1
+    return max(1, min(24, math.ceil(math.log2(max(2.0, n / target_bucket_size)))))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 64,
+    target_bucket_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop all but one member of
     every group of embeddings whose pairwise cosine exceeds ``threshold``,
@@ -323,14 +335,19 @@ def semantic_dedup(
     against the loser set.
 
     ``n_planes`` must GROW with the corpus: per-bucket pair counts are
-    ~(n / 2^n_planes)² per bucket, so hold the expected bucket size
-    constant by picking n_planes ≈ log2(n / target_bucket_size) — e.g. 64k
-    vectors / 4k-vector buckets → 4 planes, 1B vectors / 4k buckets → 18
-    planes. A fixed plane count at growing n degrades toward quadratic
-    work, the exact failure mode blocking exists to prevent.
+    ~(n / 2^n_planes)² per bucket. By default it is DERIVED from one cheap
+    ``count()`` via :func:`auto_n_planes` — n_planes =
+    ceil(log2(n / target_bucket_size)) — so the expected bucket size stays
+    ~constant (64k vectors / 4k buckets → 4 planes, 1B / 4k → 18 planes)
+    without caller changes as data grows. Pass an explicit ``n_planes``
+    only for pinned-reproducibility runs (e.g. oracle comparisons); a
+    fixed plane count at growing n degrades toward quadratic work, the
+    exact failure mode blocking exists to prevent.
     """
     from .dedup import cluster_pairs
 
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count(), target_bucket_size)
     blocked = df.withColumn("_blk", lsh_bucket(F.col(vec_col), n_planes, dim))
     pairs = embedding_near_dup_pairs(
         blocked, id_col=id_col, vec_col=vec_col, block_col="_blk",

@@ -527,6 +527,109 @@ def test_release_all_caches_safety_valve(spark, sf_smoke):
     assert n_cached() == before
 
 
+def test_cache_scope_releases_even_for_derived_frames(spark, sf_smoke):
+    """cache_scope releases by registration window, so deriving from the
+    operator's result (which drops the per-object handle) cannot leak:
+    everything persisted inside the block is freed on exit, including on
+    exception."""
+    import pytest
+    from boann_ocsf_security_data_platform_spark.operators import cache_scope
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        release_all_caches,
+    )
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    release_all_caches()
+    before = n_cached()
+    docs = load_table(spark, sf_smoke, "documents")
+    with cache_scope():
+        derived = minhash_near_dup_pairs(docs).filter("id_a >= 0")
+        derived.count()
+        assert n_cached() > before
+    assert n_cached() == before  # released despite the handle-less derive
+
+    # exception path still releases
+    with pytest.raises(RuntimeError, match="boom"):
+        with cache_scope():
+            minhash_near_dup_pairs(docs).count()
+            raise RuntimeError("boom")
+    assert n_cached() == before
+
+    # nesting: the inner scope only frees its own window (distinct plans —
+    # identical plans would share CacheManager entries, see the docstring)
+    with cache_scope():
+        minhash_near_dup_pairs(docs).count()
+        mid = n_cached()
+        with cache_scope():
+            minhash_near_dup_pairs(docs.filter("doc_id % 2 = 0")).count()
+        assert n_cached() == mid
+        assert mid > before
+    assert n_cached() == before
+
+
+def test_auto_n_planes_holds_bucket_size_across_decades(spark):
+    """semantic_dedup's default plane count derives from the corpus size so
+    expected bucket sizes stay ~constant across 10× growth — no caller
+    changes needed as data scales."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        auto_n_planes,
+        lsh_bucket,
+    )
+
+    # formula invariant: expected bucket size in (target/2, target] for
+    # every corpus size above the target, across six decades
+    for n in (10**4, 10**5, 10**6, 10**7, 10**8, 10**9):
+        p = auto_n_planes(n, target_bucket_size=4096)
+        assert 4096 / 2 < n / (1 << p) <= 4096, (n, p)
+    assert auto_n_planes(100, target_bucket_size=4096) == 1  # floor
+    assert auto_n_planes(10**12, target_bucket_size=1) == 24  # cap
+
+    # measured invariant: real bucketing at n and 10n keeps the MEAN
+    # occupied-bucket size in the same band without changing the call
+    dim = 8
+    for n in (2000, 20000):
+        vecs = spark.range(n).select(
+            F.col("id"),
+            F.array(
+                *[
+                    (F.hash(F.col("id"), F.lit(d)) % 1000) / 500.0 - 1
+                    for d in range(dim)
+                ]
+            ).alias("v"),
+        )
+        p = auto_n_planes(n, target_bucket_size=500)
+        sizes = (
+            vecs.select(lsh_bucket(F.col("v"), p, dim).alias("b"))
+            .groupBy("b")
+            .count()
+        )
+        mean = sizes.agg(F.avg("count")).first()[0]
+        assert 500 / 4 <= mean <= 500, (n, p, mean)
+
+
+def test_semantic_dedup_auto_planes_matches_pinned_on_small_corpus(
+    spark, sf_smoke
+):
+    """On a corpus below target_bucket_size the derived plane count is the
+    floor (1) — semantic_dedup(None) must equal semantic_dedup(n_planes=1)
+    row-for-row (the auto path changes blocking granularity, never
+    semantics beyond candidate recall)."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    auto = {r.vec_id for r in semantic_dedup(emb, threshold=0.3).collect()}
+    pinned = {
+        r.vec_id
+        for r in semantic_dedup(emb, threshold=0.3, n_planes=1).collect()
+    }
+    assert auto == pinned
+
+
 def test_sniff_image_meta_real_headers(spark):
     """Header sniffing decodes real container bytes — a crafted PNG IHDR,
     GIF screen descriptor, JPEG SOF0 walk, BMP info header — and NULLs
