@@ -96,6 +96,15 @@ def main() -> None:
                 # prior rounds' totals (the 18-query total includes three
                 # queries that didn't exist before round 3)
                 "core15_seconds": round(sum(timings[q] for q in core15), 3),
+                # Round-over-round deltas on a single query must be read
+                # against same-box variance: measured r4, an ISOLATED
+                # fresh-session best-of-3 of dedup_ngram_jaccard on the
+                # same box minutes apart differed by 35% from its in-suite
+                # time with an unchanged (plan-audited) blocked-join plan.
+                # Per-query shares of the suite total are the stabler
+                # signal; the per-run spreads above quantify the noise.
+                "notes": "best-of-3 shared-box protocol; see COVERAGE.md "
+                "bench-variance note",
             }
         )
     )

@@ -199,6 +199,57 @@ def cmd_monitor(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """End-to-end data-quality audit of a landed+staged pipeline: domain /
+    not-null contracts, landing↔staging reconciliation (every landing row
+    at-or-below the staging high-water mark must be staged), and a one-pass
+    column profile of the staging table — the drivable analogue of the
+    reference's dbt test run."""
+    from pyspark.sql import types as T
+
+    from .operators.relational import profile_columns
+    from .plans.landing import read_landing
+    from .plans.quality import reconciliation_violations, run_quality_checks
+
+    spark = _spark(args)
+    staging = spark.read.parquet(args.staging_path)
+    counts = run_quality_checks(staging, uid_pattern=args.uid_pattern)
+    failing = {k: v for k, v in counts.items() if v}
+    n_viol = 0
+    if args.landing_path:
+        landing = read_landing(spark, args.landing_path)
+        viol = reconciliation_violations(landing, staging)
+        sample = viol.limit(args.show_violations + 1).collect()
+        n_viol = viol.count() if len(sample) > args.show_violations else len(sample)
+        for r in sample[: args.show_violations]:
+            print(f"missing from staging: {r.finding_uid} @ {r.loaded_at}")
+    prof_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+        T.TimestampType, T.TimestampNTZType, T.DateType,
+    )
+    prof_cols = [
+        f.name for f in staging.schema.fields
+        if isinstance(f.dataType, prof_types)
+    ]
+    if prof_cols:
+        for r in profile_columns(staging, prof_cols).collect():
+            print(
+                f"profile {r.column_name}: rows={r.n_rows} nulls={r.n_nulls} "
+                f"distinct={r.n_distinct} min={r.min_val} max={r.max_val}"
+            )
+    print(
+        json.dumps(
+            {
+                "quality": counts,
+                "reconciliation_violations": n_viol,
+                "profiled_columns": prof_cols,
+            }
+        )
+    )
+    return 1 if failing or n_viol else 0
+
+
 def cmd_compact(args) -> int:
     from .operators.relational import compact_table
 
@@ -260,6 +311,20 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--path", required=True)
     k.add_argument("--target-mb", type=int, default=128)
     k.set_defaults(fn=cmd_compact)
+
+    a = sub.add_parser(
+        "audit",
+        help="quality contracts + landing/staging reconciliation + column profile",
+    )
+    a.add_argument("--staging-path", required=True)
+    a.add_argument(
+        "--landing-path",
+        default=None,
+        help="enable the landing/staging reconciliation check",
+    )
+    a.add_argument("--uid-pattern", default=None)
+    a.add_argument("--show-violations", type=int, default=10)
+    a.set_defaults(fn=cmd_audit)
     return p
 
 

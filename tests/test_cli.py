@@ -45,7 +45,9 @@ def test_parser_wires_all_subcommands():
     subs = next(
         a for a in p._actions if isinstance(a, type(p._subparsers._group_actions[0]))
     )
-    assert set(subs.choices) == {"convert", "ingest", "stage", "monitor", "compact"}
+    assert set(subs.choices) == {
+        "convert", "ingest", "stage", "monitor", "compact", "audit",
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -175,3 +177,47 @@ def test_ingest_rejects_malformed_and_null_uid(spark, tmp_path):
     from boann_ocsf_security_data_platform_spark.plans.landing import read_landing
 
     assert read_landing(spark, str(tmp_path / "landing")).count() == 1
+
+
+def test_audit_verb_end_to_end(spark, tmp_path, capsys):
+    """ingest -> stage -> audit green; then land an extra batch WITHOUT
+    re-staging and audit must flag the reconciliation gap non-zero."""
+    import json as _json
+
+    f = tmp_path / "a.ocsf.json"
+    f.write_text(
+        _json.dumps(
+            [{"finding_info": {"uid": "u1", "title": "t"},
+              "severity": "High", "status": "New"}]
+        )
+    )
+    landing, staging = str(tmp_path / "landing"), str(tmp_path / "staging")
+    assert _main(["ingest", "--input-file", str(f), "--landing-path", landing]) == 0
+    assert _main(["stage", "--landing-path", landing, "--staging-path", staging]) == 0
+    rc = _main(["audit", "--staging-path", staging, "--landing-path", landing])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert '"reconciliation_violations": 0' in out
+    assert "profile staging_loaded_at" in out
+
+    # a backfill row lands BELOW the staging high-water mark (written in
+    # the table's own (_batch_id, load_date) layout, as a raw backfill job
+    # would): incremental stage() will never pick it up, so the audit must
+    # flag exactly that gap and exit non-zero
+    import datetime
+
+    old = datetime.datetime(2000, 1, 1)
+    backfill = spark.createDataFrame(
+        [("u0", _json.dumps({"finding_info": {"uid": "u0"}}), old,
+          old.date(), -1)],
+        "finding_uid string, raw_ocsf_json string, loaded_at timestamp, "
+        "load_date date, _batch_id int",
+    )
+    backfill.write.mode("append").partitionBy("_batch_id", "load_date").parquet(
+        landing
+    )
+    rc = _main(["audit", "--staging-path", staging, "--landing-path", landing])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert '"reconciliation_violations": 1' in out
+    assert "missing from staging: u0" in out
