@@ -3884,15 +3884,183 @@ def feature_quantile_bins(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: lateral join, k-means refine, bigram LM, containment
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_lateral_topk",
+    """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """,
+)
+def join_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL derived table (top-2 customers per nation by
+    account balance) — the per-row-subquery join shape. Spark decorrelates
+    the lateral ORDER BY/LIMIT into a ranked window over one equi-join on
+    the correlation key (a DomainJoin rewrite), so the plan is the same
+    shuffle-once WindowGroupLimit a hand-written top-k-per-group gets —
+    no nested-loop per-outer-row execution at scale."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM _lat_nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM _lat_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """
+    )
+
+
+def _kmeans_oracle(k: int = 8, dim: int = 64) -> str:
+    comps = ", ".join(
+        f"CAST(round(round(avg(v[{i + 1}]), 6) * 1000000) AS BIGINT)"
+        for i in range(dim)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cent_id, v AS c FROM e ORDER BY vec_id LIMIT {k}),
+    scored AS (
+      SELECT e.vec_id, e.v, seeds.cent_id,
+             round(list_dot_product(e.v, seeds.c) /
+                   (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(seeds.c, seeds.c))), 6) AS cos
+      FROM e CROSS JOIN seeds),
+    assign AS (
+      SELECT vec_id, v, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cent_id ASC) AS rn
+      FROM scored)
+    SELECT cent_id, array_to_string([{comps}], ',') AS centroid,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM assign WHERE rn = 1
+    GROUP BY cent_id
+    """
+
+
+@_q("embedding_kmeans_refine", _kmeans_oracle())
+def embedding_kmeans_refine(spark, sf_dir):
+    """One Lloyd iteration of IVF-centroid training (operators.similarity.
+    kmeans_refine) from the deterministic lowest-id seed: nearest-centroid
+    assignment is a PURE PROJECTION over inlined centroid literals (the
+    corpus is never shuffled), the recompute one k×dim hash-aggregate.
+    Assignment scores round to 6 decimals with ties to the lowest cent_id
+    so the argmax is engine-portable. Centroid serialized as micro-unit
+    CSV (gate window is array-free)."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        (r[0], [float(x) for x in r[1]])
+        for r in emb.orderBy("vec_id")
+        .limit(8)
+        .select("vec_id", "embedding")
+        .collect()  # bounded: the model seed (8 × 64 floats)
+    ]
+    out = kmeans_refine(emb, seeds)
+    return out.select(
+        "cent_id",
+        F.array_join(
+            F.transform(
+                "centroid",
+                lambda x: F.round(x * 1e6).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("centroid"),
+        "n_members",
+    )
+
+
+@_q(
+    "text_bigram_lm_score",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    bi AS (SELECT doc_id,
+                  list_transform(range(1, len(w)),
+                                 i -> concat(w[i], ' ', w[i + 1])) AS gs
+           FROM toks WHERE len(w) >= 2),
+    inst AS (SELECT doc_id, unnest(gs) AS bigram FROM bi),
+    dg AS (SELECT doc_id, bigram, count(*) AS n FROM inst
+           GROUP BY doc_id, bigram),
+    cbi AS (SELECT bigram, sum(n) AS c_bi FROM dg GROUP BY bigram),
+    ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c_bi) AS c_ctx
+            FROM cbi GROUP BY w1),
+    voc AS (SELECT count(DISTINCT t) AS v
+            FROM (SELECT unnest(w) AS t FROM toks)),
+    sc AS (SELECT dg.doc_id, CAST(sum(dg.n) AS BIGINT) AS n_bigrams,
+                  round(sum(dg.n * ln((c_bi + 1.0) / (c_ctx + 1.0 * v)))
+                        / sum(dg.n), 6) AS lm_score
+           FROM dg JOIN cbi USING (bigram)
+           JOIN ctx ON split_part(dg.bigram, ' ', 1) = ctx.w1, voc
+           GROUP BY dg.doc_id)
+    SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           sc.lm_score
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """,
+)
+def text_bigram_lm_score(spark, sf_dir):
+    """Corpus-bigram LM quality score (operators.text.bigram_lm_score):
+    mean log-prob of each document's bigrams under an add-1-smoothed
+    bigram model fit on the corpus itself — the CCNet-style perplexity
+    filter without an external LM. Model tables are two distinct-gram
+    aggregates; scoring joins (doc, gram) counts to them; V rides a
+    one-row broadcast."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_containment_pairs",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    wh_t AS (SELECT doc_id, ws, {_WH_EXPR} AS wh FROM words),
+    sh AS (SELECT doc_id, unnest({_HS_EXPR}) AS s FROM wh_t),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, round(c * 1.0 / sz, 6) AS containment
+    FROM inter JOIN sizes ON inter.id_a = sizes.doc_id
+    WHERE round(c * 1.0 / sz, 6) >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Directional shingle-containment pairs ≥ 0.8 (operators.dedup.
+    containment_pairs): |shingles(A) ∩ shingles(B)| / |shingles(A)| —
+    catches documents EMBEDDED in larger ones (quote inclusion, benchmark
+    question inside a crawl page), which symmetric Jaccard misses.
+    Candidates come only from the shingle-key equi-join; the
+    max_shingle_df stop-gram valve is the 100 TB skew control."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate verifies the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01-r03 each contain exactly the first 50
-# registrations). This list IS the gate window. Round-4 rotation: 29
-# first-timers (the 26 round-3 additions that landed outside the r3 window
-# plus the 3 list-canon entries re-projected to array-free output) followed
-# by 21 re-verifications of the entries whose last driver check was round 2
+# registrations). This list IS the gate window. Round-4 rotation: 33
+# first-timers (the 26 round-3 additions that landed outside the r3 window,
+# the 3 list-canon entries re-projected to array-free output, and the 4
+# round-4 operators) followed
+# by 17 re-verifications of the entries whose last driver check was round 2
 # — guarding against silent drift in consolidated queries, which is exactly
 # what cost scalar_string_date_hash its green row in r3. Every window entry
 # is oracle-backed; the three approximate-by-design entries (knn_lsh_approx,
@@ -3934,6 +4102,11 @@ _GATE_ORDER = [
     "text_bm25_search",
     "dedup_prefix_filter_jaccard",
     "agg_argmax",
+    # first driver rows: round-4 additions
+    "join_lateral_topk",
+    "embedding_kmeans_refine",
+    "text_bigram_lm_score",
+    "dedup_containment_pairs",
     # re-verification: last driver check was round 2 (oldest green rows) —
     # one representative per family, weighted toward queries whose code or
     # bench profile moved since (sessionize NTZ fix, ngram-jaccard drift)
@@ -3941,19 +4114,15 @@ _GATE_ORDER = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "join_left_outer",
-    "join_full_outer",
-    "join_semi",
     "join_anti",
     "join_theta_inequality",
     "agg_rollup",
-    "agg_grouping_sets",
     "window_running_sum",
     "topk_per_group",
     "q17_small_quantity_correlated",
     "setop_union_all",
     "events_tumbling_window",
     "events_sessionize",
-    "events_json_extract",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -638,6 +638,74 @@ def decontaminate(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Directional shingle-containment pairs: C(A→B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ ``threshold`` — the
+    asymmetric cousin of Jaccard that catches a document EMBEDDED in a
+    larger one (quote-inclusion, benchmark-question-inside-a-crawl-page),
+    which symmetric similarity misses because the union washes it out.
+
+    Plan shape: distinct integer shingles per doc (the dedup family's
+    62-bit weighted-XOR grams, no shingle strings), candidate pairs from a
+    self-equi-join ON THE SHINGLE KEY (only documents sharing a gram ever
+    meet — never an all-pairs compare), intersection sizes from one
+    count aggregate, and the final ratio joins the tiny per-doc size
+    table. ``max_shingle_df`` is the scale valve: shingles appearing in
+    more than N documents are dropped from candidate generation (stop-gram
+    removal — at 100 TB the 'the quick brown'-class grams otherwise
+    dominate the join). The valve can only LOSE pairs whose every shared
+    shingle is that common; with it unset the result is exact.
+
+    Returns ``(id_a, id_b, containment)`` — containment of id_a's shingle
+    set within id_b's; both directions appear when both clear the
+    threshold.
+    """
+    sh = (
+        with_hashed_shingles(_ensure_parallelism(df), text_col, k)
+        .select(F.col(id_col), F.explode("shingle_hashes").alias("_sh"))
+        .persist()
+    )
+    cached = [sh]
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_sh")
+        )
+        # the hot set is bounded (few grams exceed a sane cap) — broadcast
+        sh = sh.join(F.broadcast(hot), "_sh", "left_anti").persist()
+        cached.append(sh)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "_sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a")),
+            "id_a",
+        )
+        .withColumn(
+            "containment", F.round(F.col("_c") / F.col("_sz_a"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    return _register_caches(out, cached)
+
+
 def simhash16(
     df: DataFrame, text_col: str = "text", col_name: str = "simhash"
 ) -> DataFrame:

@@ -148,14 +148,18 @@ def cosine_topk_ivf(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-Flat: partition the corpus into inverted
     lists by nearest centroid, probe only the query's ``n_probe`` closest
     lists.
 
-    Centroids are a deterministic sample (lowest ids) instead of k-means —
-    reproducible across engines and good enough for recall testing; swap in
-    trained centroids at scale. The centroid set is a bounded model
+    Default centroids are a deterministic sample (lowest ids) —
+    reproducible across engines and good enough for recall testing; pass
+    ``centroids`` from :func:`train_ivf_centroids` for the trained-model
+    path (better-balanced lists → better recall at the same n_probe); the
+    subset-of-brute-force and full-probe-equals-exact invariants hold for
+    ANY centroid set. The centroid set is a bounded model
     parameter (n_centroids × dim floats), so it is collected once and
     inlined as literals: per-row assignment becomes a PURE PROJECTION
     (array of (−cos, cent_id) structs → array_sort → slice) — no
@@ -165,12 +169,22 @@ def cosine_topk_ivf(
     same shape a warehouse IVF index gives you. Recall rises with
     ``n_probe`` (= exact when n_probe >= n_centroids).
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-        .collect()  # bounded: the IVF "model", not data
-    )
+    if centroids is not None:
+        from collections import namedtuple
+
+        _C = namedtuple("_C", ["cent_id", "cent_vec"])
+        # n_probe > len(cents) degrades gracefully: slice past the end of
+        # the scored array just probes every list (= full probe)
+        cents = [_C(int(cid), list(vec)) for cid, vec in centroids]
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+            )
+            .collect()  # bounded: the IVF "model", not data
+        )
 
     def _assign(df: DataFrame, idc: str, vecc: str, n_best: int) -> DataFrame:
         # (−cos, cent_id) sorts ascending == (cos desc, cent_id asc)
@@ -221,6 +235,93 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration over ``df``: assign every vector to its nearest
+    centroid (cosine), recompute each centroid as the member mean. Returns
+    ``(cent_id, centroid array<double>, n_members)``.
+
+    The centroid set is a bounded MODEL (k × dim floats), inlined as
+    literals exactly like :func:`cosine_topk_ivf`'s assignment, so the
+    assignment is a PURE PROJECTION (array of (−cos, cent_id) structs →
+    array_sort → first) — the corpus is never shuffled for assignment.
+    The recompute is one hash-aggregate whose shuffle carries k × dim
+    partial means, not the vectors. Per iteration at 100 TB: one scan +
+    one tiny shuffle — the standard scalable k-means loop. The assignment
+    score is rounded to 6 decimals with near-ties going to the lowest
+    cent_id — deterministic and engine-portable (a raw-double argmax could
+    flip on summation-order ULPs between engines). Centroids that lose
+    all members drop out (standard Lloyd degeneracy; callers re-seed if k
+    must stay fixed)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -F.round(
+                        cosine_sim(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in vec]),
+                        ),
+                        6,
+                    )
+                ).alias("ncs"),
+                F.lit(int(cid)).alias("cent_id"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    assigned = df.select(
+        F.element_at(F.array_sort(scored), 1)["cent_id"].alias("cent_id"),
+        F.col(vec_col).alias("_v"),
+    )
+    comps = [
+        F.round(F.avg(F.element_at(F.col("_v"), i + 1).cast("double")), decimals)
+        for i in range(dim)
+    ]
+    return assigned.groupBy("cent_id").agg(
+        F.array(*comps).alias("centroid"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Train IVF centroids with ``iters`` Lloyd iterations, seeded from the
+    deterministic lowest-id sample :func:`cosine_topk_ivf` uses. Returns
+    the trained ``(cent_id, vector)`` model for
+    ``cosine_topk_ivf``-style probing. Each iteration is one scan + one
+    k × dim shuffle (see :func:`kmeans_refine`); the model round-trips
+    through the driver between iterations — k × dim floats, never data."""
+    cents = [
+        (r[0], list(r[1]))
+        for r in df.orderBy(id_col)
+        .limit(k)
+        .select(id_col, vec_col)
+        .collect()  # bounded: the model seed, not data
+    ]
+    for _ in range(iters):
+        cents = [
+            (r.cent_id, [float(x) for x in r.centroid])
+            for r in kmeans_refine(
+                df, cents, id_col=id_col, vec_col=vec_col, dim=dim
+            ).collect()  # bounded: k rows
+        ]
+        cents.sort()
+    return cents
 
 
 def label_centroids(

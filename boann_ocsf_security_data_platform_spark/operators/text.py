@@ -384,6 +384,81 @@ def ngram_counts(
     return counted
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Corpus-bigram language-model score per document (CCNet-style
+    quality signal without an external LM): the mean log-probability of
+    the document's bigram instances under an add-``alpha``-smoothed bigram
+    model fit on the corpus itself,
+    ``P(w2|w1) = (C(w1 w2) + α) / (C(w1 ·) + α·V)``.
+
+    Low scores flag gibberish / boilerplate-fragment documents whose word
+    transitions the corpus has never seen; high scores flag fluent,
+    typical text — the standard perplexity-bucket filter for pretraining
+    data, self-contained (the corpus is its own LM).
+
+    Plan shape at 100 TB: bigrams are built ROW-LOCALLY (no token
+    self-join); the model tables are two count aggregates whose shuffles
+    carry the DISTINCT gram space (map-side combined); per-document
+    scoring aggregates (doc, bigram) pairs first so the model join moves
+    one row per distinct gram per doc, and the vocabulary size rides a
+    one-row broadcast. Documents with <2 tokens return NULL score.
+
+    Returns ``(id_col, n_bigrams, lm_score)``.
+    """
+    t = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.array_join(F.slice(t, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (
+        df.select(F.col(id_col), F.explode(grams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cbi = dg.groupBy("bigram").agg(F.sum("n").alias("c_bi"))
+    ctx = (
+        cbi.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .groupBy("w1")
+        .agg(F.sum("c_bi").alias("c_ctx"))
+    )
+    vocab = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    scored = (
+        dg.join(cbi, "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(ctx, "w1")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "_logp",
+            F.log(
+                (F.col("c_bi") + F.lit(alpha))
+                / (F.col("c_ctx") + F.lit(alpha) * F.col("v"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n") * F.col("_logp")) / F.sum("n"), 6
+            ).alias("lm_score"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

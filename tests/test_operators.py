@@ -531,43 +531,51 @@ def test_cache_scope_releases_even_for_derived_frames(spark, sf_smoke):
     """cache_scope releases by registration window, so deriving from the
     operator's result (which drops the per-object handle) cannot leak:
     everything persisted inside the block is freed on exit, including on
-    exception."""
+    exception. Asserts on the registry and the registered frames' storage
+    levels (global persistent-RDD counts are racy when other tests in the
+    session unpersist non-blockingly)."""
     import pytest
     from boann_ocsf_security_data_platform_spark.operators import cache_scope
     from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        _LIVE_CACHES,
         release_all_caches,
     )
 
-    def n_cached():
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def is_persisted(df):
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
 
-    spark.catalog.clearCache()
     release_all_caches()
-    before = n_cached()
     docs = load_table(spark, sf_smoke, "documents")
     with cache_scope():
         derived = minhash_near_dup_pairs(docs).filter("id_a >= 0")
         derived.count()
-        assert n_cached() > before
-    assert n_cached() == before  # released despite the handle-less derive
+        live = list(_LIVE_CACHES)
+        assert live and all(is_persisted(c) for c in live)
+    assert _LIVE_CACHES == []  # released despite the handle-less derive
+    assert all(not is_persisted(c) for c in live)
 
     # exception path still releases
     with pytest.raises(RuntimeError, match="boom"):
         with cache_scope():
             minhash_near_dup_pairs(docs).count()
+            live = list(_LIVE_CACHES)
             raise RuntimeError("boom")
-    assert n_cached() == before
+    assert _LIVE_CACHES == []
+    assert all(not is_persisted(c) for c in live)
 
     # nesting: the inner scope only frees its own window (distinct plans —
     # identical plans would share CacheManager entries, see the docstring)
     with cache_scope():
         minhash_near_dup_pairs(docs).count()
-        mid = n_cached()
+        outer_live = list(_LIVE_CACHES)
         with cache_scope():
             minhash_near_dup_pairs(docs.filter("doc_id % 2 = 0")).count()
-        assert n_cached() == mid
-        assert mid > before
-    assert n_cached() == before
+            assert len(_LIVE_CACHES) > len(outer_live)
+        assert list(_LIVE_CACHES) == outer_live  # inner freed only its window
+        assert all(is_persisted(c) for c in outer_live)
+    assert _LIVE_CACHES == []
+    assert all(not is_persisted(c) for c in outer_live)
 
 
 def test_auto_n_planes_holds_bucket_size_across_decades(spark):
@@ -628,6 +636,142 @@ def test_semantic_dedup_auto_planes_matches_pinned_on_small_corpus(
         for r in semantic_dedup(emb, threshold=0.3, n_planes=1).collect()
     }
     assert auto == pinned
+
+
+def test_containment_pairs_matches_bruteforce(spark):
+    """Directional containment from the shingle equi-join must equal the
+    brute-force |A∩B|/|A| over word-3-gram shingle sets at every
+    threshold; the stop-gram valve may only LOSE pairs, never invent."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        containment_pairs,
+        release_caches,
+    )
+
+    docs = [
+        (1, "a b c d e f", "en", "s", 11),
+        (2, "x x a b c d e f y z", "en", "s", 19),  # contains doc 1
+        (3, "p q r s", "en", "s", 7),               # disjoint
+        (4, "a b c d e f", "en", "s", 11),          # exact dup of 1
+        (5, "c d e f g h i", "en", "s", 13),        # overlaps 1 partially
+    ]
+    df = _docs(spark, docs)
+
+    def sh(text, k=3):
+        ws = text.split()
+        if len(ws) >= k:
+            return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+        return {text}
+
+    def brute(threshold):
+        sets = {i: sh(t) for i, t, *_ in docs}
+        out = {}
+        for i in sets:
+            for j in sets:
+                if i != j:
+                    c = round(len(sets[i] & sets[j]) / len(sets[i]), 6)
+                    if c >= threshold:
+                        out[(i, j)] = c
+        return out
+
+    for t in (0.5, 0.8, 1.0):
+        res = containment_pairs(df, threshold=t)
+        got = {(r.id_a, r.id_b): r.containment for r in res.collect()}
+        release_caches(res)
+        assert got == brute(t), f"threshold {t}"
+
+    # valve: capping shingle document-frequency can only drop pairs
+    res = containment_pairs(df, threshold=0.5, max_shingle_df=2)
+    capped = {(r.id_a, r.id_b) for r in res.collect()}
+    release_caches(res)
+    assert capped <= set(brute(0.5))
+
+
+def test_bigram_lm_score_known_values(spark):
+    """Hand-computed add-1 bigram LM on a 3-doc corpus; short docs get
+    NULL score and 0 bigrams; gibberish scores below fluent repetition."""
+    import math
+
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        bigram_lm_score,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b", "en", "s", 7),
+            (2, "c d", "en", "s", 3),
+            (3, "x", "en", "s", 1),
+        ],
+    )
+    got = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    # corpus: C(a b)=2, C(b a)=1, C(c d)=1; ctx a=2, b=1, c=1; V=5 (a b c d x)
+    v = 5.0
+    d1 = (2 * math.log((2 + 1) / (2 + v)) + 1 * math.log((1 + 1) / (1 + v))) / 3
+    d2 = math.log((1 + 1) / (1 + v))
+    assert got[1].n_bigrams == 3 and abs(got[1].lm_score - round(d1, 6)) < 1e-9
+    assert got[2].n_bigrams == 1 and abs(got[2].lm_score - round(d2, 6)) < 1e-9
+    assert got[3].n_bigrams == 0 and got[3].lm_score is None
+    # fluent repetition outscores an unseen-transition doc
+    assert got[1].lm_score > got[2].lm_score
+
+
+def test_kmeans_training_improves_and_keeps_ivf_invariants(spark, sf_smoke):
+    """Lloyd iterations must not decrease the assignment objective (mean
+    nearest-centroid cosine), training is deterministic, and the trained
+    model plugged into cosine_topk_ivf keeps the full-probe == exact
+    invariant (holds for ANY centroid set)."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        cosine_sim,
+        cosine_topk,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+
+    def objective(cents):
+        best = F.greatest(
+            *[
+                F.round(
+                    cosine_sim(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                    ),
+                    6,
+                )
+                for _, vec in cents
+            ]
+        )
+        return emb.agg(F.avg(best)).first()[0]
+
+    seed = train_ivf_centroids(emb, k=8, iters=0)
+    one = train_ivf_centroids(emb, k=8, iters=1)
+    three = train_ivf_centroids(emb, k=8, iters=3)
+    # plain-mean recompute is spherical k-means up to member-norm weighting
+    # (the centroid norm cancels inside cosine), so the objective is
+    # monotone up to that weighting — allow a whisker of slack
+    assert objective(one) >= objective(seed) - 1e-6
+    assert objective(three) >= objective(one) - 1e-6
+    assert three == train_ivf_centroids(emb, k=8, iters=3)  # deterministic
+    assert all(len(vec) == 64 for _, vec in three) and len(three) <= 8
+
+    queries = emb.filter("vec_id < 10")
+    n = emb.count()
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, queries, k=n).collect()
+    }
+    approx = cosine_topk_ivf(
+        emb, queries, k=5, n_probe=2, centroids=three
+    ).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert r.cosine == exact_all[(r.query_id, r.neighbor_id)]
+    full = cosine_topk_ivf(emb, queries, k=5, n_probe=len(three), centroids=three)
+    exact5 = cosine_topk(emb, queries, k=5)
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in full.collect()}
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in exact5.collect()}
+    assert got == want
 
 
 def test_sniff_image_meta_real_headers(spark):
