@@ -4050,17 +4050,66 @@ def dedup_containment_pairs(spark, sf_dir):
     return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@_q(
+    "corpus_dsir_weights",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_WORDS} AS w FROM documents),
+    grams AS (SELECT doc_id, source,
+                     list_transform(range(1, len(w)),
+                                    i -> concat(w[i], ' ', w[i + 1])) AS gs
+              FROM toks WHERE len(w) >= 2),
+    feats AS (SELECT doc_id, source,
+                     {_H64.format(expr="unnest(gs)")} % 1024 AS bucket
+              FROM grams),
+    raw_c AS (SELECT bucket, count(*) AS c_raw FROM feats
+              WHERE source <> '{_DECON_BENCH}' GROUP BY bucket),
+    tgt_c AS (SELECT bucket, count(*) AS c_tgt FROM feats
+              WHERE source = '{_DECON_BENCH}' GROUP BY bucket),
+    n_r AS (SELECT sum(c_raw) AS n_raw FROM raw_c),
+    n_t AS (SELECT sum(c_tgt) AS n_tgt FROM tgt_c),
+    model AS (
+      SELECT coalesce(raw_c.bucket, tgt_c.bucket) AS bucket,
+             ln(((coalesce(c_tgt, 0) + 1.0) / (n_tgt + 1.0 * 1024))
+                / ((coalesce(c_raw, 0) + 1.0) / (n_raw + 1.0 * 1024))) AS lr
+      FROM raw_c FULL OUTER JOIN tgt_c ON raw_c.bucket = tgt_c.bucket, n_r, n_t),
+    sc AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                  round(sum(lr), 6) AS dsir_logweight
+           FROM feats f JOIN model USING (bucket)
+           WHERE f.source <> '{_DECON_BENCH}'
+           GROUP BY f.doc_id)
+    SELECT d.doc_id, CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+           sc.dsir_logweight
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    WHERE d.source <> '{_DECON_BENCH}'
+    """,
+)
+def corpus_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators.text.dsir_importance, Xie et al.
+    2023): score corpus documents by hashed-bigram distribution similarity
+    to the held-out target shard — the domain-upsampling selection signal.
+    The log-ratio model is ≤1024 rows and BROADCASTS, so the corpus
+    shuffles exactly once (per-doc aggregate) at any scale."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        dsir_importance,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != _DECON_BENCH)
+    target = docs.filter(F.col("source") == _DECON_BENCH)
+    return dsir_importance(corpus, target)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate verifies the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01-r03 each contain exactly the first 50
-# registrations). This list IS the gate window. Round-4 rotation: 33
+# registrations). This list IS the gate window. Round-4 rotation: 34
 # first-timers (the 26 round-3 additions that landed outside the r3 window,
-# the 3 list-canon entries re-projected to array-free output, and the 4
+# the 3 list-canon entries re-projected to array-free output, and the 5
 # round-4 operators) followed
-# by 17 re-verifications of the entries whose last driver check was round 2
+# by 16 re-verifications of the entries whose last driver check was round 2
 # — guarding against silent drift in consolidated queries, which is exactly
 # what cost scalar_string_date_hash its green row in r3. Every window entry
 # is oracle-backed; the three approximate-by-design entries (knn_lsh_approx,
@@ -4107,6 +4156,7 @@ _GATE_ORDER = [
     "embedding_kmeans_refine",
     "text_bigram_lm_score",
     "dedup_containment_pairs",
+    "corpus_dsir_weights",
     # re-verification: last driver check was round 2 (oldest green rows) —
     # one representative per family, weighted toward queries whose code or
     # bench profile moved since (sessionize NTZ fix, ngram-jaccard drift)
@@ -4121,7 +4171,6 @@ _GATE_ORDER = [
     "topk_per_group",
     "q17_small_quantity_correlated",
     "setop_union_all",
-    "events_tumbling_window",
     "events_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",

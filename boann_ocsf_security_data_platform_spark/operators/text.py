@@ -459,6 +459,91 @@ def bigram_lm_score(
     )
 
 
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    hash_fn=hash64,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by how target-like its hashed n-gram feature distribution is,
+    ``log w(d) = Σ_f∈d log( p_target(f) / p_raw(f) )`` over hashed bigram
+    features — the cheap, tokenizer-free way to upsample domain-relevant
+    pretraining data toward a small high-quality target set.
+
+    Features are bigrams hashed into ``n_buckets`` buckets (the DSIR
+    trick: a BOUNDED feature space regardless of vocabulary), with
+    add-``alpha`` smoothing on both distributions. The whole model is two
+    ``n_buckets``-row aggregates joined into ONE log-ratio table that
+    BROADCASTS — per-document scoring is a broadcast join plus one
+    aggregate, so the corpus shuffles once (on ``id_col``, map-side
+    combined) no matter how large it is. Sampling from the weights is the
+    caller's move (e.g. ``weighted_sample`` over ``exp(dsir_logweight)``
+    or a Gumbel-top-k on the log weights).
+
+    Returns ``(id_col, n_feats, dsir_logweight)``; documents with <2
+    tokens have 0 features and NULL weight.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+
+    def feats(df: DataFrame) -> DataFrame:
+        t = tokens(F.col(text_col))
+        grams = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.array_join(F.slice(t, i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col), F.explode(grams).alias("_g")).select(
+            id_col, (hash_fn(F.col("_g")) % n_buckets).alias("bucket")
+        )
+
+    # full-outer join of the two bucket-count tables: buckets unseen in one
+    # distribution still carry their smoothed floor via coalesce(count, 0)
+    raw_c = feats(corpus).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_c = feats(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    n_raw = raw_c.agg(F.sum("c_raw").alias("n_raw"))
+    n_tgt = tgt_c.agg(F.sum("c_tgt").alias("n_tgt"))
+    model = (
+        raw_c.join(tgt_c, "bucket", "full_outer")
+        .join(F.broadcast(n_raw))
+        .join(F.broadcast(n_tgt))
+        .select(
+            "bucket",
+            F.log(
+                (
+                    (F.coalesce("c_tgt", F.lit(0)) + F.lit(alpha))
+                    / (F.col("n_tgt") + F.lit(alpha) * n_buckets)
+                )
+                / (
+                    (F.coalesce("c_raw", F.lit(0)) + F.lit(alpha))
+                    / (F.col("n_raw") + F.lit(alpha) * n_buckets)
+                )
+            ).alias("logratio"),
+        )
+    )
+    scored = (
+        feats(corpus)
+        .join(F.broadcast(model), "bucket")  # model ≤ n_buckets rows
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("logratio"), 6).alias("dsir_logweight"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(scored, id_col, "left")
+        .withColumn("n_feats", F.coalesce("n_feats", F.lit(0)))
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

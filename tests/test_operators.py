@@ -774,6 +774,38 @@ def test_kmeans_training_improves_and_keeps_ivf_invariants(spark, sf_smoke):
     assert got == want
 
 
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """A corpus document sharing the target's bigram features must
+    out-weigh a disjoint-vocabulary one; <2-token docs get 0 features and
+    NULL weight; weights are deterministic."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        dsir_importance,
+    )
+
+    target = _docs(
+        spark,
+        [
+            (100, "spark shuffle join spark shuffle join", "en", "t", 38),
+            (101, "broadcast join shuffle partition", "en", "t", 32),
+        ],
+    )
+    corpus = _docs(
+        spark,
+        [
+            (1, "spark shuffle join broadcast join", "en", "s", 33),
+            (2, "banana apple cherry mango papaya", "en", "s", 32),
+            (3, "one", "en", "s", 3),
+        ],
+    )
+    got = {r.doc_id: r for r in dsir_importance(corpus, target).collect()}
+    assert got[1].dsir_logweight > got[2].dsir_logweight
+    assert got[3].n_feats == 0 and got[3].dsir_logweight is None
+    again = {r.doc_id: r for r in dsir_importance(corpus, target).collect()}
+    assert {k: (v.n_feats, v.dsir_logweight) for k, v in got.items()} == {
+        k: (v.n_feats, v.dsir_logweight) for k, v in again.items()
+    }
+
+
 def test_sniff_image_meta_real_headers(spark):
     """Header sniffing decodes real container bytes — a crafted PNG IHDR,
     GIF screen descriptor, JPEG SOF0 walk, BMP info header — and NULLs
