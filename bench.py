@@ -46,6 +46,12 @@ HEADLINE = [
     "corpus_train_val_test_split",
     "corpus_weighted_sample",
     "events_transition_counts",
+    # round-4 wave (excluded from core15 as well)
+    "join_lateral_topk",
+    "embedding_kmeans_refine",
+    "text_bigram_lm_score",
+    "dedup_containment_pairs",
+    "corpus_dsir_weights",
 ]
 
 
@@ -81,6 +87,8 @@ def main() -> None:
         "text_tfidf_top_terms", "text_strip_boilerplate", "corpus_mixture_sample",
         "corpus_train_val_test_split", "corpus_weighted_sample",
         "events_transition_counts",
+        "join_lateral_topk", "embedding_kmeans_refine", "text_bigram_lm_score",
+        "dedup_containment_pairs", "corpus_dsir_weights",
     )]
     print(
         json.dumps(

@@ -667,12 +667,17 @@ def containment_pairs(
     set within id_b's; both directions appear when both clear the
     threshold.
     """
-    sh = (
+    arr = (
         with_hashed_shingles(_ensure_parallelism(df), text_col, k)
-        .select(F.col(id_col), F.explode("shingle_hashes").alias("_sh"))
-        .persist()
+        .select(F.col(id_col), "shingle_hashes")
+        .persist()  # array form: the explode below re-derives cheaply
     )
-    cached = [sh]
+    sh = arr.select(F.col(id_col), F.explode("shingle_hashes").alias("_sh"))
+    cached = [arr]
+    # TRUE set sizes — always from the uncapped shingle sets, so the valve
+    # below can only shrink the measured intersection, never the
+    # denominator: capped containment <= true containment, one-sided loss
+    sizes = arr.select(F.col(id_col), F.size("shingle_hashes").alias("_sz"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("_sh")
@@ -683,7 +688,6 @@ def containment_pairs(
         # the hot set is bounded (few grams exceed a sane cap) — broadcast
         sh = sh.join(F.broadcast(hot), "_sh", "left_anti").persist()
         cached.append(sh)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), "_sh")
     inter = (

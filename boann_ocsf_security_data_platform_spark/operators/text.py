@@ -41,6 +41,29 @@ def bpe_ish_tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.trim(marked), r"\s+"), lambda t: t != "")
 
 
+def _with_word_ngrams(
+    df: DataFrame, text_col: str, n: int, out_col: str
+) -> DataFrame:
+    """Attach the word n-gram array as a column, with the token array
+    MATERIALIZED in its own projection first: referencing the raw
+    ``tokens(text)`` expression inside the per-element gram lambda makes
+    Spark re-evaluate the split for EVERY gram (no common-subexpression
+    elimination across lambda scope) — O(words²) characters per document.
+    A multi-referenced intermediate column survives CollapseProject, so
+    the split runs once per row (same trick as
+    dedup.with_hashed_shingles' _word_hashes)."""
+    toked = df.withColumn("_toks", tokens(F.col(text_col)))
+    t = F.col("_toks")
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.withColumn(out_col, grams).drop("_toks")
+
+
 def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics + composite score.
 
@@ -364,16 +387,9 @@ def ngram_counts(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    t = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     counted = (
-        df.select(F.explode(grams).alias("ngram"))
+        _with_word_ngrams(df, text_col, n, "_grams")
+        .select(F.explode("_grams").alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
@@ -410,16 +426,9 @@ def bigram_lm_score(
 
     Returns ``(id_col, n_bigrams, lm_score)``.
     """
-    t = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.array_join(F.slice(t, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     dg = (
-        df.select(F.col(id_col), F.explode(grams).alias("bigram"))
+        _with_word_ngrams(df, text_col, 2, "_grams")
+        .select(F.col(id_col), F.explode("_grams").alias("bigram"))
         .groupBy(id_col, "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -492,16 +501,10 @@ def dsir_importance(
         raise ValueError("n_buckets must be >= 2")
 
     def feats(df: DataFrame) -> DataFrame:
-        t = tokens(F.col(text_col))
-        grams = F.when(
-            F.size(t) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.array_join(F.slice(t, i, 2), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return df.select(F.col(id_col), F.explode(grams).alias("_g")).select(
-            id_col, (hash_fn(F.col("_g")) % n_buckets).alias("bucket")
+        return (
+            _with_word_ngrams(df, text_col, 2, "_grams")
+            .select(F.col(id_col), F.explode("_grams").alias("_g"))
+            .select(id_col, (hash_fn(F.col("_g")) % n_buckets).alias("bucket"))
         )
 
     # full-outer join of the two bucket-count tables: buckets unseen in one

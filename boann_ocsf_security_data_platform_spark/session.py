@@ -41,6 +41,16 @@ _DEFAULT_CONF: dict[str, str] = {
     # as long nanoseconds; sources.catalog converts them to µs timestamps,
     # the same truncation DuckDB applies.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0` under every
+    # explode; for a COMPUTED array (shingles, n-grams) predicate pushdown
+    # then drags the whole expensive expression below the repartition and
+    # evaluates it serially on the raw input's split count — measured 126×
+    # slower (55 s → 0.4 s) on the 50k-doc shingle explode. The filter is
+    # redundant for correctness (explode already emits nothing for
+    # empty/null arrays), so exclude the rule engine-wide.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }

@@ -37,6 +37,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # legacy long read. Both are runtime-settable.
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # see session.py: the inferred size(arr)>0 filter under explode
+        # serializes computed-array explodes onto the raw split count
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         if name in _NANO_TS_COLUMNS:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

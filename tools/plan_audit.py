@@ -270,6 +270,38 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         "TakeOrderedAndProject" in pws,
         "TakeOrderedAndProject in plan",
     )
+    # InferFiltersFromGenerate would inject a Filter carrying the whole
+    # shingle expression below the repartition (serial evaluation on the
+    # raw split count — measured 126× slower); session.py excludes the
+    # rule, this pins it
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        _ensure_parallelism,
+        with_hashed_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pex = plan_of(
+        with_hashed_shingles(_ensure_parallelism(docs), "text", 3).select(
+            "doc_id", F.explode("shingle_hashes").alias("_sh")
+        )
+    )
+    check(
+        "no inferred size()-filter under computed-array explode",
+        "Condition : (size(" not in pex,
+        "InferFiltersFromGenerate excluded",
+    )
+    pdsir = plan_of(qs["corpus_dsir_weights"](spark, sf_dir))
+    check(
+        "DSIR log-ratio model broadcasts (corpus shuffles once)",
+        "BroadcastHashJoin" in pdsir,
+        "model joined via BroadcastHashJoin",
+    )
+    plat = plan_of(qs["join_lateral_topk"](spark, sf_dir))
+    check(
+        "lateral top-k decorrelates to a ranked window (no nested loop)",
+        "WindowGroupLimit" in plat or "Window" in plat,
+        "Window in decorrelated lateral plan",
+    )
     return results
 
 
