@@ -4100,16 +4100,312 @@ def corpus_dsir_weights(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 second wave: sub-document dedup, incremental dedup, PQ, PageRank,
+# corpus statistics, regression/bit aggregates
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_segment_dedup",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 10)) AS s
+           FROM w WHERE len(ws) > 0),
+    segs AS (SELECT doc_id, CAST((s - 1) // 10 + 1 AS BIGINT) AS seg_idx,
+                    array_to_string(list_slice(ws, s, s + 9), ' ') AS seg
+             FROM st),
+    win AS (SELECT seg, min({{'d': doc_id, 'i': seg_idx}}) AS mk
+            FROM segs GROUP BY seg),
+    kept AS (SELECT s.doc_id, s.seg_idx, s.seg
+             FROM segs s JOIN win ON s.seg = win.seg
+             WHERE s.doc_id = win.mk.d AND s.seg_idx = win.mk.i),
+    re AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_deduped,
+                  CAST(count(*) AS BIGINT) AS n_seg_kept
+           FROM kept GROUP BY doc_id)
+    SELECT w.doc_id, coalesce(re.text_deduped, '') AS text_deduped,
+           CAST(coalesce(re.n_seg_kept, 0) AS BIGINT) AS n_seg_kept,
+           CAST(ceil(len(w.ws) / 10.0) AS BIGINT) AS n_seg_total
+    FROM w LEFT JOIN re ON w.doc_id = re.doc_id
+    """,
+)
+def text_segment_dedup(spark, sf_dir):
+    """Sub-document exact dedup (operators.text.segment_dedup): C4/Gopher
+    repeated-passage removal — keep only the corpus-wide FIRST occurrence
+    of every distinct 10-word segment and reassemble documents in order.
+    One generate + one map-side-combinable winner aggregate + one
+    segment-key join + one regroup; deliberately NOT a window over the
+    segment key, whose hot boilerplate partitions would skew at 100 TB."""
+    from boann_ocsf_security_data_platform_spark.operators.text import segment_dedup
+
+    return segment_dedup(_t(spark, sf_dir, "documents"), seg_words=10)
+
+
+@_q(
+    "dedup_cross_corpus",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    wh_t AS (SELECT doc_id, ws, {_WH_EXPR} AS wh FROM words),
+    sh AS (SELECT doc_id, {_HS_EXPR} AS shingles FROM wh_t),
+    ex_new AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+               WHERE doc_id % 5 = 0),
+    ex_idx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+               WHERE doc_id % 5 <> 0),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    inter AS (
+      SELECT n.doc_id AS new_id, i.doc_id AS index_id, count(*) AS n_inter
+      FROM ex_new n JOIN ex_idx i ON n.shingle = i.shingle
+      GROUP BY 1, 2)
+    SELECT new_id, index_id,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = new_id
+               JOIN sizes sb ON sb.doc_id = index_id
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    """,
+)
+def dedup_cross_corpus(spark, sf_dir):
+    """Incremental new-batch-vs-index dedup (operators.dedup.
+    cross_corpus_jaccard_pairs): exact n-gram Jaccard of each new delivery
+    (doc_id % 5 = 0 stands in for today's crawl) against the already-
+    ingested index — candidates only where a shingle is shared, never
+    |new| × |index|; at scale the index's exploded shingles are the
+    persisted artifact, bucketed by shingle for a co-located join."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        cross_corpus_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_corpus_jaccard_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.5,
+    )
+
+
+@_q(
+    "text_zipf_stats",
+    f"""
+    WITH c AS (SELECT term, count(*) AS freq
+               FROM (SELECT unnest({_WORDS}) AS term FROM documents)
+               GROUP BY term ORDER BY freq DESC, term LIMIT 1000),
+    r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+          FROM c)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_slope,
+           round(regr_intercept(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_intercept,
+           round(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS zipf_r2
+    FROM r
+    """,
+)
+def text_zipf_stats(spark, sf_dir):
+    """Zipf's-law fit over the corpus term-frequency distribution
+    (operators.text.zipf_stats): regress ln(freq) on ln(rank) over the
+    top-1000 terms — a one-row corpus-health signal (natural language sits
+    near slope −1; templated/synthetic corpora drift). One token-count
+    aggregate + a TakeOrderedAndProject cut; the ranking window runs over
+    the bounded top-N set only, never the full vocabulary."""
+    from boann_ocsf_security_data_platform_spark.operators.text import zipf_stats
+
+    return zipf_stats(_t(spark, sf_dir, "documents"), top_n=1000)
+
+
+def _pagerank_oracle(damping: float = 0.85, iters: int = 3) -> str:
+    base = """
+    WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                      CAST(count(*) AS DOUBLE) AS w
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS w_out FROM e GROUP BY src),
+    r0 AS (SELECT node, round(1.0 / n, 8) AS r FROM nodes, nn)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        base += f""",
+    d{i} AS (SELECT coalesce(sum(r), 0.0) AS dang FROM {prev}
+             LEFT JOIN outw ON {prev}.node = outw.src WHERE outw.src IS NULL),
+    c{i} AS (SELECT e.dst AS node, sum({prev}.r * e.w / outw.w_out) AS c
+             FROM e JOIN {prev} ON e.src = {prev}.node
+             JOIN outw ON e.src = outw.src GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    round((1 - {damping}) / n
+                          + {damping} * (coalesce(c{i}.c, 0.0) + dang / n),
+                          8) AS r
+             FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node, nn, d{i})"""
+        prev = f"r{i}"
+    return base + f"""
+    SELECT node AS nationkey, round(r, 6) AS pagerank FROM {prev}
+    """
+
+
+@_q("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """Weighted PageRank over the customer-nation → supplier-nation trade
+    graph (operators.graph.pagerank), 3 fixed rounds, damping 0.85, proper
+    dangling-mass redistribution — the iterative-graph-algorithm shape
+    behind the CommonCrawl-link-graph quality prior in pretraining
+    pipelines. Each round is one edges⋈ranks equi-join + one
+    map-side-combinable aggregate with localCheckpoint lineage cuts;
+    per-round rounding keeps engine summation-order ULPs from
+    compounding."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import pagerank
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = pagerank(edges, weight_col="w", damping=0.85, iters=3)
+    return pr.select(
+        F.col("node").alias("nationkey"), F.round("pagerank", 6).alias("pagerank")
+    )
+
+
+@_q(
+    "agg_linear_regression",
+    """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_linear_regression(spark, sf_dir):
+    """Linear-regression aggregates (regr_slope/intercept/r2/count/avgx/
+    avgy) of extended price on quantity per return flag — the in-database
+    OLS family, one partial+final hash-aggregate (Spark's regr_* are
+    declarative aggregates with map-side combine, same as sum/avg)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("regr_count(l_extendedprice, l_quantity)").cast("long").alias("n"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+        ).alias("intercept"),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        F.round(F.expr("regr_avgx(l_extendedprice, l_quantity)"), 4).alias("avg_x"),
+        F.round(F.expr("regr_avgy(l_extendedprice, l_quantity)"), 4).alias("avg_y"),
+    )
+
+
+@_q(
+    "agg_mode_bitops",
+    """
+    WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+               FROM lineitem GROUP BY 1, 2),
+    m AS (SELECT l_returnflag,
+                 min({'nc': -cnt, 'q': l_quantity}).q AS mode_qty
+          FROM c GROUP BY 1),
+    b AS (SELECT l_returnflag,
+                 CAST(bit_and(l_linenumber) AS BIGINT) AS lines_bit_and,
+                 CAST(bit_or(l_linenumber) AS BIGINT) AS lines_bit_or,
+                 CAST(bit_xor(l_linenumber) AS BIGINT) AS lines_bit_xor
+          FROM lineitem GROUP BY 1)
+    SELECT m.l_returnflag, round(m.mode_qty, 2) AS mode_qty,
+           lines_bit_and, lines_bit_or, lines_bit_xor
+    FROM m JOIN b ON m.l_returnflag = b.l_returnflag
+    """,
+)
+def agg_mode_bitops(spark, sf_dir):
+    """Deterministic mode (most frequent quantity per return flag, ties to
+    the smallest value — an explicit (count desc, value asc) argmin rather
+    than the engine-defined tie order of a native mode()) plus the bitwise
+    aggregate family (bit_and/bit_or/bit_xor). Two map-side-combinable
+    aggregates and a tiny join — no window over the full table."""
+    l = _t(spark, sf_dir, "lineitem")
+    counts = l.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mode = counts.groupBy("l_returnflag").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col("l_quantity").alias("q"))
+        )["q"].alias("mode_qty")
+    )
+    bits = l.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").cast("long").alias("lines_bit_and"),
+        F.bit_or("l_linenumber").cast("long").alias("lines_bit_or"),
+        F.bit_xor("l_linenumber").cast("long").alias("lines_bit_xor"),
+    )
+    return mode.join(bits, "l_returnflag").select(
+        "l_returnflag",
+        F.round("mode_qty", 2).alias("mode_qty"),
+        "lines_bit_and",
+        "lines_bit_or",
+        "lines_bit_xor",
+    )
+
+
+def _pq_oracle(m: int = 4, k_codes: int = 4, dim: int = 64) -> str:
+    sub = dim // m
+    diff = (
+        f"(CAST(e.embedding[sp.s * {sub} + i] AS DOUBLE)"
+        f" - CAST(sd.cv[sp.s * {sub} + i] AS DOUBLE))"
+    )
+    pivot = ", ".join(
+        f"CAST(max(CASE WHEN s = {s} THEN code END) AS BIGINT) AS code_{s}"
+        for s in range(m)
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS scode,
+             embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {k_codes})),
+    sp AS (SELECT unnest(range(0, {m})) AS s),
+    dist AS (
+      SELECT e.vec_id, sp.s, sd.scode,
+             round(list_sum(list_transform(range(1, {sub + 1}),
+                   i -> {diff} * {diff})), 6) AS d
+      FROM embeddings e CROSS JOIN sp CROSS JOIN seeds sd),
+    best AS (SELECT vec_id, s, min({{'d': d, 'c': scode}}).c AS code
+             FROM dist GROUP BY vec_id, s)
+    SELECT vec_id, {pivot} FROM best GROUP BY vec_id
+    """
+
+
+@_q("embedding_pq_encode", _pq_oracle())
+def embedding_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (operators.similarity.pq_encode):
+    4 subspaces × 4 deterministic seed codes over the 64-dim embeddings —
+    vector compression to m scalar codes with ANN-searchable structure
+    (pq_adc_topk is the search side; lossless-codebook ADC == exact is the
+    pinned invariant). The codebook is a bounded literal model, so
+    encoding is a shuffle-free pure projection at scan bandwidth."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        pq_codebooks_from_seeds,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks_from_seeds(emb, m=4, k_codes=4, dim=64)
+    return pq_encode(emb, books)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate verifies the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01-r03 each contain exactly the first 50
-# registrations). This list IS the gate window. Round-4 rotation: 34
+# registrations). This list IS the gate window. Round-4 rotation: 41
 # first-timers (the 26 round-3 additions that landed outside the r3 window,
-# the 3 list-canon entries re-projected to array-free output, and the 5
-# round-4 operators) followed
-# by 16 re-verifications of the entries whose last driver check was round 2
+# the 3 list-canon entries re-projected to array-free output, and the 12
+# round-4 operators across both waves) followed
+# by 9 re-verifications of the entries whose last driver check was round 2
 # — guarding against silent drift in consolidated queries, which is exactly
 # what cost scalar_string_date_hash its green row in r3. Every window entry
 # is oracle-backed; the three approximate-by-design entries (knn_lsh_approx,
@@ -4157,20 +4453,21 @@ _GATE_ORDER = [
     "text_bigram_lm_score",
     "dedup_containment_pairs",
     "corpus_dsir_weights",
-    # re-verification: last driver check was round 2 (oldest green rows) —
-    # one representative per family, weighted toward queries whose code or
-    # bench profile moved since (sessionize NTZ fix, ngram-jaccard drift)
+    # first driver rows: round-4 second wave
+    "text_segment_dedup",
+    "dedup_cross_corpus",
+    "text_zipf_stats",
+    "graph_pagerank",
+    "agg_linear_regression",
+    "agg_mode_bitops",
+    "embedding_pq_encode",
+    # re-verification: oldest green rows, weighted toward queries whose
+    # code or bench profile moved since (sessionize NTZ fix, ngram-jaccard
+    # drift, the consolidated composites)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "join_left_outer",
-    "join_anti",
     "join_theta_inequality",
-    "agg_rollup",
-    "window_running_sum",
-    "topk_per_group",
-    "q17_small_quantity_correlated",
-    "setop_union_all",
     "events_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",

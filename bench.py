@@ -52,6 +52,11 @@ HEADLINE = [
     "text_bigram_lm_score",
     "dedup_containment_pairs",
     "corpus_dsir_weights",
+    # round-4 second wave (excluded from core15 as well)
+    "text_segment_dedup",
+    "dedup_cross_corpus",
+    "graph_pagerank",
+    "embedding_pq_encode",
 ]
 
 
@@ -89,6 +94,8 @@ def main() -> None:
         "events_transition_counts",
         "join_lateral_topk", "embedding_kmeans_refine", "text_bigram_lm_score",
         "dedup_containment_pairs", "corpus_dsir_weights",
+        "text_segment_dedup", "dedup_cross_corpus", "graph_pagerank",
+        "embedding_pq_encode",
     )]
     print(
         json.dumps(

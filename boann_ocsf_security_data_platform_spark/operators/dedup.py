@@ -909,3 +909,79 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return _register_caches(out, [sorted_docs])
+
+
+def cross_corpus_jaccard_pairs(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+    hash_fn=hash64,
+) -> DataFrame:
+    """Incremental (new-batch-vs-index) EXACT n-gram Jaccard dedup: every
+    ``(new_id, index_id, jaccard)`` pair with jaccard ≥ ``threshold`` —
+    the continuous-ingestion shape, where each crawl/delivery must be
+    deduped against the corpus ALREADY ingested without re-comparing the
+    index against itself.
+
+    Plan shape mirrors :func:`ngram_jaccard_pairs` but the self-join
+    becomes a new×index join keyed on the shared integer shingle — only
+    documents sharing a gram ever meet, never |new| × |index|. At 100 TB
+    the index side's exploded shingles are the materialized artifact you
+    keep between deliveries (write them bucketed by shingle hash and the
+    join is co-located, shuffle-free on the index side).
+    ``max_shingle_df`` is the stop-gram valve, measured on the INDEX side
+    (the big one) and applied to both join inputs; set sizes always come
+    from the uncapped sets, so a capped run can only UNDER-report jaccard
+    (one-sided loss on pairs whose every shared gram is corpus-hot) —
+    unset, the result is exact.
+    """
+    new_sh = (
+        with_hashed_shingles(_ensure_parallelism(new_df), text_col, k, hash_fn=hash_fn)
+        .select(F.col(id_col).alias("new_id"), "shingle_hashes")
+        .persist()
+    )
+    idx_sh = (
+        with_hashed_shingles(_ensure_parallelism(index_df), text_col, k, hash_fn=hash_fn)
+        .select(F.col(id_col).alias("index_id"), "shingle_hashes")
+        .persist()
+    )
+    new_tok = new_sh.select("new_id", F.explode("shingle_hashes").alias("_sh"))
+    idx_tok = idx_sh.select("index_id", F.explode("shingle_hashes").alias("_sh"))
+    cached = [new_sh, idx_sh]
+    if max_shingle_df is not None:
+        hot = (
+            idx_tok.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_sh")
+            .persist()
+        )
+        cached.append(hot)
+        new_tok = new_tok.join(F.broadcast(hot), "_sh", "left_anti")
+        idx_tok = idx_tok.join(F.broadcast(hot), "_sh", "left_anti")
+    inter = (
+        new_tok.join(idx_tok, "_sh")
+        .groupBy("new_id", "index_id")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    n_sz = new_sh.select("new_id", F.size("shingle_hashes").alias("_n_a"))
+    i_sz = idx_sh.select("index_id", F.size("shingle_hashes").alias("_n_b"))
+    out = (
+        inter.join(n_sz, "new_id")
+        .join(i_sz, "index_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_n_a") + F.col("_n_b") - F.col("_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", "jaccard")
+    )
+    return _register_caches(out, cached)

@@ -1,0 +1,98 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+Web-graph PageRank is a standard document-quality prior in pretraining
+pipelines (a page's rank over the crawl link graph feeds the keep/drop
+decision); the connected-components family lives with its consumer in
+``operators.dedup``. The pattern here is the scalable iterative-algorithm
+shape on Spark: each round is one equi-join + one map-side-combinable
+aggregate, bounded model state (per-node rank) flows round to round via
+``localCheckpoint`` (cuts the exponentially growing lineage), and only
+single-row scalars (the dangling mass) ever touch the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    iters: int = 3,
+    decimals: int = 8,
+) -> DataFrame:
+    """Weighted PageRank with uniform teleport and proper dangling-mass
+    redistribution, run for a FIXED ``iters`` rounds (deterministic — the
+    fixed-round form every batch pipeline uses, and the form a SQL oracle
+    can replay exactly).
+
+    Per round: ``r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)·w_uv/W_u + D/N)`` where
+    ``W_u`` is u's total out-weight and ``D`` the rank mass sitting on
+    dangling nodes (no out-edges). Ranks round to ``decimals`` each round
+    so engine-specific summation-order ULPs cannot compound across
+    iterations.
+
+    Scale: the per-round work is one join of the edge list against the
+    rank table keyed by source (both partitioned by node id — at 1000
+    executors this is a co-partitionable hash join; pre-bucket the edge
+    list by ``src`` and the rank side is the only shuffle) and one
+    aggregate keyed by destination. N and D are single-row aggregates
+    (bounded driver scalars, not data). Returns ``(node, pagerank)`` for
+    every node in the graph.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1.0))
+        .cast("double")
+        .alias("w"),
+    )
+    e = (
+        e.groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # bounded scalar: graph order, not data volume
+    outw = e.groupBy("src").agg(F.sum("w").alias("w_out")).persist()
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n), decimals).alias("r")
+    ).localCheckpoint(eager=True)
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        dangling = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
+            .collect()[0][0]
+        )  # single-row aggregate: the dangling mass scalar
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("w_out")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce("c", F.lit(0.0)) + F.lit(dangling / n)),
+                    decimals,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    for c in (e, nodes, outw):
+        c.unpersist()
+    return ranks.select("node", F.col("r").alias("pagerank"))

@@ -8,10 +8,12 @@ and is NEVER collected).
 
 What needs a codec and what doesn't:
 
-- ``sniff_image_meta`` — REAL header-level decode (PNG/GIF/BMP/JPEG
+- ``sniff_image_meta`` — REAL header-level decode (PNG/GIF/BMP/JPEG/WebP
   dimensions) in pure byte parsing; no library needed.
-- ``sniff_audio_meta`` / ``audio_sample_pcm`` — REAL WAV/RIFF chunk walk
-  (channels, rate, bit depth, duration) and 16-bit PCM waveform sampling;
+- ``sniff_audio_meta`` / ``audio_sample_pcm`` — REAL container parses:
+  WAV/RIFF chunk walk, FLAC STREAMINFO, OGG Vorbis/Opus id header, MP3
+  frame header (channels, rate, bit depth, duration where the container
+  declares them) and 16-bit PCM waveform sampling; sample DECODING of
   compressed audio needs a codec — same shape, swap the parser body.
 - ``sniff_video_meta`` — REAL MP4/ISO-BMFF box walk (brand, movie
   timescale/duration, track count); frame decode needs a demuxer.
@@ -120,6 +122,19 @@ def _sniff_header(b: bytes) -> tuple[str | None, int | None, int | None]:
         if b[:2] == b"BM" and len(b) >= 26:
             w, h = struct.unpack("<ii", b[18:26])
             return "bmp", w, abs(h)
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 30:
+            cid = b[12:16]
+            if cid == b"VP8X":  # extended: 24-bit canvas size minus one
+                w = 1 + int.from_bytes(b[24:27], "little")
+                h = 1 + int.from_bytes(b[27:30], "little")
+                return "webp", w, h
+            if cid == b"VP8 " and b[23:26] == b"\x9d\x01\x2a":
+                w, h = struct.unpack("<HH", b[26:30])
+                return "webp", w & 0x3FFF, h & 0x3FFF
+            if cid == b"VP8L" and b[20] == 0x2F:
+                bits = int.from_bytes(b[21:25], "little")
+                return "webp", 1 + (bits & 0x3FFF), 1 + ((bits >> 14) & 0x3FFF)
+            return "webp", None, None
         if b[:2] == b"\xff\xd8":  # JPEG: walk markers to SOF0..SOF15
             i = 2
             while i + 9 < len(b):
@@ -352,17 +367,111 @@ def _sniff_wav(b: bytes):
         return none
 
 
+def _sniff_flac(b: bytes):
+    """Real FLAC STREAMINFO parse (the mandatory first metadata block):
+    sample rate (20 bits), channels (3+1), bits per sample (5+1), total
+    samples (36 bits) — pure byte/bit arithmetic, the frames themselves
+    stay opaque (decoding needs the codec; the metadata doesn't)."""
+    none = (None, None, None, None, None)
+    try:
+        if b[:4] != b"fLaC" or len(b) < 8 + 18 or (b[4] & 0x7F) != 0:
+            return none  # first block must be STREAMINFO (type 0)
+        info = b[8:]  # STREAMINFO body
+        packed = int.from_bytes(info[10:18], "big")
+        rate = (packed >> 44) & 0xFFFFF
+        channels = ((packed >> 41) & 0x7) + 1
+        bits = ((packed >> 36) & 0x1F) + 1
+        total = packed & 0xFFFFFFFFF
+        return "flac", channels, rate or None, bits, (total or None)
+    except IndexError:
+        return none
+
+
+def _sniff_ogg(b: bytes):
+    """Real OGG page walk to the first packet's identification header —
+    Vorbis (``\\x01vorbis``: channels, rate) or Opus (``OpusHead``:
+    channels, input rate). Container-level only; no codec."""
+    import struct
+
+    none = (None, None, None, None, None)
+    try:
+        if b[:4] != b"OggS" or len(b) < 28:
+            return none
+        n_segs = b[26]
+        body = b[27 + n_segs :]
+        if body[:7] == b"\x01vorbis" and len(body) >= 16:
+            channels = body[11]
+            (rate,) = struct.unpack("<I", body[12:16])
+            return "ogg-vorbis", channels, rate or None, None, None
+        if body[:8] == b"OpusHead" and len(body) >= 16:
+            channels = body[9]
+            (rate,) = struct.unpack("<I", body[12:16])
+            return "ogg-opus", channels, rate or None, None, None
+        return "ogg", None, None, None, None
+    except (struct.error, IndexError):
+        return none
+
+
+# MPEG-1 Layer III bitrate (kbps) and sample-rate tables, headers only
+_MP3_BITRATE = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _sniff_mp3(b: bytes):
+    """Real MP3 frame-header parse (MPEG-1 Layer III): skip a leading
+    ID3v2 tag (syncsafe size), then read channels + sample rate from the
+    first frame sync. Frame count / duration need a full frame walk (VBR)
+    — reported NULL, honestly."""
+    none = (None, None, None, None, None)
+    try:
+        i = 0
+        if b[:3] == b"ID3" and len(b) >= 10:
+            size = (
+                (b[6] & 0x7F) << 21
+                | (b[7] & 0x7F) << 14
+                | (b[8] & 0x7F) << 7
+                | (b[9] & 0x7F)
+            )
+            i = 10 + size
+        if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+            return none
+        version = (b[i + 1] >> 3) & 0x3  # 3 = MPEG-1
+        layer = (b[i + 1] >> 1) & 0x3  # 1 = Layer III
+        if version != 3 or layer != 1:
+            return ("mpeg-audio", None, None, None, None)
+        rate_idx = (b[i + 2] >> 2) & 0x3
+        if rate_idx > 2:
+            return ("mp3", None, None, None, None)
+        mode = (b[i + 3] >> 6) & 0x3  # 3 = mono
+        return "mp3", (1 if mode == 3 else 2), _MP3_RATES[rate_idx], None, None
+    except IndexError:
+        return none
+
+
+def _sniff_audio(b: bytes):
+    """Dispatch across the audio container sniffers by magic bytes."""
+    if b[:4] == b"RIFF":
+        return _sniff_wav(b)
+    if b[:4] == b"fLaC":
+        return _sniff_flac(b)
+    if b[:4] == b"OggS":
+        return _sniff_ogg(b)
+    return _sniff_mp3(b)
+
+
 def sniff_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Decode real audio metadata from WAV/RIFF container headers
-    (channels, sample rate, bit depth, frame count, duration) —
-    Arrow-batched pure byte parsing, the audio sibling of
-    :func:`sniff_image_meta`. Non-WAV payloads yield NULLs rather than
-    failing the batch. Compressed formats (mp3/flac/ogg) need a codec;
-    keep this mapInPandas shape and swap the parser body."""
+    """Decode real audio metadata from container headers — WAV/RIFF chunk
+    walk, FLAC STREAMINFO, OGG (Vorbis/Opus) identification header, MP3
+    frame header — channels, sample rate, bit depth, frame count, duration
+    where the container carries them (NULL where it honestly doesn't, e.g.
+    VBR MP3 duration). Arrow-batched pure byte parsing, the audio sibling
+    of :func:`sniff_image_meta`; unrecognized payloads yield NULLs rather
+    than failing the batch. Sample DECODING still needs the codec — these
+    parsers read only what the container declares."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = [_sniff_wav(bytes(b)) for b in pdf[payload_col]]
+            rows = [_sniff_audio(bytes(b)) for b in pdf[payload_col]]
             frames = pd.array([r[4] for r in rows], dtype="Int64")
             rates = pd.array([r[2] for r in rows], dtype="Int32")
             dur = pd.array(

@@ -496,3 +496,144 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _l2sq(a: Column, lit_vec: list[float]) -> Column:
+    """Σ (aᵢ − bᵢ)² against a literal vector, double precision,
+    left-to-right accumulation (bit-matches DuckDB's list_sum over the
+    same element order)."""
+    b = F.array(*[F.lit(float(x)) for x in lit_vec])
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks_from_seeds(
+    df: DataFrame,
+    m: int = 4,
+    k_codes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: the ``k_codes`` lowest-id vectors,
+    sliced into ``m`` equal subspaces — the same seeding convention as
+    :func:`cosine_topk_ivf`'s default centroids (reproducible across
+    engines; swap in per-subspace k-means from :func:`train_ivf_centroids`
+    machinery for the trained path — every downstream contract holds for
+    ANY codebook). Returns ``codebooks[s][j] = subvector`` of length
+    dim/m."""
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    sub = dim // m
+    rows = (
+        df.orderBy(id_col).limit(k_codes).select(vec_col).collect()
+    )  # bounded: the model seed, not data
+    return [
+        [[float(x) for x in r[0][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m``
+    subspaces and store, per subspace, the index of the nearest codebook
+    entry (L2) — the classic Jégou-style PQ compression that cuts vector
+    storage from dim×4 bytes to m codes while keeping ANN-searchable
+    structure (see :func:`pq_adc_topk`).
+
+    The codebook is a bounded MODEL (m × k × dim/m floats) inlined as
+    literals, so encoding is a PURE PROJECTION — shuffle-free, codegen'd,
+    scan-bandwidth at 100 TB, same posture as :func:`cosine_topk_ivf`
+    assignment. Distances round to ``decimals`` with ties to the lowest
+    code index — deterministic and engine-portable. Output columns:
+    ``(id_col, code_0 … code_{m-1})``, all scalar longs."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cols = [F.col(id_col)]
+    for s in range(m):
+        subv = F.slice(F.col(vec_col), s * sub + 1, sub)
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(_l2sq(subv, code), decimals).alias("d"),
+                    F.lit(j).alias("c"),
+                )
+                for j, code in enumerate(codebooks[s])
+            ]
+        )
+        cols.append(
+            F.element_at(F.array_sort(scored), 1)["c"].cast("long").alias(f"code_{s}")
+        )
+    return df.select(*cols)
+
+
+def pq_reconstruct(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    out_col: str = "recon",
+) -> DataFrame:
+    """Inverse of :func:`pq_encode`: concatenate each subspace's codebook
+    entry — the decompression used by rerankers and drift checks. Pure
+    projection (literal array-of-arrays lookup per subspace)."""
+    m = len(codebooks)
+    parts = []
+    for s in range(m):
+        table = F.array(
+            *[F.array(*[F.lit(float(x)) for x in code]) for code in codebooks[s]]
+        )
+        parts.append(F.element_at(table, F.col(f"code_{s}").cast("int") + 1))
+    return codes.withColumn(out_col, F.concat(*parts))
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays full
+    precision, each corpus vector is represented by its codebook entries,
+    and the approximate L2² is the sum over subspaces of
+    ‖q_sub − codebook[s][code_s]‖².
+
+    Scale shape: per query row the m × k distance table is computed once
+    as Column expressions (codebooks are literals); corpus codes join the
+    broadcast query side and the per-subspace distance is a literal-array
+    lookup by code — the corpus is scanned once, never shuffled, and the
+    final cut is a per-query top-k window over k-bounded partials. With
+    lossless codebooks (every distinct subvector present) ADC equals the
+    exact distance — the invariant the tests pin."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    joined = corpus_codes.withColumnRenamed(id_col, "neighbor_id").join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    )
+    dist = None
+    for s in range(m):
+        q_sub = F.slice(F.col("q_vec"), s * sub + 1, sub)
+        dists = F.array(*[_l2sq(q_sub, code) for code in codebooks[s]])
+        term = F.element_at(dists, F.col(f"code_{s}").cast("int") + 1)
+        dist = term if dist is None else dist + term
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(dist, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

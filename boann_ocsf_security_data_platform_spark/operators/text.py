@@ -7,7 +7,7 @@ portable SQL so the DuckDB oracle can verify it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hash_fns import hash64, normalize_text
@@ -741,4 +741,122 @@ def bm25_search(
         .agg(F.round(F.sum(score_t), 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Sub-document exact dedup — the repeated-passage removal step of the
+    C4 / Gopher recipes: split every document into fixed ``seg_words``-word
+    segments, keep only the corpus-wide FIRST occurrence of each distinct
+    segment (first = minimum ``(doc_id, seg_idx)``), and reassemble each
+    document from its surviving segments in order. Complements
+    :func:`strip_frequent_segments` (which removes corpus-FREQUENT
+    boilerplate everywhere): here every later copy of ANY repeated passage
+    is dropped while the first stays, so quoted/syndicated passages stop
+    being over-represented in the training mix without deleting them
+    entirely.
+
+    Plan shape: one generate (row-local segment construction), one
+    hash-aggregate for the per-segment winner (map-side combinable ``min``
+    over (doc_id, seg_idx) — NOT a window over the segment key, whose hot
+    boilerplate partitions would skew), one equi-join back on the segment
+    to filter losers, and one regroup by document for ordered reassembly.
+    Documents whose every segment was a later copy survive with empty text
+    (callers drop them with a length filter — silent row loss would skew
+    corpus accounting).
+
+    Returns ``(id_col, text_deduped, n_seg_kept, n_seg_total)``.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_ws"))
+    n = F.size("_ws")
+    n_total = F.ceil(n / F.lit(float(seg_words))).cast("long")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(seg_words))
+    segs = (
+        toked.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.explode(starts).alias("_start"),
+            F.col("_ws"),
+        )
+        .select(
+            F.col(id_col),
+            (F.floor((F.col("_start") - 1) / seg_words) + 1)
+            .cast("long")
+            .alias("seg_idx"),
+            F.array_join(F.slice("_ws", F.col("_start"), seg_words), " ").alias(
+                "seg"
+            ),
+        )
+    )
+    winners = segs.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("_w")
+    )
+    kept = (
+        segs.join(winners, "seg")
+        .filter(
+            (F.col(id_col) == F.col("_w")[id_col])
+            & (F.col("seg_idx") == F.col("_w.seg_idx"))
+        )
+        .select(id_col, "seg_idx", "seg")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_seg_kept"),
+    )
+    return (
+        toked.select(F.col(id_col), n_total.alias("n_seg_total"))
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_seg_kept", F.lit(0)).cast("long").alias("n_seg_kept"),
+            "n_seg_total",
+        )
+    )
+
+
+def zipf_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution: rank
+    terms by frequency and regress ``ln(freq)`` on ``ln(rank)`` over the
+    top ``top_n`` terms. A healthy natural-language corpus fits a slope
+    near −1; templated/synthetic/spam-heavy corpora drift far from it, so
+    the slope is a cheap corpus-level quality signal (and the intercept
+    estimates ln of the top term's frequency).
+
+    Scale shape: one token-count aggregate (map-side combined), then a
+    ``TakeOrderedAndProject`` cut to ``top_n`` rows — ranking happens on
+    the bounded top-N set only (a window over ≤ top_n rows, never over the
+    full vocabulary), and the regression aggregate reduces it to one row.
+
+    Returns one row: ``(n_terms, zipf_slope, zipf_intercept, zipf_r2)``.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.expr("regr_slope(ln(cast(freq as double)), ln(cast(rank as double)))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ln(cast(freq as double)), ln(cast(rank as double)))"), 6).alias("zipf_intercept"),
+        F.round(F.expr("regr_r2(ln(cast(freq as double)), ln(cast(rank as double)))"), 6).alias("zipf_r2"),
     )

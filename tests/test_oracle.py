@@ -72,7 +72,7 @@ def test_gate_window_covers_every_family():
         "events_", "dedup_", "knn_", "text_", "multimodal_", "subquery_",
         "range_join_", "unpivot_", "sort_", "asof_", "embedding_", "variant_",
         "semantic_", "topk_", "pivot_", "explode_", "map_", "corpus_",
-        "profile_", "feature_",
+        "profile_", "feature_", "graph_",
     ):
         assert any(n.startswith(family) for n in covered), family
     # everything outside the window is driver-verified in a prior round or
