@@ -4396,16 +4396,275 @@ def embedding_pq_encode(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 third wave: TSDB-style event rollups, SCD2, path mining,
+# embedding drift profile
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_time_weighted_avg",
+    """
+    WITH s AS (SELECT user_id, value, ts, event_id,
+                      lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS lead_ts
+               FROM events),
+    d AS (SELECT user_id, value,
+                 CAST(date_diff('microsecond', ts, lead_ts) AS DOUBLE)
+                   / 1000000.0 AS dur
+          FROM s)
+    SELECT user_id,
+           round(sum(value * dur) / sum(dur), 6) AS twa,
+           CAST(count(dur) AS BIGINT) AS n_intervals,
+           CAST(floor(coalesce(sum(dur), 0)) AS BIGINT) AS total_seconds
+    FROM d GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per user (operators.timeseries.
+    time_weighted_avg): each observation weighted by the seconds it was
+    'held' — the correct mean for irregularly-sampled gauges. One lead()
+    window + one aggregate; timestampdiff keeps it NTZ-safe."""
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "events_ohlc_bars",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS bar_start,
+           round(min({'t': ts, 'e': event_id, 'v': value}).v, 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max({'t': ts, 'e': event_id, 'v': value}).v, 6) AS close,
+           round(sum(value), 6) AS volume,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_ohlc_bars(spark, sf_dir):
+    """Hourly open/high/low/close/volume bars per event type
+    (operators.timeseries.ohlc_bars) — the TSDB downsampling rollup as
+    ONE map-side-combinable hash-aggregate: open/close are min/max over a
+    (ts, event_id, value) struct, so no window and no sort, and first/
+    last stay deterministic under equal timestamps."""
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    return ohlc_bars(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "events_locf_fill",
+    """
+    SELECT event_id, user_id, ts, obs,
+           last_value(obs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type IN ('purchase', 'signup') THEN value
+                 END AS obs
+          FROM events)
+    """,
+)
+def events_locf_fill(spark, sf_dir):
+    """Last-observation-carried-forward gap repair (operators.timeseries.
+    locf_fill): values observed only on purchase/signup events forward-
+    fill every other row per user — last(ignorenulls) over a running
+    frame, the IGNORE NULLS window family in one query."""
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        locf_fill,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "obs",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), F.col("value")
+        ),
+    )
+    return locf_fill(e, val_col="obs").select(
+        "event_id", "user_id", "ts", "obs", "filled"
+    )
+
+
+@_q(
+    "events_scd2",
+    """
+    WITH c AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    ch AS (SELECT user_id, event_type, ts AS valid_from, event_id
+           FROM c WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) IS NULL
+             AS is_current
+    FROM ch
+    """,
+)
+def events_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build (operators.timeseries.
+    scd2_intervals): collapse the per-user event_type change log into
+    (attr, valid_from, valid_to, is_current) intervals — the CDC
+    dimension-build. Two windows over one per-key ordering; the open
+    interval has NULL valid_to."""
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        scd2_intervals,
+    )
+
+    return scd2_intervals(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "events_top_paths",
+    """
+    WITH o AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS steps
+               FROM events GROUP BY user_id),
+    p AS (SELECT unnest(CASE WHEN len(steps) >= 3 THEN
+                   list_transform(range(1, len(steps) - 1),
+                     i -> steps[i] || '>' || steps[i + 1] || '>' || steps[i + 2])
+                 ELSE CAST([] AS VARCHAR[]) END) AS path
+          FROM o)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM p GROUP BY path ORDER BY n_occurrences DESC, path LIMIT 10
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Top-10 three-step user journeys (operators.timeseries.top_k_paths)
+    — sequence/path mining over the event log (attack-chain shape in a
+    security pipeline). Ordered per-user re-aggregation (bounded by
+    per-user event counts), row-local path slicing, map-side-combinable
+    count, TakeOrderedAndProject cut."""
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        top_k_paths,
+    )
+
+    return top_k_paths(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "embedding_dim_profile",
+    """
+    WITH c AS (SELECT generate_subscripts(embedding, 1) AS dim,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings)
+    SELECT CAST(dim AS INT) AS dim,
+           round(avg(v), 6) AS mean,
+           round(stddev_samp(v), 6) AS stddev,
+           round(min(v), 6) AS mn,
+           round(max(v), 6) AS mx
+    FROM c GROUP BY 1
+    """,
+)
+def embedding_dim_profile(spark, sf_dir):
+    """Per-dimension embedding statistics (operators.similarity.
+    embedding_dim_profile): (dim, mean, stddev, min, max) — the vector-
+    corpus drift monitor. posexplode feeds a map-side-combinable
+    aggregate, so the shuffle carries dim × partials, never vectors."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        embedding_dim_profile,
+    )
+
+    return embedding_dim_profile(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 fourth wave: recursive CTE, pagination
+# ---------------------------------------------------------------------------
+
+_REACH_EDGES = """
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
+
+
+@_q(
+    "recursive_nation_reachability",
+    f"""
+    WITH RECURSIVE edges AS ({_REACH_EDGES}),
+    r(node, hops) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT CAST(e.dst AS BIGINT), r.hops + 1
+      FROM r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 3
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops
+    FROM r GROUP BY node
+    """,
+)
+def recursive_nation_reachability(spark, sf_dir):
+    """Transitive reachability via WITH RECURSIVE (Spark 4 recursive CTE):
+    which nations are reachable from nation 0 through the trade graph, and
+    in how few hops — the graph-traversal query shape (BOM explosion, org
+    charts, attack paths) expressed declaratively. The hop cap bounds the
+    recursion (each round is one equi-join against the bounded frontier);
+    min(hops) collapses revisits after the fixpoint. Identical SQL runs on
+    DuckDB — the recursion IS the oracle pairing."""
+    for name in ("lineitem", "orders", "customer", "supplier"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE edges AS ({_REACH_EDGES}),
+        r(node, hops) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION ALL
+          SELECT CAST(e.dst AS BIGINT), r.hops + 1
+          FROM r JOIN edges e ON e.src = r.node
+          WHERE r.hops < 3
+        )
+        SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        FROM r GROUP BY node
+        """
+    )
+
+
+@_q(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 50
+    """,
+)
+def sort_limit_offset(spark, sf_dir):
+    """Keyset-free pagination: page 3 of the orders leaderboard via
+    ORDER BY + OFFSET + LIMIT (`df.offset`, Spark 4). Plans as a global
+    top-(offset+limit) — CollectLimit with the sort pushed into
+    per-partition top-k partials — so the driver materializes 70 rows,
+    not the table; deep offsets degrade linearly in offset, which is why
+    the operator exists for PAGES, not scans (cursor on the sort key is
+    the scale path past that)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(50)
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate verifies the FIRST 50 entries of queries()
 # in iteration order (CORRECTNESS_r01-r03 each contain exactly the first 50
-# registrations). This list IS the gate window. Round-4 rotation: 41
+# registrations). This list IS the gate window. Round-4 rotation: 49
 # first-timers (the 26 round-3 additions that landed outside the r3 window,
-# the 3 list-canon entries re-projected to array-free output, and the 12
-# round-4 operators across both waves) followed
-# by 9 re-verifications of the entries whose last driver check was round 2
+# the 3 list-canon entries re-projected to array-free output, and the 20
+# round-4 operators across four waves) followed
+# by 1 re-verification of the highest-risk prior-green entry
 # — guarding against silent drift in consolidated queries, which is exactly
 # what cost scalar_string_date_hash its green row in r3. Every window entry
 # is oracle-backed; the three approximate-by-design entries (knn_lsh_approx,
@@ -4461,18 +4720,19 @@ _GATE_ORDER = [
     "agg_linear_regression",
     "agg_mode_bitops",
     "embedding_pq_encode",
-    # re-verification: oldest green rows, weighted toward queries whose
-    # code or bench profile moved since (sessionize NTZ fix, ngram-jaccard
-    # drift, the consolidated composites)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "join_theta_inequality",
+    # first driver rows: round-4 third wave (TSDB rollups, SCD2, paths)
+    "events_time_weighted_avg",
+    "events_ohlc_bars",
+    "events_locf_fill",
+    "events_scd2",
+    "events_top_paths",
+    "embedding_dim_profile",
+    # first driver rows: round-4 fourth wave (recursive CTE, pagination)
+    "recursive_nation_reachability",
+    "sort_limit_offset",
+    # re-verification: the highest-risk prior-green entry (the
+    # NTZ-sensitive sessionize; the flagship q1 backs the entry() smoke)
     "events_sessionize",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "text_quality_metrics",
 ]
 # Entries beyond the 50-row window all have driver-green rows in
 # CORRECTNESS_r01-r03 (ever-green union after this rotation = every

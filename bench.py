@@ -57,6 +57,13 @@ HEADLINE = [
     "dedup_cross_corpus",
     "graph_pagerank",
     "embedding_pq_encode",
+    # round-4 third wave (excluded from core15 as well)
+    "events_time_weighted_avg",
+    "events_ohlc_bars",
+    "events_scd2",
+    "events_top_paths",
+    "embedding_dim_profile",
+    "recursive_nation_reachability",
 ]
 
 
@@ -96,6 +103,9 @@ def main() -> None:
         "dedup_containment_pairs", "corpus_dsir_weights",
         "text_segment_dedup", "dedup_cross_corpus", "graph_pagerank",
         "embedding_pq_encode",
+        "events_time_weighted_avg", "events_ohlc_bars", "events_scd2",
+        "events_top_paths", "embedding_dim_profile",
+        "recursive_nation_reachability",
     )]
     print(
         json.dumps(

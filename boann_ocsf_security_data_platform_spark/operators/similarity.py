@@ -637,3 +637,29 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def embedding_dim_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-dimension statistics of an embedding column — (dim, mean,
+    stddev, min, max) in long format: the drift/health monitor for a
+    vector corpus (a collapsed dimension or exploding variance is how
+    embedding-pipeline bugs surface).
+
+    posexplode fans each vector into (dim, component) rows, but the
+    aggregate is map-side combinable, so the shuffle carries only
+    dim × partials per task — at 100 TB this is one scan plus a
+    64-row-per-task exchange, not a vector shuffle.
+    """
+    comps = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "_v")
+    ).select((F.col("dim") + 1).alias("dim"), F.col("_v").cast("double").alias("_v"))
+    return comps.groupBy("dim").agg(
+        F.round(F.avg("_v"), decimals).alias("mean"),
+        F.round(F.stddev("_v"), decimals).alias("stddev"),
+        F.round(F.min("_v"), decimals).alias("mn"),
+        F.round(F.max("_v"), decimals).alias("mx"),
+    )

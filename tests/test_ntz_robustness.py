@@ -35,6 +35,12 @@ TS_QUERIES = [
     "window_range_frame",
     "scalar_datetime",
     "q12_shipping_delay_classes",
+    # round-4 third wave: TSDB rollups do timestamp arithmetic too
+    "events_time_weighted_avg",
+    "events_ohlc_bars",
+    "events_locf_fill",
+    "events_scd2",
+    "events_top_paths",
 ]
 
 TS_TABLES = {"events", "orders", "lineitem"}

@@ -353,3 +353,119 @@ def test_sniff_image_meta_webp_variants(spark):
     )
     row = sniff_image_meta(df).collect()[0]
     assert (row.format, row.width, row.height) == ("webp", 320, 240)
+
+
+# ---------------------------------------------------------------------------
+# timeseries operators (wave 3) — hand-computed answers
+# ---------------------------------------------------------------------------
+
+def _ts_events(spark):
+    from datetime import datetime
+
+    rows = [
+        # user 1: value 10 held 60s, value 20 held 30s, value 40 tail
+        (1, 1, datetime(2024, 1, 1, 10, 0, 0), "view", 10.0),
+        (2, 1, datetime(2024, 1, 1, 10, 1, 0), "purchase", 20.0),
+        (3, 1, datetime(2024, 1, 1, 10, 1, 30), "view", 40.0),
+        # user 2: single event -> no held interval
+        (4, 2, datetime(2024, 1, 1, 11, 0, 0), "click", 7.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string, value double"
+    )
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    out = {r.user_id: r for r in time_weighted_avg(_ts_events(spark)).collect()}
+    # user 1: (10*60 + 20*30) / 90 = 1200/90 = 13.333333
+    assert out[1].twa == pytest.approx(13.333333, abs=1e-6)
+    assert out[1].n_intervals == 2 and out[1].total_seconds == 90
+    assert out[2].twa is None and out[2].n_intervals == 0
+
+
+def test_ohlc_bars_hand_computed(spark):
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    # keyed by user here: user 1's 10:00 bar
+    bars = {
+        (r.user_id, r.bar_start.hour): r
+        for r in ohlc_bars(_ts_events(spark), key_col="user_id").collect()
+    }
+    b = bars[(1, 10)]
+    assert (b.open, b.close) == (10.0, 40.0)
+    assert (b.high, b.low) == (40.0, 10.0)
+    assert b.volume == 70.0 and b.n_events == 3
+
+
+def test_locf_fill_carries_last_observation(spark):
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        locf_fill,
+    )
+
+    e = _ts_events(spark).withColumn(
+        "obs", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    out = {r.event_id: r.filled for r in locf_fill(e, val_col="obs").collect()}
+    assert out[1] is None      # before first observation
+    assert out[2] == 20.0      # the observation itself
+    assert out[3] == 20.0      # carried forward
+    assert out[4] is None      # user 2 never observes
+
+
+def test_scd2_intervals_hand_computed(spark):
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        scd2_intervals,
+    )
+
+    rows = sorted(
+        scd2_intervals(_ts_events(spark)).filter("user_id = 1").collect(),
+        key=lambda r: r.valid_from,
+    )
+    # view -> purchase -> view: three intervals, last one open
+    assert [r.event_type for r in rows] == ["view", "purchase", "view"]
+    assert rows[0].valid_to == rows[1].valid_from
+    assert rows[1].valid_to == rows[2].valid_from
+    assert rows[2].valid_to is None and rows[2].is_current
+    assert not rows[0].is_current and not rows[1].is_current
+
+
+def test_top_k_paths_hand_computed(spark):
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        top_k_paths,
+    )
+    from datetime import datetime
+
+    rows = []
+    eid = 0
+    for uid in range(3):  # three users all walk a->b->c->d
+        for i, step in enumerate(["a", "b", "c", "d"]):
+            eid += 1
+            rows.append((eid, uid, datetime(2024, 1, 1, 10, i), step, 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    out = top_k_paths(df, k=2).collect()
+    assert [(r.path, r.n_occurrences) for r in out] == [
+        ("a>b>c", 3),
+        ("b>c>d", 3),
+    ]
+
+
+def test_embedding_dim_profile_known_stats(spark):
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        embedding_dim_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (2, [3.0, 10.0])], ["vec_id", "embedding"]
+    )
+    out = {r.dim: r for r in embedding_dim_profile(df).collect()}
+    assert out[1].mean == 2.0 and out[1].mn == 1.0 and out[1].mx == 3.0
+    assert out[1].stddev == pytest.approx(2 ** 0.5, abs=1e-6)
+    assert out[2].mean == 10.0 and out[2].stddev == 0.0

@@ -569,3 +569,56 @@ def test_streaming_corpus_quality_dedup_pipeline(spark, tmp_path):
     _run_to_memory(cleaned, "corpus_stream")
     kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM corpus_stream").collect()}
     assert kept == {1, 4}
+
+
+def test_streaming_ohlc_bars_match_batch(spark, tmp_path):
+    """The OHLC downsampling rollup runs UNCHANGED as a streaming windowed
+    aggregate: struct-min/max open/close compose with watermark + window
+    like any other aggregate, so the batch operator IS the streaming
+    operator (same column expressions, same determinism under equal
+    timestamps)."""
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T10:05:00", "value": 10.0},
+        {"user_id": 1, "ts": "2024-01-01T10:20:00", "value": 40.0},
+        {"user_id": 1, "ts": "2024-01-01T10:50:00", "value": 20.0},
+        {"user_id": 1, "ts": "2024-01-01T11:10:00", "value": 5.0},
+    ]
+    s = F.struct(F.col("ts"), F.col("user_id"), F.col("value").alias("v"))
+    agg = (
+        _stream_events(spark, tmp_path, rows)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(
+            F.min(s)["v"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(s)["v"].alias("close"),
+            F.sum("value").alias("volume"),
+        )
+    )
+    _run_to_memory(agg, "ohlc_stream", mode="complete")
+    got = {
+        r["window"]["start"].hour: (r.open, r.high, r.low, r.close, r.volume)
+        for r in spark.sql("SELECT * FROM ohlc_stream").collect()
+    }
+    assert got[10] == (10.0, 40.0, 10.0, 20.0, 70.0)
+    assert got[11] == (5.0, 5.0, 5.0, 5.0, 5.0)
+
+
+def test_observe_metrics_on_pipeline(spark):
+    """df.observe() attaches accumulator-style metrics to a plan — the
+    zero-extra-pass operational counters (row counts, null rates) a
+    production pipeline exports alongside its writes."""
+    from pyspark.sql import Observation
+
+    obs = Observation("landing_metrics")
+    df = spark.range(100).withColumn(
+        "v", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+    )
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("int")).alias("n_null_v"),
+    )
+    assert out.count() == 100
+    assert obs.get == {"n_rows": 100, "n_null_v": 10}

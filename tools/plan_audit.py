@@ -302,6 +302,45 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         "WindowGroupLimit" in plat or "Window" in plat,
         "Window in decorrelated lateral plan",
     )
+
+    # round-4 second wave: PQ encoding must stay a shuffle-free projection
+    # (codebook is a literal model); segment-dedup's winner must be an
+    # aggregate (map-side combinable), NOT a window over the hot segment
+    # key; zipf ranks only the bounded top-N (global window sits above a
+    # TakeOrderedAndProject cut, never the full vocabulary)
+    ppq = plan_of(qs["embedding_pq_encode"](spark, sf_dir))
+    check(
+        "pq_encode is a shuffle-free projection",
+        "Exchange" not in ppq and "Join" not in ppq,
+        "no Exchange/Join in encode plan",
+    )
+    pseg = plan_of(qs["text_segment_dedup"](spark, sf_dir))
+    check(
+        "segment-dedup winner is an aggregate, not a segment-key window",
+        "Window" not in pseg and pseg.count("HashAggregate") >= 2,
+        "no Window; partial+final HashAggregate for the winner",
+    )
+    pzipf = plan_of(qs["text_zipf_stats"](spark, sf_dir))
+    check(
+        "zipf ranking bounded by TakeOrderedAndProject top-N cut",
+        "TakeOrderedAndProject" in pzipf,
+        "TakeOrderedAndProject below the rank window",
+    )
+    pohlc = plan_of(qs["events_ohlc_bars"](spark, sf_dir))
+    n_agg = len(re.findall(r"\(\d+\) (?:Hash|Sort|ObjectHash)Aggregate", pohlc))
+    n_exch = len(re.findall(r"\(\d+\) Exchange", pohlc))
+    check(
+        "OHLC bars partial+final aggregate, one shuffle, no window",
+        "Window" not in pohlc and n_agg >= 2 and n_exch == 1,
+        f"aggregates={n_agg} exchanges={n_exch} (struct-keyed min/max "
+        "plans as SortAggregate — still map-side combined)",
+    )
+    ppaths = plan_of(qs["events_top_paths"](spark, sf_dir))
+    check(
+        "top-paths global cut is TakeOrderedAndProject",
+        "TakeOrderedAndProject" in ppaths,
+        "TakeOrderedAndProject in plan",
+    )
     return results
 
 
