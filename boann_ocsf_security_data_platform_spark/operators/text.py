@@ -860,3 +860,111 @@ def zipf_stats(
         F.round(F.expr("regr_intercept(ln(cast(freq as double)), ln(cast(rank as double)))"), 6).alias("zipf_intercept"),
         F.round(F.expr("regr_r2(ln(cast(freq as double)), ln(cast(rank as double)))"), 6).alias("zipf_r2"),
     )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    end_marker: str = "</w>",
+) -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merges on the corpus (Sennrich et al.,
+    ACL 2016) — the tokenizer-training step of an LLM data pipeline.
+
+    Scalable shape: the corpus collapses FIRST to a (word, freq) vocab
+    table (one map-side-combinable aggregate — at 100 TB this is the only
+    pass over the data), and every merge iteration then runs on the vocab
+    table alone: adjacent symbol pairs explode weighted by word frequency,
+    one aggregate picks the most frequent pair (ties: lexicographically
+    smallest, deterministic), and a row-local greedy left-to-right fold
+    applies the merge. ``localCheckpoint`` cuts the per-iteration lineage
+    (n_merges nested transforms would otherwise stack). The vocab table is
+    |distinct words| rows regardless of corpus size.
+
+    Returns the ordered merge list ``[(a, b), ...]``.
+    """
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms",
+            F.concat(
+                F.split(F.col("w"), ""),
+                F.array(F.lit(end_marker)),
+            ),
+        )
+        .select("syms", "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        sy = F.col("syms")
+        pairs = vocab.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(sy) - 1),
+                    lambda i: F.struct(
+                        F.element_at(sy, i).alias("a"),
+                        F.element_at(sy, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()  # bounded: one (pair, count) row — the model step
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        # greedy left-to-right merge: append each symbol; when the tail of
+        # the accumulator is `a` and the incoming symbol is `b`, replace
+        # the tail with the merged symbol (standard BPE application order)
+        merged = F.aggregate(
+            sy,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select(merged.alias("syms"), "freq").localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+def bpe_segment(col: Column | str, merges: list[tuple[str, str]], end_marker: str = "</w>"):
+    """Apply a trained merge list to a single word column — the encode
+    side of :func:`train_bpe_merges` (row-local fold per merge; for long
+    merge lists, apply in a mapInPandas body instead of stacking
+    expressions). Returns an array<string> of subword symbols."""
+    c = F.col(col) if isinstance(col, str) else col
+    syms = F.concat(F.split(c, ""), F.array(F.lit(end_marker)))
+
+    def _merge_step(a: str, b: str):
+        return lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    for a, b in merges:
+        syms = F.aggregate(
+            syms, F.array().cast("array<string>"), _merge_step(a, b)
+        )
+    return syms

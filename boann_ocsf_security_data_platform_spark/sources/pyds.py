@@ -22,8 +22,13 @@ Registration is per-session: ``register_python_sources(spark)`` then
 
 Scope: the reader lists files with POSIX APIs (executors see the same
 filesystem in local/NFS deployments); object stores go through the
-engine's primary Hadoop-FS path instead. Batch only — streaming ingestion
-is `streaming/monitor.py`.
+engine's primary Hadoop-FS path instead. Streaming: the same source also
+exposes a SimpleDataSourceStreamReader (``spark.readStream.format(
+"ocsf_findings")``) that tails the directory by lexicographic filename
+high-water mark — producers must write monotonically-named files
+(timestamped names, the standard landing convention). The simple-reader
+variant prefetches on the driver, which fits this control-plane ingest
+volume; the bulk path remains `streaming/monitor.py`.
 """
 
 from __future__ import annotations
@@ -32,7 +37,12 @@ import json
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def split_json_array_verbatim(text: str) -> list[str]:
@@ -100,6 +110,66 @@ class OCSFFindingsReader(DataSourceReader):
             yield (partition.path, None, None, f"{type(exc).__name__}: {exc}")
 
 
+def _read_findings_file(path: str) -> Iterator[tuple]:
+    try:
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+        for idx, raw in enumerate(split_json_array_verbatim(text)):
+            yield (path, idx, raw, None)
+    except (OSError, ValueError, json.JSONDecodeError) as exc:
+        yield (path, None, None, f"{type(exc).__name__}: {exc}")
+
+
+class OCSFFindingsStreamReader(SimpleDataSourceStreamReader):
+    """Exactly-once directory tail keyed by lexicographic filename
+    high-water mark: the offset is {"last": <name>}, each micro-batch
+    reads every file sorted-after the mark, and replay between committed
+    offsets re-reads the same name range — deterministic because
+    producers write monotonically-named (timestamped) files and files are
+    immutable once landed."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("ocsf_findings requires a path")
+        self._dir = path
+        self._suffix = options.get("suffix", ".ocsf.json")
+
+    def _files_after(self, last: str, upto: str | None = None) -> list[str]:
+        names = sorted(
+            e.name
+            for e in os.scandir(self._dir)
+            if e.is_file() and e.name.endswith(self._suffix)
+        )
+        return [
+            n for n in names if n > last and (upto is None or n <= upto)
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def read(self, start: dict):
+        names = self._files_after(start["last"])
+        if not names:
+            return iter([]), start
+        rows = [
+            row
+            for n in names
+            for row in _read_findings_file(os.path.join(self._dir, n))
+        ]
+        return iter(rows), {"last": names[-1]}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            row
+            for n in self._files_after(start["last"], end["last"])
+            for row in _read_findings_file(os.path.join(self._dir, n))
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # the filename mark is self-contained; nothing to clean up
+
+
 class OCSFFindingsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -113,6 +183,9 @@ class OCSFFindingsDataSource(DataSource):
 
     def reader(self, schema) -> OCSFFindingsReader:
         return OCSFFindingsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> OCSFFindingsStreamReader:
+        return OCSFFindingsStreamReader(self.options)
 
 
 def register_python_sources(spark) -> None:

@@ -60,3 +60,42 @@ def test_ocsf_findings_datasource(spark, tmp_path):
     # and the rows feed the normal landing contract
     good = df.filter(F.col("_error").isNull())
     assert good.count() == 5
+
+
+def test_streaming_reader_tails_directory(spark, tmp_path):
+    """The ocsf_findings source also streams: each micro-batch picks up
+    files named after the lexicographic high-water mark, exactly once."""
+    from boann_ocsf_security_data_platform_spark.sources.pyds import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "2024-01-01T00.ocsf.json").write_text('[{"a": 1}, {"a": 2}]')
+
+    stream = spark.readStream.format("ocsf_findings").load(str(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ocsf_tail")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM ocsf_tail").collect()[0][0] == 2
+        # a later-named file lands -> next batch ingests ONLY the new one
+        (src / "2024-01-01T01.ocsf.json").write_text('[{"a": 3}]')
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT source_file, finding_index, raw_json FROM ocsf_tail"
+        ).collect()
+        assert len(rows) == 3  # no re-reads of the first file
+        assert sorted(r.raw_json for r in rows) == [
+            '{"a": 1}', '{"a": 2}', '{"a": 3}'
+        ]
+    finally:
+        q.stop()

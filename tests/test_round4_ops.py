@@ -469,3 +469,85 @@ def test_embedding_dim_profile_known_stats(spark):
     assert out[1].mean == 2.0 and out[1].mn == 1.0 and out[1].mx == 3.0
     assert out[1].stddev == pytest.approx(2 ** 0.5, abs=1e-6)
     assert out[2].mean == 10.0 and out[2].stddev == 0.0
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training — brute-force reference equivalence
+# ---------------------------------------------------------------------------
+
+def _bpe_reference(word_freqs, n_merges, end_marker="</w>"):
+    """Plain-Python Sennrich-style BPE with the same tie-break (freq desc,
+    pair lexicographic asc) and the same greedy left-to-right merge."""
+    vocab = {tuple(list(w) + [end_marker]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_train_bpe_merges_matches_reference(spark):
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        train_bpe_merges,
+    )
+
+    word_freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    corpus = " ".join(w for w, f in word_freqs.items() for _ in range(f))
+    df = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+    got = train_bpe_merges(df, n_merges=6)
+    want = _bpe_reference(word_freqs, 6)
+    assert got == want
+    assert len(got) == 6  # the classic corpus supports >= 6 merges
+
+
+def test_bpe_segment_applies_merges(spark):
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        bpe_segment,
+        train_bpe_merges,
+    )
+
+    word_freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    corpus = " ".join(w for w, f in word_freqs.items() for _ in range(f))
+    df = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+    merges = train_bpe_merges(df, n_merges=4)
+    words = spark.createDataFrame([("newest",), ("lowest",)], ["w"])
+    segged = {
+        r.w: list(r.s)
+        for r in words.select("w", bpe_segment("w", merges).alias("s")).collect()
+    }
+    # apply the same merges by hand
+    def apply(word):
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    assert segged["newest"] == apply("newest")
+    assert segged["lowest"] == apply("lowest")
