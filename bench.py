@@ -64,6 +64,7 @@ HEADLINE = [
     "events_top_paths",
     "embedding_dim_profile",
     "recursive_nation_reachability",
+    "orders_in_flight_by_month",
 ]
 
 
@@ -106,6 +107,7 @@ def main() -> None:
         "events_time_weighted_avg", "events_ohlc_bars", "events_scd2",
         "events_top_paths", "embedding_dim_profile",
         "recursive_nation_reachability",
+        "orders_in_flight_by_month",
     )]
     print(
         json.dumps(
