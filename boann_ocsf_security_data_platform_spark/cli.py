@@ -259,6 +259,68 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_corpus_clean(args) -> int:
+    """Drivable LLM-corpus cleaning pipeline over a parquet documents
+    table: quality gate → exact dedup → (optional) MinHash-LSH near-dup
+    removal → decontamination against a benchmark file — the canonical
+    pretraining prep flow, end-to-end from one command. Each stage is the
+    library operator; the output is the surviving corpus plus a JSON
+    accounting line (rows in/out per stage) so a scheduler can alert on
+    anomalous shrinkage."""
+    from .operators.dedup import (
+        cache_scope,
+        cluster_pairs,
+        decontaminate,
+        exact_dedup,
+        minhash_near_dup_pairs,
+    )
+    from .operators.text import quality_filter
+
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    stats = {"input": docs.count()}
+
+    kept = quality_filter(
+        docs, text_col=args.text_col, min_tokens=args.min_tokens
+    ).select(*docs.columns)
+    stats["after_quality"] = kept.count()
+
+    survivors = exact_dedup(kept, text_col=args.text_col, id_col=args.id_col)
+    kept = kept.join(
+        survivors.select(F.col("keep_id").alias(args.id_col)), args.id_col, "left_semi"
+    )
+    stats["after_exact_dedup"] = kept.count()
+
+    if args.near_dup:
+        with cache_scope():
+            pairs = minhash_near_dup_pairs(
+                kept,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                jaccard_threshold=args.jaccard,
+            )
+            clusters = cluster_pairs(pairs)
+            losers = clusters.filter(
+                F.col("node") != F.col("cluster_id")
+            ).select(F.col("node").alias(args.id_col))
+            kept = kept.join(losers, args.id_col, "left_anti")
+            stats["after_near_dup"] = kept.count()
+
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        kept = decontaminate(
+            kept, bench, text_col=args.text_col, id_col=args.id_col
+        )
+        stats["after_decontaminate"] = kept.count()
+
+    kept.write.mode("overwrite").parquet(args.output)
+    stats["output"] = spark.read.parquet(args.output).count()
+    print(json.dumps(stats))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="boann-spark")
     p.add_argument("--master", default=None, help="Spark master (default local[*])")
@@ -325,6 +387,23 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--uid-pattern", default=None)
     a.add_argument("--show-violations", type=int, default=10)
     a.set_defaults(fn=cmd_audit)
+
+    cc = sub.add_parser(
+        "corpus-clean",
+        help="quality gate -> exact dedup -> near-dup -> decontaminate",
+    )
+    cc.add_argument("--input", required=True, help="documents parquet path")
+    cc.add_argument("--output", required=True)
+    cc.add_argument("--text-col", default="text")
+    cc.add_argument("--id-col", default="doc_id")
+    cc.add_argument("--min-tokens", type=int, default=10)
+    cc.add_argument("--near-dup", action="store_true")
+    cc.add_argument("--jaccard", type=float, default=0.8)
+    cc.add_argument(
+        "--benchmark", default=None,
+        help="parquet of eval/benchmark docs to decontaminate against",
+    )
+    cc.set_defaults(fn=cmd_corpus_clean)
     return p
 
 

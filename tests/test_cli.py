@@ -47,6 +47,7 @@ def test_parser_wires_all_subcommands():
     )
     assert set(subs.choices) == {
         "convert", "ingest", "stage", "monitor", "compact", "audit",
+        "corpus-clean",
     }
 
 
@@ -221,3 +222,54 @@ def test_audit_verb_end_to_end(spark, tmp_path, capsys):
     assert rc == 1
     assert '"reconciliation_violations": 1' in out
     assert "missing from staging: u0" in out
+
+
+def test_cli_corpus_clean_end_to_end(spark, tmp_path):
+    """The corpus-clean verb drives the LLM prep flow: quality gate,
+    exact dedup, near-dup clustering, benchmark decontamination — with a
+    JSON accounting line of per-stage survivors."""
+    import json as _json
+
+    from boann_ocsf_security_data_platform_spark.cli import main
+
+    base = (
+        "spark filters joins aggregates windows shuffles partitions "
+        "caches broadcasts sorts"
+    )
+    rows = [
+        (1, base + " alpha beta gamma delta epsilon"),
+        (2, base + " alpha beta gamma delta epsilon"),          # exact dup of 1
+        (3, base + " alpha beta gamma delta epsilon extra"),    # near dup of 1
+        (4, "short junk"),                                      # fails gate
+        (5, "completely different corpus document with many plain words "
+            "that passes every quality check easily today"),
+    ]
+    bench_rows = [(100, base + " alpha beta gamma delta epsilon")]  # hits 1's grams
+    docs = tmp_path / "docs"
+    bench = tmp_path / "bench"
+    out = tmp_path / "cleaned"
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(str(docs))
+    spark.createDataFrame(bench_rows, ["doc_id", "text"]).write.parquet(str(bench))
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "corpus-clean",
+            "--input", str(docs),
+            "--output", str(out),
+            "--near-dup",
+            "--jaccard", "0.5",
+            "--benchmark", str(bench),
+        ])
+    assert rc == 0
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["input"] == 5
+    assert stats["after_quality"] == 4          # doc 4 dropped
+    assert stats["after_exact_dedup"] == 3      # doc 2 dropped (keep min id 1)
+    assert stats["after_near_dup"] == 2         # doc 3 clustered under 1
+    assert stats["after_decontaminate"] == 1    # doc 1 contaminated
+    survivors = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
+    assert survivors == {5}

@@ -141,3 +141,100 @@ def test_deterministic_shuffle_is_stable_permutation(spark, ids):
     got = [r.doc_id for r in deterministic_shuffle(df, seed="e1").collect()]
     want = sorted(ids, key=lambda i: hashlib.md5(f"e1{i}".encode()).hexdigest())
     assert got == want
+
+
+@SET
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=12,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_pagerank_matches_python_reference(spark, edges):
+    """PageRank over random small graphs is value-identical to a plain-
+    Python replica of the same fixed-round recurrence (damping, dangling
+    redistribution, per-round rounding) — the determinism contract the
+    DuckDB oracle relies on, here exercised beyond the fixture graph."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import pagerank
+
+    edges = [(a, b) for a, b in edges if a != b]
+    # python reference
+    w = {}
+    for a, b in edges:
+        w[(a, b)] = w.get((a, b), 0.0) + 1.0
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    outw = {}
+    for (a, _), wt in w.items():
+        outw[a] = outw.get(a, 0.0) + wt
+    d = 0.85
+    r = {v: round(1.0 / n, 8) for v in nodes}
+    for _ in range(3):
+        dang = sum(r[v] for v in nodes if v not in outw)
+        contrib = {}
+        for (a, b), wt in w.items():
+            contrib[b] = contrib.get(b, 0.0) + r[a] * wt / outw[a]
+        r = {
+            v: round((1 - d) / n + d * (contrib.get(v, 0.0) + dang / n), 8)
+            for v in nodes
+        }
+    df = spark.createDataFrame(
+        [(a, b, wt) for (a, b), wt in w.items()], ["src", "dst", "w"]
+    )
+    got = {
+        row.node: row.pagerank
+        for row in pagerank(df, weight_col="w").collect()
+    }
+    assert set(got) == set(r)
+    for v in nodes:
+        assert got[v] == pytest.approx(r[v], abs=1e-7)
+
+
+@SET
+@given(texts=TEXTS)
+def test_segment_dedup_matches_python_reference(spark, texts):
+    """segment_dedup over arbitrary text equals the obvious Python loop:
+    global first-occurrence survival in (doc_id, seg_idx) order and ordered
+    reassembly."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        segment_dedup,
+    )
+
+    sw = 3
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.text_deduped, r.n_seg_kept, r.n_seg_total)
+        for r in segment_dedup(df, seg_words=sw).collect()
+    }
+    import re
+
+    ws = r"[ \t\n\x0b\f\r]"
+
+    def norm_words(s):
+        collapsed = re.sub(ws + "+", " ", s.lower())
+        stripped = re.sub(f"^{ws}+|{ws}+$", "", collapsed)
+        return [t for t in stripped.split(" ") if t]
+
+    seen = {}
+    segs_by_doc = {}
+    for did, text in docs:
+        words = norm_words(text)
+        segs = [
+            (i // sw + 1, " ".join(words[i : i + sw]))
+            for i in range(0, len(words), sw)
+        ]
+        segs_by_doc[did] = segs
+        for idx, seg in segs:
+            if seg not in seen:
+                seen[seg] = (did, idx)
+    for did, text in docs:
+        words = norm_words(text)
+        kept = [
+            seg
+            for idx, seg in segs_by_doc[did]
+            if seen[seg] == (did, idx)
+        ]
+        n_total = -(-len(words) // sw)
+        assert got[did] == (" ".join(kept), len(kept), n_total)
