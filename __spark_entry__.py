@@ -4701,6 +4701,88 @@ def orders_in_flight_by_month(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_percentile_disc_cont",
+    """
+    SELECT l_returnflag,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_cont,
+           round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_disc,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_cont,
+           round(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_disc_cont(spark, sf_dir):
+    """Interpolating vs discrete percentiles side by side
+    (percentile_cont / percentile_disc WITHIN GROUP) — the ordered-set
+    aggregate family, whose cont/disc distinction silently changes
+    reported SLO/pricing numbers. One sort-based ordered-set aggregate
+    per group, still partial+final."""
+    l = _t(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_cont,
+               round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_disc,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_cont,
+               round(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_disc
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@_q(
+    "events_mad_anomalies",
+    """
+    WITH med AS (SELECT event_type, median(value) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, e.value, med.med,
+                   abs(e.value - med.med) AS adev
+            FROM events e JOIN med ON e.event_type = med.event_type),
+    mad AS (SELECT event_type, median(adev) AS mad FROM dev
+            GROUP BY event_type)
+    SELECT d.event_type,
+           round(max(d.med), 4) AS med,
+           round(max(mad.mad), 4) AS mad,
+           CAST(count(*) FILTER (
+             WHERE abs(d.value - d.med) > 3 * 1.4826 * mad.mad
+           ) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type
+    """,
+)
+def events_mad_anomalies(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation: flag values
+    outside median ± 3·1.4826·MAD per event type — the z-score detector's
+    robust sibling (immune to the outliers it hunts). Two median
+    aggregates with a broadcast-able per-type model table joined back;
+    the output is the per-type summary, so the final aggregate is
+    map-side combinable."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.expr("median(value)").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("median(adev)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

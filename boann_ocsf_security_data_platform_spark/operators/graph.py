@@ -40,9 +40,10 @@ def pagerank(
     rank table keyed by source (both partitioned by node id — at 1000
     executors this is a co-partitionable hash join; pre-bucket the edge
     list by ``src`` and the rank side is the only shuffle) and one
-    aggregate keyed by destination. N and D are single-row aggregates
-    (bounded driver scalars, not data). Returns ``(node, pagerank)`` for
-    every node in the graph.
+    aggregate keyed by destination. N is a bounded driver scalar (graph
+    order); the dangling mass D is a broadcast one-row frame, so each
+    iteration is exactly one materializing job. Returns
+    ``(node, pagerank)`` for every node in the graph.
     """
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -69,11 +70,13 @@ def pagerank(
     ).localCheckpoint(eager=True)
     teleport = (1.0 - damping) / n
     for _ in range(iters):
+        # the dangling mass rides a broadcast ONE-ROW frame instead of a
+        # driver collect, so each iteration is a single job (the
+        # checkpoint materialization) rather than collect + recompute
         dangling = (
             ranks.join(outw, ranks.node == outw.src, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
-            .collect()[0][0]
-        )  # single-row aggregate: the dangling mass scalar
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dang"))
+        )
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .join(outw, "src")
@@ -82,12 +85,13 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .join(F.broadcast(dangling))
             .select(
                 "node",
                 F.round(
                     F.lit(teleport)
                     + F.lit(damping)
-                    * (F.coalesce("c", F.lit(0.0)) + F.lit(dangling / n)),
+                    * (F.coalesce("c", F.lit(0.0)) + F.col("_dang") / F.lit(float(n))),
                     decimals,
                 ).alias("r"),
             )
