@@ -4783,6 +4783,467 @@ def events_mad_anomalies(spark, sf_dir):
     )
 
 
+@_q(
+    "text_heavy_hitter_tokens",
+    f"""
+    WITH toks AS (SELECT unnest({_WORDS}) AS token FROM documents),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM toks GROUP BY token
+    HAVING count(*) > (SELECT CAST(floor(n * 0.0335) AS BIGINT) FROM tot)
+    """,
+)
+def text_heavy_hitter_tokens(spark, sf_dir):
+    """EXACT heavy hitters (tokens with >3.35% corpus share) WITHOUT
+    shuffling the vocabulary: per-partition Misra-Gries candidate
+    summaries (provable superset for freq > N/(cap+1)) + broadcast exact
+    recount — the oracle is the plain GROUP BY/HAVING the operator
+    provably equals. See operators/text.py:heavy_hitter_tokens for the
+    100 TB argument (candidate kilobytes per partition vs |vocab|
+    partial counts)."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        heavy_hitter_tokens,
+    )
+
+    return heavy_hitter_tokens(
+        _t(spark, sf_dir, "documents"), min_count_frac=0.0335
+    )
+
+
+def _duck_spans(n: int = 8) -> str:
+    gram = f"array_to_string(ws[i:i + {n - 1}], ' ')"
+    return (
+        f"CASE WHEN len(ws) >= {n} THEN "
+        f"list_transform(range(1, len(ws) - {n - 2}), i -> {gram}) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+@_q(
+    "dedup_duplicate_spans",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    g AS (SELECT doc_id, unnest({_duck_spans(8)}) AS span FROM words),
+    dup AS (SELECT span FROM g GROUP BY span
+            HAVING count(DISTINCT doc_id) > 1),
+    tot AS (SELECT doc_id, count(*) AS n_spans FROM g GROUP BY doc_id),
+    d AS (SELECT doc_id, count(*) AS n_dup_spans
+          FROM g JOIN dup USING (span) GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_spans AS BIGINT) AS n_spans,
+           CAST(coalesce(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           round(coalesce(d.n_dup_spans, 0)::DOUBLE / t.n_spans, 4)
+             AS dup_frac
+    FROM tot t LEFT JOIN d USING (doc_id)
+    """,
+)
+def dedup_duplicate_spans(spark, sf_dir):
+    """Substring-level duplication profile (Lee et al. 2022) at 8-word
+    span granularity: per doc, the fraction of span positions whose
+    content occurs in another document — the signal substring dedup
+    thresholds to drop boilerplate-heavy docs. One span-keyed shuffle
+    (what a distributed suffix array would shuffle anyway) + one
+    semi-join; production hashes spans to 8-byte keys
+    (operators/text.py:duplicate_span_stats)."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        release_caches,
+    )
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        duplicate_span_stats,
+    )
+
+    res = duplicate_span_stats(_t(spark, sf_dir, "documents"), n=8)
+    out = res.localCheckpoint(eager=True)  # materialize; the span cache can go
+    release_caches(res)
+    return out
+
+
+@_q(
+    "graph_triangle_count",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem WHERE year(l_shipdate) = 1995),
+    e AS (SELECT a.pk AS u, b.pk AS v FROM li a
+          JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY a.pk, b.pk)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT u AS x FROM e UNION SELECT v FROM e)) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM e e1
+              JOIN e e2 ON e1.v = e2.u
+              JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Exact triangle count of the 1995 part-co-order graph (parts
+    ordered together in one order share an edge) — triangle density is
+    the classic cohesion/community statistic. The engine enumerates
+    wedges degree-ordered (O(m^1.5) bound, skew-proof); the oracle is
+    the naive (a<b<c) 3-way self-join the optimization provably equals.
+    operators/graph.py:triangle_count."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+@_q(
+    "join_bloom_filtered",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def join_bloom_filtered(spark, sf_dir):
+    """Semi join behind an explicit broadcast-Bloom pre-filter: non-
+    matching fact rows die at the scan (map-side membership probes)
+    instead of riding the shuffle; the exact left_semi on survivors
+    makes the result bit-identical to the plain semi join the oracle
+    runs. The hand-rolled form of Spark's runtime bloom-filter join
+    injection. operators/relational.py:bloom_semi_join."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        bloom_semi_join,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return bloom_semi_join(o, dim, "o_custkey")
+
+
+@_q(
+    "range_join_overlapping_orders",
+    """
+    SELECT a.o_custkey, a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+           CAST(date_diff('day', CAST(a.o_orderdate AS DATE),
+                          CAST(b.o_orderdate AS DATE)) AS BIGINT)
+             AS gap_days
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND CAST(b.o_orderdate AS DATE) >= CAST(a.o_orderdate AS DATE)
+     AND CAST(b.o_orderdate AS DATE)
+           <= CAST(a.o_orderdate AS DATE) + INTERVAL 30 DAY
+    """,
+)
+def range_join_overlapping_orders(spark, sf_dir):
+    """Interval-overlap self join: per customer, order pairs placed
+    within 30 days of each other (the 'concurrent activity' shape —
+    session stitching, double-billing detection). Equi-join on the
+    partition key carries the shuffle; the band predicate is a cheap
+    residual filter — never a cartesian. For band joins WITHOUT an
+    equi-key, operators/relational.py:range_join_binned buckets time."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(b, "o_custkey")
+        .where(
+            (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("b.od") >= F.col("a.od"))
+            & (F.col("b.od") <= F.date_add(F.col("a.od"), 30))
+        )
+        .select(
+            "o_custkey",
+            F.col("a.o_orderkey").alias("okey_a"),
+            F.col("b.o_orderkey").alias("okey_b"),
+            F.datediff(F.col("b.od"), F.col("a.od")).cast("long").alias(
+                "gap_days"
+            ),
+        )
+    )
+
+
+@_q(
+    "events_window_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+            AND e.ts <= v.t1 + INTERVAL 1 HOUR
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            AND e.ts <= c.t1 + INTERVAL 1 HOUR
+          GROUP BY e.user_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased
+    """,
+)
+def events_window_funnel(spark, sf_dir):
+    """Time-constrained funnel (the windowFunnel shape): users whose
+    first view is followed by a click and then a purchase, all inside
+    one hour of the first view, with strictly increasing timestamps.
+    Three chained min-aggregates equi-joined on user_id — each stage is
+    partial+final combinable, every join is on the same partition key
+    (one co-partitioned lineage, no re-shuffle under AQE), and interval
+    arithmetic keeps it timestamp-flavor (TZ/NTZ) robust."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+
+
+@_q(
+    "events_attribution_last_touch",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior
+      FROM events)
+    SELECT coalesce(prior, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS total_value
+    FROM seq WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding non-purchase event type ('direct' when none). One
+    window pass per user (last IGNORE NULLS over the preceding frame,
+    tie-broken by event_id so both engines order identically), then a
+    tiny channel rollup — no self-join, no as-of join needed when the
+    probe and the touches live in the same stream."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        e.withColumn(
+            "prior",
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("prior", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "agg_welch_ttest",
+    """
+    WITH s AS (SELECT event_type, count(*) AS n, avg(value) AS m,
+                      var_samp(value) AS v
+               FROM events WHERE event_type IN ('purchase', 'error')
+               GROUP BY event_type),
+    a AS (SELECT * FROM s WHERE event_type = 'purchase'),
+    b AS (SELECT * FROM s WHERE event_type = 'error')
+    SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.m, 4) AS mean_a, round(b.m, 4) AS mean_b,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+           round(pow(a.v / a.n + b.v / b.n, 2)
+                 / (pow(a.v / a.n, 2) / (a.n - 1)
+                    + pow(b.v / b.n, 2) / (b.n - 1)), 2) AS df_welch
+    FROM a, b
+    """,
+)
+def agg_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t statistic (with Welch-Satterthwaite
+    degrees of freedom) comparing purchase vs error event values — the
+    A/B-test primitive. Two partial+final aggregates produce one row per
+    arm; the test statistic is driver-free scalar algebra on a
+    broadcast-trivial 2-row frame."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type").isin("purchase", "error"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = s.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = s.where(F.col("event_type") == "error").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
+    )
+    se_a = F.col("v_a") / F.col("n_a")
+    se_b = F.col("v_b") / F.col("n_b")
+    return a.crossJoin(b).select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se_a + se_b), 4).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se_a + se_b, 2)
+            / (
+                F.pow(se_a, 2) / (F.col("n_a") - 1)
+                + F.pow(se_b, 2) / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+@_q(
+    "corpus_source_entropy",
+    """
+    WITH c AS (SELECT lang, source, count(*) AS n FROM documents
+               GROUP BY lang, source),
+    t AS (SELECT lang, sum(n) AS tot, count(*) AS k FROM c GROUP BY lang)
+    SELECT c.lang, CAST(t.tot AS BIGINT) AS n_docs,
+           CAST(t.k AS BIGINT) AS n_sources,
+           round(-sum((c.n / t.tot) * log2(c.n / t.tot)), 4)
+             AS entropy_bits,
+           round(log2(t.k) + sum((c.n / t.tot) * log2(c.n / t.tot)), 4)
+             AS kl_uniform_bits
+    FROM c JOIN t USING (lang) GROUP BY c.lang, t.tot, t.k
+    """,
+)
+def corpus_source_entropy(spark, sf_dir):
+    """Per-language source-mix diagnostics: Shannon entropy of the
+    source distribution and its KL divergence from uniform — the
+    mixture-health metric a pretraining curator watches when one crawl
+    starts dominating a language. Two stacked aggregates over bounded
+    (lang, source) keys; everything after the first count is
+    kilobyte-scale."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("lang").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(t, "lang")
+        .groupBy("lang", "tot", "k")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+            F.round(F.log2("k") + F.sum(p * F.log2(p)), 4).alias(
+                "kl_uniform_bits"
+            ),
+        )
+        .select(
+            "lang",
+            F.col("tot").alias("n_docs"),
+            F.col("k").alias("n_sources"),
+            "entropy_bits",
+            "kl_uniform_bits",
+        )
+    )
+
+
+@_q(
+    "agg_trimmed_winsorized",
+    """
+    WITH th AS (SELECT l_returnflag,
+                  percentile_cont(0.1) WITHIN GROUP
+                    (ORDER BY l_extendedprice) AS lo,
+                  percentile_cont(0.9) WITHIN GROUP
+                    (ORDER BY l_extendedprice) AS hi
+                FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           round(avg(l.l_extendedprice), 2) AS mean_raw,
+           round(avg(l.l_extendedprice) FILTER (
+             WHERE l.l_extendedprice BETWEEN th.lo AND th.hi), 2)
+             AS mean_trimmed,
+           round(avg(least(greatest(l.l_extendedprice, th.lo), th.hi)), 2)
+             AS mean_winsorized
+    FROM lineitem l JOIN th ON l.l_returnflag = th.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_trimmed_winsorized(spark, sf_dir):
+    """Robust means: 10%-trimmed (drop the tails) and winsorized (clamp
+    to the p10/p90 fence) per return flag — outlier-resistant central
+    tendency for noisy value columns. One ordered-set aggregate builds
+    the per-group fences (3 rows, broadcast back), then a single
+    partial+final pass computes all three means."""
+    l = _t(spark, sf_dir, "lineitem")
+    th = l.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_cont(0.1) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("lo"),
+        F.expr(
+            "percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    return (
+        l.join(F.broadcast(th), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg(x), 2).alias("mean_raw"),
+            F.round(
+                F.avg(F.when((x >= F.col("lo")) & (x <= F.col("hi")), x)), 2
+            ).alias("mean_trimmed"),
+            F.round(
+                F.avg(F.least(F.greatest(x, F.col("lo")), F.col("hi"))), 2
+            ).alias("mean_winsorized"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -65,7 +65,17 @@ HEADLINE = [
     "embedding_dim_profile",
     "recursive_nation_reachability",
     "orders_in_flight_by_month",
+    # round-4 sixth wave (excluded from core15 as well)
+    "text_heavy_hitter_tokens",
+    "dedup_duplicate_spans",
+    "graph_triangle_count",
+    "join_bloom_filtered",
+    "events_window_funnel",
 ]
+
+# the r1/r2 comparable subset is exactly the first 15 headline entries;
+# every later wave is additive and excluded from the round-over-round total
+CORE15 = HEADLINE[:15]
 
 
 def main() -> None:
@@ -96,19 +106,7 @@ def main() -> None:
         timings[name] = min(runs)
         spreads[name] = runs
 
-    core15 = [q for q in HEADLINE if q not in (
-        "text_tfidf_top_terms", "text_strip_boilerplate", "corpus_mixture_sample",
-        "corpus_train_val_test_split", "corpus_weighted_sample",
-        "events_transition_counts",
-        "join_lateral_topk", "embedding_kmeans_refine", "text_bigram_lm_score",
-        "dedup_containment_pairs", "corpus_dsir_weights",
-        "text_segment_dedup", "dedup_cross_corpus", "graph_pagerank",
-        "embedding_pq_encode",
-        "events_time_weighted_avg", "events_ohlc_bars", "events_scd2",
-        "events_top_paths", "embedding_dim_profile",
-        "recursive_nation_reachability",
-        "orders_in_flight_by_month",
-    )]
+    core15 = CORE15
     print(
         json.dumps(
             {

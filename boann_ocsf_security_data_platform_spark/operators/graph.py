@@ -100,3 +100,83 @@ def pagerank(
     for c in (e, nodes, outw):
         c.unpersist()
     return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Exact triangle count of an undirected graph via degree-ordered
+    wedge enumeration (the MapReduce formulation of Cohen'09 / node-
+    iterator++): orient every edge from its lower-(degree, id) endpoint to
+    the higher one, enumerate wedges only at each edge's SOURCE (so a hub
+    of degree d generates O(d_out²) wedges with d_out = O(√m) instead of
+    O(d²) — the skew killer for power-law graphs), then close each wedge
+    with one equi-join back to the oriented edge list.
+
+    Input edges may list either endpoint first and may contain duplicates;
+    they are canonicalized and deduplicated. Self-loops are dropped.
+    Returns a single row ``(n_nodes, n_edges, n_triangles)``.
+
+    Scale: two shuffles (degree aggregate, wedge↔edge equi-join on the
+    wedge endpoints) plus one broadcast of the bounded degree table per
+    edge partition is avoided by joining degrees by key — at 1000
+    executors both joins hash-partition on node/endpoint-pair keys, and
+    the wedge fan-out bound keeps the intermediate ≤ O(m^1.5) regardless
+    of degree skew. A plain (a<b<c) 3-way self-join — the oracle
+    formulation — is quadratic in the hottest vertex's degree instead.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ranked = (
+        canon.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            "u",
+            "v",
+            F.struct(
+                F.col("du.deg").alias("d"), F.col("u").alias("x")
+            ).alias("ru"),
+            F.struct(
+                F.col("dv.deg").alias("d"), F.col("v").alias("x")
+            ).alias("rv"),
+        )
+    )
+    # orient low-rank -> high-rank; keep the rank of the head so wedge
+    # legs can be ordered without re-joining degrees
+    oriented = ranked.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(F.col("ru") < F.col("rv"), F.col("rv")).otherwise(F.col("ru")).alias("rb"),
+    ).persist()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.a") == F.col("e2.a")).where(
+        F.col("e1.rb") < F.col("e2.rb")
+    )
+    # the closing edge {b1,b2} is oriented b1->b2 because rank(b1)<rank(b2)
+    closing = oriented.select(
+        F.col("a").alias("cb1"), F.col("b").alias("cb2")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("e1.b") == F.col("cb1")) & (F.col("e2.b") == F.col("cb2")),
+    ).count()
+    n_nodes = deg.count()
+    n_edges = canon.count()
+    result = canon.sparkSession.createDataFrame(
+        [(n_nodes, n_edges, tri)], "n_nodes long, n_edges long, n_triangles long"
+    )
+    canon.unpersist()
+    oriented.unpersist()
+    return result

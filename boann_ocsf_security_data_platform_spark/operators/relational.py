@@ -11,7 +11,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -813,3 +813,56 @@ def quantile_bins(
         )
         .drop("_th")
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Semi join with an explicit broadcast-Bloom pre-filter: hash the
+    small side's keys into an m-bit filter (represented as the sorted set
+    of set bit positions riding a ONE-ROW frame), broadcast it, drop big-
+    side rows failing any of the ``n_hashes`` membership probes map-side,
+    then run the exact ``left_semi`` join on the survivors so false
+    positives never reach the output — the result is bit-identical to a
+    plain semi join (the DuckDB oracle).
+
+    Scale: the point of the pattern is WHERE rows die. A plain semi join
+    shuffles every big-side row to its key's reducer; here ~(1-ε) of
+    non-matching rows die at the scan (ε = the Bloom false-positive rate,
+    (1-e^{-kn/m})^k), so the shuffle carries only matches + εN. This is
+    the hand-rolled form of Spark's own runtime bloom-filter join
+    injection (spark.sql.optimizer.runtime.bloomFilter.*, whose
+    bloom_filter_agg/might_contain expressions are not exposed to the
+    public function registry) — kept explicit so the plan is pinnable and
+    the filter reusable across queries. The position-set representation
+    stays cheap while |small|·n_hashes ≪ m; a production build swaps in a
+    packed bitmap once the dim grows past ~10⁵ keys.
+    """
+
+    def probes(col: Column) -> Column:
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+                for i in range(n_hashes)
+            ]
+        )
+
+    bloom = (
+        small.select(F.explode(probes(F.col(key))).alias("_pos"))
+        .agg(F.array_sort(F.collect_set("_pos")).alias("_bloom"))
+    )
+    pruned = (
+        big.join(F.broadcast(bloom))
+        .where(
+            F.forall(
+                probes(F.col(key)),
+                lambda p: F.array_contains(F.col("_bloom"), p),
+            )
+        )
+        .drop("_bloom")
+    )
+    return pruned.join(small.select(key).distinct(), key, "left_semi")

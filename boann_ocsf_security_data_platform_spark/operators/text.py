@@ -968,3 +968,111 @@ def bpe_segment(col: Column | str, merges: list[tuple[str, str]], end_marker: st
             syms, F.array().cast("array<string>"), _merge_step(a, b)
         )
     return syms
+
+
+def heavy_hitter_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count_frac: float = 0.0005,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters over the corpus token stream without shuffling
+    the full vocabulary: per-partition Misra–Gries summaries (merged with
+    the Agarwal et al. 2012 mergeable-summaries rule: add counters, then
+    subtract the (capacity+1)-th largest and drop non-positives) produce a
+    small candidate set that PROVABLY contains every token with global
+    frequency > N/(capacity+1); a broadcast semi-join then recounts only
+    the candidates exactly. With ``capacity >= 1/min_count_frac`` the
+    output — tokens with freq > N·min_count_frac and their EXACT counts —
+    is identical to a full ``GROUP BY token HAVING``, which is the DuckDB
+    oracle.
+
+    Scale: the full-vocabulary plan shuffles |vocab| partial counts per
+    partition (billions of distinct tokens at 100 TB); this plan ships
+    ≤ capacity candidate strings per partition (kilobytes), broadcasts
+    their union, and the exact recount aggregates only matching tokens —
+    map-side combine keeps the final shuffle ≤ |candidates| rows per
+    partition. The MG pass is one Arrow-batched ``mapInPandas`` over the
+    exploded token stream (vectorized value_counts per batch; the
+    per-unique-token merge touches ≤ capacity + batch-distinct keys).
+    """
+    cap = capacity or int(round(1.0 / min_count_frac))
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+
+    def mg_candidates(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > cap:
+                cut = sorted(counters.values(), reverse=True)[cap]
+                counters = {t: c - cut for t, c in counters.items() if c > cut}
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    cand = toks.mapInPandas(mg_candidates, "token string").distinct()
+    total = toks.count()  # one-row scalar: corpus token count
+    threshold = int(total * min_count_frac)
+    return (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") > F.lit(threshold))
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Substring-level duplication profile à la Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    approximated at word n-gram granularity: a span (n consecutive words)
+    is *duplicated* when the identical span occurs in more than one
+    distinct document. Returns per-document
+    ``(id, n_spans, n_dup_spans, dup_frac)`` — the fraction of a doc's
+    span positions whose content also appears elsewhere, the signal the
+    paper thresholds to drop boilerplate-heavy documents. Documents
+    shorter than ``n`` words have no spans and are excluded.
+
+    Scale: one shuffle keyed on the span (the same key distribution a
+    distributed suffix-array build would shuffle on — inherent to
+    substring dedup), one count-distinct-doc aggregate, and a semi-join of
+    the span stream against the duplicated-span set. At 100 TB the span
+    key should be ``xxhash64(span)`` (8-byte shuffle keys, collision odds
+    ≤ pairs/2⁶⁴); string keys are kept here so the DuckDB oracle can
+    replay the operator verbatim.
+    """
+    grams = _with_word_ngrams(df.select(id_col, text_col), text_col, n, "_grams")
+    g = grams.select(id_col, F.explode("_grams").alias("span")).persist()
+    dup = (
+        g.groupBy("span")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .where(F.col("ndocs") > 1)
+        .select("span")
+    )
+    totals = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    dups = (
+        g.join(dup, "span")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    from .dedup import _register_caches
+
+    out = (
+        totals.join(dups, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 4
+            ).alias("dup_frac"),
+        )
+    )
+    # the span stream feeds three consumers; release via
+    # dedup.release_caches(out) / cache_scope once the result is consumed
+    return _register_caches(out, [g])

@@ -86,6 +86,17 @@ def test_gate_window_covers_every_family():
     next_window_pending = {
         "agg_percentile_disc_cont",
         "events_mad_anomalies",
+        # wave 6 (added after this round's 50 first-timer slots filled)
+        "text_heavy_hitter_tokens",
+        "dedup_duplicate_spans",
+        "graph_triangle_count",
+        "join_bloom_filtered",
+        "range_join_overlapping_orders",
+        "events_window_funnel",
+        "events_attribution_last_touch",
+        "agg_welch_ttest",
+        "corpus_source_entropy",
+        "agg_trimmed_winsorized",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

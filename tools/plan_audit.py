@@ -341,6 +341,57 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         "TakeOrderedAndProject" in ppaths,
         "TakeOrderedAndProject in plan",
     )
+
+    # wave 6: the Bloom pre-filter must evaluate on the big side BELOW the
+    # exact semi join's exchange (rows die at the scan), with the bitset
+    # arriving by broadcast; the exact join stays a real (Broadcast)HashJoin
+    pbl = plan_of(qs["join_bloom_filtered"](spark, sf_dir))
+    check(
+        "bloom pre-filter kills rows below the semi join",
+        "forall" in pbl
+        and re.search(r"(?:BroadcastHash|SortMerge)Join .*LeftSemi", pbl)
+        is not None,
+        "forall membership probe + LeftSemi above it",
+    )
+    # heavy hitters: the exact recount joins candidates by BROADCAST (the
+    # vocabulary never shuffles for the candidate filter) and the final
+    # count is partial+final
+    phh = plan_of(qs["text_heavy_hitter_tokens"](spark, sf_dir))
+    check(
+        "heavy-hitter recount joins candidates by broadcast",
+        "BroadcastHashJoin" in phh and phh.count("HashAggregate") >= 2,
+        "broadcast candidate join + partial+final recount",
+    )
+    # triangle count builds on equi-joins only — a CartesianProduct in the
+    # wedge or closing stage would be the all-pairs failure mode (the
+    # operator runs its counts eagerly, so audit the wedge lineage on the
+    # same edge shape it builds internally)
+    ed = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    pw = plan_of(
+        ed.alias("e1").join(ed.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+    )
+    check(
+        "triangle wedge stage is an equi-join",
+        "CartesianProduct" not in pw and "BroadcastNestedLoopJoin" not in pw,
+        "hash-partitioned wedge join",
+    )
+    # funnel: every stage joins on user_id — the only nested-loop joins
+    # allowed are the final one-row-frame crossJoins of the counts
+    pfun = plan_of(qs["events_window_funnel"](spark, sf_dir))
+    check(
+        "window funnel stages are hash joins on user_id",
+        "CartesianProduct" not in pfun
+        and len(re.findall(r"\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join", pfun)) >= 2,
+        "no cartesian; user_id stage joins are hash joins",
+    )
+    check(
+        "trimmed/winsorized fences broadcast back",
+        "BroadcastHashJoin"
+        in plan_of(qs["agg_trimmed_winsorized"](spark, sf_dir)),
+        "3-row fence table joined by broadcast",
+    )
     return results
 
 
