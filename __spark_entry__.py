@@ -5244,6 +5244,230 @@ def agg_trimmed_winsorized(spark, sf_dir):
     )
 
 
+_CAP_HASH = _H64.format(expr="concat('cap:', CAST(doc_id AS VARCHAR))")
+
+
+@_q(
+    "corpus_curation_funnel",
+    f"""
+    WITH base AS (SELECT doc_id, source, len({_WORDS}) AS nt FROM documents),
+    s1 AS (SELECT min(doc_id) AS doc_id
+           FROM (SELECT md5({_NORM}) AS h, doc_id FROM documents)
+           GROUP BY h),
+    q AS ({_TQ_ORACLE}),
+    d1 AS (SELECT b.* FROM base b JOIN s1 USING (doc_id)),
+    d2 AS (SELECT d1.*, q.quality_score FROM d1 JOIN q USING (doc_id)
+           WHERE q.quality_score >= 0.75 AND q.n_tokens >= 10),
+    d3 AS (SELECT * FROM (
+             SELECT d2.*, row_number() OVER (
+               PARTITION BY source ORDER BY {_CAP_HASH}, doc_id) AS rn
+             FROM d2) WHERE rn <= 15),
+    d4 AS (SELECT * FROM (
+             SELECT d3.*, coalesce(sum(nt) OVER (
+               PARTITION BY source
+               ORDER BY quality_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+             FROM d3) WHERE tb < 600)
+    SELECT 's0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens FROM base
+    UNION ALL SELECT 's1_exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(nt) AS BIGINT) FROM d1
+    UNION ALL SELECT 's2_quality', CAST(count(*) AS BIGINT),
+           CAST(sum(nt) AS BIGINT) FROM d2
+    UNION ALL SELECT 's3_domain_cap', CAST(count(*) AS BIGINT),
+           CAST(sum(nt) AS BIGINT) FROM d3
+    UNION ALL SELECT 's4_token_budget', CAST(count(*) AS BIGINT),
+           CAST(sum(nt) AS BIGINT) FROM d4
+    """,
+)
+def corpus_curation_funnel(spark, sf_dir):
+    """The end-to-end curation pipeline as ONE composed query — raw →
+    exact dedup → quality gate → per-source cap → per-source token budget
+    — reporting surviving docs and tokens after each stage (the funnel a
+    pretraining data team reviews before a run). Every stage is the
+    actual library operator (exact_dedup, text_quality, domain_cap,
+    token_budget_select) chained on DataFrames; the oracle replays the
+    same five stages in SQL. Scale: dedup is one hash-aggregate, the gate
+    is a projection, cap and budget are WindowGroupLimit / prefix-sum
+    windows keyed on source — the funnel adds NO shuffle beyond its
+    stages, and the stage counts are one-row aggregates."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import exact_dedup
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        domain_cap,
+        text_quality,
+        token_budget_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = text_quality(docs).select(
+        "doc_id", "source", "n_tokens", "quality_score"
+    )
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    d1 = base.join(keep, "doc_id")
+    d2 = d1.where(
+        (F.col("quality_score") >= 0.75) & (F.col("n_tokens") >= 10)
+    )
+    d3 = domain_cap(d2, max_per_domain=15)
+    d4 = token_budget_select(
+        d3.withColumn("q6", F.round("quality_score", 6)),
+        budget=600,
+        score_col="q6",
+    )
+
+    def stage(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("n_tokens"),
+        )
+
+    return (
+        stage("s0_raw", base)
+        .unionAll(stage("s1_exact_dedup", d1))
+        .unionAll(stage("s2_quality", d2))
+        .unionAll(stage("s3_domain_cap", d3))
+        .unionAll(stage("s4_token_budget", d4))
+    )
+
+
+@_q(
+    "agg_incremental_rollup_merge",
+    """
+    SELECT date_trunc('month', o_orderdate) AS mon,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total,
+           round(min(o_totalprice), 2) AS min_total,
+           round(max(o_totalprice), 2) AS max_total
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_incremental_rollup_merge(spark, sf_dir):
+    """Incremental view maintenance: roll up the 'history' partition
+    (4/5 of orders) and the 'delta' (1/5) separately, then MERGE the
+    partial aggregates (sums/counts add, min/max take extremes) — the
+    oracle is the from-scratch rollup over everything, which the merge
+    must reproduce. At 100 TB this is the difference between re-scanning
+    history daily and joining two model-sized rollup tables.
+    operators/relational.py:merge_partial_aggs (also the foreachBatch
+    body for a continuously-maintained streaming rollup)."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        merge_partial_aggs,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "mon", F.date_trunc("month", F.col("o_orderdate"))
+    )
+
+    def roll(df):
+        return df.groupBy("mon").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("sum_total"),
+            F.min("o_totalprice").alias("min_total"),
+            F.max("o_totalprice").alias("max_total"),
+        )
+
+    merged = merge_partial_aggs(
+        roll(o.where(F.col("o_orderkey") % 5 != 0)),
+        roll(o.where(F.col("o_orderkey") % 5 == 0)),
+        ["mon"],
+        sum_cols=("n_orders", "sum_total"),
+        min_cols=("min_total",),
+        max_cols=("max_total",),
+    )
+    return merged.select(
+        "mon",
+        "n_orders",
+        F.round("sum_total", 2).alias("sum_total"),
+        F.round("min_total", 2).alias("min_total"),
+        F.round("max_total", 2).alias("max_total"),
+    )
+
+
+@_q(
+    "window_distribution_ranks",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_ranks(spark, sf_dir):
+    """The distribution-rank window family (ntile / percent_rank /
+    cume_dist) per priority class — quartile assignment and empirical
+    CDF position, tie-broken by orderkey so both engines rank
+    identically. One window sort per partition key; Spark evaluates all
+    three functions in a single Window operator over one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@_q(
+    "events_seasonal_baseline",
+    """
+    WITH prof AS (SELECT event_type, hour(ts) AS hr, avg(value) AS mu,
+                         stddev_samp(value) AS sd
+                  FROM events GROUP BY event_type, hour(ts))
+    SELECT e.event_type, CAST(p.hr AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(p.mu), 3) AS mean_value,
+           round(max(p.sd), 3) AS sd_value,
+           CAST(count(*) FILTER (
+             WHERE abs(e.value - p.mu) > 2 * p.sd) AS BIGINT)
+             AS n_anomalies
+    FROM events e JOIN prof p
+      ON e.event_type = p.event_type AND hour(e.ts) = p.hr
+    GROUP BY e.event_type, p.hr
+    """,
+)
+def events_seasonal_baseline(spark, sf_dir):
+    """Seasonal (hour-of-day) baseline per event type with residual
+    anomaly counts: values outside mean ± 2σ OF THEIR HOUR flag as
+    anomalous — the decomposition-lite detector that doesn't false-alarm
+    on daily rhythm the way a global z-score does. The per-(type, hour)
+    profile is a bounded model table joined back by broadcast; hour
+    extraction is timestamp-flavor robust."""
+    e = _t(spark, sf_dir, "events")
+    prof = e.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        e.withColumn("hr", F.hour("ts"))
+        .join(F.broadcast(prof), ["event_type", "hr"])
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("mu"), 3).alias("mean_value"),
+            F.round(F.max("sd"), 3).alias("sd_value"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sd")).cast(
+                    "long"
+                )
+            ).alias("n_anomalies"),
+        )
+        .select(
+            "event_type",
+            F.col("hr").cast("long").alias("hr"),
+            "n_events",
+            "mean_value",
+            "sd_value",
+            "n_anomalies",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

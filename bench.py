@@ -71,6 +71,9 @@ HEADLINE = [
     "graph_triangle_count",
     "join_bloom_filtered",
     "events_window_funnel",
+    # round-4 seventh wave (excluded from core15 as well)
+    "corpus_curation_funnel",
+    "agg_incremental_rollup_merge",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

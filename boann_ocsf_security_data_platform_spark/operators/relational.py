@@ -866,3 +866,81 @@ def bloom_semi_join(
         .drop("_bloom")
     )
     return pruned.join(small.select(key).distinct(), key, "left_semi")
+
+
+def merge_partial_aggs(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    sum_cols: tuple[str, ...] = (),
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge two partial-aggregate tables (same keys, same measure
+    columns) into the aggregate of the union of their inputs — the
+    incremental-view-maintenance primitive: keep yesterday's rollup, roll
+    up only today's delta, merge, never re-scan history. Works for any
+    decomposable measure: sums and counts add (count IS a sum of 1s),
+    mins/maxes take least/greatest; avg = merged sum / merged count.
+
+    Keys present in only one side pass through (full-outer join);
+    ``F.least``/``F.greatest`` skip NULLs, so a key missing from one side
+    keeps the other side's extreme, and absent sums coalesce to 0.
+
+    Scale: the merge joins |distinct keys| rows — model-sized, not
+    data-sized. Re-aggregating 100 TB of history to absorb a 100 GB day
+    is the anti-pattern this replaces; the merge itself is one key-
+    partitioned join of two rollup tables (broadcast when the key space
+    is bounded). The same function is the ``foreachBatch`` body for a
+    streaming continuously-maintained rollup.
+    """
+    keys = list(keys)
+    vals = [*sum_cols, *min_cols, *max_cols]
+    b2 = b.select(*keys, *[F.col(c).alias(f"_r_{c}") for c in vals])
+    out = [*[F.col(k) for k in keys]]
+    for c in sum_cols:
+        out.append(
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"_r_{c}"), F.lit(0))
+            ).alias(c)
+        )
+    for c in min_cols:
+        out.append(F.least(F.col(c), F.col(f"_r_{c}")).alias(c))
+    for c in max_cols:
+        out.append(F.greatest(F.col(c), F.col(f"_r_{c}")).alias(c))
+    return a.join(b2, keys, "full_outer").select(*out)
+
+
+def count_min_sketch_agg(
+    df: DataFrame,
+    col: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """One-row frame holding a serialized Count-Min sketch of ``col`` —
+    the mergeable frequency sketch (kilobytes per partition, merged
+    associatively by the JVM aggregate) whose point estimates obey
+    ``true <= est <= true + eps*N`` with probability ``confidence``.
+    Deterministic for a fixed seed. Pairs with the HLL distinct sketches
+    (`distinct_sketches`) as the second classic mergeable summary: HLL
+    answers "how many distinct", CMS answers "how often does X occur"
+    without materializing a |vocab|-sized table.
+    """
+    return df.agg(
+        F.expr(
+            f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})"
+        ).alias("cms")
+    )
+
+
+def cms_estimate(spark, sketch_bytes, items: list):
+    """Driver-side point queries against a serialized CMS (the sketch is
+    kilobytes — querying it is a driver concern, like reading any model).
+    Returns {item: estimated_count}."""
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch_bytes)
+    )
+    return {it: cms.estimateCount(it) for it in items}

@@ -97,6 +97,11 @@ def test_gate_window_covers_every_family():
         "agg_welch_ttest",
         "corpus_source_entropy",
         "agg_trimmed_winsorized",
+        # wave 7
+        "corpus_curation_funnel",
+        "agg_incremental_rollup_merge",
+        "window_distribution_ranks",
+        "events_seasonal_baseline",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
