@@ -5468,6 +5468,151 @@ def events_seasonal_baseline(spark, sf_dir):
     )
 
 
+_RAKE_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+
+
+@_q(
+    "text_rake_keywords",
+    f"""
+    WITH ph AS (
+      SELECT doc_id, unnest(list_filter(
+        list_transform(
+          string_split(array_to_string(
+            list_transform(
+              list_filter(
+                string_split_regex(trim(regexp_replace(lower(text),
+                  '[^a-z0-9\\s]+', ' | ', 'g')), '\\s+'),
+                t -> t <> ''),
+              t -> CASE WHEN list_contains({_RAKE_STOP_SQL}, t)
+                        THEN '|' ELSE t END),
+            ' '), '|'),
+          p -> trim(p)),
+        p -> p <> '' AND len(string_split(p, ' ')) <= 3)) AS phrase
+      FROM documents),
+    pw AS (SELECT doc_id, phrase,
+                  len(string_split(phrase, ' ')) AS phlen,
+                  unnest(string_split(phrase, ' ')) AS w
+           FROM ph),
+    ws AS (SELECT w, count(*) AS freq, sum(phlen) AS degree
+           FROM pw GROUP BY w),
+    sc AS (SELECT doc_id, phrase,
+                  round(sum(CAST(degree AS DOUBLE) / freq), 6) AS score
+           FROM pw JOIN ws USING (w) GROUP BY doc_id, phrase),
+    rk AS (SELECT doc_id, phrase, score, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, phrase) AS rank
+           FROM sc)
+    SELECT doc_id, phrase, score, CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 3
+    """,
+)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): top-3 candidate
+    phrases per document scored by summed word degree/frequency.
+    operators/text.py:rake_keywords — RE2-safe phrase splitting (no
+    lookarounds), scores rounded before ranking so cross-engine ULPs
+    cannot flip ranks."""
+    from boann_ocsf_security_data_platform_spark.operators.text import rake_keywords
+
+    return rake_keywords(_t(spark, sf_dir, "documents"), top_k=3)
+
+
+@_q(
+    "events_session_window_native",
+    """
+    WITH s AS (SELECT user_id, ts, event_id,
+                 CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                      <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+               FROM events),
+    i AS (SELECT user_id, ts, sum(brk) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM s),
+    g AS (SELECT user_id, sid, count(*) AS n,
+                 -- whole seconds: Spark's interval->long cast truncates
+                 floor(epoch(max(ts) - min(ts))) AS dur
+          FROM i GROUP BY user_id, sid)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS max_session_events,
+           round(avg(dur), 2) AS avg_session_secs
+    FROM g GROUP BY user_id
+    """,
+)
+def events_session_window_native(spark, sf_dir):
+    """Spark's NATIVE session_window operator (dynamic-gap session
+    aggregation in one groupBy — the same operator Structured Streaming
+    uses for stateful session windows) summarized per user; the oracle
+    replays the identical islands with the lag/cumsum formulation.
+    Merge semantics verified inclusive: a gap of exactly 30 min stays in
+    the session. Session duration = last-first event (interval cast,
+    timestamp-flavor robust); one shuffle on user_id."""
+    e = _t(spark, sf_dir, "events")
+    s = e.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+        F.round(
+            F.avg((F.col("t1") - F.col("t0")).cast("long")), 2
+        ).alias("avg_session_secs"),
+    )
+
+
+@_q(
+    "agg_pareto_abc",
+    """
+    WITH c AS (SELECT o_custkey, sum(o_totalprice) AS rev
+               FROM orders GROUP BY o_custkey),
+    r AS (SELECT o_custkey, rev,
+                 sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(rev) OVER () AS tot
+          FROM c)
+    SELECT CASE WHEN (cum - rev) / tot < 0.8 THEN 'A'
+                WHEN (cum - rev) / tot < 0.95 THEN 'B'
+                ELSE 'C' END AS klass,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(rev), 2) AS revenue
+    FROM r GROUP BY 1
+    """,
+)
+def agg_pareto_abc(spark, sf_dir):
+    """Pareto/ABC revenue segmentation: customers sorted by revenue,
+    classed by the cumulative share BEFORE them (A < 80%, B < 95%, C
+    rest) so the straddling customer deterministically lands in the
+    earlier class. One rollup + one ordered prefix-sum window over the
+    model-sized customer-revenue table (the window is single-partition —
+    fine, because its input is already an aggregate, not raw data)."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    wcum = (
+        Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy()
+    share_before = (F.sum("rev").over(wcum) - F.col("rev")) / F.sum("rev").over(
+        wtot
+    )
+    return (
+        c.withColumn(
+            "klass",
+            F.when(share_before < 0.8, "A")
+            .when(share_before < 0.95, "B")
+            .otherwise("C"),
+        )
+        .groupBy("klass")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

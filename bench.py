@@ -74,6 +74,8 @@ HEADLINE = [
     # round-4 seventh wave (excluded from core15 as well)
     "corpus_curation_funnel",
     "agg_incremental_rollup_merge",
+    "text_rake_keywords",
+    "events_session_window_native",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -1076,3 +1076,74 @@ def duplicate_span_stats(
     # the span stream feeds three consumers; release via
     # dedup.release_caches(out) / cache_scope once the result is consumed
     return _register_caches(out, [g])
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    max_phrase_words: int = 3,
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal runs of non-stopword words between stopwords/punctuation;
+    each word scores degree/frequency (degree = summed length of the
+    phrases it appears in — co-occurrence weight); a phrase scores the
+    sum of its words' scores; the top-k phrases per document are the
+    keywords. Scores round to 6 decimals BEFORE ranking so cross-engine
+    summation ULPs cannot flip ranks (ties break on the phrase text).
+
+    Implementation is pure Column expressions + two equi-joined
+    aggregates — the phrase split avoids regex lookarounds (RE2-safe for
+    the DuckDB oracle) by mapping stopword tokens to a '|' sentinel and
+    splitting the re-joined string on it. Scale: the word-stats table is
+    vocabulary-sized; the join back to phrase words is an equi-join on
+    the word (broadcast when the vocabulary is bounded); the per-doc
+    top-k cuts map-side as a WindowGroupLimit.
+    """
+    stopset = F.array(*[F.lit(s) for s in stopwords])
+    cleaned = F.regexp_replace(
+        F.lower(F.col(text_col)), r"[^a-z0-9\s]+", " | "
+    )
+    toks = F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+    mapped = F.transform(
+        toks, lambda t: F.when(F.array_contains(stopset, t), F.lit("|")).otherwise(t)
+    )
+    phrases = F.filter(
+        F.transform(
+            F.split(F.array_join(mapped, " "), r"\|"), lambda p: F.trim(p)
+        ),
+        lambda p: (p != "")
+        & (F.size(F.split(p, " ")) <= max_phrase_words),
+    )
+    ph = df.select(F.col(id_col), F.explode(phrases).alias("phrase"))
+    pw = ph.select(
+        id_col,
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("phlen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    wstat = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("phlen").alias("degree"),
+    )
+    scored = (
+        pw.join(wstat, "w")
+        .groupBy(id_col, "phrase")
+        .agg(
+            F.round(
+                F.sum(F.col("degree").cast("double") / F.col("freq")), 6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            id_col, "phrase", "score", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -102,6 +102,10 @@ def test_gate_window_covers_every_family():
         "agg_incremental_rollup_merge",
         "window_distribution_ranks",
         "events_seasonal_baseline",
+        # wave 8
+        "text_rake_keywords",
+        "events_session_window_native",
+        "agg_pareto_abc",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
