@@ -5613,6 +5613,162 @@ def agg_pareto_abc(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_minhash_eval",
+    f"""
+    WITH cand AS ({_minhash_oracle()}),
+    words AS (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+    wh_t AS (SELECT doc_id, source, ws, {{wh}} AS wh FROM words),
+    sh AS (SELECT doc_id, source, {{hs}} AS shingles FROM wh_t),
+    ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM ex a JOIN ex b
+        ON a.source = b.source AND a.shingle = b.shingle
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+            >= 0.5),
+    src AS (SELECT doc_id, source FROM documents),
+    cand_ss AS (SELECT c.id_a, c.id_b FROM cand c
+                JOIN src a ON a.doc_id = c.id_a
+                JOIN src b ON b.doc_id = c.id_b
+                WHERE a.source = b.source),
+    hits AS (SELECT t.id_a FROM truth t
+             JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand_ss) AS BIGINT)
+             AS n_cand_same_source,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           round((SELECT count(*) FROM hits)
+                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6)
+             AS recall,
+           round((SELECT count(*) FROM hits)
+                 / CAST((SELECT count(*) FROM cand_ss) AS DOUBLE), 6)
+             AS precision
+    """.format(wh=_WH_EXPR, hs=_HS_EXPR),
+)
+def dedup_minhash_eval(spark, sf_dir):
+    """Pipeline QA: measure the MinHash-LSH candidate generator against
+    EXACT shingle-Jaccard ground truth (the blocked exact join) —
+    recall = truth pairs surfaced as candidates, precision = same-source
+    candidates that are true ≥0.5-Jaccard pairs. The eval every dedup
+    deployment should run before trusting banding parameters; both the
+    detector and the truth are themselves oracle-verified operators, and
+    the whole evaluation is three counts over their joined outputs."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_near_dup_pairs(docs).select("id_a", "id_b")
+    truth = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    cand_ss = (
+        cand.join(src.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("source", "src_a")
+        .join(src.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .where(F.col("src_a") == F.col("source"))
+        .select("id_a", "id_b")
+    )
+    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    row = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand_ss.agg(F.count(F.lit(1)).alias("n_cand_same_source")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_truth",
+            "n_cand_same_source",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+            F.round(
+                F.col("n_hits") / F.col("n_cand_same_source"), 6
+            ).alias("precision"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    release_caches(cand)
+    release_caches(truth)
+    return row
+
+
+_COS_T = (
+    "list_dot_product(a.tv, b.tv) / "
+    "(sqrt(list_dot_product(a.tv, a.tv)) * sqrt(list_dot_product(b.tv, b.tv)))"
+)
+
+
+@_q(
+    "knn_truncated_recall",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST(embedding[1:16] AS DOUBLE[]) AS tv
+               FROM embeddings),
+    fullk AS (SELECT query_id, neighbor_id FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_COS}, 6) DESC, b.vec_id)
+               AS rank
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 10) t WHERE rank <= 5),
+    trunck AS (SELECT query_id, neighbor_id FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_COS_T}, 6) DESC, b.vec_id)
+               AS rank
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 10) t WHERE rank <= 5),
+    ov AS (SELECT f.query_id, count(*) AS n_overlap
+           FROM fullk f JOIN trunck t
+             ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+           GROUP BY 1)
+    SELECT q.query_id,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(ov.n_overlap, 0) / 5.0, 2) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM fullk) q
+    LEFT JOIN ov USING (query_id)
+    """,
+)
+def knn_truncated_recall(spark, sf_dir):
+    """Matryoshka-style dimension-truncation evaluation: top-5 cosine
+    recall of 16-dim-prefix vectors against the full 64-dim ranking, per
+    query — the measurement behind 'can we serve the short embedding?'.
+    Both rankings are the exact brute-force operator (broadcast queries,
+    corpus never shuffled); truncation is a row-local slice, so the eval
+    costs two scored scans + one tiny per-query join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    full = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    tr = emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    trunc = cosine_topk(tr, tr.where(F.col("vec_id") < 10), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ov = (
+        full.join(trunc, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / 5.0, 2).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

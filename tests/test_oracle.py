@@ -106,6 +106,9 @@ def test_gate_window_covers_every_family():
         "text_rake_keywords",
         "events_session_window_native",
         "agg_pareto_abc",
+        # wave 9 (evaluation harness)
+        "dedup_minhash_eval",
+        "knn_truncated_recall",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
