@@ -5769,6 +5769,73 @@ def knn_truncated_recall(spark, sf_dir):
     )
 
 
+_H64_TEMP = _H64.format(expr="concat('temp0:', CAST(doc_id AS VARCHAR))")
+
+
+@_q(
+    "corpus_temperature_sample",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, round(pow(n, 0.5), 6) AS w FROM counts),
+    tot AS (SELECT sum(w) AS wsum FROM w),
+    shares AS (SELECT lang, n, w / wsum AS share FROM w, tot),
+    tmax AS (SELECT min(n / share) AS t_max FROM shares),
+    fracs AS (SELECT lang, round(least(1.0, share * t_max / n), 6) AS frac
+              FROM shares, tmax)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN fracs f USING (lang)
+    WHERE ({_H64_TEMP} % 1000000) < f.frac * 1000000
+    """,
+)
+def corpus_temperature_sample(spark, sf_dir):
+    """Temperature (alpha=0.5) mixture rebalancing over languages — the
+    multilingual-pretraining alpha-sampling recipe: target share per
+    language ∝ natural_share^0.5, flattening dominant languages while
+    boosting the tail, realized as the largest admissible corpus with no
+    upsampling and deterministic hash selection.
+    operators/relational.py:temperature_sample (delegates to
+    mixture_sample, inheriting its broadcast-fraction scan-filter plan)."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        temperature_sample,
+    )
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), "lang", alpha=0.5
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "events_rolling_distinct_users",
+    """
+    SELECT date_trunc('day', ts) + INTERVAL (t.range) DAY AS d,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau_7d
+    FROM events, range(7) t
+    GROUP BY 1
+    """,
+)
+def events_rolling_distinct_users(spark, sf_dir):
+    """Rolling 7-day distinct users (WAU) per day — the rolling
+    COUNT(DISTINCT) a window frame cannot express. Instead of joining a
+    day grid against the event range (a theta join), each event emits the
+    seven days whose trailing window it falls in (row-local explode,
+    bounded 7× fan-out) and one distinct-aggregate does the rest — the
+    explode-to-window trick that keeps rolling-distinct linear at 100 TB,
+    shuffling (day, user) pairs exactly once."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_trunc("day", "ts").alias("d0"),
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        )
+        .select(
+            F.expr("d0 + make_dt_interval(i, 0, 0, 0)").alias("d"), "user_id"
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau_7d"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -76,6 +76,7 @@ HEADLINE = [
     "agg_incremental_rollup_merge",
     "text_rake_keywords",
     "events_session_window_native",
+    "events_rolling_distinct_users",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -976,3 +976,29 @@ def cms_estimate(spark, sketch_bytes, items: list):
         bytes(sketch_bytes)
     )
     return {it: cms.estimateCount(it) for it in items}
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: str = "temp0",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-pretraining
+    alpha-sampling recipe): target share per stratum ∝ (its natural
+    share)^alpha, which flattens the head and boosts the tail as alpha→0
+    while alpha=1 is a no-op mixture. Delegates to ``mixture_sample`` with
+    weight count^alpha — so it inherits the largest-admissible-total,
+    no-upsampling, deterministic-hash-selection semantics and the same
+    fully-distributed plan (per-stratum counts, broadcast fraction table,
+    scan-bandwidth hash filter). The weight rounds to 6 decimals so the
+    derived fractions are engine-reproducible.
+    """
+    return mixture_sample(
+        df,
+        strata_col,
+        weight=F.round(F.pow(F.col("_n"), F.lit(alpha)), 6),
+        id_col=id_col,
+        seed=seed,
+    )

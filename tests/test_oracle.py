@@ -109,6 +109,9 @@ def test_gate_window_covers_every_family():
         # wave 9 (evaluation harness)
         "dedup_minhash_eval",
         "knn_truncated_recall",
+        # wave 10
+        "corpus_temperature_sample",
+        "events_rolling_distinct_users",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
