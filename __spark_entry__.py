@@ -5836,6 +5836,107 @@ def events_rolling_distinct_users(spark, sf_dir):
     )
 
 
+def _lpa_iter(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (SELECT node, label FROM (
+        SELECT e.a AS node, l.label, count(*) AS c,
+               row_number() OVER (PARTITION BY e.a
+                 ORDER BY count(*) DESC, l.label) AS rn
+        FROM e2 e JOIN {prev} l ON l.node = e.b
+        GROUP BY e.a, l.label) t WHERE rn = 1)"""
+
+
+@_q(
+    "graph_label_propagation",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem WHERE year(l_shipdate) = 1995),
+    ec AS (SELECT a.pk AS u, b.pk AS v FROM li a
+           JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk),
+    e2 AS (SELECT u AS a, v AS b FROM ec UNION SELECT v, u FROM ec),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM e2),
+    {_lpa_iter('l0', 'i1')},
+    {_lpa_iter('i1', 'i2')},
+    {_lpa_iter('i2', 'i3')}
+    SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM i3 GROUP BY label
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """Community detection on the 1995 part-co-order graph via
+    deterministic synchronous label propagation (Raghavan et al. 2007,
+    3 rounds, min-label tie-break): community label → member count. Each
+    round is one neighbor-label equi-join + count aggregate + map-side-
+    cut argmax window (the PageRank iteration shape); the oracle replays
+    the identical three rounds as chained CTEs.
+    operators/graph.py:label_propagation."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    return (
+        label_propagation(edges, iters=3)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+@_q(
+    "orders_cohort_revenue",
+    """
+    WITH fo AS (SELECT o_custkey,
+                       min(date_trunc('month', o_orderdate)) AS cohort
+                FROM orders GROUP BY o_custkey)
+    SELECT fo.cohort,
+           CAST(date_diff('month', fo.cohort,
+                          date_trunc('month', o.o_orderdate)) AS BIGINT)
+             AS age_months,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+    GROUP BY fo.cohort, age_months
+    """,
+)
+def orders_cohort_revenue(spark, sf_dir):
+    """Cohort lifetime-value matrix in long form: customers grouped by
+    first-order month (the cohort), revenue and active-customer counts
+    by months-since-cohort — the retention/LTV triangle. One per-customer
+    min-aggregate (model-sized, joined back on the partition key) + one
+    (cohort, age) rollup; months_between on month-truncated stamps is
+    exact integers on both engines."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "mon", F.date_trunc("month", F.col("o_orderdate"))
+    )
+    fo = o.groupBy("o_custkey").agg(F.min("mon").alias("cohort"))
+    return (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(F.col("mon"), F.col("cohort"))
+            .cast("long")
+            .alias("age_months"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

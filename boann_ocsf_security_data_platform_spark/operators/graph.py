@@ -180,3 +180,58 @@ def triangle_count(
     canon.unpersist()
     oriented.unpersist()
     return result
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) for community
+    detection, in the deterministic fixed-round form a SQL oracle can
+    replay: labels start as node ids; each round every node adopts the
+    most frequent label among its neighbors, ties broken toward the
+    SMALLEST label (the usual deterministic LPA variant — async/random
+    tie-breaks don't reproduce across engines). Edges are treated as
+    undirected; isolated endpoints cannot occur (every node is on an
+    edge).
+
+    Scale: per round = one equi-join of the (both-direction) edge list
+    against the label table keyed by neighbor + one (node, label) count
+    aggregate + one per-node argmax via map-side-cut window
+    (WindowGroupLimit) — the same join/agg shape as PageRank, with
+    ``localCheckpoint`` truncating lineage between rounds. Returns
+    ``(node, label)``.
+    """
+    both = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionAll(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    )
+    e = both.distinct().persist()
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        counted = (
+            e.join(labels, e.b == labels.node)
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("a").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return labels

@@ -112,6 +112,9 @@ def test_gate_window_covers_every_family():
         # wave 10
         "corpus_temperature_sample",
         "events_rolling_distinct_users",
+        # wave 11
+        "graph_label_propagation",
+        "orders_cohort_revenue",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
