@@ -645,3 +645,178 @@ def sniff_video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shard interchange
+# ---------------------------------------------------------------------------
+#
+# Large multimodal training corpora ship as tar shards of sample groups
+# (WebDataset convention: files `<key>.<ext>` in one tar, consecutive files
+# with the same key form one sample). Reading = a row-local 512-byte header
+# walk over the opaque tar payload (codec-free, like the sniffers above);
+# writing = deterministic shard assignment via the pack_sequences prefix-sum
+# trick + a per-partition stdlib tarfile emit.
+
+TAR_MEMBER_SCHEMA = (
+    "sample_key string, member_name string, member_ext string, "
+    "payload binary, member_size long"
+)
+
+
+def _walk_tar(b: bytes):
+    """Yield (name, payload) from an uncompressed tar byte string — plain
+    512-byte ustar header walk; bad bytes end the walk (data, not errors).
+    Skips non-regular members (dirs, links, pax headers)."""
+    pos = 0
+    while pos + 512 <= len(b):
+        hdr = b[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            break
+        name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        size_field = hdr[124:136].split(b"\x00", 1)[0].strip()
+        try:
+            size = int(size_field or b"0", 8)
+        except ValueError:
+            break
+        typeflag = hdr[156:157]
+        data = b[pos + 512 : pos + 512 + size]
+        if len(data) < size:
+            break  # truncated archive: stop, keep what parsed
+        prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        if prefix:
+            name = f"{prefix}/{name}"
+        if typeflag in (b"0", b"\x00") and name:
+            yield name, data
+        pos += 512 + ((size + 511) // 512) * 512
+
+
+def tar_members(
+    df: DataFrame, payload_col: str = "tar_bytes", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode tar-shard payloads into WebDataset sample members:
+    one row per regular tar member with ``sample_key`` (member name minus
+    its last extension — the WebDataset grouping key), extension, payload
+    and size. Row-local Arrow ``mapInPandas`` — shards parse where they
+    sit, nothing is collected; at 100 TB parallelism = shard count."""
+    schema = TAR_MEMBER_SCHEMA
+    if keep_cols:
+        src_schema = df.select(*keep_cols).schema
+        schema = (
+            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src_schema)
+            + ", "
+            + TAR_MEMBER_SCHEMA
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                raw = row[payload_col]
+                if raw is None:
+                    continue
+                for name, data in _walk_tar(bytes(raw)):
+                    base = name.rsplit("/", 1)[-1]
+                    key, dot, ext = base.rpartition(".")
+                    rec = {c: row[c] for c in keep_cols}
+                    rec.update(
+                        sample_key=key if dot else base,
+                        member_name=name,
+                        member_ext=ext if dot else "",
+                        payload=data,
+                        member_size=len(data),
+                    )
+                    rows.append(rec)
+            cols = [*keep_cols, "sample_key", "member_name", "member_ext",
+                    "payload", "member_size"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, schema)
+
+
+def assign_shards(
+    df: DataFrame,
+    size_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    shard_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic WebDataset shard assignment: within each group
+    (shards never mix groups — the usual per-source/per-language layout),
+    walk samples in id order and set ``shard_id`` = running byte offset ÷
+    ``shard_bytes`` — the pack_sequences exclusive-prefix-sum trick, one
+    window scan, groups packed independently in parallel. The same
+    (group, id, sizes) always yields the same shard layout on any engine
+    or cluster size."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn(
+        "shard_id", (offset / F.lit(shard_bytes)).cast("long")
+    )
+
+
+def write_tar_shards(
+    df: DataFrame,
+    out_dir: str,
+    group_col: str = "source",
+    shard_col: str = "shard_id",
+    name_col: str = "member_name",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit one uncompressed tar per (group, shard) under ``out_dir``
+    (``<group>-<shard>.tar``, members in deterministic name order) and
+    return a manifest DataFrame (group, shard, path, n_members, n_bytes).
+
+    Executor-side: rows repartition by (group, shard) so each task owns
+    whole shards and writes them with stdlib tarfile — the driver sees
+    only the kilobyte manifest. Shard size is bounded by assign_shards,
+    so per-task memory is bounded regardless of corpus size."""
+    import io
+    import os
+    import tarfile
+
+    schema = "group string, shard long, path string, n_members long, n_bytes long"
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, list] = {}
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                acc.setdefault(
+                    (str(row[group_col]), int(row[shard_col])), []
+                ).append((str(row[name_col]), bytes(row[payload_col])))
+        out = []
+        for (grp, shard), members in acc.items():
+            path = os.path.join(out_dir, f"{grp}-{shard:05d}.tar")
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for name, data in sorted(members):
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(data)
+                    info.mtime = 0  # deterministic bytes
+                    tf.addfile(info, io.BytesIO(data))
+            payload = buf.getvalue()
+            with open(path, "wb") as fh:
+                fh.write(payload)
+            out.append(
+                {
+                    "group": grp,
+                    "shard": shard,
+                    "path": path,
+                    "n_members": len(members),
+                    "n_bytes": len(payload),
+                }
+            )
+        yield pd.DataFrame(
+            out, columns=["group", "shard", "path", "n_members", "n_bytes"]
+        )
+
+    return (
+        df.repartition(F.col(group_col), F.col(shard_col))
+        .mapInPandas(emit, schema)
+    )
