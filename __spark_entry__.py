@@ -5937,6 +5937,150 @@ def orders_cohort_revenue(spark, sf_dir):
     )
 
 
+_PSI_TH = ", ".join(
+    f"percentile_cont(0.{i}) WITHIN GROUP (ORDER BY x) AS t{i}"
+    for i in range(1, 10)
+)
+_PSI_BIN = " + ".join(f"CAST(x > t{i} AS INT)" for i in range(1, 10))
+
+
+@_q(
+    "feature_psi_drift",
+    f"""
+    WITH ref AS (SELECT l_returnflag AS flag, l_extendedprice AS x
+                 FROM lineitem WHERE year(l_shipdate) = 1995),
+    cur AS (SELECT l_returnflag AS flag, l_extendedprice AS x
+            FROM lineitem WHERE year(l_shipdate) = 1996),
+    th AS (SELECT flag, {_PSI_TH} FROM ref GROUP BY flag),
+    rb AS (SELECT r.flag, {_PSI_BIN} AS bin
+           FROM ref r JOIN th USING (flag)),
+    cb AS (SELECT c.flag, {_PSI_BIN} AS bin
+           FROM cur c JOIN th USING (flag)),
+    spine AS (SELECT DISTINCT flag, t.range AS bin
+              FROM th, range(10) t),
+    pn AS (SELECT flag, bin, count(*) AS n FROM rb GROUP BY flag, bin),
+    qn AS (SELECT flag, bin, count(*) AS n FROM cb GROUP BY flag, bin),
+    j AS (SELECT s.flag, s.bin,
+                 coalesce(pn.n, 0) AS np, coalesce(qn.n, 0) AS nq
+          FROM spine s LEFT JOIN pn USING (flag, bin)
+                       LEFT JOIN qn USING (flag, bin)),
+    tot AS (SELECT flag, sum(np) AS tp, sum(nq) AS tq FROM j GROUP BY flag),
+    sh AS (SELECT j.flag,
+                  (np + 0.5) / (tp + 5.0) AS p,
+                  (nq + 0.5) / (tq + 5.0) AS q
+           FROM j JOIN tot USING (flag))
+    SELECT flag AS l_returnflag,
+           round(sum((q - p) * ln(q / p)), 4) AS psi
+    FROM sh GROUP BY flag
+    """,
+)
+def feature_psi_drift(spark, sf_dir):
+    """Population Stability Index per return flag: 1996 price
+    distribution vs a 1995 reference, binned by the REFERENCE's deciles
+    (Laplace-smoothed so empty bins stay finite) — the drift metric
+    feature stores alarm on before a model silently degrades. One
+    ordered-set aggregate builds the 9 fences per flag (broadcast), bin
+    assignment is a row-local comparison sum, and the PSI is a 30-row
+    rollup — a scan plus model-sized joins."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.year("l_shipdate").alias("yr"),
+    )
+    ref = l.where(F.col("yr") == 1995)
+    cur = l.where(F.col("yr") == 1996)
+    th = ref.groupBy("flag").agg(
+        *[
+            F.expr(
+                f"percentile_cont(0.{i}) WITHIN GROUP (ORDER BY x)"
+            ).alias(f"t{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bin_expr = sum(
+        (F.col("x") > F.col(f"t{i}")).cast("int") for i in range(1, 10)
+    ).alias("bin")
+
+    def binned(df):
+        return (
+            df.join(F.broadcast(th), "flag")
+            .select("flag", bin_expr)
+            .groupBy("flag", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    spine = th.select("flag").crossJoin(
+        spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    )
+    j = (
+        spine.join(binned(ref).withColumnRenamed("n", "np"), ["flag", "bin"], "left")
+        .join(binned(cur).withColumnRenamed("n", "nq"), ["flag", "bin"], "left")
+        .select(
+            "flag",
+            "bin",
+            F.coalesce("np", F.lit(0)).alias("np"),
+            F.coalesce("nq", F.lit(0)).alias("nq"),
+        )
+    )
+    tot = j.groupBy("flag").agg(
+        F.sum("np").alias("tp"), F.sum("nq").alias("tq")
+    )
+    sh = j.join(F.broadcast(tot), "flag").select(
+        "flag",
+        ((F.col("np") + 0.5) / (F.col("tp") + 5.0)).alias("p"),
+        ((F.col("nq") + 0.5) / (F.col("tq") + 5.0)).alias("q"),
+    )
+    return sh.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.round(
+            F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))),
+            4,
+        ).alias("psi")
+    )
+
+
+@_q(
+    "agg_gini_coefficient",
+    """
+    WITH c AS (SELECT o_custkey, sum(o_totalprice) AS rev
+               FROM orders GROUP BY o_custkey),
+    r AS (SELECT rev,
+                 row_number() OVER (ORDER BY rev, o_custkey) AS i,
+                 count(*) OVER () AS n,
+                 sum(rev) OVER () AS tot
+          FROM c)
+    SELECT round(2.0 * sum(i * rev) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini,
+           CAST(max(n) AS BIGINT) AS n_customers
+    FROM r
+    """,
+)
+def agg_gini_coefficient(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration (the
+    inequality summary behind the Pareto view): rank-weighted-sum
+    formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenue-sorted
+    customers. One rollup + one ordered rank window over the model-sized
+    customer table + a single-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    wr = Window.orderBy(F.col("rev"), F.col("o_custkey"))
+    wall = Window.partitionBy()
+    r = c.select(
+        "rev",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("rev").over(wall).alias("tot"),
+    )
+    return r.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.max("n").cast("long").alias("n_customers"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -115,6 +115,9 @@ def test_gate_window_covers_every_family():
         # wave 11
         "graph_label_propagation",
         "orders_cohort_revenue",
+        # wave 13
+        "feature_psi_drift",
+        "agg_gini_coefficient",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
