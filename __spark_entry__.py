@@ -6081,6 +6081,82 @@ def agg_gini_coefficient(spark, sf_dir):
     )
 
 
+@_q(
+    "text_langid_eval",
+    f"""
+    WITH p AS ({_langid_oracle()})
+    SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    """,
+)
+def text_langid_eval(spark, sf_dir):
+    """Language-ID confusion matrix: the detector's predictions crossed
+    with the corpus's labeled ``lang`` column — the classifier-QA view
+    (which languages bleed into which) that decides whether the
+    stopword heuristic is good enough before it gates a corpus. One
+    row-local scoring pass + a bounded (lang × pred) rollup."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        lang_id(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "events_longest_streak",
+    """
+    WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                      round(sum(value), 6) AS v
+               FROM events GROUP BY event_type, date_trunc('day', ts)),
+    s AS (SELECT event_type, day, v,
+                 CASE WHEN lag(day) OVER w = day - INTERVAL 1 DAY
+                       AND lag(v) OVER w < v THEN 0 ELSE 1 END AS brk
+          FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    i AS (SELECT event_type, sum(brk) OVER (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+          FROM s),
+    r AS (SELECT event_type, run_id, count(*) AS len
+          FROM i GROUP BY event_type, run_id)
+    SELECT event_type, CAST(max(len) AS BIGINT) AS longest_up_streak,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM r GROUP BY event_type
+    """,
+)
+def events_longest_streak(spark, sf_dir):
+    """Longest run of strictly-increasing consecutive daily totals per
+    event type — the monotonic-run variant of gaps-and-islands (a break
+    is a missing day OR a non-increase; daily totals round before the
+    comparison so engine summation ULPs can't flip a break). One daily
+    rollup + one lag/cumsum window over the bounded (type, day) table."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    s = d.withColumn(
+        "brk",
+        F.when(
+            (F.lag("day").over(w) == F.expr("day - INTERVAL 1 DAY"))
+            & (F.lag("v").over(w) < F.col("v")),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    i = s.withColumn("run_id", F.sum("brk").over(cum))
+    r = i.groupBy("event_type", "run_id").agg(F.count(F.lit(1)).alias("len"))
+    return r.groupBy("event_type").agg(
+        F.max("len").alias("longest_up_streak"),
+        F.count(F.lit(1)).alias("n_runs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -118,6 +118,9 @@ def test_gate_window_covers_every_family():
         # wave 13
         "feature_psi_drift",
         "agg_gini_coefficient",
+        # wave 14
+        "text_langid_eval",
+        "events_longest_streak",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
