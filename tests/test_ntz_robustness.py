@@ -41,6 +41,19 @@ TS_QUERIES = [
     "events_locf_fill",
     "events_scd2",
     "events_top_paths",
+    # round-4 waves 6-14: every new timestamp-arithmetic query
+    "events_window_funnel",
+    "events_attribution_last_touch",
+    "events_seasonal_baseline",
+    "events_session_window_native",
+    "events_rolling_distinct_users",
+    "events_longest_streak",
+    "events_mad_anomalies",
+    "range_join_overlapping_orders",
+    "agg_incremental_rollup_merge",
+    "orders_cohort_revenue",
+    "feature_psi_drift",
+    "graph_triangle_count",
 ]
 
 TS_TABLES = {"events", "orders", "lineitem"}
