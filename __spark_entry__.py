@@ -6157,6 +6157,122 @@ def events_longest_streak(spark, sf_dir):
     )
 
 
+_PII_ORACLE_TYPES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    (
+        "phone",
+        r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    ),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}"),
+]
+
+
+@_q(
+    "text_pii_stats",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{name}' AS pii_type,
+           CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)
+             AS n_spans,
+           CAST(count(*) FILTER (
+             WHERE len(regexp_extract_all(text, '{pat}')) > 0) AS BIGINT)
+             AS n_docs
+    FROM documents"""
+        for name, pat in _PII_ORACLE_TYPES
+    ),
+)
+def text_pii_stats(spark, sf_dir):
+    """PII exposure report: matched span counts and affected-document
+    counts per PII class (email/SSN/phone/IPv4, the same RE2-safe
+    patterns the redactor rewrites) — the measurement that accompanies
+    redaction in a compliance pipeline. Four row-local regexp scans
+    folded into per-type one-row aggregates; counting and replacing are
+    the same leftmost-non-overlapping match walk, so these counts ARE
+    the redactor's replacement counts."""
+    from boann_ocsf_security_data_platform_spark.operators.text import PII_PATTERNS
+
+    d = _t(spark, sf_dir, "documents")
+    parts = []
+    for name, _ in _PII_ORACLE_TYPES:
+        n = F.size(F.regexp_extract_all("text", F.lit(PII_PATTERNS[name]), 0))
+        parts.append(
+            d.agg(
+                F.lit(name).alias("pii_type"),
+                F.sum(n).alias("n_spans"),
+                F.sum((n > 0).cast("long")).alias("n_docs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@_q(
+    "diff_table_versions",
+    """
+    WITH b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0
+                  THEN round(o_totalprice + 1, 2)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 101 = 0),
+    a AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    j AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+                 CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                      WHEN a.o_orderkey IS NULL THEN 'added'
+                      WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                        OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                        THEN 'changed'
+                      ELSE 'unchanged' END AS diff_status
+          FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+    SELECT diff_status, CAST(count(*) AS BIGINT) AS n
+    FROM j GROUP BY diff_status
+    """,
+)
+def diff_table_versions(spark, sf_dir):
+    """Snapshot reconciliation: diff two versions of orders (version B
+    deterministically derived — deletes at key%97, +1 price changes at
+    key%89, key-shifted inserts at key%101) into added/removed/changed/
+    unchanged counts — the migration-sign-off / CDC-backfill primitive.
+    One key-partitioned full-outer join with null-safe column compare.
+    operators/relational.py:table_diff."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        table_diff,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    b = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0,
+                F.round(F.col("o_totalprice") + 1, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return (
+        table_diff(o, b, ["o_orderkey"])
+        .groupBy("diff_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -1002,3 +1002,47 @@ def temperature_sample(
         id_col=id_col,
         seed=seed,
     )
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff between two versions of a table: full-outer join on
+    the key with null-safe per-column comparison, labeling every key as
+    ``added`` (only in b), ``removed`` (only in a), ``changed`` (present
+    in both, any compared column differs) or ``unchanged`` — the
+    reconciliation primitive behind data-migration sign-off, CDC
+    backfills, and "what did yesterday's load actually change".
+
+    Returns one row per key: the (coalesced) key columns + ``diff_status``.
+    Scale: one key-partitioned full-outer join; comparison is row-local.
+    For wide tables at 100 TB, pre-hash the compared columns into one
+    fingerprint per side (xxhash64) so the shuffle carries keys + 8 bytes
+    instead of whole rows — semantics identical when the hash is over the
+    same column list.
+    """
+    cols = compare_cols or [c for c in a.columns if c not in keys]
+    an = a.select(*keys, *cols)
+    bn = b.select(*keys, *cols)
+    cond = [F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys]
+    j = an.alias("a").join(bn.alias("b"), cond, "full_outer")
+    changed = None
+    for c in cols:
+        neq = ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        changed = neq if changed is None else (changed | neq)
+    status = (
+        F.when(F.col(f"b.{keys[0]}").isNull(), F.lit("removed"))
+        .when(F.col(f"a.{keys[0]}").isNull(), F.lit("added"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k)
+            for k in keys
+        ],
+        status.alias("diff_status"),
+    )

@@ -121,6 +121,9 @@ def test_gate_window_covers_every_family():
         # wave 14
         "text_langid_eval",
         "events_longest_streak",
+        # wave 15
+        "text_pii_stats",
+        "diff_table_versions",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
