@@ -6273,6 +6273,132 @@ def diff_table_versions(spark, sf_dir):
     )
 
 
+@_q(
+    "orders_rfm_segments",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS now FROM orders),
+    c AS (SELECT o_custkey,
+                 date_diff('day', max(o_orderdate), (SELECT now FROM mx))
+                   AS recency_days,
+                 count(*) AS frequency,
+                 sum(o_totalprice) AS monetary
+          FROM orders GROUP BY o_custkey),
+    s AS (SELECT o_custkey,
+                 ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                   AS r_score,
+                 ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+                 ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+          FROM c)
+    SELECT concat(r_score, f_score, m_score) AS rfm,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM s GROUP BY concat(r_score, f_score, m_score)
+    """,
+)
+def orders_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: recency (days since last order, scored
+    so recent = 5), frequency, monetary quintiles concatenated into the
+    classic 'RFM cell' with customer counts per cell. One per-customer
+    rollup (model-sized) + three quintile windows over it + a 125-cell
+    rollup; the raw fact table is touched once."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("now"))
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("now").cast("date"), F.col("last_order").cast("date")
+            ).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    s = c.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency"), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary"), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+    return s.groupBy(
+        F.concat("r_score", "f_score", "m_score").alias("rfm")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@_q(
+    "orders_basket_lift",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+    item AS (SELECT pk, count(*) AS n_pk FROM li GROUP BY pk),
+    pair AS (SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS n_ab
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY a.pk, b.pk),
+    scored AS (SELECT pk_a, pk_b, n_ab,
+                      round(CAST(n_ab AS DOUBLE) * n.n_orders
+                            / (ia.n_pk * ib.n_pk), 4) AS lift
+               FROM pair JOIN item ia ON ia.pk = pair.pk_a
+                         JOIN item ib ON ib.pk = pair.pk_b
+                         CROSS JOIN n
+               WHERE n_ab >= 3)
+    SELECT pk_a, pk_b, CAST(n_ab AS BIGINT) AS n_ab, lift
+    FROM scored ORDER BY lift DESC, pk_a, pk_b LIMIT 20
+    """,
+)
+def orders_basket_lift(spark, sf_dir):
+    """Market-basket association mining: lift = P(a,b)/(P(a)·P(b)) for
+    part pairs co-occurring in ≥3 orders, top-20 by lift — the apriori
+    support/lift primitive. The pair join is the same blocked co-order
+    equi-join as the graph family (never all-pairs across orders); item
+    stats join back by key; the global cut is TakeOrderedAndProject."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = li.select("ok").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
+    item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_pk"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .groupBy(F.col("a.pk").alias("pk_a"), F.col("b.pk").alias("pk_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    ia = item.select(F.col("pk").alias("pk_a"), F.col("n_pk").alias("n_a"))
+    ib = item.select(F.col("pk").alias("pk_b"), F.col("n_pk").alias("n_b"))
+    return (
+        pair.join(ia, "pk_a")
+        .join(ib, "pk_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pk_a",
+            "pk_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pk_a", "pk_b")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

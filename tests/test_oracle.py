@@ -124,6 +124,9 @@ def test_gate_window_covers_every_family():
         # wave 15
         "text_pii_stats",
         "diff_table_versions",
+        # wave 16
+        "orders_rfm_segments",
+        "orders_basket_lift",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
