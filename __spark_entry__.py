@@ -6399,6 +6399,164 @@ def orders_basket_lift(spark, sf_dir):
     )
 
 
+_CENT_COMPS = ", ".join(f"round(avg(v[{i + 1}]), 6)" for i in range(64))
+_COS_VC = (
+    "list_dot_product(e.v, cent.c) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c)))"
+)
+_COS_CC = (
+    "list_dot_product(a.c, b.c) / "
+    "(sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c)))"
+)
+
+
+@_q(
+    "embedding_cluster_quality",
+    f"""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT label, [{_CENT_COMPS}] AS c, count(*) AS n
+             FROM e GROUP BY label),
+    intra AS (SELECT e.label,
+                     round(avg(round({_COS_VC}, 6)), 4) AS intra_cos
+              FROM e JOIN cent USING (label) GROUP BY e.label),
+    inter AS (SELECT a.label, max(round({_COS_CC}, 6)) AS nearest_other_cos
+              FROM cent a JOIN cent b ON a.label <> b.label
+              GROUP BY a.label)
+    SELECT cent.label, CAST(cent.n AS BIGINT) AS n_members,
+           intra.intra_cos, inter.nearest_other_cos
+    FROM cent JOIN intra USING (label) JOIN inter USING (label)
+    """,
+)
+def embedding_cluster_quality(spark, sf_dir):
+    """Cluster-cohesion diagnostics per label: mean member→centroid
+    cosine (compactness) vs the closest OTHER centroid's cosine
+    (separation) — the silhouette-style health check run before trusting
+    labels as retrieval shards or distillation classes. One centroid
+    aggregate (|labels|×dim shuffle), one broadcast join back for the
+    member pass, and a |labels|² centroid cross — model-sized after the
+    single scan."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        cosine_sim,
+        label_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb)
+    intra = (
+        emb.join(F.broadcast(cent.select("label", "centroid")), "label")
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.avg(
+                    F.round(
+                        cosine_sim(F.col("embedding"), F.col("centroid")), 6
+                    )
+                ),
+                4,
+            ).alias("intra_cos")
+        )
+    )
+    a = cent.select(F.col("label").alias("l_a"), F.col("centroid").alias("c_a"))
+    b = cent.select(F.col("label").alias("l_b"), F.col("centroid").alias("c_b"))
+    inter = (
+        a.crossJoin(b)
+        .where(F.col("l_a") != F.col("l_b"))
+        .groupBy(F.col("l_a").alias("label"))
+        .agg(
+            F.max(
+                F.round(cosine_sim(F.col("c_a"), F.col("c_b")), 6)
+            ).alias("nearest_other_cos")
+        )
+    )
+    return (
+        cent.select("label", F.col("n_members"))
+        .join(intra, "label")
+        .join(inter, "label")
+    )
+
+
+@_q(
+    "text_tokenizer_fertility",
+    f"""
+    WITH t AS (SELECT lang, {_WORDS} AS ws,
+      list_filter(string_split_regex(trim(regexp_replace(lower(text),
+        '([0-9]+|[^a-z0-9\\s]+)', ' \\1 ', 'g')), '\\s+'), w -> w <> '') AS bts
+      FROM documents)
+    SELECT lang,
+           round(avg(CAST(len(bts) AS DOUBLE) / len(ws)), 4) AS fertility,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM t WHERE len(ws) > 0 GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: mean subword-per-word ratio of
+    the BPE-ish pre-tokenizer vs whitespace words — the metric that
+    exposes a tokenizer taxing some languages with more tokens per word
+    (cost + context budget skew). Row-local double tokenization + a
+    bounded per-language rollup."""
+    d = _t(spark, sf_dir, "documents")
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    t = d.select(
+        "lang",
+        F.size(tokens("text")).alias("nw"),
+        F.size(bpe_ish_tokens("text")).alias("nb"),
+    ).where(F.col("nw") > 0)
+    return t.groupBy("lang").agg(
+        F.round(
+            F.avg(F.col("nb").cast("double") / F.col("nw")), 4
+        ).alias("fertility"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@_q(
+    "events_dau_wau_stickiness",
+    """
+    WITH daily AS (SELECT date_trunc('day', ts) AS d,
+                          count(DISTINCT user_id) AS dau
+                   FROM events GROUP BY 1),
+    wau AS (SELECT date_trunc('day', ts) + INTERVAL (t.range) DAY AS d,
+                   count(DISTINCT user_id) AS wau_7d
+            FROM events, range(7) t GROUP BY 1)
+    SELECT daily.d, CAST(daily.dau AS BIGINT) AS dau,
+           CAST(wau.wau_7d AS BIGINT) AS wau_7d,
+           round(CAST(daily.dau AS DOUBLE) / wau.wau_7d, 4) AS stickiness
+    FROM daily JOIN wau ON daily.d = wau.d
+    """,
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    track: daily distinct users over the trailing-7-day distinct users
+    (the explode-to-window rolling distinct), joined on the day key.
+    Two distinct aggregates + a model-sized day-keyed join."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    wau = (
+        e.select(
+            F.date_trunc("day", "ts").alias("d0"),
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        )
+        .select(
+            F.expr("d0 + make_dt_interval(i, 0, 0, 0)").alias("d"), "user_id"
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau_7d"))
+    )
+    return daily.join(wau, "d").select(
+        "d",
+        "dau",
+        "wau_7d",
+        F.round(F.col("dau").cast("double") / F.col("wau_7d"), 4).alias(
+            "stickiness"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -127,6 +127,10 @@ def test_gate_window_covers_every_family():
         # wave 16
         "orders_rfm_segments",
         "orders_basket_lift",
+        # wave 17
+        "embedding_cluster_quality",
+        "text_tokenizer_fertility",
+        "events_dau_wau_stickiness",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
