@@ -238,3 +238,82 @@ def test_segment_dedup_matches_python_reference(spark, texts):
         ]
         n_total = -(-len(words) // sw)
         assert got[did] == (" ".join(kept), len(kept), n_total)
+
+
+@SET
+@given(
+    word_ids=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=5, max_size=120
+    ),
+    frac=st.sampled_from([0.05, 0.1, 0.2]),
+)
+def test_heavy_hitters_equal_groupby_on_random_streams(spark, word_ids, frac):
+    """Misra-Gries candidates + exact recount == full GROUP BY/HAVING for
+    arbitrary token streams and thresholds (capacity derived from the
+    threshold, multiple partitions forcing summary merges)."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        heavy_hitter_tokens,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{w}" for w in word_ids[i::3])) for i in range(3)],
+        "doc_id int, text string",
+    ).repartition(3)
+    got = {
+        (r.token, r.freq)
+        for r in heavy_hitter_tokens(docs, min_count_frac=frac).collect()
+    }
+    toks = docs.select(F.explode(tokens("text")).alias("t"))
+    total = toks.count()
+    want = {
+        (r.t, r.c)
+        for r in toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > int(total * frac))
+        .collect()
+    }
+    assert got == want
+
+
+@SET
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=200), min_size=2, max_size=4
+    ),
+    alpha=st.sampled_from([0.3, 0.5, 0.7, 1.0]),
+)
+def test_temperature_sample_invariants(spark, sizes, alpha):
+    """For any strata sizes and alpha: no stratum is upsampled, the
+    smallest-share-boost stratum (argmin n^(1-alpha)... i.e. the binding
+    stratum of T_max) is kept in full, and the output is deterministic."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        temperature_sample,
+    )
+
+    rows, i = [], 0
+    for s_idx, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((i, f"lang{s_idx}"))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "lang", alpha=alpha)
+    kept = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    orig = {f"lang{j}": n for j, n in enumerate(sizes)}
+    for lang, n in kept.items():
+        assert n <= orig[lang]  # never upsampled
+    # the T_max-binding stratum (min n/share ∝ n^(1-alpha)) keeps ~100%:
+    # its derived fraction is exactly 1.0
+    binding = min(orig, key=lambda k: orig[k] ** (1.0 - alpha))
+    assert kept.get(binding, 0) == orig[binding]
+    again = {
+        r.lang: r.n
+        for r in temperature_sample(df, "lang", alpha=alpha)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == kept

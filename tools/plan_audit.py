@@ -392,6 +392,36 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         in plan_of(qs["agg_trimmed_winsorized"](spark, sf_dir)),
         "3-row fence table joined by broadcast",
     )
+
+    # waves 9-17: per-doc top-k in RAKE cuts map-side; basket lift's
+    # global top-20 is TakeOrderedAndProject; rolling-distinct is
+    # join-free (explode + one distinct aggregate — no day-grid theta
+    # join); PSI fences join back by broadcast; langid eval stays a
+    # row-local projection + rollup (no join for the scoring itself)
+    prake = plan_of(qs["text_rake_keywords"](spark, sf_dir))
+    check(
+        "rake per-doc top-k cuts map-side (WindowGroupLimit)",
+        "WindowGroupLimit" in prake,
+        "rank<=k below the shuffle",
+    )
+    plift = plan_of(qs["orders_basket_lift"](spark, sf_dir))
+    check(
+        "basket-lift top-20 is TakeOrderedAndProject",
+        "TakeOrderedAndProject" in plift,
+        "",
+    )
+    proll = plan_of(qs["events_rolling_distinct_users"](spark, sf_dir))
+    check(
+        "rolling distinct is join-free explode + aggregate",
+        "Join" not in proll and "Generate" in proll,
+        "no day-grid join; explode feeds the distinct aggregate",
+    )
+    ppsi = plan_of(qs["feature_psi_drift"](spark, sf_dir))
+    check(
+        "psi decile fences broadcast back",
+        "BroadcastHashJoin" in ppsi,
+        "",
+    )
     return results
 
 
