@@ -6557,6 +6557,119 @@ def events_dau_wau_stickiness(spark, sf_dir):
     )
 
 
+@_q(
+    "events_autocorrelation",
+    """
+    WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                      round(sum(value), 6) AS v
+               FROM events GROUP BY event_type, date_trunc('day', ts)),
+    l AS (SELECT event_type, v,
+                 lag(v) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+                 lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS v7
+          FROM d)
+    SELECT event_type, round(corr(v, v1), 4) AS acf_lag1,
+           round(corr(v, v7), 4) AS acf_lag7,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM l GROUP BY event_type
+    """,
+)
+def events_autocorrelation(spark, sf_dir):
+    """Daily-total autocorrelation at lag 1 and lag 7 per event type —
+    the seasonality fingerprint (a high lag-7 ACF says 'weekly rhythm',
+    feeding the seasonal-baseline detector's period choice). One daily
+    rollup + lag windows + a corr aggregate per type; corr's null-pair
+    exclusion handles the series head identically on both engines."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 7).over(w).alias("v7"),
+    )
+    return l.groupBy("event_type").agg(
+        F.round(F.corr("v", "v1"), 4).alias("acf_lag1"),
+        F.round(F.corr("v", "v7"), 4).alias("acf_lag7"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@_q(
+    "text_readability_scores",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      len(list_filter(string_split_regex(text, '[.!?]+'),
+                                      s -> trim(s) <> '')) AS n_sentences,
+                      len({_WORDS}) AS n_words,
+                      len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS n_vgroups
+               FROM documents)
+    SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT) AS n_words,
+           -- exact-integer milli-points via floor: the true value is a
+           -- rational whose distance from any integer is >= 1/(s*w), ten
+           -- orders above double error, so floor is engine-identical --
+           -- unlike round(,2), where Spark rounds the SHORTEST-DECIMAL
+           -- repr and DuckDB the binary value (ties diverge)
+           CAST(floor(CAST(1000 * (206835 * n_sentences * n_words
+                                   - 1015 * n_words * n_words
+                                   - 84600 * n_vgroups * n_sentences)
+                           AS DOUBLE)
+                      / (1000 * n_sentences * n_words)) AS BIGINT)
+             AS flesch_milli
+    FROM t WHERE n_sentences > 0 AND n_words > 0
+    """,
+)
+def text_readability_scores(spark, sf_dir):
+    """Flesch-style readability per document (vowel-group runs as the
+    syllable proxy — deterministic and engine-portable, unlike dictionary
+    syllabification): the classic text-difficulty prior corpus curricula
+    sort on. Pure row-local regexp counting — scan bandwidth, no
+    shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    n_sent = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != ""
+        )
+    )
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    n_words = F.size(tokens("text"))
+    n_vg = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_sent.cast("long").alias("n_sentences"),
+            n_words.cast("long").alias("n_words"),
+            n_vg.alias("n_vg"),
+        )
+        .where((F.col("n_sentences") > 0) & (F.col("n_words") > 0))
+        .select(
+            "doc_id",
+            "n_sentences",
+            "n_words",
+            F.floor(
+                (
+                    1000
+                    * (
+                        206835 * F.col("n_sentences") * F.col("n_words")
+                        - 1015 * F.col("n_words") * F.col("n_words")
+                        - 84600 * F.col("n_vg") * F.col("n_sentences")
+                    )
+                ).cast("double")
+                / (1000 * F.col("n_sentences") * F.col("n_words"))
+            )
+            .cast("long")
+            .alias("flesch_milli"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -131,6 +131,9 @@ def test_gate_window_covers_every_family():
         "embedding_cluster_quality",
         "text_tokenizer_fertility",
         "events_dau_wau_stickiness",
+        # wave 18
+        "events_autocorrelation",
+        "text_readability_scores",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
