@@ -6670,6 +6670,100 @@ def text_readability_scores(spark, sf_dir):
     )
 
 
+@_q(
+    "text_ngram_novelty",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    g AS (SELECT DISTINCT doc_id, unnest({_duck_spans(3)}) AS gram
+          FROM words),
+    m AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           CAST(sum(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN m.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS novelty
+    FROM g JOIN m USING (gram) GROUP BY g.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Corpus novelty curve: per document (in id order), the fraction of
+    its distinct 3-gram spans never seen in any earlier document — the
+    diminishing-returns signal data curators watch when deciding how much
+    more of a source to crawl. First-occurrence is one min-aggregate on
+    the gram key (the same shuffle the span-dedup family pays); novelty
+    is a per-doc rollup over the joined stream."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        _with_word_ngrams,
+    )
+
+    grams = _with_word_ngrams(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        "text",
+        3,
+        "_grams",
+    )
+    g = grams.select(
+        "doc_id", F.explode("_grams").alias("gram")
+    ).distinct()
+    m = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        g.join(m, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(
+                F.sum(novel) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("novelty"),
+        )
+    )
+
+
+@_q(
+    "parts_supplier_concentration",
+    """
+    WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                       sum(CAST(l_quantity AS BIGINT)) AS q
+                FROM lineitem GROUP BY l_partkey, l_suppkey),
+    agg AS (SELECT pk, count(*) AS n_suppliers,
+                   sum(q * q) AS nsq, sum(q) AS qt
+            FROM ps GROUP BY pk)
+    SELECT pk AS l_partkey, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(floor(CAST(10000 * nsq AS DOUBLE) / (qt * qt)) AS BIGINT)
+             AS hhi_bp
+    FROM agg
+    """,
+)
+def parts_supplier_concentration(spark, sf_dir):
+    """Supply-concentration risk per part: Herfindahl-Hirschman index of
+    supplier quantity shares in basis points — HHI 10000 = sole-sourced,
+    the procurement-risk screen. Quantities cast to exact integers so
+    HHI = 10000·Σq²⁄(Σq)² is a single floor-safe rational (the same
+    integer-exactness discipline as the readability score); two stacked
+    partial+final aggregates, no joins."""
+    l = _t(spark, sf_dir, "lineitem")
+    ps = l.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    agg = ps.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("q") * F.col("q")).alias("nsq"),
+        F.sum("q").alias("qt"),
+    )
+    return agg.select(
+        F.col("pk").alias("l_partkey"),
+        "n_suppliers",
+        F.floor(
+            (10000 * F.col("nsq")).cast("double")
+            / (F.col("qt") * F.col("qt"))
+        )
+        .cast("long")
+        .alias("hhi_bp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -134,6 +134,9 @@ def test_gate_window_covers_every_family():
         # wave 18
         "events_autocorrelation",
         "text_readability_scores",
+        # wave 19
+        "text_ngram_novelty",
+        "parts_supplier_concentration",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
