@@ -6764,6 +6764,107 @@ def parts_supplier_concentration(spark, sf_dir):
     )
 
 
+@_q(
+    "events_slo_burn_rate",
+    """
+    WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+                           count(*) AS n,
+                           count(*) FILTER (WHERE event_type = 'error')
+                             AS ne
+                    FROM events GROUP BY 1),
+    r6 AS (SELECT h0.h + INTERVAL (t.range) HOUR AS h,
+                  sum(h0.n) AS n6, sum(h0.ne) AS ne6
+           FROM hourly h0, range(6) t GROUP BY 1)
+    SELECT hourly.h, CAST(hourly.n AS BIGINT) AS n_events,
+           CAST(floor(CAST(10000 * hourly.ne AS DOUBLE) / hourly.n)
+                AS BIGINT) AS err_rate_bp,
+           CAST(floor(CAST(20000 * hourly.ne AS DOUBLE) / hourly.n)
+                AS BIGINT) AS burn_1h_milli,
+           CAST(floor(CAST(20000 * r6.ne6 AS DOUBLE) / r6.n6) AS BIGINT)
+             AS burn_6h_milli
+    FROM hourly JOIN r6 ON hourly.h = r6.h
+    """,
+)
+def events_slo_burn_rate(spark, sf_dir):
+    """SRE error-budget burn rate per hour against a 5% SLO: the 1-hour
+    and trailing-6-hour burn multipliers (rate ÷ budget) that drive
+    multi-window burn-rate alerts — emitted as exact-integer basis
+    points / milli-multipliers via the floor discipline (ratios of
+    counts are rationals; round() is engine-divergent on ties). The
+    6-hour window is the explode-to-window trick again — no hour-grid
+    join, one (hour) shuffle."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("ne"),
+    )
+    r6 = (
+        hourly.select(
+            "h", "n", "ne", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("i")
+        )
+        .select(
+            F.expr("h + make_interval(0, 0, 0, 0, i, 0, 0)").alias("h"),
+            "n",
+            "ne",
+        )
+        .groupBy("h")
+        .agg(F.sum("n").alias("n6"), F.sum("ne").alias("ne6"))
+    )
+    return hourly.join(r6, "h").select(
+        "h",
+        F.col("n").alias("n_events"),
+        F.floor((10000 * F.col("ne")).cast("double") / F.col("n"))
+        .cast("long")
+        .alias("err_rate_bp"),
+        F.floor((20000 * F.col("ne")).cast("double") / F.col("n"))
+        .cast("long")
+        .alias("burn_1h_milli"),
+        F.floor((20000 * F.col("ne6")).cast("double") / F.col("n6"))
+        .cast("long")
+        .alias("burn_6h_milli"),
+    )
+
+
+@_q(
+    "embedding_threshold_sweep",
+    f"""
+    WITH e AS (SELECT vec_id, {_lsh_bucket_sql(4, 64)} AS blk,
+                      CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT round({_COS}, 6) AS c
+          FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
+          WHERE round({_COS}, 6) >= 0.3)
+    SELECT t.t AS threshold, CAST(count(p.c) AS BIGINT) AS n_pairs
+    FROM (VALUES (0.3), (0.5), (0.7), (0.9)) t(t)
+    LEFT JOIN p ON p.c >= t.t
+    GROUP BY t.t
+    """,
+)
+def embedding_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold calibration curve: LSH-blocked near-dup pair
+    counts at cosine ≥ 0.3/0.5/0.7/0.9 in ONE pass over the pair stream
+    — the sweep a curator reads before committing to a dedup threshold
+    (each candidate pair is scored once; the four thresholds are a
+    4-row broadcast joined by inequality)."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        lsh_bucket,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "_blk", lsh_bucket(F.col("embedding"), n_planes=4, dim=64)
+    )
+    pairs = embedding_near_dup_pairs(emb, block_col="_blk", threshold=0.3)
+    th = spark.createDataFrame(
+        [(0.3,), (0.5,), (0.7,), (0.9,)], "threshold double"
+    )
+    return (
+        F.broadcast(th)
+        .join(pairs, pairs.cosine >= th.threshold, "left")
+        .groupBy("threshold")
+        .agg(F.count("cosine").alias("n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -137,6 +137,9 @@ def test_gate_window_covers_every_family():
         # wave 19
         "text_ngram_novelty",
         "parts_supplier_concentration",
+        # wave 20
+        "events_slo_burn_rate",
+        "embedding_threshold_sweep",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
