@@ -6865,6 +6865,70 @@ def embedding_threshold_sweep(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_chi_square_independence",
+    """
+    WITH o AS (SELECT event_type, dayofweek(ts) + 1 AS dow,
+                      count(*) AS obs
+               FROM events GROUP BY event_type, dayofweek(ts)),
+    r AS (SELECT event_type, sum(obs) AS rt FROM o GROUP BY event_type),
+    c AS (SELECT dow, sum(obs) AS ct FROM o GROUP BY dow),
+    t AS (SELECT sum(obs) AS tot FROM o),
+    cells AS (SELECT o.obs, r.rt * c.ct / CAST(t.tot AS DOUBLE) AS exp
+              FROM o JOIN r USING (event_type) JOIN c USING (dow)
+                     CROSS JOIN t)
+    SELECT round(sum((obs - exp) * (obs - exp) / exp), 3) AS chi2,
+           CAST((SELECT count(*) - 1 FROM r)
+                * (SELECT count(*) - 1 FROM c) AS BIGINT) AS dof,
+           CAST((SELECT tot FROM t) AS BIGINT) AS n_events
+    FROM cells
+    """,
+)
+def agg_chi_square_independence(spark, sf_dir):
+    """Pearson chi-square test of independence between event type and
+    day-of-week (are error rates weekday-dependent?) — the categorical
+    counterpart to the Welch t-test in the stats family. Observed cell
+    counts, broadcast row/column marginals, one scalar sum; day-of-week
+    conventions normalized across engines (Spark Sun=1, DuckDB Sun=0)."""
+    e = _t(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("dow").agg(F.sum("obs").alias("ct"))
+    t = o.agg(F.sum("obs").alias("tot"))
+    cells = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "obs",
+            (F.col("rt") * F.col("ct") / F.col("tot").cast("double")).alias(
+                "exp"
+            ),
+        )
+    )
+    chi2 = cells.agg(
+        F.round(
+            F.sum(
+                (F.col("obs") - F.col("exp"))
+                * (F.col("obs") - F.col("exp"))
+                / F.col("exp")
+            ),
+            3,
+        ).alias("chi2")
+    )
+    dof = (
+        r.agg((F.count(F.lit(1)) - 1).alias("r1"))
+        .crossJoin(c.agg((F.count(F.lit(1)) - 1).alias("c1")))
+        .select((F.col("r1") * F.col("c1")).cast("long").alias("dof"))
+    )
+    return (
+        chi2.crossJoin(dof)
+        .crossJoin(t.select(F.col("tot").cast("long").alias("n_events")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -140,6 +140,8 @@ def test_gate_window_covers_every_family():
         # wave 20
         "events_slo_burn_rate",
         "embedding_threshold_sweep",
+        # wave 21
+        "agg_chi_square_independence",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
