@@ -149,16 +149,29 @@ def test_gate_window_covers_every_family():
     assert not stragglers, stragglers
 
 
+def _next_window_pending_names():
+    """The declared round-5 gate candidates (kept in
+    test_gate_window_covers_every_family) — sortable-schema-checked NOW so
+    the next rotation cannot repeat the r3 list-canon incident."""
+    import inspect
+
+    src = inspect.getsource(test_gate_window_covers_every_family)
+    import re
+
+    m = re.search(r"next_window_pending = \{(.*?)\}", src, re.S)
+    return re.findall(r'"([a-z0-9_]+)"', m.group(1))
+
+
 def test_gate_window_output_is_driver_sortable(spark, sf_smoke):
     """The driver's canonicalization sorts result cells with pandas and
     cannot hash array/map/struct cells (`TypeError: unhashable type:
     'list'` burned three r3 gate rows). Guardrail: every gate-window query
-    must produce only atomic output columns. Schema analysis only — no
-    execution."""
+    AND every declared next-round candidate must produce only atomic
+    output columns. Schema analysis only — no execution."""
     from pyspark.sql import types as T
 
     bad = {}
-    for name in entrymod._GATE_ORDER:
+    for name in [*entrymod._GATE_ORDER, *_next_window_pending_names()]:
         fields = QS[name](spark, sf_smoke).schema.fields
         complex_cols = [
             f.name
