@@ -663,3 +663,123 @@ def embedding_dim_profile(
         F.round(F.min("_v"), decimals).alias("mn"),
         F.round(F.max("_v"), decimals).alias("mx"),
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    train_iters: int = 3,
+    dim: int = 64,
+) -> None:
+    """Persist an IVF-Flat index for build-once / query-many serving:
+    trained centroids land in ``{path}/centroids`` and the corpus,
+    assigned to its nearest list, lands in ``{path}/lists`` PARTITIONED
+    BY ``cent_id`` — so Parquet partition pruning IS the inverted-list
+    seek: a probe of ``n_probe`` lists reads only those directories,
+    never the other (n_centroids − n_probe)/n_centroids of the corpus.
+
+    This is the index-lifecycle shape a 100 TB vector corpus needs (the
+    in-memory :func:`cosine_topk_ivf` re-assigns the corpus per query
+    batch): one training scan, one assignment write, then every query
+    batch is centroid-model arithmetic + a pruned read. Rebuild cadence
+    = however often the corpus drifts (monitor with
+    ``embedding_dim_profile`` / ``embedding_cluster_quality``).
+    """
+    cents = train_ivf_centroids(
+        corpus, k=n_centroids, iters=train_iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "cent_id int, cent_vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = _assign_to_centroids(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        ),
+        "vec",
+        cents,
+        n_best=1,
+    )
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{path}/lists"
+    )
+
+
+def _assign_to_centroids(df, vec_col, cents, n_best):
+    """Nearest-centroid assignment as a pure projection (no shuffle):
+    the bounded model inlines as literals; (−cos, cent_id) struct sort
+    picks the n_best lists."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -cosine_sim(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                    )
+                ).alias("ncs"),
+                F.lit(int(cid)).alias("cent_id"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    best = F.slice(F.array_sort(scored), 1, n_best)
+    return df.select(
+        "*", F.explode(F.transform(best, lambda s: s.cent_id)).alias("cent_id")
+    )
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: assign each query to its ``n_probe``
+    nearest lists (model arithmetic on the kilobyte centroid table),
+    then score ONLY those lists — the ``cent_id IN (...)`` filter prunes
+    list partitions at the Parquet scan, so I/O is proportional to the
+    probed fraction of the corpus. Returns the same
+    (query_id, neighbor_id, cosine, rank) contract as the in-memory
+    operators; with ``n_probe >= n_centroids`` the result equals exact
+    brute force (same invariant as :func:`cosine_topk_ivf`)."""
+    cents = [
+        (r.cent_id, list(r.cent_vec))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]  # bounded model, not data
+    qb = _assign_to_centroids(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec",
+        cents,
+        n_best=n_probe,
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    sim = F.round(cosine_sim(F.col("q_vec"), F.col("vec")), 6)
+    scored = (
+        lists.join(F.broadcast(qb), "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
