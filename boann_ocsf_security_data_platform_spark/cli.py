@@ -360,6 +360,49 @@ def cmd_corpus_pack(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered analytics query from the command line — the
+    drivable face of the __spark_entry__ registry: `query --list` prints
+    every name, `query <name>` executes it against a testdata directory
+    and prints rows (table or JSON lines). The same callables the
+    correctness gate verifies, so what you run here is what the DuckDB
+    oracle hash-checked."""
+    import importlib
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    entry = importlib.import_module("__spark_entry__")
+    qs = entry.queries()
+    if args.list:
+        for name in qs:
+            print(name)
+        return 0
+    if not args.name:
+        print("query: provide a name or --list", file=_sys.stderr)
+        return 2
+    if args.name not in qs:
+        import difflib
+
+        hints = difflib.get_close_matches(args.name, qs.keys(), n=3)
+        print(
+            f"unknown query {args.name!r}"
+            + (f"; did you mean: {', '.join(hints)}?" if hints else ""),
+            file=_sys.stderr,
+        )
+        return 2
+    spark = _spark(args)
+    df = qs[args.name](spark, args.sf_dir)
+    if args.limit:
+        df = df.limit(args.limit)
+    if args.json:
+        for row in df.toJSON().collect():
+            print(row)
+    else:
+        df.show(n=args.limit or 20, truncate=False)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="boann-spark")
     p.add_argument("--master", default=None, help="Spark master (default local[*])")
@@ -455,6 +498,19 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--group-col", default="source")
     cp.add_argument("--shard-bytes", type=int, default=1 << 20)
     cp.set_defaults(fn=cmd_corpus_pack)
+
+    q = sub.add_parser(
+        "query", help="run a registered analytics query by name"
+    )
+    q.add_argument("name", nargs="?", help="query name (see --list)")
+    q.add_argument("--list", action="store_true", help="list query names")
+    q.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001",
+        help="testdata directory with the parquet tables",
+    )
+    q.add_argument("--limit", type=int, default=0, help="limit output rows")
+    q.add_argument("--json", action="store_true", help="JSON lines output")
+    q.set_defaults(fn=cmd_query)
     return p
 
 

@@ -47,7 +47,7 @@ def test_parser_wires_all_subcommands():
     )
     assert set(subs.choices) == {
         "convert", "ingest", "stage", "monitor", "compact", "audit",
-        "corpus-clean", "corpus-pack",
+        "corpus-clean", "corpus-pack", "query",
     }
 
 
@@ -309,3 +309,27 @@ def test_cli_corpus_pack_webdataset(spark, tmp_path):
                 seen[m.name] = tf.extractfile(m).read().decode()
     assert len(seen) == 10
     assert seen["000000003.txt"] == "document number 3 body text"
+
+
+def test_cli_query_verb(spark, sf_smoke, capsys):
+    """The query verb exposes the whole analytics registry: --list names
+    every entry; running one prints its rows; unknown names suggest."""
+    import json as _json
+
+    from boann_ocsf_security_data_platform_spark.cli import main
+
+    rc = main(["query", "--list"])
+    assert rc == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names and len(names) > 150
+
+    rc = main([
+        "query", "agg_welch_ttest", "--sf-dir", sf_smoke, "--json",
+    ])
+    assert rc == 0
+    row = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"n_a", "n_b", "t_stat", "df_welch"} <= set(row)
+
+    rc = main(["query", "agg_welch_ttes"])
+    assert rc == 2
+    assert "did you mean" in capsys.readouterr().err
