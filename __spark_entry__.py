@@ -6929,6 +6929,63 @@ def agg_chi_square_independence(spark, sf_dir):
     )
 
 
+@_q(
+    "join_point_in_time_scd2",
+    """
+    WITH c AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    ch AS (SELECT user_id, event_type, ts AS valid_from, event_id
+           FROM c WHERE prev IS NULL OR prev <> event_type),
+    dim AS (SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                     ORDER BY valid_from, event_id) AS valid_to
+            FROM ch)
+    SELECT dim.event_type AS state_at_order,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN dim
+      ON o.o_custkey = dim.user_id
+     AND dim.valid_from <= o.o_orderdate
+     AND (dim.valid_to IS NULL OR o.o_orderdate < dim.valid_to)
+    GROUP BY dim.event_type
+    """,
+)
+def join_point_in_time_scd2(spark, sf_dir):
+    """Point-in-time (PIT) join: each order looks up the customer's SCD2
+    state AS OF its order date — the feature-store join that prevents
+    train/serve leakage (naive latest-state joins leak the future). The
+    dimension is the scd2_intervals build; the lookup is an equi-join on
+    the entity key with a residual validity predicate — never a
+    cartesian, and at 100 TB the same shape as the binned range join /
+    as-of family. Inner semantics: orders before the entity's first
+    interval have no state and drop (the leakage-safe default)."""
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        scd2_intervals,
+    )
+
+    dim = scd2_intervals(_t(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "valid_from", "valid_to"
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(
+            dim,
+            (o.o_custkey == dim.user_id)
+            & (dim.valid_from <= o.o_orderdate)
+            & (dim.valid_to.isNull() | (o.o_orderdate < dim.valid_to)),
+        )
+        .groupBy(F.col("event_type").alias("state_at_order"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -142,6 +142,8 @@ def test_gate_window_covers_every_family():
         "embedding_threshold_sweep",
         # wave 21
         "agg_chi_square_independence",
+        # wave 22
+        "join_point_in_time_scd2",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
