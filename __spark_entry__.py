@@ -7071,12 +7071,12 @@ _GATE_ORDER = [
 # tools/oracle_check.py every round — the pinned accounting lives in
 # tests/test_oracle.py.
 #
-# ROUND-5 ROTATION PLAN (for the next session): the 43 `next_window_pending`
-# entries declared in tests/test_oracle.py (this round's waves 6-21 plus the
+# ROUND-5 ROTATION PLAN (for the next session): the 44 `next_window_pending`
+# entries declared in tests/test_oracle.py (this round's waves 6-22 plus the
 # two r4 stragglers agg_percentile_disc_cont / events_mad_anomalies) are all
 # oracle-verified at sf0.001+sf0.01, hostile-mode checked, and
 # atomic-schema-guarded (the sortable check already covers them). Fill the
-# remaining 7 slots with re-verifications of the OLDEST prior-green entries
+# remaining 6 slots with re-verifications of the OLDEST prior-green entries
 # (drift guard). After that rotation the ever-green union covers every
 # oracle-backed entry registered through round 4.
 
