@@ -6986,6 +6986,70 @@ def join_point_in_time_scd2(spark, sf_dir):
     )
 
 
+def _kcore_round(prev: str, out: str, k: int = 2) -> str:
+    return f"""
+    d_{out} AS (SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+        GROUP BY node),
+    k_{out} AS (SELECT node FROM d_{out} WHERE d >= {k}),
+    {out} AS (SELECT e.u, e.v FROM {prev} e
+              JOIN k_{out} ku ON ku.node = e.u
+              JOIN k_{out} kv ON kv.node = e.v)"""
+
+
+@_q(
+    "graph_kcore_peel",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem WHERE year(l_shipdate) = 1995),
+    e0 AS (SELECT a.pk AS u, b.pk AS v FROM li a
+           JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk),
+    {_kcore_round('e0', 'e1')},
+    {_kcore_round('e1', 'e2')},
+    {_kcore_round('e2', 'e3')}
+    SELECT 1 AS round,
+           (SELECT CAST(count(DISTINCT n) AS BIGINT) FROM
+             (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges
+    UNION ALL SELECT 2,
+           (SELECT CAST(count(DISTINCT n) AS BIGINT) FROM
+             (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)),
+           (SELECT CAST(count(*) AS BIGINT) FROM e2)
+    UNION ALL SELECT 3,
+           (SELECT CAST(count(DISTINCT n) AS BIGINT) FROM
+             (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)),
+           (SELECT CAST(count(*) AS BIGINT) FROM e3)
+    """,
+)
+def graph_kcore_peel(spark, sf_dir):
+    """Bounded-round 2-core peeling of the 1995 part-co-order graph: the
+    (round, surviving nodes, surviving edges) trajectory — the
+    graph-cleaning pass that strips leaves/tendrils before community
+    detection. Each round = degree aggregate + two node-keyed semi-joins
+    (the oracle replays identical rounds as chained CTEs).
+    operators/graph.py:kcore_peel."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import kcore_peel
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    rows = kcore_peel(edges, k=2, rounds=3)
+    return spark.createDataFrame(
+        rows, "round int, n_nodes long, n_edges long"
+    ).select(F.col("round").cast("int"), "n_nodes", "n_edges")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

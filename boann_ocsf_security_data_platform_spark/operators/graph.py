@@ -235,3 +235,57 @@ def label_propagation(
         )
     e.unpersist()
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> list[tuple[int, int, int]]:
+    """Bounded-round k-core peeling: each round drops every node with
+    degree < k and the edges touching it — the standard graph-cleaning
+    pass (peel leaves/tendrils before community detection; full k-core =
+    peel to fixpoint, and the fixed-round form is the deterministic,
+    oracle-replayable prefix of it). Returns the trajectory
+    ``[(round, n_nodes, n_edges), ...]`` — bounded scalars, the data
+    stays distributed.
+
+    Scale: each round is one degree aggregate + two semi-joins of the
+    edge list against the surviving-node set (all keyed on node id);
+    ``localCheckpoint`` truncates lineage between rounds like the other
+    iterative operators. Rounds-to-fixpoint is bounded by the graph's
+    degeneracy ordering depth; in practice a handful of rounds removes
+    the overwhelming majority of sub-core structure.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_edges = e.count()
+        n_nodes = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .distinct()
+            .count()
+        )
+        out.append((r, n_nodes, n_edges))
+    return out

@@ -1147,3 +1147,47 @@ def rake_keywords(
             id_col, "phrase", "score", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compressibility — the cheap, tokenizer-free
+    repetitiveness signal (highly compressible ⇒ boilerplate/templated
+    text; near-incompressible ⇒ random noise; natural prose sits in
+    between), used as a quality gate alongside the repetition metrics.
+    Emits ``(id, n_bytes, n_compressed, ratio)`` with ratio =
+    compressed/raw (lower = more repetitive).
+
+    NO SQL oracle is possible (DEFLATE is not expressible in DuckDB), so
+    this ships tests-only: determinism, monotonicity on constructed
+    repetitive vs random text, and byte-count exactness vs Python zlib.
+    Arrow-batched ``mapInPandas`` (the UDF-escape-hatch tier — zlib at
+    ~100 MB/s/core is still scan-bandwidth-class); payloads never leave
+    their partition.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            n = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n.astype("int64"),
+                    "n_compressed": comp.astype("int64"),
+                    "ratio": (
+                        comp / n.where(n > 0, 1)
+                    ).round(6).astype("float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )

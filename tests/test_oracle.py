@@ -144,6 +144,8 @@ def test_gate_window_covers_every_family():
         "agg_chi_square_independence",
         # wave 22
         "join_point_in_time_scd2",
+        # wave 23
+        "graph_kcore_peel",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

@@ -203,3 +203,57 @@ def test_duplicate_spans_within_doc_repeat_not_dup(spark):
     )
     rows = {r.doc_id: r for r in duplicate_span_stats(docs, n=8).collect()}
     assert rows[1].n_dup_spans == 0
+
+
+# ---------------------------------------------------------------------------
+# compression_ratio (wave 23 — no SQL oracle possible; invariants ARE the
+# correctness story)
+# ---------------------------------------------------------------------------
+
+def test_compression_ratio_orders_repetitive_below_random(spark):
+    import random as _r
+
+    rng = _r.Random(5)
+    rep = "the same phrase again and again " * 40
+    rand = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(160)
+    )
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        compression_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, rep), (2, rand)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert rows[1].ratio < rows[2].ratio
+    assert rows[1].ratio < 0.15  # heavy repetition compresses hard
+
+
+def test_compression_ratio_matches_python_zlib(spark):
+    import zlib
+
+    texts = [(1, "hello world " * 10), (2, ""), (3, "αβγ unicode ок")]
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        compression_ratio,
+    )
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r.doc_id: r for r in compression_ratio(df).collect()}
+    for i, t in texts:
+        b = t.encode()
+        assert rows[i].n_bytes == len(b)
+        assert rows[i].n_compressed == len(zlib.compress(b, 6))
+
+
+def test_compression_ratio_deterministic(spark, sf_smoke):
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        compression_ratio,
+    )
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    a = sorted(map(tuple, compression_ratio(d).collect()))
+    b = sorted(map(tuple, compression_ratio(d).collect()))
+    assert a == b and len(a) == d.count()
