@@ -7050,6 +7050,126 @@ def graph_kcore_peel(spark, sf_dir):
     ).select(F.col("round").cast("int"), "n_nodes", "n_edges")
 
 
+@_q(
+    "text_jsd_divergence",
+    f"""
+    WITH toks AS (SELECT source, unnest({_WORDS}) AS token FROM documents),
+    c AS (SELECT source, token, count(*) AS n FROM toks
+          GROUP BY source, token),
+    tot AS (SELECT source, sum(n) AS t FROM c GROUP BY source),
+    p AS (SELECT c.source, c.token, c.n / CAST(tot.t AS DOUBLE) AS p
+          FROM c JOIN tot USING (source)),
+    -- tokens present in only ONE source contribute their mass at
+    -- log2(2) = 1 bit, handled in closed form below from the shared-token
+    -- sums — so the pair join only carries tokens present in BOTH sources
+    st AS (SELECT a.source AS src_a, b.source AS src_b, a.p AS pa,
+                  b.p AS pb
+           FROM p a JOIN p b
+             ON a.token = b.token AND a.source < b.source),
+    shared AS (SELECT src_a, src_b,
+                      sum(pa) AS ma, sum(pb) AS mb,
+                      sum(pa * log2(2 * pa / (pa + pb))
+                          + pb * log2(2 * pb / (pa + pb))) AS s
+               FROM st GROUP BY src_a, src_b)
+    SELECT src_a, src_b,
+           round(0.5 * (s + (1 - ma) + (1 - mb)), 4) AS jsd_bits
+    FROM shared
+    """,
+)
+def text_jsd_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source token
+    distributions — the mixture-similarity matrix behind "are these two
+    crawls the same corpus?" dedup-at-the-source-level decisions.
+    Tokens present in only one source contribute their full mass at
+    log2(2)=1 bit (handled in closed form from the shared-token sums, so
+    the join only carries tokens present in BOTH sources); per-source
+    distributions are one aggregate, the pair sums a |shared vocab|
+    equi-join."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens("text")).alias("token"))
+    c = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("t"))
+    p = c.join(tot, "source").select(
+        "source", "token", (F.col("n") / F.col("t").cast("double")).alias("p")
+    )
+    a = p.select(
+        F.col("source").alias("src_a"),
+        F.col("token").alias("token"),
+        F.col("p").alias("pa"),
+    )
+    b = p.select(
+        F.col("source").alias("src_b"),
+        F.col("token").alias("token"),
+        F.col("p").alias("pb"),
+    )
+    both = a.join(b, "token").where(F.col("src_a") < F.col("src_b"))
+    shared = both.groupBy("src_a", "src_b").agg(
+        F.sum("pa").alias("ma"),
+        F.sum("pb").alias("mb"),
+        F.sum(
+            F.col("pa") * F.log2(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+            + F.col("pb")
+            * F.log2(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+        ).alias("s"),
+    )
+    return shared.select(
+        "src_a",
+        "src_b",
+        F.round(
+            0.5 * (F.col("s") + (1 - F.col("ma")) + (1 - F.col("mb"))), 4
+        ).alias("jsd_bits"),
+    )
+
+
+@_q(
+    "events_forecast_backtest",
+    """
+    WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                      round(sum(value), 6) AS v
+               FROM events GROUP BY event_type, date_trunc('day', ts)),
+    f AS (SELECT event_type, day, v,
+                 lag(v) OVER w AS naive,
+                 lag(v, 7) OVER w AS snaive
+          FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type,
+           CAST(count(naive) AS BIGINT) AS n_scored,
+           round(avg(abs(v - naive)), 3) AS mae_naive,
+           round(avg(abs(v - snaive)), 3) AS mae_seasonal_naive
+    FROM f GROUP BY event_type
+    """,
+)
+def events_forecast_backtest(spark, sf_dir):
+    """Forecast-baseline backtest: mean absolute error of the naive
+    (yesterday's value) and seasonal-naive (same weekday last week)
+    forecasts of daily totals per event type — the benchmark any real
+    forecasting model must beat, and the companion measurement to the
+    autocorrelation fingerprint (high lag-7 ACF ⇒ seasonal-naive should
+    win). Lag windows over the bounded daily table; avg's null exclusion
+    drops the unscorable series head identically on both engines."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = d.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("naive"),
+        F.lag("v", 7).over(w).alias("snaive"),
+    )
+    return f.groupBy("event_type").agg(
+        F.count("naive").alias("n_scored"),
+        F.round(F.avg(F.abs(F.col("v") - F.col("naive"))), 3).alias(
+            "mae_naive"
+        ),
+        F.round(F.avg(F.abs(F.col("v") - F.col("snaive"))), 3).alias(
+            "mae_seasonal_naive"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7135,12 +7255,12 @@ _GATE_ORDER = [
 # tools/oracle_check.py every round — the pinned accounting lives in
 # tests/test_oracle.py.
 #
-# ROUND-5 ROTATION PLAN (for the next session): the 44 `next_window_pending`
-# entries declared in tests/test_oracle.py (this round's waves 6-22 plus the
+# ROUND-5 ROTATION PLAN (for the next session): the 47 `next_window_pending`
+# entries declared in tests/test_oracle.py (this round's waves 6-24 plus the
 # two r4 stragglers agg_percentile_disc_cont / events_mad_anomalies) are all
 # oracle-verified at sf0.001+sf0.01, hostile-mode checked, and
 # atomic-schema-guarded (the sortable check already covers them). Fill the
-# remaining 6 slots with re-verifications of the OLDEST prior-green entries
+# remaining 3 slots with re-verifications of the OLDEST prior-green entries
 # (drift guard). After that rotation the ever-green union covers every
 # oracle-backed entry registered through round 4.
 

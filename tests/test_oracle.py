@@ -146,6 +146,9 @@ def test_gate_window_covers_every_family():
         "join_point_in_time_scd2",
         # wave 23
         "graph_kcore_peel",
+        # wave 24
+        "text_jsd_divergence",
+        "events_forecast_backtest",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
