@@ -7170,6 +7170,43 @@ def events_forecast_backtest(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_size_profile",
+    """
+    WITH m AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                      CAST(32 + (CAST(concat('0x', substr(md5(text), 1, 2))
+                                      AS INT) % 64) AS INT) AS width
+               FROM documents)
+    SELECT CAST(width // 16 AS INT) AS width_bucket,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+           CAST(min(byte_len) AS BIGINT) AS min_bytes,
+           CAST(max(byte_len) AS BIGINT) AS max_bytes
+    FROM m GROUP BY CAST(width // 16 AS INT)
+    """,
+)
+def multimodal_size_profile(spark, sf_dir):
+    """Media-catalog profile over the extracted metadata: payload size
+    distribution bucketed by sniffed width class — the storage-planning
+    rollup (which media classes dominate the bytes?). Aggregates the
+    mapInPandas metadata stream without ever collecting a payload; the
+    rollup itself is a bounded partial+final aggregate."""
+    meta = extract_media_meta(
+        attach_binary_payload(_t(spark, sf_dir, "documents"))
+    )
+    return (
+        meta.groupBy(
+            F.floor(F.col("width") / 16).cast("int").alias("width_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.min("byte_len").alias("min_bytes"),
+            F.max("byte_len").alias("max_bytes"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -7255,12 +7292,12 @@ _GATE_ORDER = [
 # tools/oracle_check.py every round — the pinned accounting lives in
 # tests/test_oracle.py.
 #
-# ROUND-5 ROTATION PLAN (for the next session): the 47 `next_window_pending`
-# entries declared in tests/test_oracle.py (this round's waves 6-24 plus the
+# ROUND-5 ROTATION PLAN (for the next session): the 48 `next_window_pending`
+# entries declared in tests/test_oracle.py (this round's waves 6-25 plus the
 # two r4 stragglers agg_percentile_disc_cont / events_mad_anomalies) are all
 # oracle-verified at sf0.001+sf0.01, hostile-mode checked, and
 # atomic-schema-guarded (the sortable check already covers them). Fill the
-# remaining 3 slots with re-verifications of the OLDEST prior-green entries
+# remaining 2 slots with re-verifications of the OLDEST prior-green entries
 # (drift guard). After that rotation the ever-green union covers every
 # oracle-backed entry registered through round 4.
 

@@ -149,6 +149,8 @@ def test_gate_window_covers_every_family():
         # wave 24
         "text_jsd_divergence",
         "events_forecast_backtest",
+        # wave 25
+        "multimodal_size_profile",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
