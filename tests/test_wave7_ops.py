@@ -182,3 +182,58 @@ def test_streaming_rollup_maintenance(spark, tmp_path):
         ).collect()
     }
     assert maintained == want
+
+
+def test_streaming_cms_maintenance(spark, tmp_path):
+    """Count-Min as a continuously-maintained streaming summary: each
+    micro-batch's sketch merges (JVM mergeInPlace — same seed ⇒ counters
+    add) into a persisted sketch file; after the stream drains, point
+    estimates equal the whole-history sketch's — the mergeable-summary
+    counterpart of the rollup-maintenance test above."""
+    import json
+
+    src = tmp_path / "cms_in"
+    src.mkdir()
+    state_path = tmp_path / "cms_state.bin"
+    rows1 = [{"t": f"w{i % 7}"} for i in range(140)]
+    rows2 = [{"t": f"w{i % 5}"} for i in range(100)]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows1))
+
+    stream = spark.readStream.schema("t string").json(str(src))
+    jvm = spark.sparkContext._jvm
+
+    def upsert(batch_df, _bid):
+        part = count_min_sketch_agg(batch_df, "t").collect()[0].cms
+        if state_path.exists():
+            merged = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+                state_path.read_bytes()
+            )
+            merged.mergeInPlace(
+                jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+                    bytes(part)
+                )
+            )
+            out = jvm.java.io.ByteArrayOutputStream()
+            merged.writeTo(out)
+            state_path.write_bytes(bytes(out.toByteArray()))
+        else:
+            state_path.write_bytes(bytes(part))
+
+    def drain():
+        q = stream.writeStream.foreachBatch(upsert).option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    drain()
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    drain()
+
+    allrows = spark.createDataFrame(rows1 + rows2, "t string")
+    whole = count_min_sketch_agg(allrows, "t").collect()[0].cms
+    w = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(whole))
+    m = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        state_path.read_bytes()
+    )
+    for i in range(7):
+        assert m.estimateCount(f"w{i}") == w.estimateCount(f"w{i}")
