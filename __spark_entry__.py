@@ -7226,80 +7226,91 @@ def multimodal_size_profile(spark, sf_dir):
 # tests/test_oracle.py and deliberately kept OUT of the window so no slot is
 # burned on a row that can never be green.
 _GATE_ORDER = [
-    # first driver rows: list-canon fixes (arrays now serialized to strings)
-    "scalar_string_date_hash",
-    "embedding_centroids",
-    "embedding_quantize",
-    # first driver rows: round-3 TPC-H shapes outside the r3 window
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
-    "q22_inactive_customers",
-    # first driver rows: events analytics wave
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_gap_fill",
-    "events_zscore_anomalies",
-    "events_cumulative_users",
-    "events_transition_counts",
-    # first driver rows: corpus-management / skew toolkit wave
-    "join_salted_skew",
-    "corpus_domain_cap",
-    "corpus_token_budget",
-    "corpus_mixture_sample",
-    "corpus_train_val_test_split",
-    "corpus_sample_k_per_group",
-    "corpus_weighted_sample",
-    "profile_key_skew",
-    "profile_lineitem_columns",
-    "feature_quantile_bins",
-    # first driver rows: text / dedup fourth wave
-    "text_strip_boilerplate",
-    "text_bigram_counts",
-    "text_bm25_search",
-    "dedup_prefix_filter_jaccard",
-    "agg_argmax",
-    # first driver rows: round-4 additions
-    "join_lateral_topk",
-    "embedding_kmeans_refine",
-    "text_bigram_lm_score",
-    "dedup_containment_pairs",
-    "corpus_dsir_weights",
-    # first driver rows: round-4 second wave
-    "text_segment_dedup",
-    "dedup_cross_corpus",
-    "text_zipf_stats",
-    "graph_pagerank",
-    "agg_linear_regression",
-    "agg_mode_bitops",
-    "embedding_pq_encode",
-    # first driver rows: round-4 third wave (TSDB rollups, SCD2, paths)
-    "events_time_weighted_avg",
-    "events_ohlc_bars",
-    "events_locf_fill",
-    "events_scd2",
-    "events_top_paths",
-    "embedding_dim_profile",
-    # first driver rows: round-4 fourth wave (recursive CTE, pagination)
-    "recursive_nation_reachability",
-    "sort_limit_offset",
-    "orders_in_flight_by_month",
+    # round-5 rotation: the 48 `next_window_pending` entries declared in
+    # round 4 (tests/test_oracle.py) — all oracle-verified at
+    # sf0.001+sf0.01 and judge-verified in the round-4 VERDICT — plus two
+    # drift-guard re-verifications of the OLDEST prior-green entries
+    # (q1/q3, driver-green since round 1). After this round the ever-green
+    # union covers every oracle-backed entry registered through round 4.
+    # drift guard: oldest driver-green entries (round 1)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    # r4 stragglers
+    "agg_percentile_disc_cont",
+    "events_mad_anomalies",
+    # wave 6: sketches, bloom join, range join, funnels, stats
+    "text_heavy_hitter_tokens",
+    "dedup_duplicate_spans",
+    "graph_triangle_count",
+    "join_bloom_filtered",
+    "range_join_overlapping_orders",
+    "events_window_funnel",
+    "events_attribution_last_touch",
+    "agg_welch_ttest",
+    "corpus_source_entropy",
+    "agg_trimmed_winsorized",
+    # wave 7
+    "corpus_curation_funnel",
+    "agg_incremental_rollup_merge",
+    "window_distribution_ranks",
+    "events_seasonal_baseline",
+    # wave 8
+    "text_rake_keywords",
+    "events_session_window_native",
+    "agg_pareto_abc",
+    # wave 9 (evaluation harness)
+    "dedup_minhash_eval",
+    "knn_truncated_recall",
+    # wave 10
+    "corpus_temperature_sample",
+    "events_rolling_distinct_users",
+    # wave 11
+    "graph_label_propagation",
+    "orders_cohort_revenue",
+    # wave 13
+    "feature_psi_drift",
+    "agg_gini_coefficient",
+    # wave 14
+    "text_langid_eval",
+    "events_longest_streak",
+    # wave 15
+    "text_pii_stats",
+    "diff_table_versions",
+    # wave 16
+    "orders_rfm_segments",
+    "orders_basket_lift",
+    # wave 17
+    "embedding_cluster_quality",
+    "text_tokenizer_fertility",
+    "events_dau_wau_stickiness",
+    # wave 18
+    "events_autocorrelation",
+    "text_readability_scores",
+    # wave 19
+    "text_ngram_novelty",
+    "parts_supplier_concentration",
+    # wave 20
+    "events_slo_burn_rate",
+    "embedding_threshold_sweep",
+    # wave 21
+    "agg_chi_square_independence",
+    # wave 22
+    "join_point_in_time_scd2",
+    # wave 23
+    "graph_kcore_peel",
+    # wave 24
+    "text_jsd_divergence",
+    "events_forecast_backtest",
+    # wave 25
+    "multimodal_size_profile",
 ]
 # Entries beyond the 50-row window all have driver-green rows in
-# CORRECTNESS_r01-r03 (ever-green union after this rotation = every
-# oracle-backed entry) or are approximate by design; all are re-verified by
-# tools/oracle_check.py every round — the pinned accounting lives in
-# tests/test_oracle.py.
-#
-# ROUND-5 ROTATION PLAN (for the next session): the 48 `next_window_pending`
-# entries declared in tests/test_oracle.py (this round's waves 6-25 plus the
-# two r4 stragglers agg_percentile_disc_cont / events_mad_anomalies) are all
-# oracle-verified at sf0.001+sf0.01, hostile-mode checked, and
-# atomic-schema-guarded (the sortable check already covers them). Fill the
-# remaining 2 slots with re-verifications of the OLDEST prior-green entries
-# (drift guard). After that rotation the ever-green union covers every
-# oracle-backed entry registered through round 4.
+# CORRECTNESS_r01-r04 (after this round's rotation the ever-green union
+# covers every oracle-backed entry registered through round 4) or are
+# approximate by design; all are re-verified by tools/oracle_check.py every
+# round — the pinned accounting lives in tests/test_oracle.py. Entries added
+# DURING round 5 are declared `next_window_pending` there and fill the
+# round-6 window.
 
 
 def _gate_ordered(d: dict) -> dict:
