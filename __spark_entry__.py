@@ -5776,7 +5776,8 @@ _H64_TEMP = _H64.format(expr="concat('temp0:', CAST(doc_id AS VARCHAR))")
     "corpus_temperature_sample",
     f"""
     WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-    w AS (SELECT lang, n, round(pow(n, 0.5), 6) AS w FROM counts),
+    w AS (SELECT lang, n, CAST(floor(pow(n, 0.5) * 1000000) AS BIGINT) AS w
+         FROM counts),
     tot AS (SELECT sum(w) AS wsum FROM w),
     shares AS (SELECT lang, n, w / wsum AS share FROM w, tot),
     tmax AS (SELECT min(n / share) AS t_max FROM shares),
@@ -7205,6 +7206,61 @@ def multimodal_size_profile(spark, sf_dir):
             F.max("byte_len").alias("max_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave 26: persisted-IVF-index lifecycle (build → pruned query)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "knn_ivf_index_persisted",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_COS}, 6) AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_COS}, 6) DESC, b.vec_id) AS rank
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 10) t
+    WHERE rank <= 5
+    """,
+)
+def knn_ivf_index_persisted(spark, sf_dir):
+    """Full index lifecycle: train centroids, persist inverted lists
+    PARTITIONED BY cent_id, then answer a query batch through the
+    persisted index with n_probe == n_centroids — where IVF provably
+    equals exact brute force, so the entry is hash-verified against the
+    same DuckDB top-k oracle as knn_bruteforce_cosine while exercising
+    the on-disk layout whose partition pruning IS the list seek at
+    100 TB (probing p of c lists reads only p/c of the corpus
+    directories). Build-once/query-many: real deployments amortize the
+    build; this entry rebuilds per call so the driver exercises both
+    halves deterministically (fixed seed, fixed temp path per sf).
+    operators/similarity.py:build_ivf_index,query_ivf_index."""
+    import os
+    import tempfile
+
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(), f"boann_ivf_index_{tag}"
+    )
+    n_centroids = 8
+    build_ivf_index(emb, path, n_centroids=n_centroids)
+    return query_ivf_index(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_probe=n_centroids,
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 # ---------------------------------------------------------------------------

@@ -664,11 +664,40 @@ TAR_MEMBER_SCHEMA = (
 )
 
 
+def _pax_path_override(data: bytes) -> str | None:
+    """Extract the ``path=`` record from a PAX extended-header payload
+    (records are ``"<len> <key>=<value>\\n"`` with <len> counting the whole
+    record). Returns None when no path record is present or parsing fails
+    (treated as data, not an error)."""
+    pos, path = 0, None
+    while pos < len(data):
+        sp = data.find(b" ", pos)
+        if sp < 0:
+            break
+        try:
+            rec_len = int(data[pos:sp])
+        except ValueError:
+            break
+        if rec_len <= 0 or pos + rec_len > len(data):
+            break
+        rec = data[sp + 1 : pos + rec_len].rstrip(b"\n")
+        key, eq, val = rec.partition(b"=")
+        if eq and key == b"path":
+            path = val.decode("utf-8", "replace")
+        pos += rec_len
+    return path
+
+
 def _walk_tar(b: bytes):
     """Yield (name, payload) from an uncompressed tar byte string — plain
     512-byte ustar header walk; bad bytes end the walk (data, not errors).
-    Skips non-regular members (dirs, links, pax headers)."""
+    Skips non-regular members (dirs, links). GNU ``L`` long-name and PAX
+    ``x`` extended headers are APPLIED (the name they carry overrides the
+    truncated 100-char header field of the following member — silently
+    truncating would corrupt WebDataset sample keys); PAX ``g`` global
+    headers are skipped."""
     pos = 0
+    pending_name: str | None = None  # from a preceding L/x header
     while pos + 512 <= len(b):
         hdr = b[pos : pos + 512]
         if hdr == b"\x00" * 512:
@@ -683,11 +712,31 @@ def _walk_tar(b: bytes):
         data = b[pos + 512 : pos + 512 + size]
         if len(data) < size:
             break  # truncated archive: stop, keep what parsed
-        prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8", "replace")
-        if prefix:
-            name = f"{prefix}/{name}"
-        if typeflag in (b"0", b"\x00") and name:
-            yield name, data
+        if typeflag == b"L":
+            # GNU long name: payload IS the next member's full name
+            pending_name = data.split(b"\x00", 1)[0].decode("utf-8", "replace")
+        elif typeflag == b"x":
+            # PAX extended header: may carry a path= override for the
+            # next member
+            override = _pax_path_override(data)
+            if override is not None:
+                pending_name = override
+        elif typeflag == b"K":
+            pass  # GNU long LINK name: applies to linkname, keep pending
+        elif typeflag == b"g":
+            pass  # PAX global header: no per-member name override
+        else:
+            if pending_name is not None:
+                name = pending_name  # full name; no prefix applies
+            else:
+                prefix = hdr[345:500].split(b"\x00", 1)[0].decode(
+                    "utf-8", "replace"
+                )
+                if prefix:
+                    name = f"{prefix}/{name}"
+            if typeflag in (b"0", b"\x00") and name:
+                yield name, data
+            pending_name = None  # any real member consumes the override
         pos += 512 + ((size + 511) // 512) * 512
 
 
@@ -776,7 +825,17 @@ def write_tar_shards(
     Executor-side: rows repartition by (group, shard) so each task owns
     whole shards and writes them with stdlib tarfile — the driver sees
     only the kilobyte manifest. Shard size is bounded by assign_shards,
-    so per-task memory is bounded regardless of corpus size."""
+    so per-task memory is bounded regardless of corpus size.
+
+    Filesystem contract: shards are written with plain ``open()`` inside
+    executor tasks, so ``out_dir`` must be a path every executor can
+    write and readers can later see — a SHARED filesystem (NFS/FUSE
+    mount, e.g. a gcsfuse/s3-mounted bucket) on a multi-node cluster, or
+    any local path in local mode. Each task makedirs ``out_dir`` itself
+    (driver-side creation doesn't exist on workers). For direct
+    object-store URIs without a mount, write members through a
+    Hadoop-FS-aware path instead (df.write per shard); the manifest
+    contract is unchanged."""
     import io
     import os
     import tarfile
@@ -791,6 +850,11 @@ def write_tar_shards(
                     (str(row[group_col]), int(row[shard_col])), []
                 ).append((str(row[name_col]), bytes(row[payload_col])))
         out = []
+        if acc:
+            # out_dir may only exist on the driver (cmd_corpus_pack mkdirs
+            # there); in cluster mode each writing task must create it on
+            # its own node/mount
+            os.makedirs(out_dir, exist_ok=True)
         for (grp, shard), members in acc.items():
             path = os.path.join(out_dir, f"{grp}-{shard:05d}.tar")
             buf = io.BytesIO()

@@ -970,12 +970,29 @@ def count_min_sketch_agg(
 def cms_estimate(spark, sketch_bytes, items: list):
     """Driver-side point queries against a serialized CMS (the sketch is
     kilobytes — querying it is a driver concern, like reading any model).
-    Returns {item: estimated_count}."""
+    Returns {item: estimated_count}.
+
+    Numeric items are coerced to java.lang.Long explicitly so the probe
+    hashes identically to the long-typed entries an integral-column
+    sketch contains, regardless of which boxed type Py4J would pick for
+    a small Python int. (Spark's estimateCount(Object) also normalizes
+    integrals via integralToLong, so this is belt-and-braces — pinned by
+    test_cms_numeric_items.)"""
     jvm = spark.sparkContext._jvm
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(sketch_bytes)
     )
-    return {it: cms.estimateCount(it) for it in items}
+
+    def _coerce(it):
+        if isinstance(it, bool):
+            raise TypeError("CMS items must be int/str, not bool")
+        if isinstance(it, int):
+            return jvm.java.lang.Long.valueOf(it)
+        if isinstance(it, str):
+            return it
+        raise TypeError(f"unsupported CMS item type: {type(it).__name__}")
+
+    return {it: cms.estimateCount(_coerce(it)) for it in items}
 
 
 def temperature_sample(
@@ -992,13 +1009,19 @@ def temperature_sample(
     weight count^alpha — so it inherits the largest-admissible-total,
     no-upsampling, deterministic-hash-selection semantics and the same
     fully-distributed plan (per-stratum counts, broadcast fraction table,
-    scan-bandwidth hash filter). The weight rounds to 6 decimals so the
-    derived fractions are engine-reproducible.
+    scan-bandwidth hash filter). The weight is scaled to an EXACT integer
+    (floor(n^alpha * 1e6) as long, ~6 significant decimals) so the weight
+    SUM is a long — bit-identical under any partial-aggregation order —
+    honoring mixture_sample's integer-weight invariant; a double weight
+    would make the sum order-dependent and could flip rows sitting on a
+    hash-bucket boundary between engines.
     """
     return mixture_sample(
         df,
         strata_col,
-        weight=F.round(F.pow(F.col("_n"), F.lit(alpha)), 6),
+        weight=F.floor(
+            F.pow(F.col("_n"), F.lit(alpha)) * F.lit(1000000.0)
+        ).cast("long"),
         id_col=id_col,
         seed=seed,
     )

@@ -87,8 +87,9 @@ def test_gate_window_covers_every_family():
         # round-5 additions (declared here as they land; they fill the
         # round-6 window — all oracle-checked every round by
         # tools/oracle_check.py and the parametrized oracle tests above)
-        "noop_placeholder",
-    } - {"noop_placeholder"}
+        # wave 26: persisted IVF index lifecycle
+        "knn_ivf_index_persisted",
+    }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
     )

@@ -237,3 +237,20 @@ def test_streaming_cms_maintenance(spark, tmp_path):
     )
     for i in range(7):
         assert m.estimateCount(f"w{i}") == w.estimateCount(f"w{i}")
+
+
+def test_cms_numeric_items(spark):
+    """Numeric probes against an integral-column sketch must hash as
+    long (ADVICE r4: Py4J boxes small ints as Integer; cms_estimate now
+    coerces to java.lang.Long explicitly). Small ints, a >2^31 value,
+    and an absent value all estimate correctly."""
+    df = spark.range(0, 1000).select(
+        (F.when(F.col("id") < 500, F.col("id") % 5).otherwise(F.lit(2**40)))
+        .cast("long")
+        .alias("v")
+    )
+    sketch = count_min_sketch_agg(df, "v", eps=0.0001).collect()[0].cms
+    est = cms_estimate(spark, sketch, [0, 4, 2**40, 999999])
+    assert est[0] == 100 and est[4] == 100
+    assert est[2**40] == 500
+    assert est[999999] == 0

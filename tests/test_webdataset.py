@@ -119,3 +119,43 @@ def test_write_tar_shards_round_trip(spark, tmp_path):
                 seen[mem.name] = tf.extractfile(mem).read()
     want = {c: d for _, _, c, d in rows}
     assert seen == want
+
+
+def test_tar_members_gnu_and_pax_long_names(spark):
+    """Members with names >100 chars carry their full name in a GNU 'L'
+    or PAX 'x' extension header; the walk must APPLY the override, not
+    silently truncate the sample key (ADVICE r4). Round-trip against
+    stdlib tarfile in both formats."""
+    long_dir = "a" * 80 + "/" + "b" * 60
+    long_name = f"{long_dir}/sample-000123.jpg"
+    for fmt in (tarfile.GNU_FORMAT, tarfile.PAX_FORMAT):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            info = tarfile.TarInfo(name=long_name)
+            info.size = 3
+            tf.addfile(info, io.BytesIO(b"jpg"))
+            short = tarfile.TarInfo(name="short.txt")
+            short.size = 2
+            tf.addfile(short, io.BytesIO(b"ok"))
+        df = spark.createDataFrame(
+            [("s1", bytearray(buf.getvalue()))], "shard string, tar_bytes binary"
+        )
+        rows = {r.member_name: r for r in tar_members(df).collect()}
+        assert long_name in rows, (fmt, sorted(rows))
+        assert rows[long_name].sample_key == "sample-000123"
+        assert bytes(rows[long_name].payload) == b"jpg"
+        assert rows["short.txt"].payload == bytearray(b"ok")
+
+
+def test_write_tar_shards_creates_out_dir_in_task(spark, tmp_path):
+    """out_dir that does not pre-exist is created by the writing task
+    itself (cluster-mode contract: driver-side mkdir doesn't exist on
+    workers)."""
+    out = str(tmp_path / "does" / "not" / "exist")
+    df = spark.createDataFrame(
+        [("web", 0, "k1.txt", bytearray(b"x"))],
+        "source string, shard_id long, member_name string, payload binary",
+    )
+    manifest = write_tar_shards(df, out).collect()
+    assert len(manifest) == 1
+    assert os.path.exists(manifest[0].path)
