@@ -7263,6 +7263,81 @@ def knn_ivf_index_persisted(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def _bpe_iter_sql(prev: str, out: str) -> str:
+    """One BPE training iteration as DuckDB CTEs: explode adjacent symbol
+    pairs weighted by word freq, pick the top pair (ties: lexicographic,
+    matching train_bpe_merges), apply it with the same greedy
+    left-to-right fold (list_reduce over singleton lists — acc starts as
+    the first symbol's list, exactly like folding from empty with
+    append). HAVING >= 2 replicates the trainer's early-stop: once no
+    pair reaches 2 the vocab passes through unchanged, so continuing
+    no-op iterations equals the trainer's break."""
+    return f"""
+    p_{out} AS (
+      SELECT unnest(list_transform(range(1, len(syms)), j ->
+               struct_pack(a := syms[j], b := syms[j+1]))) AS p, freq
+      FROM {prev}),
+    t_{out} AS (
+      SELECT p.a AS a, p.b AS b FROM p_{out}
+      GROUP BY p.a, p.b HAVING sum(freq) >= 2
+      ORDER BY sum(freq) DESC, p.a, p.b LIMIT 1),
+    {out} AS (
+      SELECT w, CASE WHEN t.a IS NULL THEN syms ELSE
+        list_reduce(list_transform(syms, s -> [s]),
+          (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                      THEN acc[:-2] || [t.a || t.b]
+                      ELSE acc || x END)
+      END AS syms, freq FROM {prev} LEFT JOIN t_{out} t ON TRUE)"""
+
+
+_BPE_N_MERGES = 8
+_BPE_CHAIN = ",".join(
+    _bpe_iter_sql(f"v{i}", f"v{i + 1}") for i in range(_BPE_N_MERGES)
+)
+
+
+@_q(
+    "text_bpe_roundtrip",
+    f"""
+    WITH words AS (SELECT unnest({_WORDS}) AS w FROM documents),
+    vocab AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
+    v0 AS (SELECT w, string_split(w, '') || ['</w>'] AS syms, freq
+           FROM vocab),{_BPE_CHAIN}
+    SELECT w AS word, array_to_string(syms, ' ') AS bpe,
+           CAST(len(syms) AS INT) AS n_subwords
+    FROM v{_BPE_N_MERGES}
+    """,
+)
+def text_bpe_roundtrip(spark, sf_dir):
+    """Tokenizer-training round-trip: train 8 BPE merges on the corpus
+    vocabulary (Sennrich et al. 2016; one corpus pass collapses to a
+    (word, freq) table, every merge iteration runs on the vocab alone),
+    then SEGMENT every vocabulary word with the trained merge list —
+    per word: its subword split and piece count. The DuckDB oracle
+    replays the identical training (chained CTEs, same tie-break, same
+    greedy fold), so the entire train→encode loop is hash-verified.
+    operators/text.py:train_bpe_merges,bpe_segment."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        bpe_segment,
+        tokens,
+        train_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=_BPE_N_MERGES)
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seg = bpe_segment("w", merges)
+    return vocab.select(
+        F.col("w").alias("word"),
+        F.array_join(seg, " ").alias("bpe"),
+        F.size(seg).cast("int").alias("n_subwords"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

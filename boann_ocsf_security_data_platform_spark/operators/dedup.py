@@ -262,6 +262,40 @@ def minhash_signature(
     return out if pre_hashed else out.drop("_sh_hashes")
 
 
+def lsh_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    minhash_col: str = "minhash",
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """One row per (id, band_idx, band_hash): the LSH banding key stream
+    shared by the batch self-join (:func:`lsh_candidate_pairs`) and the
+    streaming near-dup path (streaming/neardup.py) — same md5-over-band
+    expression on both, so stream and batch bucket identically. Row-local
+    explode, no shuffle."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col(minhash_col), b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, "band.band_idx", "band.band_hash"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -285,26 +319,13 @@ def lsh_candidate_pairs(
     are the boilerplate itself). Default None keeps exact LSH semantics
     for oracle verification.
     """
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(F.col(minhash_col), b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
+    exploded = lsh_band_keys(
+        df,
+        id_col=id_col,
+        minhash_col=minhash_col,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
     )
-    exploded = df.select(
-        F.col(id_col), F.explode(bands).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_hash")
 
     if max_bucket_size is not None:
         from pyspark.sql import Window

@@ -4,3 +4,8 @@ from .monitor import (  # noqa: F401
     start_monitor_stream,
     stop_on_signal,
 )
+from .neardup import (  # noqa: F401
+    prune_band_store,
+    read_near_dup_pairs,
+    start_near_dup_stream,
+)

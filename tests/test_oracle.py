@@ -89,6 +89,8 @@ def test_gate_window_covers_every_family():
         # tools/oracle_check.py and the parametrized oracle tests above)
         # wave 26: persisted IVF index lifecycle
         "knn_ivf_index_persisted",
+        # wave 27: tokenizer train->encode round-trip
+        "text_bpe_roundtrip",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

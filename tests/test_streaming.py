@@ -622,3 +622,121 @@ def test_observe_metrics_on_pipeline(spark):
     )
     assert out.count() == 100
     assert obs.get == {"n_rows": 100, "n_null_v": 10}
+
+
+def test_streaming_near_dup_matches_batch(spark, tmp_path):
+    """Stream/batch parity for MinHash-LSH near-dup: documents arrive
+    across THREE micro-batches (duplicates split across batches so pairs
+    must come from the persisted band-key store, not just within-batch
+    self-joins); the union of streamed candidate pairs equals the batch
+    operator's pairs over the same corpus — one shared banding code path
+    (operators/dedup.py:lsh_band_keys)."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        release_caches,
+    )
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        read_near_dup_pairs,
+        start_near_dup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls on "
+        "the quiet town and children watch from windows"
+    )
+    alt = (
+        "completely different content about distributed query engines "
+        "aggregating petabytes of telemetry with vectorized execution"
+    )
+    docs = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": alt},
+        # near-dup of 1, lands in a LATER batch -> store join must find it
+        {"doc_id": 3, "text": base.replace("rain", "snow")},
+        {"doc_id": 4, "text": "tiny"},
+        # near-dup of 2 in the SAME batch as 6 and near-dup again later
+        {"doc_id": 5, "text": alt.replace("petabytes", "exabytes")},
+        {"doc_id": 6, "text": alt.replace("telemetry", "findings")},
+        # exact duplicate of 1 in the last batch
+        {"doc_id": 7, "text": base},
+    ]
+    batches = [docs[0:2], docs[2:5], docs[5:7]]
+    src = tmp_path / "nd_in"
+    src.mkdir()
+    dirs = {
+        "store": str(tmp_path / "nd_store"),
+        "pairs": str(tmp_path / "nd_pairs"),
+        "ckpt": str(tmp_path / "nd_ckpt"),
+    }
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    for i, chunk in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(d) for d in chunk)
+        )
+    q = start_near_dup_stream(
+        stream, dirs["store"], dirs["pairs"], dirs["ckpt"], available_now=True
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.id_a, r.id_b)
+        for r in read_near_dup_pairs(spark, dirs["pairs"]).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
+    )
+    expected_df = minhash_near_dup_pairs(batch_df)
+    expected = {(r.id_a, r.id_b) for r in expected_df.collect()}
+    release_caches(expected_df)
+    assert (1, 3) in expected and (1, 7) in expected  # cross-batch dups real
+    assert streamed == expected
+
+
+def test_streaming_near_dup_replay_and_prune(spark, tmp_path):
+    """Batch-id-keyed dynamic overwrite makes pair emission idempotent
+    (restarting the stream over the same files duplicates nothing) and
+    prune_band_store retires old partitions without touching new ones."""
+    import os
+
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        prune_band_store,
+        read_near_dup_pairs,
+        start_near_dup_stream,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    src = tmp_path / "rp_in"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        json.dumps({"doc_id": 1, "text": text})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": text})
+    )
+    dirs = dict(
+        store=str(tmp_path / "rp_store"),
+        pairs=str(tmp_path / "rp_pairs"),
+        ckpt=str(tmp_path / "rp_ckpt"),
+    )
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        q = start_near_dup_stream(
+            stream, dirs["store"], dirs["pairs"], dirs["ckpt"],
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = read_near_dup_pairs(spark, dirs["pairs"]).collect()
+    assert {(r.id_a, r.id_b) for r in first} == {(1, 2)}
+    run()  # restart over same source+checkpoint: nothing new, nothing duped
+    again = read_near_dup_pairs(spark, dirs["pairs"]).collect()
+    assert {(r.id_a, r.id_b) for r in again} == {(1, 2)}
+    parts = [p for p in os.listdir(dirs["store"]) if p.startswith("_batch_id=")]
+    assert parts
+    prune_band_store(spark, dirs["store"], keep_from_batch_id=10**9)
+    left = [p for p in os.listdir(dirs["store"]) if p.startswith("_batch_id=")]
+    assert left == []

@@ -1,0 +1,58 @@
+"""Run the pytest suite as N hash-sharded parallel processes.
+
+The container has no pytest-xdist; this driver gets the same effect with
+stdlib only: each worker process runs the FULL collection under
+PYTEST_SHARD=i/n (see tests/conftest.py::pytest_collection_modifyitems),
+keeping a deterministic crc32(nodeid) % n slice — so the big parametrized
+oracle suite splits evenly too, which per-file scheduling cannot do. Each
+worker gets its own Spark session on local[4]; 6 workers x 4 threads fits
+the 32-CPU box with headroom.
+
+Usage: python3 tools/run_tests_parallel.py [n_workers] [pytest args...]
+Exit code: 0 iff every shard passed (5 = no tests collected counts as pass
+for shards that end up empty after -k filters).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    n = 6
+    if argv and argv[0].isdigit():
+        n = int(argv[0])
+        argv = argv[1:]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    t0 = time.time()
+    procs = []
+    for i in range(n):
+        env = dict(os.environ, PYTEST_SHARD=f"{i}/{n}")
+        env.setdefault("SPARK_GRAFT_CPUS", "4")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "pytest", "tests/", "-q", *argv],
+                cwd=root,
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    rc = 0
+    for i, p in enumerate(procs):
+        out, _ = p.communicate()
+        tail = "\n".join(out.strip().splitlines()[-3:])
+        print(f"--- shard {i}/{n} (rc={p.returncode}) ---\n{tail}")
+        if p.returncode not in (0, 5):
+            rc = 1
+    print(f"total wall: {time.time() - t0:.1f}s")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
