@@ -7339,6 +7339,133 @@ def text_bpe_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 28: CUSUM change points, JL projection, KS test
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_cusum_changepoint",
+    """
+    WITH daily AS (SELECT date_trunc('day', ts) AS d, sum(value) AS v
+                   FROM events GROUP BY 1),
+    st AS (SELECT avg(v) AS mu, stddev_samp(v) AS sigma FROM daily),
+    z AS (SELECT d, v, (v - mu) / sigma AS z FROM daily, st),
+    p AS (SELECT d, v, z,
+            sum(z - 0.5) OVER w AS pp,
+            sum(-z - 0.5) OVER w AS pn
+          FROM z WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)),
+    s AS (SELECT d, v, z,
+            pp - least(min(pp) OVER w, 0) AS sp,
+            pn - least(min(pn) OVER w, 0) AS sn
+          FROM p WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING))
+    SELECT d, round(v, 6) AS daily_value, round(z, 4) AS zscore,
+           round(sp, 4) AS cusum_pos, round(sn, 4) AS cusum_neg,
+           (sp > 4.0 OR sn > 4.0) AS is_changepoint
+    FROM s
+    """,
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM drift detection (Page 1954) on the daily event-value series:
+    the recursion S_t = max(0, S_{t-1} + z_t - k) rewritten to its closed
+    form P_t - min(P_0..P_t), so the whole detector is one day-grain
+    rollup + two running windows — no iteration, no self-join; the
+    ordered window runs on the bounded per-day series, never raw events.
+    operators/timeseries.py:cusum_changepoints."""
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(_t(spark, sf_dir, "events"))
+
+
+def _jl_planes_sql(out_dim: int = 8, dim: int = 64) -> str:
+    """DuckDB replica of operators.similarity.random_projection: the same
+    md5-seeded unit hyperplanes inlined as literals, one
+    list_dot_product per output coordinate."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        _hyperplanes,
+    )
+
+    cols = []
+    for p, plane in enumerate(_hyperplanes(out_dim, dim)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        cols.append(
+            f"round(list_dot_product(CAST(embedding AS DOUBLE[]), {arr}), 6)"
+            f" AS proj_{p}"
+        )
+    return ",\n           ".join(cols)
+
+
+@_q(
+    "embedding_random_projection",
+    f"""
+    SELECT vec_id, {_jl_planes_sql(8, 64)}
+    FROM embeddings
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss projection of the 64-d embeddings onto the 8
+    deterministic md5-seeded hyperplanes (the LSH bucketer's planes,
+    pre-sign-bit): the dimensionality-reduction front of the ANN stack —
+    distances approximately preserved, downstream shuffles 8x narrower.
+    Pure inlined-literal projection, no shuffle, scalar output columns.
+    operators/similarity.py:random_projection."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        random_projection,
+    )
+
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), out_dim=8, dim=64
+    ).select("vec_id", *[f"proj_{p}" for p in range(8)])
+
+
+@_q(
+    "agg_ks_test",
+    """
+    WITH j AS (SELECT o.o_totalprice AS v, c.c_mktsegment AS g
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    pv AS (SELECT v,
+             count(*) FILTER (WHERE g = 'BUILDING') AS na,
+             count(*) FILTER (WHERE g = 'MACHINERY') AS nb
+           FROM j GROUP BY v),
+    tot AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM pv),
+    stepped AS (SELECT sum(na) OVER w AS ca, sum(nb) OVER w AS cb
+                FROM pv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+    d AS (SELECT max(abs(ca / CAST(n_a AS DOUBLE) - cb / CAST(n_b AS DOUBLE)))
+                   AS dd,
+                 max(n_a) AS n_a, max(n_b) AS n_b
+          FROM stepped, tot)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(dd, 6) AS ks_stat,
+           round(1.36 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE)), 6)
+             AS critical_value,
+           dd > 1.36 * sqrt((n_a + n_b) / CAST(n_a * n_b AS DOUBLE))
+             AS reject_h0
+    FROM d
+    """,
+)
+def agg_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test comparing order-price
+    distributions of the BUILDING vs MACHINERY customer segments — the
+    binning-free member of the drift family (PSI/chi-square/JSD need
+    bins; KS does not). One hash aggregate collapses rows to distinct
+    values, then ECDFs are running sums over the ordered value table.
+    operators/relational.py:ks_statistic."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        ks_statistic,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_totalprice").alias("price"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return ks_statistic(j, "price", "seg", "BUILDING", "MACHINERY")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -1069,3 +1069,66 @@ def table_diff(
         ],
         status.alias("diff_status"),
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    alpha_c: float = 1.36,  # c(alpha) for alpha = 0.05
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: D = sup |ECDF_a − ECDF_b|
+    between the ``value_col`` distributions of two groups, with the
+    large-sample critical value ``c(α)·sqrt((n_a+n_b)/(n_a·n_b))`` and
+    the reject flag — the distribution-shift companion to the PSI /
+    chi-square / JSD drift family (KS is binning-free).
+
+    Distributed shape: collapse to per-distinct-value counts FIRST (one
+    hash aggregate over (value, group) — at 100 TB this is the only pass
+    over the data), then ECDFs are running sums over the ordered distinct
+    values. The ordered window runs on the distinct-value table (bounded
+    by value cardinality, not row count); D evaluates AT each distinct
+    value after both ECDFs step — the correct tie handling (both ECDFs
+    jump before the sup is taken). Integer counts divide once at the
+    end, so the statistic is exact up to one rounding.
+    """
+    v = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(
+            F.col(value_col).alias("_v"),
+            (F.col(group_col) == group_a).alias("_is_a"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_val = v.groupBy("_v").agg(
+        F.sum(F.when(F.col("_is_a"), F.col("_n")).otherwise(0)).alias("_na"),
+        F.sum(F.when(~F.col("_is_a"), F.col("_n")).otherwise(0)).alias("_nb"),
+    )
+    wd = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = per_val.select(
+        F.sum("_na").over(wd).alias("_ca"), F.sum("_nb").over(wd).alias("_cb")
+    )
+    totals = per_val.agg(
+        F.sum("_na").alias("n_a"), F.sum("_nb").alias("n_b")
+    )
+    d = F.max(
+        F.abs(
+            F.col("_ca") / F.col("n_a") - F.col("_cb") / F.col("n_b")
+        )
+    ).alias("_d")
+    crit = F.lit(alpha_c) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        stepped.join(F.broadcast(totals))
+        .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"), d)
+        .select(
+            "n_a",
+            "n_b",
+            F.round("_d", 6).alias("ks_stat"),
+            F.round(crit, 6).alias("critical_value"),
+            (F.col("_d") > crit).alias("reject_h0"),
+        )
+    )

@@ -783,3 +783,37 @@ def query_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    dim: int = 64,
+    decimals: int = 6,
+    prefix: str = "proj_",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: reduce ``dim``-d vectors
+    to ``out_dim`` coordinates against the same deterministic md5-seeded
+    unit hyperplanes the LSH bucketer uses (:func:`_hyperplanes` — so a
+    projection is exactly the pre-sign-bit value of the corresponding
+    LSH plane, reproducible across runs and engines).
+
+    The 100 TB dimensionality-reduction front of the ANN stack: distances
+    are approximately preserved (JL lemma), so downstream kNN/clustering
+    runs on out_dim doubles instead of dim — an 8× narrower shuffle at
+    out_dim=8/dim=64. Pure projection over inlined plane literals: no
+    shuffle, no UDF, whole-stage codegen; emits one scalar column per
+    output coordinate (driver-sortable, no arrays).
+    """
+    vec = F.col(vec_col)
+    cols = []
+    for p, plane in enumerate(_hyperplanes(out_dim, dim)):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.round(proj, decimals).alias(f"{prefix}{p}"))
+    return df.select("*", *cols)

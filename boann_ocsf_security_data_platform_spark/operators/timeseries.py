@@ -195,3 +195,61 @@ def top_k_paths(
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(k)
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    drift_k: float = 0.5,
+    threshold_h: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection over the daily aggregate series
+    (Page 1954): standardize each day's total against the series'
+    mean/std, then accumulate positive and negative deviations beyond
+    the drift allowance ``drift_k``; a day is a change point when either
+    accumulator exceeds ``threshold_h``.
+
+    The textbook recursion ``S_t = max(0, S_{t-1} + z_t - k)`` is not a
+    window aggregate — but it has the closed form
+    ``S_t = P_t - min(P_0..P_t)`` with ``P_t = Σ(z_i - k)`` (P_0 = 0),
+    so the whole detector is two running windows (sum + min) over the
+    day-ordered series: one shuffle to the day grain, then O(n) window
+    work, no self-joins, no iteration. Days are a bounded series
+    regardless of corpus size (100 TB of events still rolls up to one
+    row per day before the windows run), so the ordered single-partition
+    window is safe by construction.
+
+    Returns one row per day: day, daily total, z-score, both CUSUM
+    statistics, and the change-point flag.
+    """
+    daily = df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("d")
+    ).agg(F.sum(value_col).alias("v"))
+    stats = daily.agg(
+        F.avg("v").alias("_mu"), F.stddev_samp("v").alias("_sigma")
+    )
+    z = (F.col("v") - F.col("_mu")) / F.col("_sigma")
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    p_pos = F.sum(z - F.lit(drift_k)).over(wd)
+    p_neg = F.sum(-z - F.lit(drift_k)).over(wd)
+    # P_0 = 0 participates in the running min: least(min(P_1..t), 0)
+    s_pos = p_pos - F.least(F.min(p_pos).over(wd), F.lit(0.0))
+    s_neg = p_neg - F.least(F.min(p_neg).over(wd), F.lit(0.0))
+    return (
+        daily.join(F.broadcast(stats))
+        .select(
+            "d",
+            F.round("v", 6).alias("daily_value"),
+            # 4 decimals: mu/sigma come from a distributed aggregate whose
+            # partial-sum order differs between engines; 4 keeps the hash
+            # stable across those last-ulp differences (same policy as the
+            # z-score anomaly entry)
+            F.round(z, 4).alias("zscore"),
+            F.round(s_pos, 4).alias("cusum_pos"),
+            F.round(s_neg, 4).alias("cusum_neg"),
+            (
+                (s_pos > F.lit(threshold_h)) | (s_neg > F.lit(threshold_h))
+            ).alias("is_changepoint"),
+        )
+    )

@@ -91,6 +91,10 @@ def test_gate_window_covers_every_family():
         "knn_ivf_index_persisted",
         # wave 27: tokenizer train->encode round-trip
         "text_bpe_roundtrip",
+        # wave 28: CUSUM change points, JL projection, KS test
+        "events_cusum_changepoint",
+        "embedding_random_projection",
+        "agg_ks_test",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

@@ -1,0 +1,120 @@
+"""Round-5 operator units: CUSUM closed form vs the textbook recursion,
+KS statistic vs a hand-built reference, JL projection vs the LSH planes."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """S_t = P_t - min(P_0..P_t) must equal the textbook recursion
+    S_t = max(0, S_{t-1} + z_t - k) on both sides (pos and neg)."""
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    vals = [10.0, 11.0, 9.0, 10.5, 30.0, 31.0, 29.5, 10.0, 9.5, 10.2]
+    rows = [
+        (i, f"2024-01-{i + 1:02d}T12:00:00", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = {
+        r.d.day: r
+        for r in cusum_changepoints(
+            df, drift_k=0.5, threshold_h=2.0
+        ).collect()
+    }
+    mu = sum(vals) / len(vals)
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / (len(vals) - 1))
+    zs = [(v - mu) / sd for v in vals]
+    sp = sn = 0.0
+    for i, z in enumerate(zs):
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        got = out[i + 1]
+        assert abs(got.cusum_pos - sp) < 1e-3, (i, got.cusum_pos, sp)
+        assert abs(got.cusum_neg - sn) < 1e-3, (i, got.cusum_neg, sn)
+        assert got.is_changepoint == (sp > 2.0 or sn > 2.0)
+    # the level shift at day 5 must be flagged
+    assert any(r.is_changepoint for r in out.values())
+
+
+def test_ks_statistic_hand_example(spark):
+    """KS D for a = {1,2,3,4}, b = {3,4,5,6}: ECDFs diverge most at value
+    2 (F_a=0.5, F_b=0) -> D = 0.5; with n=4 each the 5% critical value is
+    1.36*sqrt(8/16) ~ 0.9617 -> fail to reject."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        ks_statistic,
+    )
+
+    rows = [(float(v), "a") for v in (1, 2, 3, 4)] + [
+        (float(v), "b") for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = ks_statistic(df, "v", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert abs(r.ks_stat - 0.5) < 1e-9
+    assert abs(r.critical_value - 1.36 * math.sqrt(8 / 16.0)) < 1e-6
+    assert r.reject_h0 is False
+
+
+def test_ks_statistic_identical_distributions_zero(spark):
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        ks_statistic,
+    )
+
+    rows = [(float(v), g) for g in ("a", "b") for v in range(20)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = ks_statistic(df, "v", "g", "a", "b").collect()[0]
+    assert r.ks_stat == 0.0 and r.reject_h0 is False
+
+
+def test_random_projection_matches_lsh_sign_bits(spark, sf_smoke):
+    """proj_p is the pre-sign-bit value of LSH plane p: sign(proj_p)
+    must reproduce lsh_bucket's bit p exactly (same planes, same fold)."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        lsh_bucket,
+        random_projection,
+    )
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(50)
+    out = random_projection(emb, out_dim=4, dim=64).withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), n_planes=4, dim=64)
+    )
+    for r in out.collect():
+        for p in range(4):
+            bit = (r.bucket >> p) & 1
+            proj = getattr(r, f"proj_{p}")
+            assert bit == (1 if proj > 0 else 0), (r.vec_id, p, proj)
+
+
+def test_random_projection_preserves_relative_distance(spark):
+    """JL sanity: identical vectors project identically; an orthogonal
+    far vector stays far (no collapse to a constant)."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        random_projection,
+    )
+
+    v1 = [1.0] * 32 + [0.0] * 32
+    v3 = [0.0] * 32 + [1.0] * 32
+    df = spark.createDataFrame(
+        [(1, v1), (2, list(v1)), (3, v3)], "vec_id long, embedding array<double>"
+    )
+    rows = {
+        r.vec_id: r
+        for r in random_projection(df, out_dim=8, dim=64).collect()
+    }
+    for p in range(8):
+        assert getattr(rows[1], f"proj_{p}") == getattr(rows[2], f"proj_{p}")
+    dist_12 = sum(
+        (getattr(rows[1], f"proj_{p}") - getattr(rows[2], f"proj_{p}")) ** 2
+        for p in range(8)
+    )
+    dist_13 = sum(
+        (getattr(rows[1], f"proj_{p}") - getattr(rows[3], f"proj_{p}")) ** 2
+        for p in range(8)
+    )
+    assert dist_12 == 0.0 and dist_13 > 0.1
