@@ -77,6 +77,12 @@ HEADLINE = [
     "text_rake_keywords",
     "events_session_window_native",
     "events_rolling_distinct_users",
+    # round-5 waves 26-28 (excluded from core15 as well)
+    "knn_ivf_index_persisted",
+    "text_bpe_roundtrip",
+    "events_cusum_changepoint",
+    "embedding_random_projection",
+    "agg_ks_test",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

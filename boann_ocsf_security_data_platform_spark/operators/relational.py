@@ -1106,12 +1106,19 @@ def ks_statistic(
         F.sum(F.when(F.col("_is_a"), F.col("_n")).otherwise(0)).alias("_na"),
         F.sum(F.when(~F.col("_is_a"), F.col("_n")).otherwise(0)).alias("_nb"),
     )
+    # totals as empty-frame windows over the SAME ordered pass the ECDFs
+    # use — a separate aggregate + join would rebuild the whole
+    # join+aggregate subplan a second time (two scans of both inputs);
+    # this way the raw tables are read exactly once (plan-pinned)
     wd = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    stepped = per_val.select(
-        F.sum("_na").over(wd).alias("_ca"), F.sum("_nb").over(wd).alias("_cb")
+    wall = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    totals = per_val.agg(
-        F.sum("_na").alias("n_a"), F.sum("_nb").alias("n_b")
+    stepped = per_val.select(
+        F.sum("_na").over(wd).alias("_ca"),
+        F.sum("_nb").over(wd).alias("_cb"),
+        F.sum("_na").over(wall).alias("n_a"),
+        F.sum("_nb").over(wall).alias("n_b"),
     )
     d = F.max(
         F.abs(
@@ -1122,8 +1129,7 @@ def ks_statistic(
         (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
     )
     return (
-        stepped.join(F.broadcast(totals))
-        .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"), d)
+        stepped.agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"), d)
         .select(
             "n_a",
             "n_b",

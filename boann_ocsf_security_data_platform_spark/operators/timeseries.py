@@ -226,10 +226,14 @@ def cusum_changepoints(
     daily = df.groupBy(
         F.date_trunc("day", F.col(ts_col)).alias("d")
     ).agg(F.sum(value_col).alias("v"))
-    stats = daily.agg(
-        F.avg("v").alias("_mu"), F.stddev_samp("v").alias("_sigma")
+    # mu/sigma as empty-frame windows over the SAME day series — a
+    # separate aggregate + join would scan (and day-aggregate) the raw
+    # events twice; the whole-partition window reuses the one rollup,
+    # so 100 TB of events is read exactly once (plan-pinned)
+    wall = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    z = (F.col("v") - F.col("_mu")) / F.col("_sigma")
+    z = (F.col("v") - F.avg("v").over(wall)) / F.stddev_samp("v").over(wall)
     wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     p_pos = F.sum(z - F.lit(drift_k)).over(wd)
     p_neg = F.sum(-z - F.lit(drift_k)).over(wd)
@@ -237,8 +241,7 @@ def cusum_changepoints(
     s_pos = p_pos - F.least(F.min(p_pos).over(wd), F.lit(0.0))
     s_neg = p_neg - F.least(F.min(p_neg).over(wd), F.lit(0.0))
     return (
-        daily.join(F.broadcast(stats))
-        .select(
+        daily.select(
             "d",
             F.round("v", 6).alias("daily_value"),
             # 4 decimals: mu/sigma come from a distributed aggregate whose

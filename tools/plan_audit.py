@@ -422,6 +422,42 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         "BroadcastHashJoin" in ppsi,
         "",
     )
+
+    # round-5 waves 26-28
+    pjl = plan_of(qs["embedding_random_projection"](spark, sf_dir))
+    check(
+        "JL projection is shuffle-free",
+        "Exchange" not in pjl and "Join" not in pjl,
+        "pure projection over inlined plane literals",
+    )
+    pcu = plan_of(qs["events_cusum_changepoint"](spark, sf_dir))
+    check(
+        "cusum reads events exactly once",
+        pcu.count("Location:") == 1 and "Join" not in pcu,
+        "mu/sigma via empty-frame window on the day rollup, no re-scan join",
+    )
+    check(
+        "cusum day rollup is partial+final",
+        pcu.count("HashAggregate") >= 2,
+        "map-side combine before the day shuffle",
+    )
+    pks = plan_of(qs["agg_ks_test"](spark, sf_dir))
+    check(
+        "ks test reads each input exactly once",
+        pks.count("Location:") == 2,
+        "totals via empty-frame window in the same ordered pass",
+    )
+    check(
+        "ks test broadcasts the customer dim",
+        "BroadcastHashJoin" in pks and "SortMergeJoin" not in pks,
+        "",
+    )
+    pivfq = plan_of(qs["knn_ivf_index_persisted"](spark, sf_dir))
+    check(
+        "ivf index query broadcasts the probe side",
+        "BroadcastHashJoin" in pivfq,
+        "kilobyte query batch broadcast onto the pruned lists",
+    )
     return results
 
 
