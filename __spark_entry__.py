@@ -7466,6 +7466,91 @@ def agg_ks_test(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 29: WebDataset tar shard write -> read round-trip
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_webdataset_roundtrip",
+    """
+    WITH m AS (SELECT source AS grp, doc_id,
+                      strlen(text) AS b,
+                      lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key
+               FROM documents),
+    off AS (SELECT grp, doc_id, b, key,
+              coalesce(sum(b) OVER (PARTITION BY grp ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+            FROM m)
+    SELECT grp AS shard_group, CAST((o // 65536) AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(b) AS BIGINT) AS total_bytes,
+           min(key) AS first_key, max(key) AS last_key
+    FROM off GROUP BY 1, 2
+    """,
+)
+def multimodal_webdataset_roundtrip(spark, sf_dir):
+    """Full WebDataset interchange lifecycle, hash-verified: documents
+    become (member, payload) samples, the deterministic prefix-sum shard
+    assignment packs them into 64 KiB tar shards (executor-side stdlib
+    tarfile writes), the written tars are read BACK through the
+    codec-free 512-byte header walk, and the per-shard membership rollup
+    must equal what the DuckDB oracle computes from the raw table alone
+    — so the oracle cross-checks the writer AND the reader (any byte
+    lost, misassigned, or renamed in the tar round-trip breaks the
+    hash). Integer floor division on both sides (DuckDB's double->INT
+    cast rounds; Spark's truncates — the wave-25 lesson).
+    operators/multimodal.py:assign_shards,write_tar_shards,tar_members."""
+    import os
+    import shutil
+    import tempfile
+
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        assign_shards,
+        tar_members,
+        write_tar_shards,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(tempfile.gettempdir(), f"boann_wds_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.col("doc_id"),
+        F.format_string("%08d.txt", F.col("doc_id")).alias("member_name"),
+        F.encode("text", "utf-8").cast("binary").alias("payload"),
+        F.octet_length("text").cast("long").alias("b"),
+    )
+    sharded = assign_shards(
+        docs, size_col="b", group_col="source", id_col="doc_id",
+        shard_bytes=1 << 16,
+    )
+    # force the executor-side writes; the manifest is kilobytes
+    write_tar_shards(sharded, out, group_col="source").collect()
+
+    back = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(out, "*.tar"))
+        .select(
+            F.regexp_extract("path", r"([^/]+)-\d{5}\.tar$", 1).alias(
+                "shard_group"
+            ),
+            F.regexp_extract("path", r"-(\d{5})\.tar$", 1)
+            .cast("long")
+            .alias("shard"),
+            F.col("content").alias("tar_bytes"),
+        )
+    )
+    members = tar_members(back, keep_cols=("shard_group", "shard"))
+    return members.groupBy("shard_group", "shard").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("member_size").alias("total_bytes"),
+        F.min("sample_key").alias("first_key"),
+        F.max("sample_key").alias("last_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -83,6 +83,7 @@ HEADLINE = [
     "events_cusum_changepoint",
     "embedding_random_projection",
     "agg_ks_test",
+    "multimodal_webdataset_roundtrip",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -95,6 +95,8 @@ def test_gate_window_covers_every_family():
         "events_cusum_changepoint",
         "embedding_random_projection",
         "agg_ks_test",
+        # wave 29: WebDataset tar write->read round-trip
+        "multimodal_webdataset_roundtrip",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
