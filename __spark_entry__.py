@@ -7551,6 +7551,115 @@ def multimodal_webdataset_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 30: hashing-trick features, link prediction, approx quantiles
+# ---------------------------------------------------------------------------
+
+_H64_WORD = _H64.format(expr="w")
+
+
+@_q(
+    "text_hash_features",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+    h AS (SELECT doc_id, {_H64_WORD} % 8 AS b FROM w)
+    SELECT d.doc_id,
+           {", ".join(
+               f"CAST(coalesce(sum(CASE WHEN b = {i} THEN 1 END), 0) AS BIGINT)"
+               f" AS f_{i}" for i in range(8)
+           )}
+    FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def text_hash_features(spark, sf_dir):
+    """Hashing-trick bag-of-words featurization (fastText/VW recipe):
+    fixed 8-bucket token-count vector per document with NO vocabulary
+    table or fit step — the cheap text-embedding front for quality
+    classifiers and dedup triage. Row-local array expressions only
+    (tokenize, hash each token once, per-bucket filter+size); no
+    shuffle, no UDF. operators/text.py:hash_feature_vector."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        hash_feature_vector,
+    )
+
+    return hash_feature_vector(_t(spark, sf_dir, "documents"), n_buckets=8)
+
+
+@_q(
+    "graph_link_prediction",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem WHERE year(l_shipdate) = 1995),
+    ec AS (SELECT a.pk AS u, b.pk AS v FROM li a
+           JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk),
+    e2 AS (SELECT u AS a, v AS b FROM ec UNION SELECT v, u FROM ec),
+    deg AS (SELECT a AS n, count(*) AS d FROM e2 GROUP BY a),
+    wedge AS (SELECT x.a AS ua, y.a AS ub, count(*) AS n_common
+              FROM e2 x JOIN e2 y ON x.b = y.b AND x.a < y.a
+              GROUP BY x.a, y.a),
+    cand AS (SELECT w.* FROM wedge w
+             WHERE NOT EXISTS (SELECT 1 FROM e2
+                               WHERE e2.a = w.ua AND e2.b = w.ub)),
+    scored AS (SELECT ua, ub, n_common,
+                 round(n_common / CAST(da.d + db.d - n_common AS DOUBLE), 6)
+                   AS jaccard
+               FROM cand JOIN deg da ON da.n = ua JOIN deg db ON db.n = ub)
+    SELECT ua, ub, CAST(n_common AS BIGINT) AS n_common, jaccard
+    FROM scored ORDER BY jaccard DESC, ua, ub LIMIT 50
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction (Liben-Nowell & Kleinberg
+    2003) on the 1995 part-co-order graph: top 50 NON-adjacent part
+    pairs ranked by shared-neighbor Jaccard — the recommender/entity-
+    resolution primitive. Work is the wedge bound (sum deg^2) via the
+    triangle-count join shape, never |V|^2.
+    operators/graph.py:jaccard_link_prediction."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        release_caches,
+    )
+    from boann_ocsf_security_data_platform_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), F.col("x.ok") == F.col("y.ok"))
+        .filter(F.col("x.pk") < F.col("y.pk"))
+        .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
+        .distinct()
+    )
+    return jaccard_link_prediction(edges, k=50)
+
+
+@_q("agg_approx_percentiles")
+def agg_approx_percentiles(spark, sf_dir):
+    """Mergeable approximate quantiles (Spark's Greenwald–Khanna-style
+    percentile_approx sketch) over lineitem prices — approximate by
+    design, no SQL oracle (DuckDB's approx_quantile uses a different
+    sketch); the rank-error invariant vs exact percentiles is pinned in
+    tests/test_round5_ops.py::test_approx_percentiles_rank_error."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        *[
+            F.round(
+                F.percentile_approx("l_extendedprice", p, 10000), 2
+            ).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75, 0.95, 0.99)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _register_caches
+
 
 def pagerank(
     edges: DataFrame,
@@ -289,3 +291,67 @@ def kcore_peel(
         )
         out.append((r, n_nodes, n_edges))
     return out
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    k: int = 50,
+    min_common: int = 1,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction (Liben-Nowell & Kleinberg
+    2003): score every NON-adjacent node pair sharing >= ``min_common``
+    neighbors by |N(u) ∩ N(v)| / |N(u) ∪ N(v)|, return the top ``k``
+    candidate links (ties: ascending pair ids).
+
+    Input: undirected edge list (one row per edge, either orientation).
+    Shapes: symmetrize + distinct, wedge self-join on the shared
+    neighbor (the triangle-count join — candidate pairs exist only
+    through common neighbors, so work is Σ deg², the wedge bound, not
+    |V|²), one count aggregate, degree table joined twice, existing
+    edges anti-joined out, TakeOrderedAndProject cut. All equi-joins —
+    skew lives in high-degree hubs; cap with degree filtering upstream
+    exactly like triangle counting at 100 TB.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        sym.alias("x")
+        .join(sym.alias("y"), F.col("x.v") == F.col("y.v"))
+        .filter(F.col("x.u") < F.col("y.u"))
+        .groupBy(F.col("x.u").alias("ua"), F.col("y.u").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    non_adj = wedges.join(
+        sym.select(F.col("u").alias("ua"), F.col("v").alias("ub")),
+        ["ua", "ub"],
+        "left_anti",
+    )
+    scored = (
+        non_adj.join(deg.select(F.col("u").alias("ua"), F.col("deg").alias("da")), "ua")
+        .join(deg.select(F.col("u").alias("ub"), F.col("deg").alias("db")), "ub")
+        .select(
+            "ua",
+            "ub",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    out = scored.orderBy(
+        F.desc("jaccard"), F.asc("ua"), F.asc("ub")
+    ).limit(k)
+    # caller releases via dedup.release_caches, same contract as the
+    # LSH/banding operators
+    return _register_caches(out, [sym])

@@ -1191,3 +1191,37 @@ def compression_ratio(
     return df.select(id_col, text_col).mapInPandas(
         batches, f"{id_col} long, n_bytes long, n_compressed long, ratio double"
     )
+
+
+def hash_feature_vector(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    hash_fn=None,
+    prefix: str = "f_",
+) -> DataFrame:
+    """Hashing-trick featurization (the fastText / Vowpal-Wabbit bag-of-
+    words recipe): each token hashes to one of ``n_buckets`` buckets and
+    the document's feature vector is the per-bucket token count — fixed
+    dimensionality with no vocabulary table, which is what makes it the
+    cheap text-embedding front for quality classifiers and dedup triage
+    at 100 TB (no fit step, no model broadcast, resharding-stable).
+
+    Pure row-local array expressions: tokenize, hash each token once
+    (portable md5 hash by default for oracle verification; pass
+    ``hash_fn=hash64_fast`` for the xxhash64 production path), count per
+    bucket with one ``filter``+``size`` per output column. No shuffle, no
+    UDF; emits scalar columns ``f_0 .. f_{n-1}``.
+    """
+    from ..functions.hash_fns import hash64
+
+    hf = hash_fn or hash64
+    hashed = F.transform(tokens(F.col(text_col)), lambda w: hf(w))
+    cols = [
+        F.size(
+            F.filter(hashed, lambda h: h % F.lit(n_buckets) == F.lit(b))
+        ).cast("long").alias(f"{prefix}{b}")
+        for b in range(n_buckets)
+    ]
+    return df.select(F.col(id_col), *cols)

@@ -118,3 +118,63 @@ def test_random_projection_preserves_relative_distance(spark):
         for p in range(8)
     )
     assert dist_12 == 0.0 and dist_13 > 0.1
+
+
+def test_hash_features_are_token_counts(spark):
+    """Bucket counts must sum to the token count and be reproducible."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        hash_feature_vector,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, ""), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in hash_feature_vector(df, n_buckets=4).collect()}
+    assert sum(rows[1][f"f_{b}"] for b in range(4)) == 4
+    assert sum(rows[2][f"f_{b}"] for b in range(4)) == 0
+    assert sum(rows[3][f"f_{b}"] for b in range(4)) == 1
+    again = {r.doc_id: r for r in hash_feature_vector(df, n_buckets=4).collect()}
+    assert rows[1] == again[1]
+
+
+def test_jaccard_link_prediction_hand_graph(spark):
+    """Path graph 1-2-3-4: the only common-neighbor non-edges are (1,3)
+    via 2, (2,4) via 3, and... (1,4)? no shared neighbor. J(1,3) =
+    1/|{2} u {2,4}| = 1/2; J(2,4) = 1/|{1,3} u {3}| = 1/2."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        release_caches,
+    )
+    from boann_ocsf_security_data_platform_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a long, b long"
+    )
+    out = jaccard_link_prediction(edges, k=10)
+    rows = {(r.ua, r.ub): r for r in out.collect()}
+    release_caches(out)
+    assert set(rows) == {(1, 3), (2, 4)}
+    assert rows[(1, 3)].n_common == 1 and abs(rows[(1, 3)].jaccard - 0.5) < 1e-9
+    assert rows[(2, 4)].n_common == 1 and abs(rows[(2, 4)].jaccard - 0.5) < 1e-9
+
+
+def test_approx_percentiles_rank_error(spark, sf_smoke):
+    """percentile_approx(accuracy=10000) guarantees rank error <= n/10000;
+    verify each reported quantile's true rank is within that bound of the
+    target rank against the exact sorted column."""
+    import __spark_entry__ as entrymod
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    row = entrymod.queries()["agg_approx_percentiles"](spark, sf_smoke).collect()[0]
+    l = load_table(spark, sf_smoke, "lineitem")
+    n = l.count()
+    bound = max(1.0, n / 10000.0) + 1
+    for p in (0.25, 0.5, 0.75, 0.95, 0.99):
+        v = row[f"p{int(p * 100)}"]
+        rank_le = l.filter(F.col("l_extendedprice") <= v).count()
+        rank_lt = l.filter(F.col("l_extendedprice") < v).count()
+        target = p * n
+        # true rank interval [rank_lt, rank_le] must come within bound
+        assert rank_lt - bound <= target <= rank_le + bound, (p, v)
