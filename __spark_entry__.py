@@ -7660,6 +7660,166 @@ def agg_approx_percentiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 31: conversion latency, Mann-Whitney rank-sum test
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_time_to_convert",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+    d AS (SELECT s.user_id,
+                 date_diff('microsecond', s.t0, p.t1) / 1000000.0 AS dt
+          FROM s JOIN p ON s.user_id = p.user_id AND p.t1 >= s.t0)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(dt, 0.5), 3) AS median_seconds,
+           round(quantile_cont(dt, 0.9), 3) AS p90_seconds,
+           round(avg(dt), 3) AS mean_seconds
+    FROM d
+    """,
+)
+def events_time_to_convert(spark, sf_dir):
+    """Conversion-latency distribution: per user, seconds from FIRST
+    signup to FIRST subsequent purchase; report converted-user count and
+    median/p90/mean latency — the funnel-depth companion to
+    events_funnel (which counts WHO converts; this measures HOW FAST).
+    Two per-user min-aggregates (map-side combined) + one equi-join +
+    one bounded exact-percentile aggregate; microsecond-exact interval
+    arithmetic, NTZ-safe. Spark's exact `percentile` and DuckDB's
+    quantile_cont share the same linear-interpolation definition."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    d = s.join(p, "user_id").filter(F.col("t1") >= F.col("t0")).select(
+        (
+            F.expr("timestampdiff(MICROSECOND, t0, t1)").cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("dt")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(dt, 0.5)"), 3).alias("median_seconds"),
+        F.round(F.expr("percentile(dt, 0.9)"), 3).alias("p90_seconds"),
+        F.round(F.avg("dt"), 3).alias("mean_seconds"),
+    )
+
+
+@_q(
+    "agg_mann_whitney_u",
+    """
+    WITH j AS (SELECT o.o_totalprice AS v,
+                      (c.c_mktsegment = 'BUILDING') AS is_a
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+    r AS (SELECT is_a, v,
+                 rank() OVER (ORDER BY v) AS rk,
+                 count(*) OVER (PARTITION BY v) AS tie_n
+          FROM j),
+    -- average rank for ties: rank() gives the lower bound; add (n-1)/2
+    a AS (SELECT is_a, rk + (tie_n - 1) / 2.0 AS arank, tie_n FROM r),
+    st AS (SELECT
+             sum(CASE WHEN is_a THEN arank END) AS r_a,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b,
+             count(*) AS n
+           FROM a),
+    ties AS (SELECT coalesce(sum(tn * (tn * tn - 1)), 0) AS tie_term
+             FROM (SELECT count(*) AS tn FROM j GROUP BY v HAVING count(*) > 1)),
+    u AS (SELECT n_a, n_b,
+                 r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+                 n_a * CAST(n_b AS DOUBLE) / 2.0 AS mu,
+                 sqrt((n_a * CAST(n_b AS DOUBLE) / 12.0)
+                      * ((n + 1) - tie_term / (CAST(n AS DOUBLE) * (n - 1))))
+                   AS sigma
+          FROM st, ties)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(u_a, 2) AS u_stat,
+           round((u_a - mu) / sigma, 4) AS zscore,
+           abs((u_a - mu) / sigma) > 1.96 AS reject_h0
+    FROM u
+    """,
+)
+def agg_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (normal approximation with tie
+    correction) comparing order prices between the BUILDING and
+    AUTOMOBILE segments — the nonparametric medians-differ companion to
+    Welch's t (means) and KS (whole distribution). Ranks are one global
+    ordered window over the joined fact (average-rank tie handling via
+    rank() + (ties-1)/2 — identical arithmetic both engines); everything
+    after is scalar aggregates of exact integers, so the statistic is
+    reproducible to the rounding."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin(["BUILDING", "AUTOMOBILE"]))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            (F.col("c_mktsegment") == "BUILDING").alias("is_a"),
+        )
+    )
+    wv = Window.orderBy("v")
+    wt = Window.partitionBy("v")
+    r = j.select(
+        "is_a",
+        "v",
+        (
+            F.rank().over(wv)
+            + (F.count(F.lit(1)).over(wt) - F.lit(1)) / F.lit(2.0)
+        ).alias("arank"),
+        F.count(F.lit(1)).over(wt).alias("tie_n"),
+    )
+    st = r.agg(
+        F.sum(F.when(F.col("is_a"), F.col("arank"))).alias("r_a"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("n_b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tie = (
+        j.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("tn"))
+        .filter(F.col("tn") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tn") * (F.col("tn") * F.col("tn") - 1)), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
+    mu = F.col("n_a") * F.col("n_b").cast("double") / F.lit(2.0)
+    sigma = F.sqrt(
+        (F.col("n_a") * F.col("n_b").cast("double") / F.lit(12.0))
+        * (
+            (F.col("n") + 1)
+            - F.col("tie_term")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+    )
+    z = (u_a - mu) / sigma
+    return (
+        st.join(F.broadcast(tie))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(u_a, 2).alias("u_stat"),
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) > F.lit(1.96)).alias("reject_h0"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

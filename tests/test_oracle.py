@@ -103,6 +103,9 @@ def test_gate_window_covers_every_family():
         # wave 30: hashing-trick features, link prediction
         "text_hash_features",
         "graph_link_prediction",
+        # wave 31: conversion latency, Mann-Whitney rank-sum
+        "events_time_to_convert",
+        "agg_mann_whitney_u",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

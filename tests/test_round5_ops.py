@@ -178,3 +178,32 @@ def test_approx_percentiles_rank_error(spark, sf_smoke):
         target = p * n
         # true rank interval [rank_lt, rank_le] must come within bound
         assert rank_lt - bound <= target <= rank_le + bound, (p, v)
+
+
+def test_mann_whitney_identical_groups_fail_to_reject(spark, sf_oracle):
+    """Sanity on the registry query's machinery: comparing a segment's
+    prices to THEMSELVES (split by an independent coin) must not reject.
+    Built inline on a hand frame: two identical samples -> U = n^2/2,
+    z = 0."""
+    import __spark_entry__ as entrymod
+
+    rows = [(float(v), True) for v in (1, 2, 3, 4, 5)] + [
+        (float(v), False) for v in (1, 2, 3, 4, 5)
+    ]
+    df = spark.createDataFrame(rows, "v double, is_a boolean")
+    from pyspark.sql import Window
+
+    wv = Window.orderBy("v")
+    wt = Window.partitionBy("v")
+    r = df.select(
+        "is_a",
+        (
+            F.rank().over(wv)
+            + (F.count(F.lit(1)).over(wt) - F.lit(1)) / F.lit(2.0)
+        ).alias("arank"),
+    )
+    got = r.agg(
+        F.sum(F.when(F.col("is_a"), F.col("arank"))).alias("r_a")
+    ).collect()[0]
+    # identical samples share average ranks -> R_a = total/2 = 55/2
+    assert abs(got.r_a - 27.5) < 1e-9
