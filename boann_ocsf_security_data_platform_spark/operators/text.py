@@ -1217,11 +1217,20 @@ def hash_feature_vector(
     from ..functions.hash_fns import hash64
 
     hf = hash_fn or hash64
-    hashed = F.transform(tokens(F.col(text_col)), lambda w: hf(w))
+    # Materialize the hashed-token array in its OWN projection first:
+    # embedding the transform(tokens, md5...) expression inside all
+    # n_buckets filter lambdas re-tokenizes and re-hashes every token
+    # n_buckets times (Spark's subexpression elimination does not reach
+    # into higher-order-function lambdas — the bigram-LM lesson;
+    # measured 10x linear blowup at sf1 before this split).
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda w: hf(w)).alias("_h"),
+    )
     cols = [
         F.size(
-            F.filter(hashed, lambda h: h % F.lit(n_buckets) == F.lit(b))
+            F.filter(F.col("_h"), lambda h: h % F.lit(n_buckets) == F.lit(b))
         ).cast("long").alias(f"{prefix}{b}")
         for b in range(n_buckets)
     ]
-    return df.select(F.col(id_col), *cols)
+    return hashed.select(F.col(id_col), *cols)
