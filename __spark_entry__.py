@@ -7759,42 +7759,51 @@ def agg_mann_whitney_u(spark, sf_dir):
     rank() + (ties-1)/2 — identical arithmetic both engines); everything
     after is scalar aggregates of exact integers, so the statistic is
     reproducible to the rounding."""
+    # Distinct-value formulation (the KS-test shape): collapse the
+    # joined fact to per-distinct-value group counts FIRST (one hash
+    # aggregate — the only pass over the data), then the average rank of
+    # value v is cum_count(<v) + (ties+1)/2, computed with one ordered
+    # window over the BOUNDED distinct-value table. Identical arithmetic
+    # to row-level average ranks, but no global row-level sort — the
+    # oracle SQL deliberately keeps the textbook row-rank formulation,
+    # so the hash match is a cross-derivation proof, not an echo.
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    j = (
+    pv = (
         o.join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("c_mktsegment").isin(["BUILDING", "AUTOMOBILE"]))
         .select(
             F.col("o_totalprice").alias("v"),
             (F.col("c_mktsegment") == "BUILDING").alias("is_a"),
         )
-    )
-    wv = Window.orderBy("v")
-    wt = Window.partitionBy("v")
-    r = j.select(
-        "is_a",
-        "v",
-        (
-            F.rank().over(wv)
-            + (F.count(F.lit(1)).over(wt) - F.lit(1)) / F.lit(2.0)
-        ).alias("arank"),
-        F.count(F.lit(1)).over(wt).alias("tie_n"),
-    )
-    st = r.agg(
-        F.sum(F.when(F.col("is_a"), F.col("arank"))).alias("r_a"),
-        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("n_b"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    tie = (
-        j.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("tn"))
-        .filter(F.col("tn") > 1)
+        .groupBy("v")
         .agg(
-            F.coalesce(
-                F.sum(F.col("tn") * (F.col("tn") * F.col("tn") - 1)), F.lit(0)
-            ).alias("tie_term")
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("nb"),
         )
+    )
+    wprev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tn = F.col("na") + F.col("nb")
+    arank = (
+        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(wprev), F.lit(0))
+        + (tn + 1) / F.lit(2.0)
+    )
+    st = pv.select(
+        "na", "nb", tn.alias("tn"), arank.alias("arank")
+    ).agg(
+        F.sum(F.col("na") * F.col("arank")).alias("r_a"),
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum("tn").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("tn") > 1,
+                    F.col("tn") * (F.col("tn") * F.col("tn") - 1),
+                )
+            ),
+            F.lit(0),
+        ).alias("tie_term"),
     )
     u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
     mu = F.col("n_a") * F.col("n_b").cast("double") / F.lit(2.0)
@@ -7807,15 +7816,12 @@ def agg_mann_whitney_u(spark, sf_dir):
         )
     )
     z = (u_a - mu) / sigma
-    return (
-        st.join(F.broadcast(tie))
-        .select(
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            F.round(u_a, 2).alias("u_stat"),
-            F.round(z, 4).alias("zscore"),
-            (F.abs(z) > F.lit(1.96)).alias("reject_h0"),
-        )
+    return st.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(u_a, 2).alias("u_stat"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_h0"),
     )
 
 
