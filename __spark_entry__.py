@@ -7826,6 +7826,198 @@ def agg_mann_whitney_u(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 32: Benford audit, LOO target encoding, Kaplan-Meier
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_benford_deviation",
+    """
+    WITH cents AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                   FROM orders WHERE o_totalprice > 0),
+    d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM cents),
+    obs AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+    tot AS (SELECT sum(n_obs) AS n FROM obs)
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           round(n_obs / CAST(n AS DOUBLE), 6) AS obs_share,
+           round(log10(1 + 1.0 / digit), 6) AS benford_share,
+           round(n_obs / CAST(n AS DOUBLE) - log10(1 + 1.0 / digit), 6)
+             AS deviation
+    FROM obs, tot ORDER BY digit
+    """,
+)
+def agg_benford_deviation(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud/data-fabrication screen: observed first-digit shares vs the
+    log10(1+1/d) law. The first digit comes from the INTEGER-CENTS
+    string, never floor(log10(v)) — a price sitting one ulp below a
+    power of ten would flip floor(log10) between engines, while
+    round(v*100) is unambiguous for 2-decimal money. One hash aggregate
+    to 9 rows + a broadcast total."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    wall = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n = F.sum("n_obs").over(wall)
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    return obs.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / n, 6).alias("obs_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.col("n_obs") / n - benford, 6).alias("deviation"),
+    ).orderBy("digit")
+
+
+@_q(
+    "feature_loo_target_encoding",
+    """
+    WITH j AS (SELECT o.o_orderkey AS k, o.o_totalprice AS y,
+                      c.c_mktsegment AS seg
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    seg_stats AS (SELECT seg, count(*) AS n, sum(y) AS s FROM j GROUP BY seg),
+    g AS (SELECT avg(y) AS prior FROM j)
+    SELECT j.k AS o_orderkey,
+           round((ss.s - j.y + g.prior * 10) / (ss.n - 1 + 10), 4)
+             AS seg_price_loo
+    FROM j JOIN seg_stats ss ON j.seg = ss.seg, g
+    """,
+)
+def feature_loo_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding with additive smoothing (m=10
+    toward the global prior) — the categorical-feature encoder that
+    avoids self-leakage: each order's segment encoding excludes its OWN
+    target. One per-segment aggregate (bounded model, broadcast back) +
+    a one-row global prior; the encode itself is a projection. The
+    training-pipeline feature-engineering shape: no row explodes, no
+    self-join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice").alias("y"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    seg_stats = j.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    prior = j.agg(F.avg("y").alias("prior"))
+    enc = (F.col("s") - F.col("y") + F.col("prior") * 10) / (
+        F.col("n") - 1 + 10
+    )
+    return (
+        j.join(F.broadcast(seg_stats), "seg")
+        .join(F.broadcast(prior))
+        .select("o_orderkey", F.round(enc, 4).alias("seg_price_loo"))
+    )
+
+
+@_q(
+    "events_kaplan_meier",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+    horizon AS (SELECT max(ts) AS tmax FROM events),
+    subj AS (SELECT s.user_id,
+               CASE WHEN p.t1 IS NOT NULL AND p.t1 >= s.t0 THEN
+                 date_diff('microsecond', s.t0, p.t1) / 1000000.0
+               ELSE date_diff('microsecond', s.t0, h.tmax) / 1000000.0 END
+                 AS dur,
+               (p.t1 IS NOT NULL AND p.t1 >= s.t0) AS converted
+             FROM s LEFT JOIN p ON s.user_id = p.user_id, horizon h),
+    et AS (SELECT dur AS t, count(*) AS d FROM subj
+           WHERE converted GROUP BY dur),
+    risk AS (SELECT et.t, et.d,
+               (SELECT count(*) FROM subj WHERE subj.dur >= et.t) AS n_risk
+             FROM et)
+    SELECT round(t, 3) AS t_seconds, CAST(d AS BIGINT) AS n_events,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           round(exp(sum(ln(1 - d / CAST(n_risk AS DOUBLE)))
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
+             AS survival
+    FROM risk ORDER BY t
+    """,
+)
+def events_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve for signup→purchase conversion with
+    right-censoring (users who never purchase are censored at the
+    observation horizon) — the time-to-event estimator behind churn and
+    incident-MTTR analytics, which naive mean latencies get WRONG when
+    many subjects are censored. S(t) = Π (1 − d_i/n_i) over event
+    times; at-risk counts come from one descending-cumulative window
+    over the duration-grain rollup (not a per-time correlated scan),
+    and the running product is exp·Σln over the bounded event-time
+    table. Two joins total, all aggregates map-side combinable."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    horizon = e.agg(F.max("ts").alias("tmax"))
+    conv = F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
+    subj = (
+        s.join(p, "user_id", "left")
+        .join(F.broadcast(horizon))
+        .select(
+            F.when(
+                conv,
+                F.expr("timestampdiff(MICROSECOND, t0, t1)").cast("double")
+                / 1_000_000.0,
+            )
+            .otherwise(
+                F.expr("timestampdiff(MICROSECOND, t0, tmax)").cast("double")
+                / 1_000_000.0
+            )
+            .alias("dur"),
+            conv.alias("converted"),
+        )
+    )
+    # duration-grain rollup: events (d) and total subjects (a) per dur;
+    # n_risk(t) = Σ over durs >= t of a  — one descending running sum
+    per_dur = subj.groupBy("dur").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("a"),
+    )
+    wdesc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_dur.withColumn("n_risk", F.sum("a").over(wdesc)).filter(
+        F.col("d") > 0
+    )
+    wasc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    surv = F.exp(
+        F.sum(F.log(1 - F.col("d") / F.col("n_risk").cast("double"))).over(
+            wasc
+        )
+    )
+    return risk.select(
+        F.round("dur", 3).alias("t_seconds"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.round(surv, 4).alias("survival"),
+    ).orderBy("t_seconds")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -106,6 +106,10 @@ def test_gate_window_covers_every_family():
         # wave 31: conversion latency, Mann-Whitney rank-sum
         "events_time_to_convert",
         "agg_mann_whitney_u",
+        # wave 32: Benford audit, LOO target encoding, Kaplan-Meier
+        "agg_benford_deviation",
+        "feature_loo_target_encoding",
+        "events_kaplan_meier",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

@@ -207,3 +207,51 @@ def test_mann_whitney_identical_groups_fail_to_reject(spark, sf_oracle):
     ).collect()[0]
     # identical samples share average ranks -> R_a = total/2 = 55/2
     assert abs(got.r_a - 27.5) < 1e-9
+
+
+def test_kaplan_meier_hand_example(spark):
+    """Textbook KM: durations 1(event), 2(censored), 3(event), 4(event)
+    of 4 subjects -> S(1)=3/4, S(3)=3/4*1/2=0.375, S(4)=0."""
+    rows = [
+        # subject 1: signup t=0, purchase t=1
+        (1, "signup", "2024-01-01T00:00:00"),
+        (1, "purchase", "2024-01-01T00:00:01"),
+        # subject 2: signup t=0, never purchases (censored at horizon 4)
+        (2, "signup", "2024-01-01T00:00:00"),
+        # subject 3: purchase at t=3
+        (3, "signup", "2024-01-01T00:00:00"),
+        (3, "purchase", "2024-01-01T00:00:03"),
+        # subject 4: purchase at t=4 (also defines the horizon)
+        (4, "signup", "2024-01-01T00:00:00"),
+        (4, "purchase", "2024-01-01T00:00:04"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, s) for u, t, s in rows],
+        "user_id long, event_type string, ts_s string",
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.lit(0).alias("event_id"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(), "km")
+    os.makedirs(out)
+    df.write.parquet(os.path.join(out, "events.parquet"))
+    import __spark_entry__ as entrymod
+
+    got = {
+        r.t_seconds: r
+        for r in entrymod.queries()["events_kaplan_meier"](spark, out).collect()
+    }
+    assert set(got) == {1.0, 3.0, 4.0}
+    assert got[1.0].n_risk == 4 and abs(got[1.0].survival - 0.75) < 1e-9
+    # subject 2 censored at 4s (horizon) stays at risk through t=3
+    assert got[3.0].n_risk == 3 and abs(got[3.0].survival - 0.5) < 1e-9
+    # at t=4 the censored subject 2 (horizon 4s) is still at risk with
+    # subject 4 (events precede censoring at equal times): n=2, d=1
+    assert got[4.0].n_risk == 2 and abs(got[4.0].survival - 0.25) < 1e-9
