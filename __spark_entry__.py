@@ -8018,6 +8018,58 @@ def events_kaplan_meier(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 33: nearest-direction as-of join
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "asof_join_nearest",
+    """
+    WITH l AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, event_id AS r_event_id, ts AS r_ts FROM events
+          WHERE event_type = 'error'),
+    ranked AS (SELECT l.user_id, l.event_id, r.r_event_id,
+                 row_number() OVER (
+                   PARTITION BY l.user_id, l.event_id
+                   ORDER BY abs(date_diff('microsecond', l.ts, r.r_ts)),
+                            r.r_ts) AS rn
+               FROM l LEFT JOIN r ON l.user_id = r.user_id)
+    SELECT user_id, event_id, r_event_id AS nearest_error_event
+    FROM ranked WHERE rn = 1
+    """,
+)
+def asof_join_nearest(spark, sf_dir):
+    """Nearest-direction as-of join: for each purchase, the SAME user's
+    error event closest in time (either side; ties to the earlier
+    error, pinned — engines disagree on nearest-tie conventions) — the
+    incident-correlation join ("which error is this purchase nearest
+    to?") that backward/forward as-of cannot express. Declarative
+    range-join + rank-1 composition; microsecond-exact NTZ-safe
+    interval arithmetic. operators/relational.py:asof_join
+    (direction='nearest')."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        asof_join,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    r = e.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    return asof_join(
+        l, r, on="user_id", left_time="ts", right_time="ts",
+        direction="nearest",
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("r_event_id").alias("nearest_error_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

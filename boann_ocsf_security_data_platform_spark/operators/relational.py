@@ -251,13 +251,18 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the largest
     ``right_time`` ≤ ``left_time`` (direction='backward'; 'forward' is the
-    smallest ≥) within the same key.
+    smallest ≥; 'nearest' is the minimum |right_time − left_time| with
+    ties going to the EARLIER right row — deterministic and documented,
+    since engines disagree on nearest-tie conventions) within the same
+    key.
 
     Composition of built-ins: range join + per-left-row rank-1. Correct and
     fully declarative, but the range join can fan out when many right rows
     precede each left row — prefer ``asof_join_pandas`` for dense time
     series at scale (co-partitioned merge_asof, no fan-out).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     lid = "_asof_left_id"
     l = left.withColumn(lid, F.monotonically_increasing_id())
     r = right.select(
@@ -271,11 +276,25 @@ def asof_join(
     )
     if direction == "backward":
         cond = (l[on] == r["_asof_key"]) & (r["_asof_rt"] <= l[left_time])
-        order = F.desc("_asof_rt")
-    else:
+        order = [F.desc("_asof_rt")]
+    elif direction == "forward":
         cond = (l[on] == r["_asof_key"]) & (r["_asof_rt"] >= l[left_time])
-        order = F.asc("_asof_rt")
-    w = Window.partitionBy(lid).orderBy(order)
+        order = [F.asc("_asof_rt")]
+    elif direction == "nearest":
+        cond = l[on] == r["_asof_key"]
+        # timestampdiff, not unix_micros: NTZ-safe (the driver parquet
+        # reads as TIMESTAMP_NTZ) and session-timezone independent
+        order = [
+            F.asc(
+                F.abs(
+                    F.expr(
+                        f"timestampdiff(MICROSECOND, {left_time}, _asof_rt)"
+                    )
+                )
+            ),
+            F.asc("_asof_rt"),
+        ]
+    w = Window.partitionBy(lid).orderBy(*order)
     return (
         l.join(r, cond, "left")
         .withColumn("_asof_rn", F.row_number().over(w))

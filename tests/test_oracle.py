@@ -110,6 +110,8 @@ def test_gate_window_covers_every_family():
         "agg_benford_deviation",
         "feature_loo_target_encoding",
         "events_kaplan_meier",
+        # wave 33: nearest-direction as-of join
+        "asof_join_nearest",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

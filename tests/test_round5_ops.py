@@ -255,3 +255,42 @@ def test_kaplan_meier_hand_example(spark):
     # at t=4 the censored subject 2 (horizon 4s) is still at risk with
     # subject 4 (events precede censoring at equal times): n=2, d=1
     assert got[4.0].n_risk == 2 and abs(got[4.0].survival - 0.25) < 1e-9
+
+
+def test_asof_nearest_tie_prefers_earlier(spark):
+    """direction='nearest' with equidistant candidates must pick the
+    EARLIER right row (pinned convention), and left rows with no match
+    survive with NULL."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        asof_join,
+    )
+
+    l = spark.createDataFrame(
+        [(1, "2024-01-01T00:00:10"), (2, "2024-01-01T00:00:10")],
+        "k long, ts_s string",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("lt"))
+    r = spark.createDataFrame(
+        [(1, 100, "2024-01-01T00:00:05"), (1, 101, "2024-01-01T00:00:15")],
+        "k long, rid long, ts_s string",
+    ).select("k", "rid", F.col("ts_s").cast("timestamp").alias("rt"))
+    out = {
+        row.k: row
+        for row in asof_join(
+            l, r, on="k", left_time="lt", right_time="rt",
+            direction="nearest",
+        ).collect()
+    }
+    assert out[1].r_rid == 100  # 5s away on both sides -> earlier wins
+    assert out[2].r_rid is None  # no right rows for key 2
+
+
+def test_asof_unknown_direction_raises(spark):
+    import pytest as _pytest
+
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        asof_join,
+    )
+
+    with _pytest.raises(ValueError, match="unknown asof direction"):
+        asof_join(None, None, on="k", left_time="a", right_time="b",
+                  direction="sideways")
