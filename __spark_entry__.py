@@ -7690,18 +7690,24 @@ def events_time_to_convert(spark, sf_dir):
     one bounded exact-percentile aggregate; microsecond-exact interval
     arithmetic, NTZ-safe. Spark's exact `percentile` and DuckDB's
     quantile_cont share the same linear-interpolation definition."""
+    # ONE events scan: the signup/purchase first-times are conditional
+    # mins in the same per-user aggregate (a filtered-split + join would
+    # read events twice); the inner join's semantics survive as the
+    # both-not-null filter
     e = _t(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t0"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t1"
+        ),
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    d = s.join(p, "user_id").filter(F.col("t1") >= F.col("t0")).select(
+    d = per_user.filter(
+        F.col("t0").isNotNull()
+        & F.col("t1").isNotNull()
+        & (F.col("t1") >= F.col("t0"))
+    ).select(
         (
             F.expr("timestampdiff(MICROSECOND, t0, t1)").cast("double")
             / F.lit(1_000_000.0)
@@ -7961,22 +7967,26 @@ def events_kaplan_meier(spark, sf_dir):
     over the duration-grain rollup (not a per-time correlated scan),
     and the running product is exp·Σln over the bounded event-time
     table. Two joins total, all aggregates map-side combinable."""
+    # ONE events scan: per-user conditional mins AND the per-user max
+    # in the same aggregate; the global horizon is then an empty-frame
+    # window over the bounded per-user table (no second scan of events)
     e = _t(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t0"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t1"
+        ),
+        F.max("ts").alias("_tmax_u"),
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    whor = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    horizon = e.agg(F.max("ts").alias("tmax"))
     conv = F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
     subj = (
-        s.join(p, "user_id", "left")
-        .join(F.broadcast(horizon))
+        per_user.withColumn("tmax", F.max("_tmax_u").over(whor))
+        .filter(F.col("t0").isNotNull())
         .select(
             F.when(
                 conv,

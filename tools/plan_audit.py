@@ -458,6 +458,31 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         "BroadcastHashJoin" in pivfq,
         "kilobyte query batch broadcast onto the pruned lists",
     )
+
+    # round-5 waves 31-33
+    for qname, label in (
+        ("events_time_to_convert", "time-to-convert"),
+        ("events_kaplan_meier", "kaplan-meier"),
+        ("agg_mann_whitney_u", "mann-whitney"),
+    ):
+        pq = plan_of(qs[qname](spark, sf_dir))
+        check(
+            f"{label} reads events/facts once per input",
+            pq.count("Location:") <= 2 and "Generate" not in pq,
+            "conditional aggregation in one pass; no re-scan splits",
+        )
+    ple = plan_of(qs["feature_loo_target_encoding"](spark, sf_dir))
+    check(
+        "LOO encoding broadcasts the segment model",
+        ple.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in ple,
+        "bounded per-segment stats + one-row prior broadcast back",
+    )
+    pjl2 = plan_of(qs["text_hash_features"](spark, sf_dir))
+    check(
+        "hash features are shuffle-free",
+        "Exchange" not in pjl2 and "Join" not in pjl2,
+        "row-local tokenize/hash/count projection",
+    )
     return results
 
 
