@@ -360,6 +360,39 @@ def cmd_corpus_pack(args) -> int:
     return 0
 
 
+def cmd_corpus_neardup_stream(args) -> int:
+    """Continuous near-duplicate detection over a document-stream
+    directory: MinHash/LSH band keys per micro-batch (the SAME
+    shingle/signature/banding code path as the batch operator), candidate
+    pairs against the persisted band-key store + within-batch, appended
+    exactly-once under the pairs directory. `--drain` processes whatever
+    is in the directory and exits (availableNow), else runs until
+    SIGTERM — the streaming face of `corpus-clean --near-dup`."""
+    from .streaming import start_near_dup_stream, stop_on_signal
+
+    spark = _spark(args)
+    stream = (
+        spark.readStream.schema(args.schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .json(args.source)
+    )
+    q = start_near_dup_stream(
+        stream,
+        store_dir=args.store,
+        pairs_dir=args.pairs,
+        checkpoint_dir=args.checkpoint,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        available_now=args.drain,
+    )
+    if args.drain:
+        q.awaitTermination()
+    else:
+        stop_on_signal(q)
+        q.awaitTermination()
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run any registered analytics query from the command line — the
     drivable face of the __spark_entry__ registry: `query --list` prints
@@ -498,6 +531,24 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--group-col", default="source")
     cp.add_argument("--shard-bytes", type=int, default=1 << 20)
     cp.set_defaults(fn=cmd_corpus_pack)
+
+    ns = sub.add_parser(
+        "corpus-neardup-stream",
+        help="streaming MinHash-LSH near-dup detection over a doc stream",
+    )
+    ns.add_argument("--source", required=True, help="json docs directory")
+    ns.add_argument("--store", required=True, help="band-key store dir")
+    ns.add_argument("--pairs", required=True, help="candidate-pair output dir")
+    ns.add_argument("--checkpoint", required=True)
+    ns.add_argument("--schema", default="doc_id long, text string")
+    ns.add_argument("--text-col", default="text")
+    ns.add_argument("--id-col", default="doc_id")
+    ns.add_argument("--max-files-per-trigger", type=int, default=100)
+    ns.add_argument(
+        "--drain", action="store_true",
+        help="process current contents and exit (availableNow)",
+    )
+    ns.set_defaults(fn=cmd_corpus_neardup_stream)
 
     q = sub.add_parser(
         "query", help="run a registered analytics query by name"

@@ -333,3 +333,42 @@ def test_cli_query_verb(spark, sf_smoke, capsys):
     rc = main(["query", "agg_welch_ttes"])
     assert rc == 2
     assert "did you mean" in capsys.readouterr().err
+
+
+def test_cli_corpus_neardup_stream_drain(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    text = "one two three four five six seven eight nine ten"
+    (src / "a.json").write_text(
+        _json.dumps({"doc_id": 1, "text": text})
+        + "\n"
+        + _json.dumps({"doc_id": 2, "text": text})
+    )
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "boann_ocsf_security_data_platform_spark.cli",
+            "corpus-neardup-stream",
+            "--source", str(src),
+            "--store", str(tmp_path / "store"),
+            "--pairs", str(tmp_path / "pairs"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--drain",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT id_a, id_b FROM read_parquet('{tmp_path}/pairs/*/*.parquet')"
+    ).fetchall()
+    assert rows == [(1, 2)]
