@@ -317,3 +317,77 @@ def test_temperature_sample_invariants(spark, sizes, alpha):
         .collect()
     }
     assert again == kept
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1000, max_value=1000,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=3,
+        max_size=20,
+    ),
+    k=st.floats(min_value=0.0, max_value=2.0),
+)
+def test_cusum_closed_form_property(spark, vals, k):
+    """For ANY value series and drift k, the windowed closed form
+    P_t - min(P_0..P_t) equals the textbook recursion
+    max(0, S_{t-1} + z_t - k), both sides."""
+    import math
+
+    from boann_ocsf_security_data_platform_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    mu = sum(vals) / len(vals)
+    var = sum((v - mu) ** 2 for v in vals) / (len(vals) - 1)
+    if var <= 1e-12:
+        return  # degenerate: sigma 0 -> NULL z, nothing to compare
+    sd = math.sqrt(var)
+    rows = [
+        (i, f"2024-01-{i + 1:02d}T00:00:01", float(v))
+        for i, v in enumerate(vals[:27])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, value double"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    got = {
+        r.d.day: r for r in cusum_changepoints(df, drift_k=k).collect()
+    }
+    sp = sn = 0.0
+    for i, v in enumerate(vals[:27]):
+        z = (v - mu) / sd
+        sp = max(0.0, sp + z - k)
+        sn = max(0.0, sn - z - k)
+        assert abs(got[i + 1].cusum_pos - sp) < 1e-3
+        assert abs(got[i + 1].cusum_neg - sn) < 1e-3
+
+
+@SET
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=25),
+    b=st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=25),
+)
+def test_ks_statistic_bounds_and_symmetry(spark, a, b):
+    """0 <= D <= 1 for any samples; D == 0 iff the multisets' ECDFs
+    coincide; swapping the groups leaves D unchanged."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        ks_statistic,
+    )
+
+    rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, g string")
+    d1 = ks_statistic(df, "v", "g", "a", "b").collect()[0]
+    d2 = ks_statistic(df, "v", "g", "b", "a").collect()[0]
+    assert 0.0 <= d1.ks_stat <= 1.0
+    assert d1.ks_stat == d2.ks_stat
+    import collections
+
+    na, nb = len(a), len(b)
+    ca, cb = collections.Counter(a), collections.Counter(b)
+    same_ecdf = all(
+        abs(ca[v] / na - cb[v] / nb) < 1e-12 for v in set(a) | set(b)
+    )
+    assert (d1.ks_stat == 0.0) == same_ecdf
