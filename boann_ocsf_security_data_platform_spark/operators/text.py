@@ -1234,3 +1234,70 @@ def hash_feature_vector(
         for b in range(n_buckets)
     ]
     return hashed.select(F.col(id_col), *cols)
+
+
+def bpe_segment_pandas(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "w",
+    out_col: str = "pieces",
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """Arrow-batched BPE application for LONG merge lists — the scale
+    path the expression-based :func:`bpe_segment` documents: stacking
+    one ``aggregate`` fold per merge is fine for tens of merges but
+    builds an O(n_merges)-deep expression tree (plan size and codegen
+    time grow linearly, and past ~100 merges the plan dwarfs the data).
+    Here the merge list ships once per executor as a plain dict and each
+    batch applies the STANDARD rank-based BPE encode (repeatedly merge
+    the lowest-rank adjacent pair — equivalent to applying merges in
+    training order, Sennrich et al. 2016); parity with the expression
+    path is pinned by test_bpe_pandas_matches_expression.
+
+    Returns ``df`` plus ``out_col`` (space-joined subword pieces —
+    atomic string, driver-sortable). Row-local mapInPandas: no shuffle;
+    at 100 TB parallelism = input split count.
+    """
+    import pandas as pd  # noqa: F811 (module-level import exists)
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, {out_col} string"
+
+    def _encode(word: str) -> str:
+        syms = list(word) + [end_marker]
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            # merge EVERY occurrence of the chosen pair left-to-right,
+            # matching one fold pass of the expression path
+            a, b = syms[best], syms[best + 1]
+            merged, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        return " ".join(syms)
+
+    def batches(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[word_col].map(_encode)
+            yield pdf
+
+    return df.mapInPandas(batches, schema)

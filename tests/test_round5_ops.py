@@ -294,3 +294,33 @@ def test_asof_unknown_direction_raises(spark):
     with _pytest.raises(ValueError, match="unknown asof direction"):
         asof_join(None, None, on="k", left_time="a", right_time="b",
                   direction="sideways")
+
+
+def test_bpe_pandas_matches_expression(spark, sf_smoke):
+    """The Arrow-batched rank-based BPE encode must match the
+    expression-path fold (merges applied in training order) on the REAL
+    trained merges over the real vocabulary — the documented scale-path
+    parity contract."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        bpe_segment,
+        bpe_segment_pandas,
+        tokens,
+        train_bpe_merges,
+    )
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    merges = train_bpe_merges(docs, n_merges=10)
+    assert len(merges) > 3
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .limit(500)
+    )
+    expr_path = vocab.select(
+        "w", F.array_join(bpe_segment("w", merges), " ").alias("pieces")
+    )
+    pandas_path = bpe_segment_pandas(vocab, merges)
+    a = {r.w: r.pieces for r in expr_path.collect()}
+    b = {r.w: r.pieces for r in pandas_path.collect()}
+    assert a == b
