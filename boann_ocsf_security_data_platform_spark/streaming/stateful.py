@@ -138,3 +138,79 @@ def user_profile_stats(stream_df, recent_n: int = 3):
         outputMode="Update",
         timeMode="None",
     )
+
+
+ALERTS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+_WELFORD_STATE = "n BIGINT, mean DOUBLE, m2 DOUBLE"
+
+
+def streaming_zscore_alerts(
+    stream_df, threshold: float = 3.0, min_obs: int = 10
+):
+    """Per-key streaming anomaly alerts: each event is scored against the
+    key's RUNNING mean/variance (Welford's numerically-stable online
+    update — never materializes a sum of squares) and emitted only when
+    |z| > ``threshold`` after at least ``min_obs`` prior observations —
+    the alerting shape of a security pipeline, where the batch z-score
+    detector (events_zscore_anomalies, full-distribution stats) becomes
+    an online score-then-update over bounded O(1)-per-key state.
+
+    Events are processed in (ts, event_id) order within each micro-batch
+    so replays are deterministic; scoring happens BEFORE the event
+    updates the state (an outlier must not mask itself). State is three
+    doubles per key in the checkpointed state store, shuffled by the
+    groupBy — horizontal scale is the number of executors, state size is
+    O(distinct keys), independent of stream length.
+
+    Batch/stream parity contract (pinned by
+    test_streaming_zscore_alerts_matches_replay): running the same rows
+    through a single-key Python replay of score-then-Welford-update
+    yields the same alert set.
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        out_ids, out_vals, out_z = [], [], []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
+                v = float(row["value"])
+                if n >= min_obs:
+                    var = m2 / (n - 1)
+                    if var > 0:
+                        z = (v - mean) / math.sqrt(var)
+                        if abs(z) > threshold:
+                            out_ids.append(int(row["event_id"]))
+                            out_vals.append(v)
+                            out_z.append(round(z, 4))
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_ids),
+                "event_id": out_ids,
+                "value": out_vals,
+                "zscore": out_z,
+            }
+        )
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ALERTS_SCHEMA,
+        stateStructType=_WELFORD_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -740,3 +740,70 @@ def test_streaming_near_dup_replay_and_prune(spark, tmp_path):
     prune_band_store(spark, dirs["store"], keep_from_batch_id=10**9)
     left = [p for p in os.listdir(dirs["store"]) if p.startswith("_batch_id=")]
     assert left == []
+
+
+def test_streaming_zscore_alerts_matches_replay(spark, tmp_path):
+    """Welford score-then-update alerting across TWO micro-batches must
+    equal a single-key Python replay over the same row order — running
+    stats survive the batch boundary, outliers don't mask themselves,
+    and quiet values never alert."""
+    import math
+
+    from boann_ocsf_security_data_platform_spark.streaming.stateful import (
+        streaming_zscore_alerts,
+    )
+
+    base = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 10.3, 9.7, 10.0]
+    batch1 = base + [10.4]           # 11 quiet values
+    batch2 = [50.0, 10.2, 60.0]      # two screaming outliers
+    rows1 = [
+        {"user_id": 1, "event_id": i, "ts": f"2024-01-01T00:00:{i:02d}", "value": v}
+        for i, v in enumerate(batch1)
+    ]
+    rows2 = [
+        {"user_id": 1, "event_id": 20 + i, "ts": f"2024-01-01T00:01:{i:02d}", "value": v}
+        for i, v in enumerate(batch2)
+    ]
+    src = tmp_path / "alerts_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "alerts_ckpt")
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp, value double"
+    ).json(str(src))
+    q = (
+        streaming_zscore_alerts(stream, threshold=3.0, min_obs=10)
+        .writeStream.format("memory")
+        .queryName("z_alerts")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+        q.processAllAvailable()
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+        q.processAllAvailable()
+        got = {
+            r.event_id: r.zscore
+            for r in spark.sql("SELECT * FROM z_alerts").collect()
+        }
+    finally:
+        q.stop()
+    # python replay: score before update
+    n, mean, m2 = 0, 0.0, 0.0
+    want = {}
+    for i, v in enumerate(batch1 + batch2):
+        eid = i if i < len(batch1) else 20 + (i - len(batch1))
+        if n >= 10:
+            var = m2 / (n - 1)
+            if var > 0:
+                z = (v - mean) / math.sqrt(var)
+                if abs(z) > 3.0:
+                    want[eid] = round(z, 4)
+        n += 1
+        d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+    assert got == want
+    assert 20 in want and 22 in want  # both outliers alerted
+    assert 21 not in want             # quiet value between them did not
