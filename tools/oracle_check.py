@@ -90,6 +90,11 @@ def main():
     hostile = "--hostile" in args
     if hostile:
         args.remove("--hostile")
+    shard = None  # "--shard=i/n": keep the crc32 1/n slice (parallel sweeps)
+    for a in list(args):
+        if a.startswith("--shard="):
+            args.remove(a)
+            shard = tuple(int(x) for x in a.split("=", 1)[1].split("/"))
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
@@ -116,8 +121,12 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     passed = failed = skipped = 0
+    import zlib
+
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if shard and zlib.crc32(name.encode()) % shard[1] != shard[0]:
             continue
         if name not in oracles:
             n = fn(spark, sf_dir).count()
