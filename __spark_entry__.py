@@ -8080,6 +8080,166 @@ def asof_join_nearest(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 34: span-corruption masks, interval merge/coverage
+# ---------------------------------------------------------------------------
+
+_H64_POS = _H64.format(expr="concat('mask0:', CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR))")
+
+
+@_q(
+    "text_span_corruption_stats",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    pos AS (SELECT doc_id, i, ({_H64_POS} % 100) < 15 AS masked
+            FROM w, unnest(range(1, len(ws) + 1)) t(i)),
+    runs AS (SELECT doc_id,
+               count(*) FILTER (WHERE masked) AS n_masked,
+               count(*) FILTER (WHERE masked AND NOT coalesce(prev, FALSE))
+                 AS n_spans
+             FROM (SELECT doc_id, masked,
+                     lag(masked) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                   FROM pos)
+             GROUP BY doc_id)
+    SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.n_masked, 0) AS BIGINT) AS n_masked,
+           CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans
+    FROM w LEFT JOIN runs r ON w.doc_id = r.doc_id
+    """,
+)
+def text_span_corruption_stats(spark, sf_dir):
+    """T5-style span-corruption mask planning (Raffel et al. 2020):
+    deterministically mask ~15% of token positions per document
+    (portable hash of (doc_id, position) — reproducible across engines,
+    epochs keyed by the seed string) and report tokens/masked/spans per
+    doc, where a span is a maximal run of masked positions — the
+    denoising-objective preprocessing step of an LLM data pipeline.
+    Entirely row-local array expressions (mask array via transform,
+    span starts via zip_with against the shifted mask); no explode, no
+    shuffle beyond the scan. The oracle takes the EXPLODED route
+    (unnest + lag window) — a cross-derivation hash match."""
+    from boann_ocsf_security_data_platform_spark.functions.hash_fns import (
+        hash64,
+    )
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    ws = tokens(F.col("text"))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws.alias("ws")
+    )
+    mask = F.transform(
+        F.sequence(F.lit(1), F.size("ws")),
+        lambda i: (
+            hash64(
+                F.concat(
+                    F.lit("mask0:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            )
+            % 100
+        )
+        < 15,
+    )
+    d = d.select("doc_id", F.size("ws").alias("n_tokens"), mask.alias("m"))
+    n_masked = F.size(F.filter(F.col("m"), lambda x: x))
+    # span starts: masked AND (first position OR previous unmasked)
+    shifted = F.concat(F.array(F.lit(False)), F.slice(F.col("m"), 1, F.greatest(F.size("m") - 1, F.lit(0))))
+    starts = F.zip_with(
+        F.col("m"), shifted, lambda cur, prev: cur & ~prev
+    )
+    n_spans = F.size(F.filter(starts, lambda x: x))
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        n_masked.cast("long").alias("n_masked"),
+        n_spans.cast("long").alias("n_spans"),
+    )
+
+
+@_q(
+    "range_merge_intervals",
+    """
+    WITH iv AS (SELECT l.l_suppkey AS k, o.o_orderdate AS s,
+                       l.l_shipdate AS e
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_shipdate > o.o_orderdate AND l.l_suppkey <= 20),
+    marked AS (SELECT k, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                     PARTITION BY k ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     DATE '1000-01-01')
+                 THEN 1 ELSE 0 END AS new_island
+               FROM iv),
+    islands AS (SELECT k, s, e,
+                  sum(new_island) OVER (PARTITION BY k ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS island
+                FROM marked),
+    merged AS (SELECT k, island, min(s) AS ms, max(e) AS me
+               FROM islands GROUP BY k, island)
+    SELECT k AS suppkey, CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(date_diff('day', ms, me)) AS BIGINT) AS covered_days,
+           min(ms) AS first_start, max(me) AS last_end
+    FROM merged GROUP BY k
+    """,
+)
+def range_merge_intervals(spark, sf_dir):
+    """Merge overlapping [order, ship) intervals per supplier and report
+    merged-interval count + covered days — THE interval-coalescing
+    primitive (uptime/downtime windows, coverage gaps, concurrent-load
+    spans). Classic gaps-and-islands: an interval starts a new island
+    iff its start exceeds the running max of previous ends (one ordered
+    window per key), islands collapse with one aggregate. Suppliers
+    capped to 20 keys keeps the demo output bounded; the plan is
+    per-key windows + aggregates — one shuffle on the key, any key
+    count."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    iv = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") > F.col("o_orderdate"))
+            & (F.col("l_suppkey") <= 20)
+        )
+        .select(
+            F.col("l_suppkey").alias("k"),
+            F.col("o_orderdate").alias("s"),
+            F.col("l_shipdate").alias("e"),
+        )
+    )
+    wprev = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(wprev), F.lit("1000-01-01").cast("date")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(wrun))
+    merged = islands.groupBy("k", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy(F.col("k").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.datediff("me", "ms")).cast("long").alias("covered_days"),
+        F.min("ms").alias("first_start"),
+        F.max("me").alias("last_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

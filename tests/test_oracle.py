@@ -112,6 +112,9 @@ def test_gate_window_covers_every_family():
         "events_kaplan_meier",
         # wave 33: nearest-direction as-of join
         "asof_join_nearest",
+        # wave 34: span-corruption masks, interval merge
+        "text_span_corruption_stats",
+        "range_merge_intervals",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

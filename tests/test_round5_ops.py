@@ -324,3 +324,51 @@ def test_bpe_pandas_matches_expression(spark, sf_smoke):
     a = {r.w: r.pieces for r in expr_path.collect()}
     b = {r.w: r.pieces for r in pandas_path.collect()}
     assert a == b
+
+
+def test_interval_merge_hand_example(spark, tmp_path):
+    """[1,5) + [3,8) overlap -> one island [1,8) (7 days); [10,12) is a
+    second island; adjacent-but-touching [8,10)? start == prev end is
+    NOT a new island under the > rule (closed-open abutment merges)."""
+    import __spark_entry__ as entrymod
+
+    l = spark.createDataFrame(
+        [
+            (1, 1, "1995-01-05"),
+            (2, 1, "1995-01-08"),
+            (3, 1, "1995-01-12"),
+        ],
+        "l_orderkey long, l_suppkey long, ship_s string",
+    ).select(
+        "l_orderkey", "l_suppkey", F.col("ship_s").cast("date").alias("l_shipdate")
+    )
+    o = spark.createDataFrame(
+        [(1, "1995-01-01"), (2, "1995-01-03"), (3, "1995-01-10")],
+        "o_orderkey long, od_s string",
+    ).select("o_orderkey", F.col("od_s").cast("date").alias("o_orderdate"))
+    import os
+
+    out = str(tmp_path / "mi")
+    os.makedirs(out)
+    l.write.parquet(os.path.join(out, "lineitem.parquet"))
+    o.write.parquet(os.path.join(out, "orders.parquet"))
+    rows = entrymod.queries()["range_merge_intervals"](spark, out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # islands: [01-01,01-08) (intervals 1+2 overlap), [01-10,01-12)
+    assert r.n_intervals == 2
+    assert r.covered_days == 7 + 2
+
+
+def test_span_corruption_mask_rate_and_determinism(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["text_span_corruption_stats"]
+    rows = q(spark, sf_smoke).collect()
+    tot_tokens = sum(r.n_tokens for r in rows)
+    tot_masked = sum(r.n_masked for r in rows)
+    assert 0.10 < tot_masked / tot_tokens < 0.20  # ~15% by construction
+    for r in rows:
+        assert r.n_spans <= r.n_masked  # spans are runs of masked
+    again = {r.doc_id: (r.n_masked, r.n_spans) for r in q(spark, sf_smoke).collect()}
+    assert {r.doc_id: (r.n_masked, r.n_spans) for r in rows} == again
