@@ -70,10 +70,16 @@ def _band_keys_for_batch(
 
 
 def _read_store(spark: SparkSession, store_dir: str) -> DataFrame:
-    try:
-        return spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
-    except Exception:  # first batch: store doesn't exist yet
+    # existence-checked, not exception-swallowed: a CORRUPT store must
+    # fail the batch loudly (silently treating it as empty would drop
+    # every cross-batch duplicate pair), only a genuinely absent store
+    # (first batch) reads as empty
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(store_dir)
+    if not path.getFileSystem(conf).exists(path):
         return spark.createDataFrame([], _STORE_SCHEMA)
+    return spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
 
 
 def start_near_dup_stream(
