@@ -8343,6 +8343,18 @@ _GATE_ORDER = [
 # round — the pinned accounting lives in tests/test_oracle.py. Entries added
 # DURING round 5 are declared `next_window_pending` there and fill the
 # round-6 window.
+#
+# ROUND-6 ROTATION PLAN (for the next session): the 16 round-5
+# `next_window_pending` entries (waves 26-34: knn_ivf_index_persisted,
+# text_bpe_roundtrip, events_cusum_changepoint, embedding_random_projection,
+# agg_ks_test, multimodal_webdataset_roundtrip, text_hash_features,
+# graph_link_prediction, events_time_to_convert, agg_mann_whitney_u,
+# agg_benford_deviation, feature_loo_target_encoding, events_kaplan_meier,
+# asof_join_nearest, text_span_corruption_stats, range_merge_intervals) are
+# all oracle-verified at sf0.001+sf0.01 (recent rewrites also --hostile
+# checked) and atomic-schema-guarded. Fill the remaining 34 slots with
+# re-verifications of the oldest prior-green entries (drift guard,
+# round-robin from CORRECTNESS_r01 onward) plus any round-6 additions.
 
 
 def _gate_ordered(d: dict) -> dict:
