@@ -47,7 +47,7 @@ def test_parser_wires_all_subcommands():
     )
     assert set(subs.choices) == {
         "convert", "ingest", "stage", "monitor", "compact", "audit",
-        "corpus-clean", "corpus-pack", "query",
+        "corpus-clean", "corpus-pack", "corpus-neardup-stream", "query",
     }
 
 
