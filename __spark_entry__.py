@@ -7248,9 +7248,12 @@ def knn_ivf_index_persisted(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # PID in the path: parallel test shards / oracle sweeps may run this
+    # entry concurrently at the same sf; a shared dir would let one
+    # process rmtree files another's executors are mid-read
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = os.path.join(
-        tempfile.gettempdir(), f"boann_ivf_index_{tag}"
+        tempfile.gettempdir(), f"boann_ivf_index_{tag}_{os.getpid()}"
     )
     n_centroids = 8
     build_ivf_index(emb, path, n_centroids=n_centroids)
@@ -7511,7 +7514,9 @@ def multimodal_webdataset_roundtrip(spark, sf_dir):
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(tempfile.gettempdir(), f"boann_wds_{tag}")
+    out = os.path.join(
+        tempfile.gettempdir(), f"boann_wds_{tag}_{os.getpid()}"
+    )  # PID-scoped: safe under parallel shards (see ivf entry note)
     shutil.rmtree(out, ignore_errors=True)
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -7638,7 +7643,10 @@ def graph_link_prediction(spark, sf_dir):
         .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
         .distinct()
     )
-    return jaccard_link_prediction(edges, k=50)
+    scored = jaccard_link_prediction(edges, k=50)
+    out = scored.localCheckpoint(eager=True)  # materialize, then free caches
+    release_caches(scored)
+    return out
 
 
 @_q("agg_approx_percentiles")
@@ -8043,7 +8051,7 @@ def events_kaplan_meier(spark, sf_dir):
                  row_number() OVER (
                    PARTITION BY l.user_id, l.event_id
                    ORDER BY abs(date_diff('microsecond', l.ts, r.r_ts)),
-                            r.r_ts) AS rn
+                            r.r_ts, r.r_event_id) AS rn
                FROM l LEFT JOIN r ON l.user_id = r.user_id)
     SELECT user_id, event_id, r_event_id AS nearest_error_event
     FROM ranked WHERE rn = 1
@@ -8071,7 +8079,7 @@ def asof_join_nearest(spark, sf_dir):
     )
     return asof_join(
         l, r, on="user_id", left_time="ts", right_time="ts",
-        direction="nearest",
+        direction="nearest", right_tiebreak="event_id",
     ).select(
         "user_id",
         "event_id",

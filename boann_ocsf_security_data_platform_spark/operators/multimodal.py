@@ -680,7 +680,9 @@ def _pax_path_override(data: bytes) -> str | None:
             break
         if rec_len <= 0 or pos + rec_len > len(data):
             break
-        rec = data[sp + 1 : pos + rec_len].rstrip(b"\n")
+        rec = data[sp + 1 : pos + rec_len]
+        if rec.endswith(b"\n"):
+            rec = rec[:-1]  # exactly ONE terminator: a path may itself end in \n
         key, eq, val = rec.partition(b"=")
         if eq and key == b"path":
             path = val.decode("utf-8", "replace")

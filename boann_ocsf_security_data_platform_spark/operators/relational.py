@@ -248,6 +248,7 @@ def asof_join(
     left_time: str,
     right_time: str,
     direction: str = "backward",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the largest
     ``right_time`` ≤ ``left_time`` (direction='backward'; 'forward' is the
@@ -260,6 +261,12 @@ def asof_join(
     fully declarative, but the range join can fan out when many right rows
     precede each left row — prefer ``asof_join_pandas`` for dense time
     series at scale (co-partitioned merge_asof, no fan-out).
+
+    ``right_tiebreak`` names a right column appended to the rank order:
+    without it, two right rows sharing the winning ``right_time`` tie and
+    row_number picks arbitrarily — pass a unique right key whenever
+    right_time can repeat within a join key (the oracle-verified nearest
+    entry does).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction: {direction!r}")
@@ -294,6 +301,8 @@ def asof_join(
             ),
             F.asc("_asof_rt"),
         ]
+    if right_tiebreak is not None:
+        order.append(F.asc(f"r_{right_tiebreak}"))
     w = Window.partitionBy(lid).orderBy(*order)
     return (
         l.join(r, cond, "left")
@@ -1144,8 +1153,11 @@ def ks_statistic(
             F.col("_ca") / F.col("n_a") - F.col("_cb") / F.col("n_b")
         )
     ).alias("_d")
+    # cast BEFORE multiplying: long n_a*n_b overflows past ~3e9 rows per
+    # side (silently wraps negative with ANSI off -> NaN critical value)
     crit = F.lit(alpha_c) * F.sqrt(
-        (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
+        (F.col("n_a") + F.col("n_b"))
+        / (F.col("n_a").cast("double") * F.col("n_b"))
     )
     return (
         stepped.agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"), d)

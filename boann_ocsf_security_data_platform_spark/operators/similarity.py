@@ -126,16 +126,25 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _plane_projection(vec: Column, plane: list[float]) -> Column:
+    """``vec · plane`` with the plane inlined as literals — the ONE
+    expression shared by :func:`lsh_bucket` (its sign is the bucket bit)
+    and :func:`random_projection` (its value is the JL coordinate), so
+    the pinned sign-bit equivalence between the two cannot drift apart
+    through an edit to one copy."""
+    lit_plane = F.array(*[F.lit(x) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
     """Random-hyperplane LSH bucket id: one sign bit per plane."""
     bucket = F.lit(0)
     for p, plane in enumerate(_hyperplanes(n_planes, dim)):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        proj = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        proj = _plane_projection(vec, plane)
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
@@ -813,13 +822,8 @@ def random_projection(
     output coordinate (driver-sortable, no arrays).
     """
     vec = F.col(vec_col)
-    cols = []
-    for p, plane in enumerate(_hyperplanes(out_dim, dim)):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        proj = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        cols.append(F.round(proj, decimals).alias(f"{prefix}{p}"))
+    cols = [
+        F.round(_plane_projection(vec, plane), decimals).alias(f"{prefix}{p}")
+        for p, plane in enumerate(_hyperplanes(out_dim, dim))
+    ]
     return df.select("*", *cols)

@@ -42,7 +42,13 @@ from ..operators.dedup import (
 )
 
 PAIRS_SCHEMA = "id_a long, id_b long"
-_STORE_SCHEMA = "doc_id long, band_idx int, band_hash string, _batch_id long"
+
+
+def _store_schema(id_col: str) -> str:
+    # schema follows the caller's id column name — a hardcoded doc_id
+    # would break every non-default --id-col stream on its first
+    # store read (UNRESOLVED_COLUMN each micro-batch)
+    return f"{id_col} long, band_idx int, band_hash string, _batch_id long"
 
 
 def _band_keys_for_batch(
@@ -69,7 +75,7 @@ def _band_keys_for_batch(
     )
 
 
-def _read_store(spark: SparkSession, store_dir: str) -> DataFrame:
+def _read_store(spark: SparkSession, store_dir: str, id_col: str) -> DataFrame:
     # existence-checked, not exception-swallowed: a CORRUPT store must
     # fail the batch loudly (silently treating it as empty would drop
     # every cross-batch duplicate pair), only a genuinely absent store
@@ -78,8 +84,8 @@ def _read_store(spark: SparkSession, store_dir: str) -> DataFrame:
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(store_dir)
     if not path.getFileSystem(conf).exists(path):
-        return spark.createDataFrame([], _STORE_SCHEMA)
-    return spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
+        return spark.createDataFrame([], _store_schema(id_col))
+    return spark.read.schema(_store_schema(id_col)).parquet(store_dir)
 
 
 def start_near_dup_stream(
@@ -108,7 +114,7 @@ def start_near_dup_stream(
             batch_df, text_col, id_col, k, n_hashes, n_bands
         ).persist()
         try:
-            prev = _read_store(spark, store_dir).select(
+            prev = _read_store(spark, store_dir, id_col).select(
                 F.col(id_col).alias("_prev_id"), "band_idx", "band_hash"
             )
             vs_store = bands.join(prev, ["band_idx", "band_hash"]).select(

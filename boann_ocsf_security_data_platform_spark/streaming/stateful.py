@@ -182,8 +182,14 @@ def streaming_zscore_alerts(
 
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out_ids, out_vals, out_z = [], [], []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values(["ts", "event_id"]).iterrows():
+        # concat BEFORE sorting: a key whose micro-batch exceeds the Arrow
+        # chunk size arrives as several frames in arbitrary order —
+        # per-chunk sorting would score early-ts rows against state
+        # already advanced by later rows
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for _, row in whole.iterrows():
                 v = float(row["value"])
                 if n >= min_obs:
                     var = m2 / (n - 1)

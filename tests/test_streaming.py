@@ -807,3 +807,39 @@ def test_streaming_zscore_alerts_matches_replay(spark, tmp_path):
     assert got == want
     assert 20 in want and 22 in want  # both outliers alerted
     assert 21 not in want             # quiet value between them did not
+
+
+def test_streaming_near_dup_custom_id_col(spark, tmp_path):
+    """A non-default id column must work end-to-end (the band-key store
+    schema follows id_col — regression for the hardcoded-doc_id bug that
+    crashed every --id-col stream on its first store read)."""
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        read_near_dup_pairs,
+        start_near_dup_stream,
+    )
+
+    text = "red orange yellow green blue indigo violet ultraviolet infrared"
+    src = tmp_path / "cid_in"
+    src.mkdir()
+    (src / "b0.json").write_text(json.dumps({"my_id": 7, "text": text}))
+    dirs = dict(
+        store=str(tmp_path / "cid_store"),
+        pairs=str(tmp_path / "cid_pairs"),
+    )
+
+    def run(ck):
+        stream = spark.readStream.schema("my_id long, text string").json(
+            str(src)
+        )
+        q = start_near_dup_stream(
+            stream, dirs["store"], dirs["pairs"], str(tmp_path / ck),
+            id_col="my_id", available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    # second batch AFTER a store exists: the store read must resolve my_id
+    (src / "b1.json").write_text(json.dumps({"my_id": 9, "text": text}))
+    run("ck1")
+    got = {(r.id_a, r.id_b) for r in read_near_dup_pairs(spark, dirs["pairs"]).collect()}
+    assert got == {(7, 9)}
