@@ -8248,6 +8248,171 @@ def range_merge_intervals(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 35: trainable quality classifier (logistic regression by GD)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_quality_logreg",
+    """
+    WITH t AS (SELECT source, text,
+                 list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), w -> w <> '') AS ws
+               FROM documents),
+    feat AS (
+      SELECT round(least(len(ws) / 100.0, 1.0), 6) AS x1,
+             round(CASE WHEN len(ws) > 0 THEN
+               CAST(len(list_filter(ws, w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for', 'this', 'with', 'as', 'on', 'be', 'are'], w))) AS DOUBLE) / len(ws)
+               ELSE 0 END, 6) AS x2,
+             round(CASE WHEN len(ws) > 0 THEN
+               CAST(length(text) AS DOUBLE) / len(ws) / 10.0 ELSE 0 END, 6)
+               AS x3,
+             round(CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / length(text) ELSE 0 END, 6) AS x4,
+             CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+      FROM t),
+    w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3, 0.0 AS b4),
+    g1 AS (
+      SELECT avg(p - y) AS g0, avg((p - y) * x1) AS g1,
+             avg((p - y) * x2) AS g2, avg((p - y) * x3) AS g3,
+             avg((p - y) * x4) AS g4
+      FROM (SELECT y, x1, x2, x3, x4,
+              1.0 / (1.0 + exp(-(w.b0 + w.b1 * x1 + w.b2 * x2
+                                 + w.b3 * x3 + w.b4 * x4))) AS p
+            FROM feat, w0 w)),
+    w1 AS (
+      SELECT round(w.b0 - g.g0, 8) AS b0, round(w.b1 - g.g1, 8) AS b1,
+             round(w.b2 - g.g2, 8) AS b2, round(w.b3 - g.g3, 8) AS b3,
+             round(w.b4 - g.g4, 8) AS b4
+      FROM w0 w, g1 g),
+    g2 AS (
+      SELECT avg(p - y) AS g0, avg((p - y) * x1) AS g1,
+             avg((p - y) * x2) AS g2, avg((p - y) * x3) AS g3,
+             avg((p - y) * x4) AS g4
+      FROM (SELECT y, x1, x2, x3, x4,
+              1.0 / (1.0 + exp(-(w.b0 + w.b1 * x1 + w.b2 * x2
+                                 + w.b3 * x3 + w.b4 * x4))) AS p
+            FROM feat, w1 w)),
+    w2 AS (
+      SELECT round(w.b0 - g.g0, 8) AS b0, round(w.b1 - g.g1, 8) AS b1,
+             round(w.b2 - g.g2, 8) AS b2, round(w.b3 - g.g3, 8) AS b3,
+             round(w.b4 - g.g4, 8) AS b4
+      FROM w1 w, g2 g),
+    g3 AS (
+      SELECT avg(p - y) AS g0, avg((p - y) * x1) AS g1,
+             avg((p - y) * x2) AS g2, avg((p - y) * x3) AS g3,
+             avg((p - y) * x4) AS g4
+      FROM (SELECT y, x1, x2, x3, x4,
+              1.0 / (1.0 + exp(-(w.b0 + w.b1 * x1 + w.b2 * x2
+                                 + w.b3 * x3 + w.b4 * x4))) AS p
+            FROM feat, w2 w)),
+    w3 AS (
+      SELECT round(w.b0 - g.g0, 8) AS b0, round(w.b1 - g.g1, 8) AS b1,
+             round(w.b2 - g.g2, 8) AS b2, round(w.b3 - g.g3, 8) AS b3,
+             round(w.b4 - g.g4, 8) AS b4
+      FROM w2 w, g3 g)
+    SELECT round(w.b0, 6) AS w_bias, round(w.b1, 6) AS w_len,
+           round(w.b2, 6) AS w_stop, round(w.b3, 6) AS w_mwl,
+           round(w.b4, 6) AS w_digit,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CASE WHEN (1.0 / (1.0 + exp(-(w.b0 + w.b1 * x1
+                  + w.b2 * x2 + w.b3 * x3 + w.b4 * x4))) >= 0.5)
+                  = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6) AS train_accuracy
+    FROM feat, w3 w
+    GROUP BY w.b0, w.b1, w.b2, w.b3, w.b4
+    """,
+)
+def corpus_quality_logreg(spark, sf_dir):
+    """TRAIN a logistic-regression quality classifier with batch gradient
+    descent, hash-verified end-to-end: 4 quality features (capped token
+    count, stopword ratio, scaled mean word length, digit ratio — each
+    quantized to 6 decimals BEFORE training so both engines descend on
+    identical inputs) + bias, 3 full-batch GD steps from w=0 at lr=1,
+    labels = source heuristic; output = the trained weights + training
+    accuracy. The per-step weight rounding (8 decimals) quantizes the
+    model between iterations — the same ULP-drift kill the PageRank
+    entry uses — so the whole training trajectory is engine-portable and
+    the DuckDB oracle replays it as chained CTEs. Each GD step is ONE
+    map-side-combinable aggregate over the feature frame (a bounded
+    5-float model round-trips through the driver, never data) — the
+    quality-classifier training loop of a CCNet/GPT-style curation
+    pipeline in pure DataFrame ops."""
+    import math
+
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        STOPWORDS_EN,
+        tokens,
+    )
+
+    t = _t(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    n_tok = F.size(ws)
+    sr = F.when(
+        n_tok > 0,
+        F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS_EN)))
+        .cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    mwl = F.when(
+        n_tok > 0, F.length("text").cast("double") / n_tok / 10.0
+    ).otherwise(F.lit(0.0))
+    dr = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double")
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    feat = t.select(
+        F.round(F.least(n_tok / 100.0, F.lit(1.0)), 6).alias("x1"),
+        F.round(sr, 6).alias("x2"),
+        F.round(mwl, 6).alias("x3"),
+        F.round(dr, 6).alias("x4"),
+        F.when(F.col("source") == "src0", 1.0).otherwise(0.0).alias("y"),
+    ).localCheckpoint(eager=True)  # 3 GD scans + accuracy reuse one pass
+
+    w = [0.0, 0.0, 0.0, 0.0, 0.0]
+    for _ in range(3):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+            + F.lit(w[4]) * F.col("x4")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = feat.agg(
+            F.avg(p - F.col("y")).alias("g0"),
+            F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
+            F.avg((p - F.col("y")) * F.col("x3")).alias("g3"),
+            F.avg((p - F.col("y")) * F.col("x4")).alias("g4"),
+        ).collect()[0]  # bounded: the 5-float model step, not data
+        w = [round(w[j] - r[f"g{j}"], 8) for j in range(5)]
+
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+        + F.lit(w[4]) * F.col("x4")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feat.agg(
+        F.round(F.lit(w[0]), 6).alias("w_bias"),
+        F.round(F.lit(w[1]), 6).alias("w_len"),
+        F.round(F.lit(w[2]), 6).alias("w_stop"),
+        F.round(F.lit(w[3]), 6).alias("w_mwl"),
+        F.round(F.lit(w[4]), 6).alias("w_digit"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.avg(
+                F.when((p >= 0.5) == (F.col("y") == 1.0), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("train_accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -115,6 +115,8 @@ def test_gate_window_covers_every_family():
         # wave 34: span-corruption masks, interval merge
         "text_span_corruption_stats",
         "range_merge_intervals",
+        # wave 35: trainable quality classifier
+        "corpus_quality_logreg",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

@@ -372,3 +372,24 @@ def test_span_corruption_mask_rate_and_determinism(spark, sf_smoke):
         assert r.n_spans <= r.n_masked  # spans are runs of masked
     again = {r.doc_id: (r.n_masked, r.n_spans) for r in q(spark, sf_smoke).collect()}
     assert {r.doc_id: (r.n_masked, r.n_spans) for r in rows} == again
+
+
+def test_quality_logreg_learns_something(spark, sf_smoke):
+    """Three GD steps must move the weights off zero and reach at least
+    the majority-class baseline accuracy; re-training is deterministic."""
+    import __spark_entry__ as entrymod
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    q = entrymod.queries()["corpus_quality_logreg"]
+    r = q(spark, sf_smoke).collect()[0]
+    assert any(
+        abs(getattr(r, c)) > 0
+        for c in ("w_bias", "w_len", "w_stop", "w_mwl", "w_digit")
+    )
+    docs = load_table(spark, sf_smoke, "documents")
+    n = docs.count()
+    n_pos = docs.filter(F.col("source") == "src0").count()
+    majority = max(n_pos, n - n_pos) / n
+    assert r.train_accuracy >= round(majority, 6) - 1e-9
+    r2 = q(spark, sf_smoke).collect()[0]
+    assert r == r2
