@@ -8413,6 +8413,78 @@ def corpus_quality_logreg(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 36: WAV container synthesis -> REAL parser round-trip
+# ---------------------------------------------------------------------------
+
+
+def _le_bytes(n, width_hex: int):
+    """Little-endian byte string of an int column via hex/unhex — Spark
+    has no int->LE-binary builtin; pairs of the zero-padded hex string
+    reversed ARE the LE byte order."""
+    h = F.lpad(F.hex(n), width_hex, "0")
+    pairs = [
+        F.substring(h, i, 2) for i in range(width_hex - 1, 0, -2)
+    ]
+    return F.unhex(F.concat(*pairs))
+
+
+@_q(
+    "multimodal_wav_meta_roundtrip",
+    """
+    SELECT doc_id, 'wav-pcm' AS format, CAST(1 AS INT) AS n_channels,
+           CAST(8000 AS INT) AS sample_rate_hz, CAST(16 AS INT) AS bits_per_sample,
+           CAST((strlen(text) - strlen(text) % 2) // 2 AS BIGINT) AS n_frames,
+           CAST(((strlen(text) - strlen(text) % 2) // 2 * 1000) // 8000
+             AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_wav_meta_roundtrip(spark, sf_dir):
+    """Synthesize a VALID RIFF/WAVE container per document in pure Column
+    expressions (constant mono/8 kHz/16-bit fmt chunk; variable-length
+    fields little-endian via hex/unhex; payload = the text bytes as PCM
+    frames) and push it through the REAL chunk-walk parser
+    (operators/multimodal.py:sniff_audio_meta) — so the byte-level audio
+    parsing that was previously unit-tested-only is now HASH-VERIFIED:
+    the oracle computes the expected channels/rate/bits/frame-count/
+    duration directly from the text length, and any drift in either the
+    synthesizer or the parser breaks the match. Synthesis is a row-local
+    projection; parsing is the Arrow mapInPandas stage production uses."""
+    import struct
+
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        sniff_audio_meta,
+    )
+
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").cast("binary").alias("_data"),
+    )
+    dl = F.octet_length("_data") - (F.octet_length("_data") % 2)
+    wav = F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes(dl + 36, 8),
+        F.lit(b"WAVEfmt "),
+        _le_bytes(F.lit(16), 8),
+        F.lit(fmt_body),
+        F.lit(b"data"),
+        _le_bytes(dl, 8),
+        F.substring(F.col("_data"), 1, dl),
+    )
+    meta = sniff_audio_meta(d.select("media_id", wav.alias("payload")))
+    return meta.select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        "n_channels",
+        "sample_rate_hz",
+        "bits_per_sample",
+        "n_frames",
+        "duration_ms",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -117,6 +117,8 @@ def test_gate_window_covers_every_family():
         "range_merge_intervals",
         # wave 35: trainable quality classifier
         "corpus_quality_logreg",
+        # wave 36: WAV synthesis -> real-parser round-trip
+        "multimodal_wav_meta_roundtrip",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
