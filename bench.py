@@ -84,6 +84,14 @@ HEADLINE = [
     "embedding_random_projection",
     "agg_ks_test",
     "multimodal_webdataset_roundtrip",
+    # round-5 waves 30-36 (excluded from core15 as well)
+    "text_hash_features",
+    "graph_link_prediction",
+    "events_kaplan_meier",
+    "range_merge_intervals",
+    "text_span_corruption_stats",
+    "corpus_quality_logreg",
+    "multimodal_wav_meta_roundtrip",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;
