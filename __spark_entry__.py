@@ -8485,6 +8485,82 @@ def multimodal_wav_meta_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 37: full-chunk PCM energy round-trip
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_pcm_energy_roundtrip",
+    """
+    WITH f AS (SELECT doc_id, text,
+                 (strlen(text) - strlen(text) % 2) // 2 AS nf
+               FROM documents),
+    s AS (SELECT doc_id, nf,
+            list_transform(range(1, CAST(nf + 1 AS BIGINT)), i ->
+              CASE WHEN ord(substr(text, CAST(2 * i - 1 AS INT), 1))
+                        + 256 * ord(substr(text, CAST(2 * i AS INT), 1))
+                        >= 32768
+                   THEN ord(substr(text, CAST(2 * i - 1 AS INT), 1))
+                        + 256 * ord(substr(text, CAST(2 * i AS INT), 1))
+                        - 65536
+                   ELSE ord(substr(text, CAST(2 * i - 1 AS INT), 1))
+                        + 256 * ord(substr(text, CAST(2 * i AS INT), 1))
+              END) AS pcm
+          FROM f)
+    SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+           CAST(coalesce(list_sum(pcm), 0) AS BIGINT) AS sum_samples,
+           CAST(coalesce(list_sum(list_transform(pcm, x -> abs(x))), 0)
+             AS BIGINT) AS sum_abs,
+           CAST(list_min(pcm) AS INT) AS min_sample,
+           CAST(list_max(pcm) AS INT) AS max_sample
+    FROM s
+    """,
+)
+def multimodal_pcm_energy_roundtrip(spark, sf_dir):
+    """Waveform-level round-trip: the same Column-expression WAV
+    synthesis as multimodal_wav_meta_roundtrip, decoded back to EVERY
+    16-bit PCM frame by the numpy full-chunk reader (operators/
+    multimodal.py:pcm_energy) — frame count, signed/absolute sums and
+    min/max per document are exact integers, and the oracle recomputes
+    them from the text's character codes alone (ASCII corpus: codepoint
+    == byte; each frame is the little-endian pair 2i-1,2i with two's-
+    complement sign). Any drift in synthesis, chunk walk, or frombuffer
+    decode breaks the hash — the deepest multimodal verification in the
+    registry: header fields (wave 36) AND every payload sample (this
+    entry)."""
+    import struct
+
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        pcm_energy,
+    )
+
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").cast("binary").alias("_data"),
+    )
+    dl = F.octet_length("_data") - (F.octet_length("_data") % 2)
+    wav = F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes(dl + 36, 8),
+        F.lit(b"WAVEfmt "),
+        _le_bytes(F.lit(16), 8),
+        F.lit(fmt_body),
+        F.lit(b"data"),
+        _le_bytes(dl, 8),
+        F.substring(F.col("_data"), 1, dl),
+    )
+    return pcm_energy(d.select("media_id", wav.alias("payload"))).select(
+        F.col("media_id").alias("doc_id"),
+        "n_frames",
+        "sum_samples",
+        "sum_abs",
+        "min_sample",
+        "max_sample",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -886,3 +886,76 @@ def write_tar_shards(
         df.repartition(F.col(group_col), F.col(shard_col))
         .mapInPandas(emit, schema)
     )
+
+
+PCM_ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("min_sample", IntegerType()),
+        StructField("max_sample", IntegerType()),
+    ]
+)
+
+
+def pcm_energy(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Whole-chunk 16-bit PCM energy statistics per payload: frame count,
+    signed sum, absolute sum (the loudness/silence feature), min/max —
+    the full-decode companion to :func:`audio_sample_pcm`'s sampled
+    envelope, and deliberately SAMPLING-FREE so every statistic is an
+    exact integer over all frames (reproducible across engines — the
+    evenly-spaced sampler's float index arithmetic is not). numpy
+    ``frombuffer`` over the data chunk; non-PCM-16 payloads yield NULLs.
+    """
+    import struct
+
+    import numpy as np
+
+    def extract(b: bytes):
+        fmt, channels, _rate, bits, _frames = _sniff_wav(b)
+        if fmt != "wav-pcm" or bits != 16 or not channels:
+            return (None, None, None, None, None)
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+            if cid == b"data":
+                avail = max(0, (len(b) - (i + 8)) // 2)
+                pcm = np.frombuffer(
+                    b, dtype="<i2", offset=i + 8, count=min(size // 2, avail)
+                ).astype(np.int64)
+                if len(pcm) == 0:
+                    return (0, 0, 0, None, None)
+                return (
+                    len(pcm),
+                    int(pcm.sum()),
+                    int(np.abs(pcm).sum()),
+                    int(pcm.min()),
+                    int(pcm.max()),
+                )
+            i += 8 + size + (size & 1)
+        return (None, None, None, None, None)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [extract(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": pd.array([r[0] for r in rows], dtype="Int64"),
+                    "sum_samples": pd.array(
+                        [r[1] for r in rows], dtype="Int64"
+                    ),
+                    "sum_abs": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "min_sample": pd.array(
+                        [r[3] for r in rows], dtype="Int32"
+                    ),
+                    "max_sample": pd.array(
+                        [r[4] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, PCM_ENERGY_SCHEMA)

@@ -119,6 +119,8 @@ def test_gate_window_covers_every_family():
         "corpus_quality_logreg",
         # wave 36: WAV synthesis -> real-parser round-trip
         "multimodal_wav_meta_roundtrip",
+        # wave 37: full-chunk PCM energy round-trip
+        "multimodal_pcm_energy_roundtrip",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

@@ -393,3 +393,33 @@ def test_quality_logreg_learns_something(spark, sf_smoke):
     assert r.train_accuracy >= round(majority, 6) - 1e-9
     r2 = q(spark, sf_smoke).collect()[0]
     assert r == r2
+
+
+def test_pcm_energy_known_waveform(spark):
+    """Hand-built WAV with known samples [1000, -1000, 0, 32767, -32768]:
+    sums/extremes must decode exactly."""
+    import struct
+
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        pcm_energy,
+    )
+
+    samples = [1000, -1000, 0, 32767, -32768]
+    data = struct.pack("<5h", *samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not a wav"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in pcm_energy(df).collect()}
+    r = rows[1]
+    assert r.n_frames == 5
+    assert r.sum_samples == sum(samples)
+    assert r.sum_abs == sum(abs(s) for s in samples)
+    assert (r.min_sample, r.max_sample) == (-32768, 32767)
+    assert rows[2].n_frames is None  # non-WAV yields NULLs, not errors
