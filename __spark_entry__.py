@@ -8561,6 +8561,59 @@ def multimodal_pcm_energy_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 38: robust (median/IQR) feature scaling
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "feature_robust_scale",
+    """
+    WITH st AS (SELECT c_mktsegment AS seg,
+                  quantile_cont(o_totalprice, 0.5) AS med,
+                  quantile_cont(o_totalprice, 0.75)
+                    - quantile_cont(o_totalprice, 0.25) AS iqr
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY c_mktsegment)
+    SELECT o.o_orderkey,
+           round((o.o_totalprice - st.med) / st.iqr, 4) + 0.0
+             AS price_robust_z
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN st ON st.seg = c.c_mktsegment
+    """,
+)
+def feature_robust_scale(spark, sf_dir):
+    """Robust per-segment standardization: (x − median) / IQR — the
+    outlier-immune scaler (z-scores explode on heavy tails; quartiles
+    don't). One exact-percentile aggregate per segment (bounded model,
+    broadcast back; Spark's `percentile` and DuckDB's quantile_cont
+    share the linear-interpolation definition) + a projection — the
+    scaling itself never shuffles the fact table a second time."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("v"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    st = j.groupBy("seg").agg(
+        F.expr("percentile(v, 0.5)").alias("med"),
+        (
+            F.expr("percentile(v, 0.75)") - F.expr("percentile(v, 0.25)")
+        ).alias("iqr"),
+    )
+    # + 0.0 normalizes IEEE negative zero: a value one ulp below the
+    # median rounds to -0.0 in one engine and 0.0 in the other, which
+    # the driver's text canonicalization renders differently
+    return j.join(F.broadcast(st), "seg").select(
+        "o_orderkey",
+        (
+            F.round((F.col("v") - F.col("med")) / F.col("iqr"), 4)
+            + F.lit(0.0)
+        ).alias("price_robust_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

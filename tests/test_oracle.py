@@ -121,6 +121,8 @@ def test_gate_window_covers_every_family():
         "multimodal_wav_meta_roundtrip",
         # wave 37: full-chunk PCM energy round-trip
         "multimodal_pcm_energy_roundtrip",
+        # wave 38: robust median/IQR scaling
+        "feature_robust_scale",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
