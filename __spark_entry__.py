@@ -8614,6 +8614,105 @@ def feature_robust_scale(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 39: bucketed co-located join, exact DECIMAL money totals
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_bucketed_colocated",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """The bucketed co-location play, driver-verified: both fact tables
+    are written `bucketBy(8, orderkey)` + sorted (one-time cost), then
+    the join consumes the bucket layout with ZERO exchanges on either
+    side — each task reads matching bucket files from both tables (the
+    plan-audit pin asserts no Exchange feeds the SortMergeJoin). This is
+    the 100 TB recipe for fact-to-fact joins repeated across many
+    queries: one bucketed write replaces a per-query shuffle of the big
+    side. Results are hash-verified against the PLAIN join (bucketing
+    must be result-invisible). Table names are PID-scoped so parallel
+    verification shards cannot collide in the shared warehouse.
+    operators/relational.py:write_bucketed."""
+    import os
+
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        write_bucketed,
+    )
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}".replace(
+        ".", "_"
+    )
+    lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        lt,
+        "l_orderkey",
+        n_buckets=8,
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        .select("o_orderkey", "o_orderpriority"),
+        ot,
+        "o_orderkey",
+        n_buckets=8,
+    )
+    l, o = spark.table(lt), spark.table(ot)
+    # merge hint: at verification SF the orders side is broadcast-sized,
+    # which would bypass the bucket layout entirely; the hint pins the
+    # co-located SortMergeJoin this entry exists to demonstrate (at
+    # 100 TB neither fact side broadcasts anyway)
+    return (
+        l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "agg_decimal_exact_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+             AS total_exact,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_decimal_exact_revenue(spark, sf_dir):
+    """Money arithmetic on DECIMAL, not DOUBLE: order totals cast to
+    DECIMAL(18,2) sum EXACTLY (no partial-aggregation-order ulp drift —
+    the reason every double-sum entry needs rounding while this one
+    doesn't), then the exact decimal converts to double once for the
+    driver (cents magnitudes here sit far below 2^53, so the conversion
+    is itself exact). The accounting-grade aggregation contract a
+    security/billing pipeline needs at any scale; map-side combinable
+    like any sum."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_exact"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -123,6 +123,9 @@ def test_gate_window_covers_every_family():
         "multimodal_pcm_energy_roundtrip",
         # wave 38: robust median/IQR scaling
         "feature_robust_scale",
+        # wave 39: bucketed co-located join, exact DECIMAL totals
+        "join_bucketed_colocated",
+        "agg_decimal_exact_revenue",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

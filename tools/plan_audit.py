@@ -483,6 +483,13 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         "Exchange" not in pjl2 and "Join" not in pjl2,
         "row-local tokenize/hash/count projection",
     )
+    pbkt = plan_of(qs["join_bucketed_colocated"](spark, sf_dir))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", pbkt))
+    check(
+        "bucketed join is exchange-free on both inputs",
+        "SortMergeJoin" in pbkt and n_exchanges <= 1,
+        f"only the final aggregate may shuffle; saw {n_exchanges} exchange(s)",
+    )
     return results
 
 
