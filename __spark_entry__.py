@@ -8817,15 +8817,19 @@ _GATE_ORDER = [
 # DURING round 5 are declared `next_window_pending` there and fill the
 # round-6 window.
 #
-# ROUND-6 ROTATION PLAN (for the next session): the 16 round-5
-# `next_window_pending` entries (waves 26-34: knn_ivf_index_persisted,
+# ROUND-6 ROTATION PLAN (for the next session): the 23 round-5
+# `next_window_pending` entries (waves 26-39; authoritative list in
+# tests/test_oracle.py: knn_ivf_index_persisted,
 # text_bpe_roundtrip, events_cusum_changepoint, embedding_random_projection,
 # agg_ks_test, multimodal_webdataset_roundtrip, text_hash_features,
 # graph_link_prediction, events_time_to_convert, agg_mann_whitney_u,
 # agg_benford_deviation, feature_loo_target_encoding, events_kaplan_meier,
-# asof_join_nearest, text_span_corruption_stats, range_merge_intervals) are
-# all oracle-verified at sf0.001+sf0.01 (recent rewrites also --hostile
-# checked) and atomic-schema-guarded. Fill the remaining 34 slots with
+# asof_join_nearest, text_span_corruption_stats, range_merge_intervals,
+# corpus_quality_logreg, multimodal_wav_meta_roundtrip,
+# multimodal_pcm_energy_roundtrip, feature_robust_scale,
+# join_bucketed_colocated, agg_decimal_exact_revenue) are all
+# oracle-verified at sf0.001+sf0.01 AND --hostile at sf0.01, and
+# atomic-schema-guarded. Fill the remaining 27 slots with
 # re-verifications of the oldest prior-green entries (drift guard,
 # round-robin from CORRECTNESS_r01 onward) plus any round-6 additions.
 
