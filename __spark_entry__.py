@@ -8713,6 +8713,95 @@ def agg_decimal_exact_revenue(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 40: one-row curation report over the whole dedup pipeline
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_dedup_report",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    cl AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    ex AS (SELECT md5({_NORM}) AS h, count(*) AS n FROM documents GROUP BY 1)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM ex WHERE n > 1)
+             AS n_exact_groups,
+           (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM ex
+             WHERE n > 1) AS n_exact_losers,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_near_pairs,
+           (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM cl)
+             AS n_near_clusters,
+           (SELECT CAST(count(*) AS BIGINT) FROM cl
+             WHERE node <> cluster_id) AS n_near_losers,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents)
+             - (SELECT CAST(count(*) AS BIGINT) FROM cl
+                 WHERE node <> cluster_id) AS n_kept_after_near
+    """,
+)
+def corpus_dedup_report(spark, sf_dir):
+    """The curation sign-off artifact: ONE row summarizing the whole
+    dedup pipeline — corpus size, exact-duplicate groups and losers
+    (normalized-fingerprint aggregate), MinHash-LSH near-dup pair count,
+    transitive cluster count, near-dup losers, and surviving corpus size
+    — each number produced by the SAME operators the individual entries
+    verify (exact_dedup, minhash_near_dup_pairs, cluster_pairs), and the
+    composition hash-verified against one oracle query that recomputes
+    the entire pipeline (recursive-CTE reachability for the clusters).
+    Driver-side cost: six count aggregates over already-distributed
+    frames; the intermediate pair/cluster frames are the bounded
+    near-dup set, never the corpus."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        cluster_pairs,
+        exact_dedup,
+        minhash_near_dup_pairs,
+        release_caches,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    ex = exact_dedup(docs).filter(F.col("n_copies") > 1)
+    ex_row = ex.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("l"),
+    ).collect()[0]
+    pairs = minhash_near_dup_pairs(docs)
+    n_pairs = pairs.count()  # while the shingle caches are still live
+    clusters = cluster_pairs(pairs)  # eager, checkpointed
+    release_caches(pairs)
+    cl_row = clusters.agg(
+        F.count_distinct("cluster_id").alias("c"),
+        F.sum(
+            F.when(F.col("node") != F.col("cluster_id"), 1).otherwise(0)
+        ).alias("l"),
+    ).collect()[0]
+    n_near_losers = int(cl_row["l"] or 0)
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                int(ex_row["g"]),
+                int(ex_row["l"]),
+                n_pairs,
+                int(cl_row["c"] or 0),
+                n_near_losers,
+                n_docs - n_near_losers,
+            )
+        ],
+        "n_docs long, n_exact_groups long, n_exact_losers long, "
+        "n_near_pairs long, n_near_clusters long, n_near_losers long, "
+        "n_kept_after_near long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -126,6 +126,8 @@ def test_gate_window_covers_every_family():
         # wave 39: bucketed co-located join, exact DECIMAL totals
         "join_bucketed_colocated",
         "agg_decimal_exact_revenue",
+        # wave 40: one-row curation report over the dedup pipeline
+        "corpus_dedup_report",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
