@@ -8906,7 +8906,7 @@ _GATE_ORDER = [
 # DURING round 5 are declared `next_window_pending` there and fill the
 # round-6 window.
 #
-# ROUND-6 ROTATION PLAN (for the next session): the 23 round-5
+# ROUND-6 ROTATION PLAN (for the next session): the 24 round-5
 # `next_window_pending` entries (waves 26-39; authoritative list in
 # tests/test_oracle.py: knn_ivf_index_persisted,
 # text_bpe_roundtrip, events_cusum_changepoint, embedding_random_projection,
@@ -8916,9 +8916,10 @@ _GATE_ORDER = [
 # asof_join_nearest, text_span_corruption_stats, range_merge_intervals,
 # corpus_quality_logreg, multimodal_wav_meta_roundtrip,
 # multimodal_pcm_energy_roundtrip, feature_robust_scale,
-# join_bucketed_colocated, agg_decimal_exact_revenue) are all
+# join_bucketed_colocated, agg_decimal_exact_revenue,
+# corpus_dedup_report) are all
 # oracle-verified at sf0.001+sf0.01 AND --hostile at sf0.01, and
-# atomic-schema-guarded. Fill the remaining 27 slots with
+# atomic-schema-guarded. Fill the remaining 26 slots with
 # re-verifications of the oldest prior-green entries (drift guard,
 # round-robin from CORRECTNESS_r01 onward) plus any round-6 additions.
 
