@@ -423,3 +423,85 @@ def test_pcm_energy_known_waveform(spark):
     assert r.sum_abs == sum(abs(s) for s in samples)
     assert (r.min_sample, r.max_sample) == (-32768, 32767)
     assert rows[2].n_frames is None  # non-WAV yields NULLs, not errors
+
+
+def test_bench_headline_names_are_registered():
+    """Every bench.py HEADLINE entry must exist in queries() — guards
+    against typos when extending the suite (a missing name would crash
+    the driver's bench run, losing the round's perf signal)."""
+    import bench
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+    assert bench.CORE15 == bench.HEADLINE[:15]
+
+
+def test_interval_merge_against_python_reference(spark, tmp_path):
+    """Randomized-ish (fixed seed table) interval-merge cross-check: the
+    windowed gaps-and-islands result must equal the classic sort-and-
+    sweep reference merge on the same intervals."""
+    import os
+    import random
+
+    import __spark_entry__ as entrymod
+
+    rng = random.Random(77)
+    rows_l, rows_o = [], []
+    for i in range(60):
+        start = rng.randint(0, 60)
+        length = rng.randint(1, 15)
+        rows_o.append((i, f"1995-01-01"))
+        rows_l.append((i, 1 + (i % 3), start, start + length))
+    # build dates from offsets
+    import datetime
+
+    base = datetime.date(1995, 1, 1)
+    l = spark.createDataFrame(
+        [
+            (ok, sk, (base + datetime.timedelta(days=e)).isoformat())
+            for ok, sk, s, e in rows_l
+        ],
+        "l_orderkey long, l_suppkey long, ship_s string",
+    ).select(
+        "l_orderkey", "l_suppkey",
+        F.col("ship_s").cast("date").alias("l_shipdate"),
+    )
+    o = spark.createDataFrame(
+        [
+            (ok, (base + datetime.timedelta(days=s)).isoformat())
+            for (ok, sk, s, e) in rows_l
+        ],
+        "o_orderkey long, od_s string",
+    ).select("o_orderkey", F.col("od_s").cast("date").alias("o_orderdate"))
+    out = str(tmp_path / "mi2")
+    os.makedirs(out)
+    l.write.parquet(os.path.join(out, "lineitem.parquet"))
+    o.write.parquet(os.path.join(out, "orders.parquet"))
+    got = {
+        r.suppkey: (r.n_intervals, r.covered_days)
+        for r in entrymod.queries()["range_merge_intervals"](spark, out).collect()
+    }
+    # python reference: sort by (start, end), sweep with > rule
+    by_key = {}
+    for ok, sk, s, e in rows_l:
+        by_key.setdefault(sk, []).append((s, e))
+    for sk, ivs in by_key.items():
+        merged = []
+        for s, e in sorted(ivs):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        want = (len(merged), sum(e - s for s, e in merged))
+        assert got[sk] == want, (sk, got[sk], want)
+
+
+def test_benford_shares_sum_to_one(spark, sf_smoke):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["agg_benford_deviation"](spark, sf_smoke).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-4
