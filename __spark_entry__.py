@@ -8802,6 +8802,97 @@ def corpus_dedup_report(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 wave 41: personalized PageRank (random walk with restart)
+# ---------------------------------------------------------------------------
+
+_PPR_SEEDS = (0, 1, 2)
+_PPR_PV = (
+    "CASE WHEN {n} IN (0, 1, 2) THEN 1.0 / 3 ELSE 0.0 END"
+)
+
+
+@_q(
+    "graph_personalized_pagerank",
+    """
+    WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                      CAST(count(*) AS DOUBLE) AS w
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    outw AS (SELECT src, sum(w) AS w_out FROM e GROUP BY src),
+    r0 AS (SELECT node, round(CASE WHEN node IN (0, 1, 2) THEN 1.0 / 3 ELSE 0.0 END, 8) AS r FROM nodes),
+    d1 AS (SELECT coalesce(sum(r), 0.0) AS dang FROM r0
+             LEFT JOIN outw ON r0.node = outw.src WHERE outw.src IS NULL),
+    c1 AS (SELECT e.dst AS node, sum(r0.r * e.w / outw.w_out) AS c
+             FROM e JOIN r0 ON e.src = r0.node
+             JOIN outw ON e.src = outw.src GROUP BY e.dst),
+    r1 AS (SELECT nodes.node,
+                    round((1 - 0.85) * CASE WHEN nodes.node IN (0, 1, 2) THEN 1.0 / 3 ELSE 0.0 END
+                          + 0.85 * (coalesce(c1.c, 0.0)
+                                    + dang * CASE WHEN nodes.node IN (0, 1, 2) THEN 1.0 / 3 ELSE 0.0 END),
+                          8) AS r
+             FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, d1),
+    d2 AS (SELECT coalesce(sum(r), 0.0) AS dang FROM r1
+             LEFT JOIN outw ON r1.node = outw.src WHERE outw.src IS NULL),
+    c2 AS (SELECT e.dst AS node, sum(r1.r * e.w / outw.w_out) AS c
+             FROM e JOIN r1 ON e.src = r1.node
+             JOIN outw ON e.src = outw.src GROUP BY e.dst),
+    r2 AS (SELECT nodes.node,
+                    round((1 - 0.85) * CASE WHEN nodes.node IN (0, 1, 2) THEN 1.0 / 3 ELSE 0.0 END
+                          + 0.85 * (coalesce(c2.c, 0.0)
+                                    + dang * CASE WHEN nodes.node IN (0, 1, 2) THEN 1.0 / 3 ELSE 0.0 END),
+                          8) AS r
+             FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, d2),
+    d3 AS (SELECT coalesce(sum(r), 0.0) AS dang FROM r2
+             LEFT JOIN outw ON r2.node = outw.src WHERE outw.src IS NULL),
+    c3 AS (SELECT e.dst AS node, sum(r2.r * e.w / outw.w_out) AS c
+             FROM e JOIN r2 ON e.src = r2.node
+             JOIN outw ON e.src = outw.src GROUP BY e.dst),
+    r3 AS (SELECT nodes.node,
+                    round((1 - 0.85) * CASE WHEN nodes.node IN (0, 1, 2) THEN 1.0 / 3 ELSE 0.0 END
+                          + 0.85 * (coalesce(c3.c, 0.0)
+                                    + dang * CASE WHEN nodes.node IN (0, 1, 2) THEN 1.0 / 3 ELSE 0.0 END),
+                          8) AS r
+             FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, d3)
+    SELECT node, r3.r AS ppr FROM r3
+    """,
+)
+def graph_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (random walk with restart, Jeh & Widom
+    2003) on the customer-nation → supplier-nation trade graph, seeded
+    at nations {0, 1, 2}: teleport AND dangling mass return to the seed
+    distribution, ranking every nation by relevance TO THOSE SEEDS —
+    the related-entity primitive global PageRank cannot express. Same
+    per-round join+aggregate shape and per-round rounding as
+    graph_pagerank; the oracle replays the identical three rounds as
+    chained CTEs. operators/graph.py:personalized_pagerank."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return personalized_pagerank(
+        edges, seeds=list(_PPR_SEEDS), weight_col="w"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -355,3 +355,80 @@ def jaccard_link_prediction(
     # caller releases via dedup.release_caches, same contract as the
     # LSH/banding operators
     return _register_caches(out, [sym])
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    iters: int = 3,
+    decimals: int = 8,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): identical
+    fixed-round iteration to :func:`pagerank` except the teleport AND the
+    dangling mass return to the SEED distribution p (uniform over
+    ``seeds``) instead of uniform over all nodes —
+    ``r'(v) = (1−d)·p(v) + d·(Σ contrib + D·p(v))``. The
+    relevance-to-a-query-set primitive behind related-entity ranking and
+    local community scoring (Jeh & Widom 2003). ``seeds`` is a bounded
+    model parameter inlined as a literal predicate; everything else keeps
+    the pagerank plan shape (one edges⋈ranks join + one aggregate per
+    round, dangling mass on a broadcast one-row frame, per-round rounding
+    to kill cross-engine ULP drift)."""
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1.0))
+        .cast("double")
+        .alias("w"),
+    )
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("w_out")).persist()
+    p_v = F.when(
+        F.col("node").isin([int(s) for s in seeds]),
+        F.lit(1.0 / len(seeds)),
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.select(
+        "node", F.round(p_v, decimals).alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        dangling = ranks.join(outw, ranks.node == outw.src, "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dang")
+        )
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("w_out")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) * p_v
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("c", F.lit(0.0))
+                        + F.col("_dang") * p_v
+                    ),
+                    decimals,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    for c in (e, nodes, outw):
+        c.unpersist()
+    return ranks.select("node", F.col("r").alias("ppr"))

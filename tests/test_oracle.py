@@ -128,6 +128,8 @@ def test_gate_window_covers_every_family():
         "agg_decimal_exact_revenue",
         # wave 40: one-row curation report over the dedup pipeline
         "corpus_dedup_report",
+        # wave 41: personalized PageRank
+        "graph_personalized_pagerank",
     }
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

