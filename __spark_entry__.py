@@ -9008,9 +9008,9 @@ _GATE_ORDER = [
 # corpus_quality_logreg, multimodal_wav_meta_roundtrip,
 # multimodal_pcm_energy_roundtrip, feature_robust_scale,
 # join_bucketed_colocated, agg_decimal_exact_revenue,
-# corpus_dedup_report) are all
+# corpus_dedup_report, graph_personalized_pagerank) are all
 # oracle-verified at sf0.001+sf0.01 AND --hostile at sf0.01, and
-# atomic-schema-guarded. Fill the remaining 26 slots with
+# atomic-schema-guarded. Fill the remaining slots (50 − pending) with
 # re-verifications of the oldest prior-green entries (drift guard,
 # round-robin from CORRECTNESS_r01 onward) plus any round-6 additions.
 
