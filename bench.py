@@ -92,6 +92,13 @@ HEADLINE = [
     "text_span_corruption_stats",
     "corpus_quality_logreg",
     "multimodal_wav_meta_roundtrip",
+    # round-5 waves 37-41 (excluded from core15 as well; the bucketed-join
+    # entry stays OUT: its per-call bucketed-table rewrite measures the
+    # one-time write, not a query)
+    "multimodal_pcm_energy_roundtrip",
+    "agg_decimal_exact_revenue",
+    "corpus_dedup_report",
+    "graph_personalized_pagerank",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;
