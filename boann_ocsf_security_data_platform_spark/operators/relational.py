@@ -289,18 +289,32 @@ def asof_join(
         order = [F.asc("_asof_rt")]
     elif direction == "nearest":
         cond = l[on] == r["_asof_key"]
-        # timestampdiff, not unix_micros: NTZ-safe (the driver parquet
-        # reads as TIMESTAMP_NTZ) and session-timezone independent
-        order = [
-            F.asc(
-                F.abs(
-                    F.expr(
-                        f"timestampdiff(MICROSECOND, {left_time}, _asof_rt)"
-                    )
-                )
-            ),
-            F.asc("_asof_rt"),
-        ]
+        # timestamp columns: timestampdiff, not unix_micros — NTZ-safe
+        # (the driver parquet reads as TIMESTAMP_NTZ) and session-timezone
+        # independent. Numeric/date time columns (epoch seconds, version
+        # numbers) can't feed timestampdiff — fall back to plain
+        # subtraction so 'nearest' accepts every orderable type
+        # backward/forward do.
+        from pyspark.sql import types as T
+
+        lt_type = left.schema[left_time].dataType
+        rt_type = right.schema[right_time].dataType
+        if isinstance(lt_type, (T.TimestampType, T.TimestampNTZType)) and (
+            isinstance(rt_type, (T.TimestampType, T.TimestampNTZType))
+        ):
+            dist = F.abs(
+                F.expr(f"timestampdiff(MICROSECOND, {left_time}, _asof_rt)")
+            )
+        elif isinstance(lt_type, T.DateType) and isinstance(
+            rt_type, T.DateType
+        ):
+            dist = F.abs(F.datediff(F.col("_asof_rt"), F.col(left_time)))
+        else:
+            dist = F.abs(
+                F.col("_asof_rt").cast("double")
+                - F.col(left_time).cast("double")
+            )
+        order = [F.asc(dist), F.asc("_asof_rt")]
     if right_tiebreak is not None:
         order.append(F.asc(f"r_{right_tiebreak}"))
     w = Window.partitionBy(lid).orderBy(*order)

@@ -44,11 +44,22 @@ from ..operators.dedup import (
 PAIRS_SCHEMA = "id_a long, id_b long"
 
 
-def _store_schema(id_col: str) -> str:
-    # schema follows the caller's id column name — a hardcoded doc_id
-    # would break every non-default --id-col stream on its first
-    # store read (UNRESOLVED_COLUMN each micro-batch)
-    return f"{id_col} long, band_idx int, band_hash string, _batch_id long"
+def _store_schema(id_col: str, id_type) -> "StructType":
+    # schema follows the caller's id column NAME AND TYPE — a hardcoded
+    # doc_id would break every non-default --id-col stream on its first
+    # store read (UNRESOLVED_COLUMN), and a hardcoded long type would
+    # silently null out string ids on schema-on-read, dropping every
+    # cross-batch duplicate pair
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("band_idx", T.IntegerType()),
+            T.StructField("band_hash", T.StringType()),
+            T.StructField("_batch_id", T.LongType()),
+        ]
+    )
 
 
 def _band_keys_for_batch(
@@ -75,7 +86,9 @@ def _band_keys_for_batch(
     )
 
 
-def _read_store(spark: SparkSession, store_dir: str, id_col: str) -> DataFrame:
+def _read_store(
+    spark: SparkSession, store_dir: str, id_col: str, id_type
+) -> DataFrame:
     # existence-checked, not exception-swallowed: a CORRUPT store must
     # fail the batch loudly (silently treating it as empty would drop
     # every cross-batch duplicate pair), only a genuinely absent store
@@ -84,8 +97,8 @@ def _read_store(spark: SparkSession, store_dir: str, id_col: str) -> DataFrame:
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(store_dir)
     if not path.getFileSystem(conf).exists(path):
-        return spark.createDataFrame([], _store_schema(id_col))
-    return spark.read.schema(_store_schema(id_col)).parquet(store_dir)
+        return spark.createDataFrame([], _store_schema(id_col, id_type))
+    return spark.read.schema(_store_schema(id_col, id_type)).parquet(store_dir)
 
 
 def start_near_dup_stream(
@@ -108,13 +121,14 @@ def start_near_dup_stream(
     and maintains the band-key store under ``store_dir``. Returns the
     StreamingQuery — caller owns its lifecycle."""
     spark = stream_df.sparkSession
+    id_type = stream_df.schema[id_col].dataType
 
     def _detect(batch_df: DataFrame, batch_id: int) -> None:
         bands = _band_keys_for_batch(
             batch_df, text_col, id_col, k, n_hashes, n_bands
         ).persist()
         try:
-            prev = _read_store(spark, store_dir, id_col).select(
+            prev = _read_store(spark, store_dir, id_col, id_type).select(
                 F.col(id_col).alias("_prev_id"), "band_idx", "band_hash"
             )
             vs_store = bands.join(prev, ["band_idx", "band_hash"]).select(
@@ -166,9 +180,10 @@ def start_near_dup_stream(
 def read_near_dup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     """All candidate pairs emitted so far (distinct across batches — a pair
     discovered against the store AND within a later batch appears once)."""
+    # schema inferred from the footers: pair id types follow the stream's
+    # id column type (string doc ids produce string pairs)
     return (
-        spark.read.schema(PAIRS_SCHEMA + ", _batch_id long")
-        .parquet(pairs_dir)
+        spark.read.parquet(pairs_dir)
         .select("id_a", "id_b")
         .distinct()
     )

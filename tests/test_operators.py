@@ -508,23 +508,30 @@ def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark):
 def test_release_all_caches_safety_valve(spark, sf_smoke):
     """When the exact returned object is gone (derived frames drop the
     cache handle), release_all_caches() still frees every registered
-    intermediate."""
+    intermediate. Asserts on the registry and the registered frames'
+    storage levels, NOT the JVM-global persistent-RDD count — leftover
+    localCheckpoint RDDs from other files in a test shard plus the async
+    ContextCleaner unpersisting between two global counts made the
+    count-equality version the suite's only flake (r5 VERDICT)."""
     from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        _LIVE_CACHES,
         release_all_caches,
     )
 
-    def n_cached():
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def is_persisted(df):
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
 
-    spark.catalog.clearCache()
     release_all_caches()  # drain anything earlier tests leaked
-    before = n_cached()
+    assert _LIVE_CACHES == []
     docs = load_table(spark, sf_smoke, "documents")
     derived = minhash_near_dup_pairs(docs).filter("id_a >= 0")  # handle lost
     derived.count()
-    assert n_cached() > before
+    live = list(_LIVE_CACHES)
+    assert live and all(is_persisted(c) for c in live)
     release_all_caches()
-    assert n_cached() == before
+    assert _LIVE_CACHES == []  # registry drained…
+    assert all(not is_persisted(c) for c in live)  # …and actually freed
 
 
 def test_cache_scope_releases_even_for_derived_frames(spark, sf_smoke):

@@ -86,51 +86,11 @@ def test_gate_window_covers_every_family():
         # sketch; rank-error invariant pinned in test_round5_ops
         "agg_approx_percentiles",
     }
-    next_window_pending = {
-        # round-5 additions (declared here as they land; they fill the
-        # round-6 window — all oracle-checked every round by
+    next_window_pending = set({
+        # round-6 additions (declared here as they land; they fill the
+        # round-7 window — all oracle-checked every round by
         # tools/oracle_check.py and the parametrized oracle tests above)
-        # wave 26: persisted IVF index lifecycle
-        "knn_ivf_index_persisted",
-        # wave 27: tokenizer train->encode round-trip
-        "text_bpe_roundtrip",
-        # wave 28: CUSUM change points, JL projection, KS test
-        "events_cusum_changepoint",
-        "embedding_random_projection",
-        "agg_ks_test",
-        # wave 29: WebDataset tar write->read round-trip
-        "multimodal_webdataset_roundtrip",
-        # wave 30: hashing-trick features, link prediction
-        "text_hash_features",
-        "graph_link_prediction",
-        # wave 31: conversion latency, Mann-Whitney rank-sum
-        "events_time_to_convert",
-        "agg_mann_whitney_u",
-        # wave 32: Benford audit, LOO target encoding, Kaplan-Meier
-        "agg_benford_deviation",
-        "feature_loo_target_encoding",
-        "events_kaplan_meier",
-        # wave 33: nearest-direction as-of join
-        "asof_join_nearest",
-        # wave 34: span-corruption masks, interval merge
-        "text_span_corruption_stats",
-        "range_merge_intervals",
-        # wave 35: trainable quality classifier
-        "corpus_quality_logreg",
-        # wave 36: WAV synthesis -> real-parser round-trip
-        "multimodal_wav_meta_roundtrip",
-        # wave 37: full-chunk PCM energy round-trip
-        "multimodal_pcm_energy_roundtrip",
-        # wave 38: robust median/IQR scaling
-        "feature_robust_scale",
-        # wave 39: bucketed co-located join, exact DECIMAL totals
-        "join_bucketed_colocated",
-        "agg_decimal_exact_revenue",
-        # wave 40: one-row curation report over the dedup pipeline
-        "corpus_dedup_report",
-        # wave 41: personalized PageRank
-        "graph_personalized_pagerank",
-    }
+    })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
     )
@@ -138,7 +98,7 @@ def test_gate_window_covers_every_family():
 
 
 def _next_window_pending_names():
-    """The declared round-5 gate candidates (kept in
+    """The declared round-6 gate candidates (kept in
     test_gate_window_covers_every_family) — sortable-schema-checked NOW so
     the next rotation cannot repeat the r3 list-canon incident."""
     import inspect
@@ -146,8 +106,8 @@ def _next_window_pending_names():
     src = inspect.getsource(test_gate_window_covers_every_family)
     import re
 
-    m = re.search(r"next_window_pending = \{(.*?)\}", src, re.S)
-    names = re.findall(r'"([a-z0-9_]+)"', m.group(1))
+    m = re.search(r"next_window_pending = set\(\{(.*?)\}\)", src, re.S)
+    names = re.findall(r'"([a-z0-9_]+)"', m.group(1)) if m else []
     return [n for n in names if n in QS]
 
 

@@ -1,0 +1,154 @@
+"""Round-6 fixes: the ADVICE items from the round-5 review.
+
+1. text_span_corruption_stats on a zero-token document — Spark's
+   sequence(1, 0) evaluates to the DESCENDING array [1, 0] (not []), so an
+   unguarded mask got 2 phantom positions and diverged from the oracle's
+   empty range(1, len+1).
+2. streaming near-dup with non-long (string) doc ids — the band-key store
+   schema must follow the stream's id column TYPE, not a hardcoded long
+   (schema-on-read would null string ids and silently drop every
+   cross-batch pair).
+3. asof_join direction='nearest' with numeric / date time columns —
+   backward/forward accept any orderable type, nearest used to require
+   timestamps (timestampdiff) and failed at analysis time.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+
+def test_span_corruption_empty_doc_matches_oracle(spark, tmp_path):
+    """Empty and whitespace-only documents must report 0/0/0 — and the
+    whole frame must still hash-match the DuckDB oracle (the r5 ADVICE
+    latent divergence, now pinned with a corpus that HAS empty docs)."""
+    import duckdb
+
+    from tools.oracle_check import frame_key
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a", 43),
+        (2, "", "en", "a", 0),  # zero tokens: the sequence(1,0) trap
+        (3, "   \t  ", "en", "b", 6),  # whitespace-only: also zero tokens
+        (4, "one", "en", "b", 3),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sdf = entrymod.queries()["text_span_corruption_stats"](
+        spark, str(tmp_path)
+    ).toPandas()
+    empty = sdf.set_index("doc_id").loc[[2, 3]]
+    assert (empty[["n_tokens", "n_masked", "n_spans"]] == 0).all().all()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    ddf = con.execute(
+        entrymod.oracle_sql()["text_span_corruption_stats"]
+    ).fetchdf()
+    con.close()
+    assert len(sdf) == len(ddf) == 4
+    assert frame_key(sdf) == frame_key(ddf)
+
+
+def test_streaming_near_dup_string_ids(spark, tmp_path):
+    """A stream whose id column is a STRING must round-trip ids through
+    the band-key store intact: the exact duplicate arriving two batches
+    after the original is only findable via the store, so a long-typed
+    schema-on-read (which nulls string ids) would drop the pair."""
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        read_near_dup_pairs,
+        start_near_dup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls on "
+        "the quiet town and children watch from windows"
+    )
+    batches = [
+        [{"doc_id": "doc-a", "text": base}],
+        [{"doc_id": "doc-b", "text": "totally unrelated tiny text"}],
+        [{"doc_id": "doc-c", "text": base}],  # exact dup of doc-a
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, chunk in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(d) for d in chunk)
+        )
+    stream = spark.readStream.schema("doc_id string, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = start_near_dup_stream(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    pairs_df = read_near_dup_pairs(spark, str(tmp_path / "pairs"))
+    assert dict(pairs_df.dtypes)["id_a"] == "string"
+    pairs = {(r.id_a, r.id_b) for r in pairs_df.collect()}
+    assert ("doc-a", "doc-c") in pairs
+
+
+@pytest.mark.parametrize(
+    "cast_to",
+    ["long", "double", "date"],
+)
+def test_asof_nearest_accepts_numeric_and_date_times(spark, cast_to):
+    """nearest must accept every orderable time type backward/forward do;
+    ties still break toward the EARLIER right row."""
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        asof_join,
+    )
+
+    def t(v):
+        if cast_to == "date":
+            return F.date_add(F.lit("2024-01-01").cast("date"), v)
+        return F.lit(v).cast(cast_to)
+
+    left = spark.range(1).select(
+        F.lit("k").alias("k"), t(10).alias("lt")
+    )
+    right = spark.createDataFrame(
+        [("k", 7, "early"), ("k", 13, "late"), ("k", 30, "far")],
+        "k string, off int, tag string",
+    ).select("k", "tag", t(F.col("off")).alias("rt"))
+    got = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        direction="nearest",
+    ).collect()
+    # |7-10| == |13-10| == 3: tie goes to the earlier right row
+    assert len(got) == 1 and got[0]["r_tag"] == "early"
+
+
+def test_asof_nearest_numeric_picks_true_nearest(spark):
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [("k", 100.0), ("k", 0.5)], "k string, lt double"
+    )
+    right = spark.createDataFrame(
+        [("k", 1.0, "one"), ("k", 90.0, "ninety"), ("k", 250.0, "big")],
+        "k string, rt double, tag string",
+    )
+    got = {
+        r["lt"]: r["r_tag"]
+        for r in asof_join(
+            left, right, on="k", left_time="lt", right_time="rt",
+            direction="nearest",
+        ).collect()
+    }
+    assert got == {100.0: "ninety", 0.5: "one"}
