@@ -8944,6 +8944,447 @@ def graph_personalized_pagerank(spark, sf_dir):
     )
 
 
+_BM25_QUERIES = (
+    (1, "hash join table"),
+    (2, "vector scan filter"),
+    (3, "group agg sort dup"),
+)
+_BM25_VALUES = ", ".join(f"({i}, '{{q}}')".format(q=q) for i, q in _BM25_QUERIES)
+_QWORDS = (
+    "list_filter(string_split(trim(regexp_replace(lower(qtext), "
+    "'\\s+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+
+@_q(
+    "text_bm25_retrieval",
+    f"""
+    WITH q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+    w AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+    qt AS (SELECT DISTINCT query_id, unnest({_QWORDS}) AS term FROM q),
+    tfq AS (SELECT * FROM tf WHERE term IN (SELECT term FROM qt)),
+    dft AS (SELECT term, count(*) AS df_t FROM tfq GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+    ad AS (SELECT avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT qt.query_id, tfq.doc_id,
+             round(sum(
+               ln(1 + (nn - df_t + 0.5) / (df_t + 0.5))
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))), 6) AS score
+      FROM tfq JOIN qt USING (term) JOIN dl USING (doc_id)
+           JOIN dft USING (term), n, ad
+      GROUP BY 1, 2)
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+)
+def text_bm25_retrieval(spark, sf_dir):
+    """Okapi BM25 top-5 retrieval for a fixed 3-query batch over the
+    documents corpus — the sparse lexical-retrieval baseline of every
+    RAG / curation stack (Robertson & Zaragoza 2009; Lucene's
+    non-negative idf). Inverted-index shape: the broadcast query-term
+    list prunes the (doc, term) frame BEFORE any per-term statistic, so
+    only documents containing a query term are ever scored; per-query
+    top-5 plans as WindowGroupLimit with rounded-score + doc-id
+    tie-break. The oracle replays the identical pipeline as CTEs.
+    operators/text.py:bm25_topk."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        bm25_topk,
+    )
+
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id int, qtext string"
+    )
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), queries, k=5
+    ).withColumn("query_id", F.col("query_id").cast("int"))
+
+
+@_q(
+    "graph_hits_hubs_authorities",
+    f"""
+    WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                      CAST(count(*) AS DOUBLE) AS w
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS cnt FROM nodes),
+    h0 AS (SELECT node, round(1.0 / cnt, 8) AS h FROM nodes, nn),
+    ra1 AS (SELECT e.dst AS node, sum(e.w * h0.h) AS ra
+             FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+    na1 AS (SELECT sum(ra) AS s FROM ra1),
+    a1 AS (SELECT nodes.node, round(coalesce(ra, 0.0) / s, 8) AS a
+            FROM nodes LEFT JOIN ra1 ON nodes.node = ra1.node, na1),
+    rh1 AS (SELECT e.src AS node, sum(e.w * a1.a) AS rh
+             FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+    nh1 AS (SELECT sum(rh) AS s FROM rh1),
+    h1 AS (SELECT nodes.node, round(coalesce(rh, 0.0) / s, 8) AS h
+            FROM nodes LEFT JOIN rh1 ON nodes.node = rh1.node, nh1),
+    ra2 AS (SELECT e.dst AS node, sum(e.w * h1.h) AS ra
+             FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+    na2 AS (SELECT sum(ra) AS s FROM ra2),
+    a2 AS (SELECT nodes.node, round(coalesce(ra, 0.0) / s, 8) AS a
+            FROM nodes LEFT JOIN ra2 ON nodes.node = ra2.node, na2),
+    rh2 AS (SELECT e.src AS node, sum(e.w * a2.a) AS rh
+             FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+    nh2 AS (SELECT sum(rh) AS s FROM rh2),
+    h2 AS (SELECT nodes.node, round(coalesce(rh, 0.0) / s, 8) AS h
+            FROM nodes LEFT JOIN rh2 ON nodes.node = rh2.node, nh2)
+    SELECT h2.node, h2.h AS hub, a2.a AS authority
+    FROM h2 JOIN a2 ON h2.node = a2.node
+    """,
+)
+def graph_hits_hubs_authorities(spark, sf_dir):
+    """HITS hubs-and-authorities (Kleinberg 1999) on the customer-nation
+    -> supplier-nation trade graph, 2 fixed rounds with L1 normalization
+    and per-half-step rounding: hubs rank nations by how much they BUY
+    from authoritative sellers, authorities by how much they SELL to
+    hub buyers — the two-sided centrality PageRank's single score cannot
+    separate. Same iterative join+aggregate shape (and oracle-replay
+    strategy) as graph_pagerank / graph_personalized_pagerank.
+    operators/graph.py:hits."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import hits
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return hits(edges, weight_col="w", iters=2)
+
+
+@_q(
+    "events_rate_ratio_test",
+    """
+    WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+               FROM events),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+    half AS (SELECT d0, d1,
+                    CAST(floor(date_diff('day', d0, d1) / 2.0) AS BIGINT)
+                      AS mid,
+                    date_diff('day', d0, d1) + 1 AS total
+             FROM bounds),
+    marked AS (SELECT event_type,
+                      date_diff('day', d0, day) < mid AS in_p1,
+                      mid, total
+               FROM d, half),
+    agg AS (SELECT event_type,
+                   CAST(count(*) FILTER (WHERE in_p1) AS BIGINT) AS n1,
+                   CAST(count(*) FILTER (WHERE NOT in_p1) AS BIGINT) AS n2,
+                   CAST(any_value(mid) AS DOUBLE) AS t1,
+                   CAST(any_value(total) - any_value(mid) AS DOUBLE) AS t2
+            FROM marked GROUP BY event_type)
+    SELECT event_type, n1, n2,
+           round(n1 / t1, 6) AS rate1, round(n2 / t2, 6) AS rate2,
+           round((n1 / t1 - n2 / t2)
+                 / sqrt(n1 / (t1 * t1) + n2 / (t2 * t2)), 4) AS z,
+           abs((n1 / t1 - n2 / t2)
+               / sqrt(n1 / (t1 * t1) + n2 / (t2 * t2))) > 1.96
+             AS significant
+    FROM agg
+    """,
+)
+def events_rate_ratio_test(spark, sf_dir):
+    """Poisson rate-ratio z-test per event type between the first and
+    second half of the observed day range — the did-the-error-rate-
+    actually-change primitive behind every deploy healthcheck and A/B
+    guardrail: z = (r1 − r2) / sqrt(r1/t1 + r2/t2) under the Poisson
+    normal approximation (counts as rates over day-exposures). One scan,
+    one conditional aggregate; the day bounds ride a broadcast one-row
+    frame. Integer day arithmetic on both sides (no timestamp-epoch
+    math — NTZ/timezone-proof by construction)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    )
+    bounds = e.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        "d0",
+        F.floor(F.datediff("d1", "d0") / 2.0).cast("long").alias("mid"),
+        (F.datediff("d1", "d0") + 1).alias("total"),
+    )
+    marked = e.join(F.broadcast(bounds)).select(
+        "event_type",
+        (F.datediff("day", "d0") < F.col("mid")).alias("in_p1"),
+        "mid",
+        "total",
+    )
+    agg = marked.groupBy("event_type").agg(
+        F.count(F.when(F.col("in_p1"), 1)).alias("n1"),
+        F.count(F.when(~F.col("in_p1"), 1)).alias("n2"),
+        F.any_value("mid").cast("double").alias("t1"),
+        (F.any_value("total") - F.any_value("mid"))
+        .cast("double")
+        .alias("t2"),
+    )
+    r1 = F.col("n1") / F.col("t1")
+    r2 = F.col("n2") / F.col("t2")
+    z = (r1 - r2) / F.sqrt(
+        F.col("n1") / (F.col("t1") * F.col("t1"))
+        + F.col("n2") / (F.col("t2") * F.col("t2"))
+    )
+    return agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round(r1, 6).alias("rate1"),
+        F.round(r2, 6).alias("rate2"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+@_q(
+    "feature_quantile_binning",
+    """
+    WITH b AS (SELECT o_totalprice,
+                 ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+               FROM orders)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(o_totalprice), 6) AS mean_price
+    FROM b GROUP BY bin
+    """,
+)
+def feature_quantile_binning(spark, sf_dir):
+    """Equal-frequency discretization (10-bin quantile binning) of order
+    totals with per-bin boundaries and means — the feature-engineering
+    primitive behind monotone binning, WoE encoding, and histogram-based
+    GBDT inputs. ntile over a DETERMINISTIC order (value + unique key
+    tie-break, so equal prices land in the same bin on every engine);
+    the rollup is one map-combinable aggregate over the binned frame.
+    At 100 TB swap ntile's global sort for approx_percentile cut points
+    (the documented approximate path — this entry pins the exact
+    semantics)."""
+    b = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+    )
+    return b.groupBy(F.col("bin").cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+    )
+
+
+@_q(
+    "text_zipf_fit",
+    f"""
+    WITH w AS (SELECT source, unnest({_WORDS}) AS term FROM documents),
+    freq AS (SELECT source, term, CAST(count(*) AS DOUBLE) AS f
+             FROM w GROUP BY 1, 2),
+    ranked AS (SELECT source, term, f,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY f DESC, term) AS r
+               FROM freq),
+    top AS (SELECT * FROM ranked WHERE r <= 100)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(f), ln(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+           round(regr_intercept(ln(f), ln(CAST(r AS DOUBLE))), 6)
+             AS zipf_intercept,
+           round(regr_r2(ln(f), ln(CAST(r AS DOUBLE))), 6) AS r2
+    FROM top GROUP BY source
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit per source: OLS slope of ln(frequency) on ln(rank)
+    over each source's top-100 terms — the corpus-health fingerprint
+    (natural text sits near slope −1; template/boilerplate-heavy or
+    synthetic sources bend the curve, making this a cheap generated-text
+    / scraper-junk detector). Rank ties break on the term so the top-100
+    cut is engine-deterministic; the regression is the regr_* aggregate
+    family over a bounded 100-row-per-source frame."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    w = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    freq = w.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("f")
+    )
+    ranked = freq.select(
+        "source",
+        "f",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(F.desc("f"), F.asc("term"))
+        )
+        .alias("r"),
+    ).filter(F.col("r") <= 100)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.expr("regr_slope(ln(f), ln(CAST(r AS DOUBLE)))"), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(
+            F.expr("regr_intercept(ln(f), ln(CAST(r AS DOUBLE)))"), 6
+        ).alias("zipf_intercept"),
+        F.round(F.expr("regr_r2(ln(f), ln(CAST(r AS DOUBLE)))"), 6).alias(
+            "r2"
+        ),
+    )
+
+
+@_q(
+    "join_fuzzy_entity_resolution",
+    """
+    WITH p AS (SELECT p_partkey, p_name,
+                      string_split(p_name, ' ')[1] AS blk
+               FROM part),
+    probes AS (SELECT * FROM p WHERE p_partkey % 100 = 0),
+    cand AS (SELECT a.p_partkey AS probe_key, b.p_partkey AS match_key,
+                    levenshtein(a.p_name, b.p_name) AS dist
+             FROM probes a JOIN p b
+               ON a.blk = b.blk AND a.p_partkey <> b.p_partkey),
+    ranked AS (SELECT probe_key, match_key, dist,
+                 row_number() OVER (PARTITION BY probe_key
+                                    ORDER BY dist, match_key) AS rank
+               FROM cand WHERE dist <= 4)
+    SELECT probe_key, match_key, CAST(dist AS INT) AS dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def join_fuzzy_entity_resolution(spark, sf_dir):
+    """Blocked fuzzy join (entity resolution): every 100th part plays the
+    incoming batch to be resolved against the catalog — candidates come
+    ONLY from the shared blocking key (first name token, the standard
+    blocking pass), survivors need edit distance ≤ 4, and each probe
+    keeps its 3 nearest matches (distance + key tie-break, so the cut is
+    engine-deterministic). The record-linkage primitive behind catalog
+    dedup / supplier-master matching. 100 TB posture: the blocked
+    equi-join touches candidate pairs only (never all-pairs), the probe
+    side is a pushed-down filter scan, Levenshtein runs JVM-side
+    (built-in, no UDF), and the top-3 plans as WindowGroupLimit."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("blk"),
+    )
+    probes = p.filter(F.col("p_partkey") % 100 == 0).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.col("p_name").alias("probe_name"),
+        "blk",
+    )
+    cand = probes.join(p, "blk").filter(
+        F.col("probe_key") != F.col("p_partkey")
+    )
+    ranked = (
+        cand.select(
+            "probe_key",
+            F.col("p_partkey").alias("match_key"),
+            F.levenshtein("probe_name", "p_name").alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("probe_key").orderBy(
+                    "dist", "match_key"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    return ranked.select(
+        "probe_key",
+        "match_key",
+        F.col("dist").cast("int").alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_BOOT_B = 50
+_BOOT_H = (
+    "CAST(concat('0x', substr(md5(concat('bs:', CAST(b AS VARCHAR), ':', "
+    "CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+
+@_q(
+    "agg_bootstrap_subsample_ci",
+    f"""
+    WITH r AS (SELECT o_orderkey, o_totalprice, unnest(range(1, {_BOOT_B} + 1)) AS b
+               FROM orders),
+    kept AS (SELECT b, o_totalprice FROM r WHERE ({_BOOT_H}) % 5 <> 0),
+    means AS (SELECT b, avg(o_totalprice) AS m FROM kept GROUP BY b)
+    SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+           round(avg(m), 4) AS point_estimate,
+           round(quantile_cont(m, 0.05), 4) AS ci_lo,
+           round(quantile_cont(m, 0.95), 4) AS ci_hi,
+           round(stddev_samp(m), 4) AS se
+    FROM means
+    """,
+)
+def agg_bootstrap_subsample_ci(spark, sf_dir):
+    """Deterministic subsample bootstrap (m-out-of-n, Bickel et al.): 50
+    resamples, each keeping ~80% of orders chosen by a portable hash of
+    (seed, resample, key) — fully reproducible across engines AND across
+    reshardings (no RNG state), which is what makes a CI auditable in a
+    pipeline. The 5th/95th percentiles of the resample means give the
+    confidence band for mean order value; se is the bootstrap standard
+    error. 100 TB posture: the resample dimension is a row-local
+    ``explode(sequence)`` (B=50 bounded), every resample mean is one
+    map-combinable aggregate sharing a single scan, and the final CI
+    aggregates a 50-row frame — no data is ever duplicated to disk and
+    no driver-side loop runs per resample."""
+    from boann_ocsf_security_data_platform_spark.functions.hash_fns import (
+        hash64,
+    )
+
+    r = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    h = hash64(
+        F.concat(
+            F.lit("bs:"),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("o_orderkey").cast("string"),
+        )
+    )
+    means = (
+        r.filter(h % 5 != 0)
+        .groupBy("b")
+        .agg(F.avg("o_totalprice").alias("m"))
+    )
+    return means.agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.round(F.avg("m"), 4).alias("point_estimate"),
+        F.round(F.expr("percentile(m, 0.05)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.95)"), 4).alias("ci_hi"),
+        F.round(F.stddev_samp("m"), 4).alias("se"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -99,11 +99,119 @@ HEADLINE = [
     "agg_decimal_exact_revenue",
     "corpus_dedup_report",
     "graph_personalized_pagerank",
+    # round-6 waves 42-49 (excluded from core15 as well)
+    "text_bm25_retrieval",
+    "graph_hits_hubs_authorities",
+    "join_fuzzy_entity_resolution",
+    "agg_bootstrap_subsample_ci",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;
 # every later wave is additive and excluded from the round-over-round total
 CORE15 = HEADLINE[:15]
+
+
+def compact_summary(
+    timings: dict[str, float],
+    core15: list[str],
+    sf: float | None,
+    n_runs: int,
+    isolated: dict[str, float] | None = None,
+    limit: int = 1800,
+) -> str:
+    """The driver parses the LAST stdout line from a ~2 KB tail capture —
+    build the summary and degrade per-query detail (2-decimal times, then
+    core15-only) until the line fits. Unit-tested at 100 synthetic queries
+    (tests/test_bench_summary.py) so suite growth can never push the
+    headline metric past the tail window again (the round-4 "parsed":
+    null incident)."""
+    summary = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": dict(timings),
+        "sf": sf,
+        "n_runs": n_runs,
+        # subtotal over the r1/r2 headline set — compare THIS to
+        # prior rounds' totals (later waves are additive).
+        # Round-over-round deltas on a single query must be read
+        # against same-box variance (measured 35% same-query
+        # same-plan swing r4); per-run spreads live in
+        # BENCH_runs_verbose.json and the earlier stdout line.
+        "core15_seconds": round(sum(timings[q] for q in core15), 3),
+        "notes": "best-of-N shared-box; runs in BENCH_runs_verbose.json",
+    }
+    if isolated:
+        # round-close protocol (r5 VERDICT item #4): the most expensive
+        # suite queries re-measured in a FRESH session, best-of-5 — the
+        # co-tenant-noise adjudication baseline alongside in-suite times
+        summary["isolated"] = {k: round(v, 3) for k, v in isolated.items()}
+    line = json.dumps(summary)
+    if len(line) > limit:
+        summary["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(summary)
+        if len(line) > limit:
+            summary["queries"] = {k: round(timings[k], 2) for k in core15}
+            summary["notes"] = "per-query detail in BENCH_runs_verbose.json"
+            line = json.dumps(summary)
+        if len(line) > limit and "isolated" in summary:
+            summary.pop("isolated")
+            line = json.dumps(summary)
+        if len(line) > limit:
+            # last resort: totals only — the headline metric must survive
+            summary["queries"] = {}
+            line = json.dumps(summary)
+    return line
+
+
+def isolated_rerun(
+    names: list[str], sf_dir: str, n_runs: int = 5, timeout: int = 900
+) -> dict[str, list[float]]:
+    """Re-measure each query in its own FRESH interpreter + Spark session
+    (subprocess), best-of-``n_runs`` — isolates the measurement from suite
+    co-tenancy (cache pressure, ContextCleaner churn, JVM state). This is
+    the adjudication protocol the r5 judge used by hand for
+    knn_bruteforce_cosine (in-suite 1.22 s vs isolated 0.792 s); running
+    it at every round close makes in-suite noise self-documenting."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    template = """
+import json, sys, time
+sys.path.insert(0, {here!r})
+from boann_ocsf_security_data_platform_spark import get_spark
+import __spark_entry__ as entrymod
+spark = get_spark(app_name="boann-bench-iso")
+spark.sparkContext.setLogLevel("ERROR")
+qs = entrymod.queries()
+qs["setop_union_all"](spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
+runs = []
+for _ in range({n_runs}):
+    t0 = time.perf_counter()
+    qs[{name!r}](spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
+    runs.append(round(time.perf_counter() - t0, 3))
+print("ISO " + json.dumps(runs))
+"""
+    out: dict[str, list[float]] = {}
+    for name in names:
+        code = template.format(
+            here=here, sf_dir=sf_dir, n_runs=n_runs, name=name
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=timeout,
+                cwd=here,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("ISO "):
+                    out[name] = json.loads(line[4:])
+                    break
+        except (subprocess.TimeoutExpired, OSError, ValueError):
+            continue
+    return out
 
 
 def main() -> None:
@@ -140,7 +248,22 @@ def main() -> None:
     # past the driver's ~2 KB stdout tail-capture window and the round's
     # headline metric was truncated mid-JSON ("parsed": null). The driver
     # parses the LAST stdout line, so the compact summary must come last.
-    verbose = {"n_runs": n_runs, "runs": spreads, "sf": sf}
+    # isolated-close protocol: top-N most expensive suite queries re-run in
+    # fresh sessions (0 disables — set SPARK_GRAFT_BENCH_ISOLATED=0 while
+    # iterating locally; the driver's per-round run keeps the default)
+    n_iso = int(os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "5"))
+    iso_runs: dict[str, list[float]] = {}
+    if n_iso > 0:
+        top = sorted(timings, key=timings.get, reverse=True)[:n_iso]
+        iso_runs = isolated_rerun(top, sf_dir)
+    isolated = {k: min(v) for k, v in iso_runs.items() if v}
+
+    verbose = {
+        "n_runs": n_runs,
+        "runs": spreads,
+        "sf": sf,
+        "isolated_runs": iso_runs,
+    }
     verbose_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_runs_verbose.json"
     )
@@ -150,34 +273,7 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(verbose))
-    summary = {
-        "metric": "headline_suite_seconds",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "n_runs": n_runs,
-        # subtotal over the r1/r2 headline set — compare THIS to
-        # prior rounds' totals (later waves are additive).
-        # Round-over-round deltas on a single query must be read
-        # against same-box variance (measured 35% same-query
-        # same-plan swing r4); per-run spreads live in
-        # BENCH_runs_verbose.json and the earlier stdout line.
-        "core15_seconds": round(sum(timings[q] for q in core15), 3),
-        "notes": "best-of-N shared-box; runs in BENCH_runs_verbose.json",
-    }
-    line = json.dumps(summary)
-    if len(line) > 1800:
-        # stay under the driver's ~2 KB stdout tail-capture window as the
-        # suite grows: degrade gracefully — 2-decimal per-query times,
-        # then drop per-query detail entirely (file keeps full precision)
-        summary["queries"] = {k: round(v, 2) for k, v in timings.items()}
-        line = json.dumps(summary)
-        if len(line) > 1800:
-            summary["queries"] = {k: round(timings[k], 2) for k in core15}
-            summary["notes"] = "per-query detail in BENCH_runs_verbose.json"
-            line = json.dumps(summary)
-    print(line)
+    print(compact_summary(timings, core15, sf, n_runs, isolated=isolated))
 
 
 if __name__ == "__main__":

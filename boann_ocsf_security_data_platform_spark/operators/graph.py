@@ -432,3 +432,88 @@ def personalized_pagerank(
     for c in (e, nodes, outw):
         c.unpersist()
     return ranks.select("node", F.col("r").alias("ppr"))
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 2,
+    decimals: int = 8,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) with fixed rounds and
+    L1 normalization: ``a(v) = Σ_{(u,v)} w·h(u)`` then ``h(u) =
+    Σ_{(u,v)} w·a(v)``, each half-step normalized to sum 1 and rounded
+    — the mutually-reinforcing link-analysis primitive (who POINTS AT
+    the good stuff vs who IS the good stuff) that PageRank's single
+    score cannot separate; on a trade graph it splits big buyers from
+    big sellers.
+
+    Plan shape per half-step: one edges⋈scores equi-join + one
+    map-combinable aggregate, the L1 normalizer on a broadcast one-row
+    frame, per-round rounding to kill cross-engine ULP drift, and a
+    localCheckpoint lineage cut — the same iterative recipe as
+    :func:`pagerank` / :func:`personalized_pagerank`, so the 100 TB
+    posture is identical (no all-pairs, no driver collects; cost is
+    iters × (join + agg) shuffles on the edge key)."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1.0))
+        .cast("double")
+        .alias("w"),
+    )
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    hubs = nodes.select(
+        "node", F.round(F.lit(1.0 / n_nodes), decimals).alias("h")
+    ).localCheckpoint(eager=True)
+    auths = None
+    for _ in range(iters):
+        raw_a = (
+            e.join(hubs, e.src == hubs.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("h")).alias("ra"))
+        )
+        norm_a = raw_a.agg(F.sum("ra").alias("_na"))
+        auths = (
+            nodes.join(raw_a, nodes.node == raw_a.dst, "left")
+            .join(F.broadcast(norm_a))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce("ra", F.lit(0.0)) / F.col("_na"), decimals
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        raw_h = (
+            e.join(auths, e.dst == auths.node)
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("a")).alias("rh"))
+        )
+        norm_h = raw_h.agg(F.sum("rh").alias("_nh"))
+        hubs = (
+            nodes.join(raw_h, nodes.node == raw_h.src, "left")
+            .join(F.broadcast(norm_h))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce("rh", F.lit(0.0)) / F.col("_nh"), decimals
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = hubs.join(auths, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )
+    for c in (e, nodes):
+        c.unpersist()
+    return out

@@ -1301,3 +1301,85 @@ def bpe_segment_pandas(
             yield pdf
 
     return df.mapInPandas(batches, schema)
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval (Robertson & Zaragoza 2009) — the
+    sparse lexical-retrieval primitive (the baseline every RAG / data-
+    curation retrieval stack starts from). For each query: score(q, d) =
+    Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    the Lucene non-negative idf = ln(1 + (N − df + 0.5)/(df + 0.5));
+    query terms are DISTINCT per query (repeat terms in a query don't
+    double-count — documented convention, matched by the oracle).
+
+    Plan shape for 100 TB: tf and document length come from ONE exploded
+    token scan (two map-combinable aggregates); N and avgdl ride a
+    broadcast one-row frame; the tiny distinct query-term list BROADCASTS
+    into an inverted-index-style equi-join on the term (only documents
+    containing a query term are ever scored — never a full-corpus scan
+    per query); the per-query top-k plans as WindowGroupLimit. Scores are
+    rounded BEFORE ranking with a doc-id tie-break so the cut is
+    deterministic across engines."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    q_terms = queries.select(
+        F.col(query_id_col),
+        F.explode(tokens(F.col(query_text_col))).alias("term"),
+    ).distinct()
+    # prune to query terms BEFORE any per-term statistics: df(t) only
+    # matters for terms that appear in some query, so the inverted-index
+    # slice (broadcast semi-join) keeps every downstream frame
+    # query-vocabulary-sized, not corpus-vocabulary-sized
+    tf_q = tf.join(
+        F.broadcast(q_terms.select("term").distinct()), "term", "left_semi"
+    )
+    dft = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    ).crossJoin(
+        dl.agg(F.avg("dl").alias("_avgdl"))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("_n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf_q.join(F.broadcast(q_terms), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(dft), "term")
+        .join(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

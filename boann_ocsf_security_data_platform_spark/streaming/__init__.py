@@ -4,6 +4,11 @@ from .monitor import (  # noqa: F401
     start_monitor_stream,
     stop_on_signal,
 )
+from .decontam import (  # noqa: F401
+    benchmark_shingles,
+    read_clean_docs,
+    start_decontamination_stream,
+)
 from .neardup import (  # noqa: F401
     prune_band_store,
     read_near_dup_pairs,

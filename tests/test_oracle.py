@@ -90,6 +90,20 @@ def test_gate_window_covers_every_family():
         # round-6 additions (declared here as they land; they fill the
         # round-7 window — all oracle-checked every round by
         # tools/oracle_check.py and the parametrized oracle tests above)
+        # wave 42: Okapi BM25 sparse retrieval
+        "text_bm25_retrieval",
+        # wave 43: HITS hubs/authorities
+        "graph_hits_hubs_authorities",
+        # wave 44: Poisson rate-ratio z-test
+        "events_rate_ratio_test",
+        # wave 45: equal-frequency quantile binning
+        "feature_quantile_binning",
+        # wave 46: Zipf rank-frequency fit
+        "text_zipf_fit",
+        # wave 47: blocked fuzzy join (entity resolution)
+        "join_fuzzy_entity_resolution",
+        # wave 49: deterministic subsample bootstrap CI
+        "agg_bootstrap_subsample_ci",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

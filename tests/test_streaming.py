@@ -843,3 +843,106 @@ def test_streaming_near_dup_custom_id_col(spark, tmp_path):
     run("ck1")
     got = {(r.id_a, r.id_b) for r in read_near_dup_pairs(spark, dirs["pairs"]).collect()}
     assert got == {(7, 9)}
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """Stream/batch parity for benchmark decontamination: documents arrive
+    across THREE micro-batches; the union of streamed clean documents
+    equals the batch decontaminate() over the same corpus — one shared
+    shingling code path (operators/dedup.py:with_hashed_shingles) and the
+    same broadcast semi-join probe."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        decontaminate,
+    )
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        read_clean_docs,
+        start_decontamination_stream,
+    )
+
+    bench_q = (
+        "what is the capital of france and when was the eiffel tower built"
+    )
+    docs = [
+        {"doc_id": 1, "text": "a clean document about distributed engines"},
+        # contains a benchmark 3-gram -> contaminated
+        {"doc_id": 2, "text": "trivia: the capital of france is paris"},
+        {"doc_id": 3, "text": "another clean one on columnar storage"},
+        {"doc_id": 4, "text": "quiz answers: when was the eiffel tower built"},
+        {"doc_id": 5, "text": "tiny"},
+    ]
+    batches = [docs[0:2], docs[2:4], docs[4:5]]
+    src = tmp_path / "dc_in"
+    src.mkdir()
+    for i, chunk in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(d) for d in chunk)
+        )
+    benchmark = spark.createDataFrame([(bench_q,)], "text string")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q, release = start_decontamination_stream(
+        stream,
+        benchmark,
+        str(tmp_path / "dc_clean"),
+        str(tmp_path / "dc_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    release()
+    streamed = {
+        r.doc_id
+        for r in read_clean_docs(spark, str(tmp_path / "dc_clean")).collect()
+    }
+    corpus = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
+    )
+    expected = {
+        r.doc_id for r in decontaminate(corpus, benchmark).collect()
+    }
+    assert expected == {1, 3, 5}  # 2 and 4 really are contaminated
+    assert streamed == expected
+
+
+def test_streaming_decontamination_replay_idempotent(spark, tmp_path):
+    """Restarting the stream over the same source + checkpoint duplicates
+    nothing: the clean sink is batch-id-keyed dynamic overwrite."""
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        read_clean_docs,
+        start_decontamination_stream,
+    )
+
+    src = tmp_path / "dcr_in"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        json.dumps({"doc_id": 1, "text": "alpha beta gamma delta"})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": "unrelated words entirely here"})
+    )
+    benchmark = spark.createDataFrame(
+        [("alpha beta gamma epsilon",)], "text string"
+    )
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        q, release = start_decontamination_stream(
+            stream,
+            benchmark,
+            str(tmp_path / "dcr_clean"),
+            str(tmp_path / "dcr_ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        release()
+
+    run()
+    first = {
+        r.doc_id
+        for r in read_clean_docs(spark, str(tmp_path / "dcr_clean")).collect()
+    }
+    assert first == {2}  # doc 1 shares the 'alpha beta gamma' 3-gram
+    run()
+    rows = read_clean_docs(spark, str(tmp_path / "dcr_clean")).collect()
+    assert [r.doc_id for r in rows] == [2]  # no duplication on replay
