@@ -9386,6 +9386,154 @@ def agg_bootstrap_subsample_ci(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-6 wave 48: PNG header synthesis -> CRC-verified parser round-trip
+# ---------------------------------------------------------------------------
+
+
+def _be_bytes(n, width_hex: int):
+    """Big-endian byte string of an int column — zero-padded hex IS the
+    BE byte order (the little-endian sibling `_le_bytes` must reverse)."""
+    return F.unhex(F.lpad(F.hex(n), width_hex, "0"))
+
+
+@_q(
+    "multimodal_png_ihdr_roundtrip",
+    """
+    SELECT doc_id, 'png' AS format,
+           CAST(n_chars % 640 + 1 AS INT) AS width,
+           CAST(doc_id % 480 + 1 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth, CAST(0 AS INT) AS color_type,
+           TRUE AS crc_ok
+    FROM documents
+    """,
+)
+def multimodal_png_ihdr_roundtrip(spark, sf_dir):
+    """Synthesize a PNG header per document in pure Column expressions —
+    signature, IHDR with data-derived dimensions (width from n_chars,
+    height from doc_id), and the REAL chunk CRC computed JVM-side with
+    F.crc32 (PNG CRC == zlib CRC-32, exactly what java.util.zip.CRC32
+    implements) plus the constant IEND chunk — then push it through the
+    CRC-VERIFYING parser (operators/multimodal.py:parse_png_meta). The
+    oracle computes the expected dimensions directly from the table, and
+    crc_ok must read TRUE on every row: if the Column-expr synthesis ever
+    byte-drifts OR the parser's recomputation disagrees, the hash breaks.
+    The image sibling of multimodal_wav_meta_roundtrip; synthesis is a
+    row-local projection, parsing the Arrow mapInPandas stage."""
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        parse_png_meta,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 640 + 1).cast("long").alias("w"),
+        (F.col("doc_id") % 480 + 1).cast("long").alias("h"),
+    )
+    ihdr_payload = F.concat(
+        F.lit(b"IHDR"),
+        _be_bytes(F.col("w"), 8),
+        _be_bytes(F.col("h"), 8),
+        F.lit(bytes([8, 0, 0, 0, 0])),
+    )
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        _be_bytes(F.lit(13), 8),
+        ihdr_payload,
+        _be_bytes(F.crc32(ihdr_payload), 8),
+        _be_bytes(F.lit(0), 8),
+        F.lit(b"IEND"),
+        F.lit(b"\xaeB`\x82"),
+    )
+    meta = parse_png_meta(d.select("media_id", png.alias("payload")))
+    return meta.select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        "width",
+        "height",
+        "bit_depth",
+        "color_type",
+        "crc_ok",
+    )
+
+
+@_q(
+    "events_ewma_snapshot",
+    """
+    WITH ord AS (
+      SELECT user_id, value,
+        list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events),
+    last AS (SELECT * FROM ord WHERE rn = 1)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           round(value, 2) AS last_value,
+           round(
+             list_sum(list_transform(range(1, len(arr) + 1),
+               i -> arr[i] * 0.3 * pow(0.7, len(arr) - i)))
+             / list_sum(list_transform(range(1, len(arr) + 1),
+               i -> 0.3 * pow(0.7, len(arr) - i))), 6) AS ewma
+    FROM last
+    """,
+)
+def events_ewma_snapshot(spark, sf_dir):
+    """Exponentially-weighted moving average per user, snapshotted at each
+    user's LAST event — the smoothed-metric primitive behind alert
+    baselines and dashboard trend lines. The IIR recursion s_t = α·v_t +
+    (1−α)·s_{t−1} is replaced by its 20-tap FIR truncation (weights
+    α·(1−α)^k renormalized over the window, so short histories are exact
+    rather than biased toward 0): a windowed collect_list + one row-local
+    weighted fold — NO recursive self-join, no iterative driver loop, and
+    the state per row is a bounded 20-element array regardless of corpus
+    size. Deterministic (ts, event_id) frame order on both engines; the
+    oracle replays the identical fold via list_transform over an indexed
+    range."""
+    ordw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.collect_list("value")
+        .over(ordw.rowsBetween(-19, 0))
+        .alias("arr"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("user_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_events"),
+    ).filter(F.col("rn") == 1)
+    idx = F.sequence(F.lit(1), F.size("arr"))
+    weight = lambda i: F.lit(0.3) * F.pow(
+        F.lit(0.7), (F.size("arr") - i).cast("double")
+    )
+    num = F.aggregate(
+        F.zip_with(F.col("arr"), idx, lambda v, i: v * weight(i)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(idx, weight),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("value", 2).alias("last_value"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

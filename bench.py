@@ -104,6 +104,8 @@ HEADLINE = [
     "graph_hits_hubs_authorities",
     "join_fuzzy_entity_resolution",
     "agg_bootstrap_subsample_ci",
+    "multimodal_png_ihdr_roundtrip",
+    "events_ewma_snapshot",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -959,3 +960,76 @@ def pcm_energy(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(batches, PCM_ENERGY_SCHEMA)
+
+
+PNG_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("color_type", IntegerType()),
+        StructField("crc_ok", BooleanType()),
+    ]
+)
+
+
+def _parse_png(b: bytes):
+    """Signature + IHDR chunk walk WITH CRC verification — strictly
+    deeper than :func:`_sniff_header`'s PNG branch (which trusts the
+    header): the stored IHDR CRC-32 is recomputed over type+data
+    (PNG CRC == zlib CRC-32, ISO-HDLC) and compared, so a corrupted or
+    hand-forged header reads as crc_ok=False instead of silently
+    yielding dimensions."""
+    import struct
+    import zlib
+
+    try:
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        length = struct.unpack(">I", b[8:12])[0]
+        ctype = b[12:16]
+        if ctype != b"IHDR" or length != 13:
+            return None
+        data = b[16 : 16 + length]
+        stored_crc = struct.unpack(">I", b[16 + length : 20 + length])[0]
+        w, h = struct.unpack(">II", data[0:8])
+        bit_depth, color_type = data[8], data[9]
+        ok = zlib.crc32(ctype + data) & 0xFFFFFFFF == stored_crc
+        return w, h, bit_depth, color_type, ok
+    except (struct.error, IndexError):
+        return None
+
+
+def parse_png_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """PNG IHDR metadata with CRC verification, Arrow-batched — the
+    trust-but-verify image sibling of :func:`sniff_audio_meta`: width,
+    height, bit depth, color type, and whether the stored IHDR CRC-32
+    matches a recomputation over the chunk bytes. Non-PNG payloads yield
+    NULLs (bad bytes are data, not errors, at 100 TB)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [_parse_png(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": ["png" if r else None for r in rows],
+                    "width": pd.array(
+                        [r[0] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r[1] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "bit_depth": pd.array(
+                        [r[2] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "color_type": pd.array(
+                        [r[3] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "crc_ok": [r[4] if r else None for r in rows],
+                }
+            )
+
+    return df.mapInPandas(batches, PNG_META_SCHEMA)

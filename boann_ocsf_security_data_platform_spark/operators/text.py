@@ -1332,11 +1332,21 @@ def bm25_topk(
     deterministic across engines."""
     from pyspark.sql import Window
 
+    from .dedup import _register_caches
+
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # the token explode is the dominant cost at 100 TB — persist the
+    # reduced (doc, term) frame so tf, dl, and avgdl all read ONE explode
+    # pass instead of re-deriving it per reference (registered in the
+    # shared cache registry; release with release_caches after the action)
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     q_terms = queries.select(
         F.col(query_id_col),
         F.explode(tokens(F.col(query_text_col))).alias("term"),
@@ -1373,7 +1383,7 @@ def bm25_topk(
     win = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.asc(id_col)
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select(
@@ -1383,3 +1393,4 @@ def bm25_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+    return _register_caches(out, [tf])

@@ -104,6 +104,10 @@ def test_gate_window_covers_every_family():
         "join_fuzzy_entity_resolution",
         # wave 49: deterministic subsample bootstrap CI
         "agg_bootstrap_subsample_ci",
+        # wave 48: PNG header synthesis -> CRC-verified parse round-trip
+        "multimodal_png_ihdr_roundtrip",
+        # wave 50: truncated-EWMA snapshot per user
+        "events_ewma_snapshot",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

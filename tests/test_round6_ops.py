@@ -152,3 +152,116 @@ def test_asof_nearest_numeric_picks_true_nearest(spark):
         ).collect()
     }
     assert got == {100.0: "ninety", 0.5: "one"}
+
+
+def test_png_parser_rejects_corrupted_crc():
+    """parse_png_meta must recompute the IHDR CRC, not trust it: a single
+    flipped byte in the stored header reads as crc_ok=False."""
+    import struct
+    import zlib
+
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        _parse_png,
+    )
+
+    data = struct.pack(">II", 640, 480) + bytes([8, 0, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + data
+        + struct.pack(">I", zlib.crc32(b"IHDR" + data))
+    )
+    assert _parse_png(png) == (640, 480, 8, 0, True)
+    bad = bytearray(png)
+    bad[20] ^= 1  # corrupt a height byte; stored CRC now mismatches
+    parsed = _parse_png(bytes(bad))
+    assert parsed is not None and parsed[4] is False
+    assert _parse_png(b"not a png at all") is None
+
+
+def test_hits_scores_are_l1_normalized(spark, sf_smoke):
+    """Each HITS half-step normalizes to sum 1 — the returned hub and
+    authority vectors must each sum to ~1 and be non-negative."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import hits
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    l = load_table(spark, sf_smoke, "lineitem")
+    o = load_table(spark, sf_smoke, "orders")
+    c = load_table(spark, sf_smoke, "customer")
+    s = load_table(spark, sf_smoke, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    rows = hits(edges, weight_col="w", iters=2).collect()
+    assert rows
+    assert all(r.hub >= 0 and r.authority >= 0 for r in rows)
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r.authority for r in rows) - 1.0) < 1e-6
+
+
+def test_ewma_single_event_equals_value(spark):
+    """A user with one event has EWMA == that value (weights renormalize
+    over the short history instead of biasing toward zero)."""
+    import __spark_entry__ as entrymod
+
+    # route through the registry entry by pointing it at a tiny corpus
+    rows = [
+        (1, "2024-01-01T00:00:00", 7, "click", 42.5, "{}"),
+        (2, "2024-01-01T00:00:01", 8, "click", 10.0, "{}"),
+        (3, "2024-01-01T00:00:02", 8, "click", 20.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        out = {
+            r.user_id: r
+            for r in entrymod.queries()["events_ewma_snapshot"](
+                spark, tmp
+            ).collect()
+        }
+    assert out[7].ewma == 42.5 and out[7].n_events == 1
+    # user 8: ewma = (0.3*20 + 0.3*0.7*10) / (0.3 + 0.3*0.7)
+    expected = round((0.3 * 20.0 + 0.21 * 10.0) / 0.51, 6)
+    assert out[8].ewma == expected and out[8].n_events == 2
+
+
+def test_bm25_releases_its_cache(spark, sf_smoke):
+    """bm25_topk persists the (doc, term) frame; the registered-cache
+    valve must free it after the consuming action."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        _LIVE_CACHES,
+        release_all_caches,
+    )
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        bm25_topk,
+    )
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    release_all_caches()
+    queries = spark.createDataFrame(
+        [(1, "hash join table")], "query_id int, qtext string"
+    )
+    out = bm25_topk(load_table(spark, sf_smoke, "documents"), queries, k=3)
+    assert out.count() > 0
+    live = list(_LIVE_CACHES)
+    assert live  # the tf cache is registered, not leaked anonymously
+    release_all_caches()
+    assert _LIVE_CACHES == []
+    assert all(
+        not (c.storageLevel.useMemory or c.storageLevel.useDisk)
+        for c in live
+    )

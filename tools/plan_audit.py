@@ -490,6 +490,47 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         "SortMergeJoin" in pbkt and n_exchanges <= 1,
         f"only the final aggregate may shuffle; saw {n_exchanges} exchange(s)",
     )
+
+    # round-6 waves 42-50
+    bm25_df = qs["text_bm25_retrieval"](spark, sf_dir)
+    bm25_df.count()  # materialize the registered tf cache
+    pbm = plan_of(bm25_df)
+    check(
+        "bm25 explodes the corpus once (cached tf reused for dl/avgdl)",
+        pbm.count("Location:") <= 2
+        and ("InMemoryTableScan" in pbm or "InMemoryRelation" in pbm),
+        "token explode is the 100TB cost; one pass must feed tf+dl+slice",
+    )
+    check(
+        "bm25 top-k is WindowGroupLimit with broadcast joins only",
+        "WindowGroupLimit" in pbm and "SortMergeJoin" not in pbm,
+        "",
+    )
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        release_all_caches,
+    )
+
+    release_all_caches()
+    pfz = plan_of(qs["join_fuzzy_entity_resolution"](spark, sf_dir))
+    check(
+        "fuzzy ER joins on the blocking key only (no cartesian)",
+        "CartesianProduct" not in pfz and "WindowGroupLimit" in pfz,
+        "candidates must come from the block equi-join; top-3 partial",
+    )
+    pbs = plan_of(qs["agg_bootstrap_subsample_ci"](spark, sf_dir))
+    check(
+        "bootstrap reads orders once (resamples via row-local explode)",
+        pbs.count("Location:") == 1 and "Join" not in pbs,
+        "no per-resample scans, no joins",
+    )
+    pew = plan_of(qs["events_ewma_snapshot"](spark, sf_dir))
+    check(
+        "ewma is one scan + windows (no join, no explode)",
+        pew.count("Location:") == 1
+        and "Join" not in pew
+        and not re.findall(r"\(\d+\) Generate", pew),
+        "the FIR rewrite must stay row-local",
+    )
     return results
 
 
