@@ -9533,6 +9533,136 @@ def events_ewma_snapshot(spark, sf_dir):
     )
 
 
+@_q(
+    "embedding_pca_power_iteration",
+    f"""
+    WITH xx AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS val,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings),
+    mu AS (SELECT dim, avg(val) AS m FROM xx GROUP BY dim),
+    v0 AS (SELECT dim, 0.125 AS v FROM mu),
+    s1 AS (SELECT vec_id, sum((xx.val - mu.m) * v0.v) AS s
+             FROM xx JOIN mu USING (dim) JOIN v0 USING (dim)
+             GROUP BY vec_id),
+    w1 AS (SELECT xx.dim AS dim, avg((xx.val - mu.m) * s1.s) AS w
+             FROM xx JOIN mu USING (dim) JOIN s1 USING (vec_id)
+             GROUP BY xx.dim),
+    n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+    v1 AS (SELECT dim, round(w / nrm, 8) AS v FROM w1, n1),
+    s2 AS (SELECT vec_id, sum((xx.val - mu.m) * v1.v) AS s
+             FROM xx JOIN mu USING (dim) JOIN v1 USING (dim)
+             GROUP BY vec_id),
+    w2 AS (SELECT xx.dim AS dim, avg((xx.val - mu.m) * s2.s) AS w
+             FROM xx JOIN mu USING (dim) JOIN s2 USING (vec_id)
+             GROUP BY xx.dim),
+    n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
+    v2 AS (SELECT dim, round(w / nrm, 8) AS v FROM w2, n2),
+    s3 AS (SELECT vec_id, sum((xx.val - mu.m) * v2.v) AS s
+           FROM xx JOIN mu USING (dim) JOIN v2 USING (dim)
+           GROUP BY vec_id),
+    w3 AS (SELECT xx.dim AS dim, avg((xx.val - mu.m) * s3.s) AS w
+           FROM xx JOIN mu USING (dim) JOIN s3 USING (vec_id)
+           GROUP BY xx.dim),
+    n3 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w3)
+    SELECT CAST(w3.dim AS INT) AS dim, round(w / nrm, 8) AS loading,
+           round(nrm, 6) AS lambda_hat
+    FROM w3, n3
+    """,
+)
+def embedding_pca_power_iteration(spark, sf_dir):
+    """Top principal component of the 64-d embedding corpus via 3 rounds
+    of power iteration — distributed PCA WITHOUT materializing the d×d
+    covariance: per round one row-local centered dot product and one
+    d-sum aggregate; only the d-float mean and iterate cross the driver
+    (bounded model state, the k-means/logreg precedent). v0 = 1/8
+    uniform (exact in binary), per-round rounding makes the trajectory
+    oracle-replayable: the DuckDB side replays the identical three
+    rounds as chained CTEs over an index-unnested view. The final round
+    (loadings + Rayleigh eigenvalue estimate) is computed fully
+    distributed. operators/similarity.py:pca_top_component."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    return pca_top_component(
+        _t(spark, sf_dir, "embeddings"), dim=64, iters=3
+    )
+
+
+@_q(
+    "text_pmi_collocations",
+    f"""
+    WITH w AS (SELECT {_WORDS} AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS t FROM w),
+    ucnt AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM uni GROUP BY t),
+    bi AS (SELECT unnest(list_transform(range(1, len(ws)),
+             i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS p FROM w),
+    bcnt AS (SELECT p.a AS w1, p.b AS w2, CAST(count(*) AS DOUBLE) AS cab
+             FROM bi GROUP BY 1, 2),
+    tot AS (SELECT (SELECT sum(c) FROM ucnt) AS tt,
+                   (SELECT sum(cab) FROM bcnt) AS bb),
+    pmi AS (SELECT w1, w2, cab,
+              round(ln((cab / bb) / ((ua.c / tt) * (ub.c / tt))), 6) AS pmi
+            FROM bcnt JOIN ucnt ua ON bcnt.w1 = ua.t
+                 JOIN ucnt ub ON bcnt.w2 = ub.t, tot
+            WHERE cab >= 5)
+    SELECT w1, w2, CAST(cab AS BIGINT) AS n_pair, pmi
+    FROM pmi ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information — PMI(a,b) =
+    ln(p(ab) / p(a)p(b)) over adjacent word pairs with a min-count-5
+    support floor (Church & Hanks 1990): the phrase-mining primitive
+    behind tokenizer-vocabulary seeding and multi-word-expression
+    detection, and the association-strength complement of the raw
+    bigram counts already in the registry. Bigrams build ROW-LOCALLY
+    (the ngram_counts path — no token self-join); unigram and bigram
+    totals ride a broadcast one-row frame; the global top-20 plans as
+    TakeOrderedAndProject with a rounded-PMI + pair tie-break so the
+    cut is engine-deterministic."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        ngram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = ngram_counts(docs, n=1).select(
+        F.col("ngram").alias("t"),
+        F.col("n_occurrences").cast("double").alias("c"),
+    )
+    bi = ngram_counts(docs, n=2).select(
+        F.split("ngram", " ").getItem(0).alias("w1"),
+        F.split("ngram", " ").getItem(1).alias("w2"),
+        F.col("n_occurrences").cast("double").alias("cab"),
+    )
+    tot = uni.agg(F.sum("c").alias("tt")).crossJoin(
+        bi.agg(F.sum("cab").alias("bb"))
+    )
+    ua = uni.select(F.col("t").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("t").alias("w2"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("cab") / F.col("bb"))
+            / ((F.col("ca") / F.col("tt")) * (F.col("cb") / F.col("tt")))
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("cab") >= 5)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("cab").cast("long").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -106,6 +106,8 @@ HEADLINE = [
     "agg_bootstrap_subsample_ci",
     "multimodal_png_ihdr_roundtrip",
     "events_ewma_snapshot",
+    "text_pmi_collocations",
+    "embedding_pca_power_iteration",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

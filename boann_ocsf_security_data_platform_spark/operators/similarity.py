@@ -827,3 +827,77 @@ def random_projection(
         for p, plane in enumerate(_hyperplanes(out_dim, dim))
     ]
     return df.select("*", *cols)
+
+
+def pca_top_component(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    iters: int = 3,
+    decimals: int = 8,
+) -> DataFrame:
+    """Top principal component of the embedding corpus by power iteration
+    — the distributed-PCA primitive (whitening, drift monitoring,
+    'is one direction eating my embedding space' diagnostics) computed
+    WITHOUT ever materializing the d×d covariance: each round is
+    ``s_i = (x_i − μ)·v`` (row-local) followed by ``w = avg_i (x_i − μ)·s_i``
+    (one map-combinable aggregate of d sums), then an L2 normalize.
+
+    Scale posture: the data is scanned once per iteration (iters is a
+    small constant); only the d-float mean and the d-float iterate ever
+    cross the driver (bounded MODEL state, the k-means/logreg precedent —
+    the corpus is never collected). Per-round rounding of the iterate
+    kills cross-engine ULP drift so the whole trajectory is
+    oracle-replayable; v0 = 1/sqrt(d) uniform (exact at d=64).
+
+    Returns ``(dim, loading, lambda_hat)`` — 1-based component index,
+    the unit loading, and the Rayleigh-quotient eigenvalue estimate
+    ``‖cov·v‖`` from the final round (computed distributed, not on the
+    driver)."""
+    X = df.select(
+        F.transform(F.col(vec_col), lambda c: c.cast("double")).alias("x")
+    )
+    mu_row = X.agg(
+        *[F.avg(F.col("x")[j]).alias(f"m{j}") for j in range(dim)]
+    ).collect()[0]
+    mu = [float(mu_row[f"m{j}"]) for j in range(dim)]
+    v = [round(1.0 / dim ** 0.5, decimals)] * dim
+
+    def s_expr():
+        return sum(
+            (F.col("x")[j] - F.lit(mu[j])) * F.lit(v[j]) for j in range(dim)
+        )
+
+    for _ in range(iters - 1):
+        scored = X.withColumn("s", s_expr())
+        w_row = scored.agg(
+            *[
+                F.avg((F.col("x")[j] - F.lit(mu[j])) * F.col("s")).alias(
+                    f"w{j}"
+                )
+                for j in range(dim)
+            ]
+        ).collect()[0]  # bounded: the d-float iterate, not data
+        w = [float(w_row[f"w{j}"]) for j in range(dim)]
+        nrm = sum(x * x for x in w) ** 0.5
+        v = [round(x / nrm, decimals) for x in w]
+
+    # final round stays distributed end-to-end: per-dim frame + one-row norm
+    scored = X.withColumn("s", s_expr())
+    w1 = scored.agg(
+        F.array(
+            *[
+                F.avg((F.col("x")[j] - F.lit(mu[j])) * F.col("s"))
+                for j in range(dim)
+            ]
+        ).alias("w")
+    )
+    per_dim = w1.select(
+        F.posexplode("w").alias("dim0", "w")
+    ).select((F.col("dim0") + 1).cast("int").alias("dim"), "w")
+    nrm = per_dim.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return per_dim.join(F.broadcast(nrm)).select(
+        "dim",
+        F.round(F.col("w") / F.col("nrm"), decimals).alias("loading"),
+        F.round(F.col("nrm"), 6).alias("lambda_hat"),
+    )

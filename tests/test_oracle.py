@@ -108,6 +108,10 @@ def test_gate_window_covers_every_family():
         "multimodal_png_ihdr_roundtrip",
         # wave 50: truncated-EWMA snapshot per user
         "events_ewma_snapshot",
+        # wave 51: PMI collocations
+        "text_pmi_collocations",
+        # wave 52: distributed PCA by power iteration
+        "embedding_pca_power_iteration",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
