@@ -9663,6 +9663,111 @@ def text_pmi_collocations(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_mp4_meta_roundtrip",
+    """
+    SELECT doc_id, 'mp4' AS format, 'isom' AS brand,
+           CAST(600 AS BIGINT) AS timescale,
+           CAST((n_chars * 60 * 1000) // 600 AS BIGINT) AS duration_ms,
+           CAST(2 AS INT) AS n_tracks
+    FROM documents
+    """,
+)
+def multimodal_mp4_meta_roundtrip(spark, sf_dir):
+    """Synthesize a minimal ISO-BMFF (MP4) container per document in pure
+    Column expressions — ftyp with the isom brand, a moov holding a v0
+    mvhd whose movie duration derives from the document (n_chars × 60
+    units at timescale 600) plus two trak boxes — and push it through the
+    REAL box-walk parser (operators/multimodal.py:sniff_video_meta), so
+    the video-container parsing that was unit-tested-only is now
+    HASH-VERIFIED end-to-end: the oracle computes brand/timescale/
+    duration/track-count straight from the table, integer floor division
+    on both sides (the wave-25 double→INT cast lesson). Completes the
+    synthesis-roundtrip trilogy: WAV (audio), PNG (image), MP4 (video).
+    Synthesis is row-local; parsing is the Arrow mapInPandas stage."""
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        sniff_video_meta,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 60).cast("long").alias("dur"),
+    )
+    mvhd = F.concat(
+        _be_bytes(F.lit(28), 8),
+        F.lit(b"mvhd"),
+        _be_bytes(F.lit(0), 8),  # version 0 + flags
+        _be_bytes(F.lit(0), 8),  # creation
+        _be_bytes(F.lit(0), 8),  # modification
+        _be_bytes(F.lit(600), 8),  # timescale
+        _be_bytes(F.col("dur"), 8),  # duration in timescale units
+    )
+    trak = F.concat(_be_bytes(F.lit(8), 8), F.lit(b"trak"))
+    moov_size = 8 + 28 + 2 * 8
+    mp4 = F.concat(
+        _be_bytes(F.lit(16), 8),
+        F.lit(b"ftyp"),
+        F.lit(b"isom"),
+        _be_bytes(F.lit(0), 8),
+        _be_bytes(F.lit(moov_size), 8),
+        F.lit(b"moov"),
+        mvhd,
+        trak,
+        trak,
+    )
+    meta = sniff_video_meta(d.select("media_id", mp4.alias("payload")))
+    return meta.select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        "brand",
+        "timescale",
+        "duration_ms",
+        "n_tracks",
+    )
+
+
+@_q(
+    "dedup_weighted_jaccard",
+    f"""
+    WITH words AS (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+    wh_t AS (SELECT doc_id, source, ws, {_WH_EXPR} AS wh FROM words),
+    sh AS (SELECT doc_id, source, {_HS_EXPR} AS shingles FROM wh_t),
+    ex AS (SELECT doc_id, source, unnest(shingles) AS shingle FROM sh),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM sh),
+    dft AS (SELECT shingle, count(*) AS df_t FROM ex GROUP BY 1),
+    idf AS (SELECT shingle, ln(nn / df_t) AS idf FROM dft, n),
+    exw AS (SELECT ex.doc_id, ex.source, ex.shingle, idf.idf
+            FROM ex JOIN idf USING (shingle)),
+    wd AS (SELECT doc_id, sum(idf) AS w FROM exw GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.idf) AS i_w
+              FROM exw a JOIN exw b
+                ON a.source = b.source AND a.shingle = b.shingle
+                   AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(i_w / (wa.w + wb.w - i_w), 6) AS wjaccard
+    FROM inter JOIN wd wa ON wa.doc_id = id_a
+               JOIN wd wb ON wb.doc_id = id_b
+    WHERE round(i_w / (wa.w + wb.w - i_w), 6) >= 0.4
+    """,
+)
+def dedup_weighted_jaccard(spark, sf_dir):
+    """IDF-weighted Jaccard near-dup pairs (idf = ln(N/df) over distinct
+    3-gram shingles): boilerplate shingles contribute ~nothing, so pairs
+    only score high on shared RARE content — the discriminative-overlap
+    upgrade plain dedup_ngram_jaccard dilutes on template-heavy corpora.
+    Same blocked self-join plan plus one vocabulary-sized df pass;
+    |A∪B| weight as W_A + W_B − I so no union materializes.
+    operators/dedup.py:weighted_jaccard_pairs."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        weighted_jaccard_pairs,
+    )
+
+    return weighted_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -108,6 +108,8 @@ HEADLINE = [
     "events_ewma_snapshot",
     "text_pmi_collocations",
     "embedding_pca_power_iteration",
+    "dedup_weighted_jaccard",
+    "multimodal_mp4_meta_roundtrip",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

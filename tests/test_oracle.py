@@ -112,6 +112,10 @@ def test_gate_window_covers_every_family():
         "text_pmi_collocations",
         # wave 52: distributed PCA by power iteration
         "embedding_pca_power_iteration",
+        # wave 53: IDF-weighted Jaccard near-dup pairs
+        "dedup_weighted_jaccard",
+        # wave 54: MP4 container synthesis -> real box-walk parse
+        "multimodal_mp4_meta_roundtrip",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
