@@ -9768,6 +9768,180 @@ def dedup_weighted_jaccard(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_sequence_packing",
+    f"""
+    WITH t AS (SELECT doc_id, source, len({_WORDS}) AS n_tok FROM documents),
+    nz AS (SELECT * FROM t WHERE n_tok > 0),
+    pos AS (SELECT doc_id, source, n_tok,
+              coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+            FROM nz),
+    spans AS (SELECT source, doc_id, n_tok, s, s + n_tok AS e,
+                unnest(range(CAST(s // 2048 AS BIGINT),
+                             CAST((s + n_tok - 1) // 2048 AS BIGINT) + 1))
+                  AS chunk
+              FROM pos),
+    per AS (SELECT source, chunk,
+              least(e, (chunk + 1) * 2048) - greatest(s, chunk * 2048)
+                AS overlap
+            FROM spans)
+    SELECT source, CAST(chunk AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(overlap) AS BIGINT) AS n_tokens,
+           round(sum(overlap) / 2048.0, 6) AS fill_ratio
+    FROM per GROUP BY source, chunk
+    """,
+)
+def corpus_sequence_packing(spark, sf_dir):
+    """GPT-style sequence packing (concatenate-and-chunk): documents are
+    concatenated in deterministic (source, doc_id) order and cut into
+    2048-token training sequences; per chunk report how many documents
+    touch it, its token fill, and the fill ratio — the
+    how-much-padding-am-I-burning accounting every pretraining data prep
+    runs. Zero iteration: the token offset is one ordered window cumsum,
+    a document's chunk span is a row-local range explode (a doc spans
+    floor(start/2048)..floor((end−1)/2048)), and per-chunk stats are one
+    map-combinable aggregate. Empty documents are filtered BEFORE the
+    span expansion (the sequence(1,0) descending-array trap). Integer
+    floor division on both sides."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    seq_len = 2048
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = t.select(
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("s"),
+    ).withColumn("e", F.col("s") + F.col("n_tok"))
+    spans = pos.select(
+        "source",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / seq_len),
+                F.floor((F.col("e") - 1) / seq_len),
+            )
+        ).alias("chunk"),
+    )
+    per = spans.select(
+        "source",
+        "chunk",
+        (
+            F.least(F.col("e"), (F.col("chunk") + 1) * seq_len)
+            - F.greatest(F.col("s"), F.col("chunk") * seq_len)
+        ).alias("overlap"),
+    )
+    return per.groupBy("source", F.col("chunk").cast("long").alias("chunk_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("overlap").cast("long").alias("n_tokens"),
+        F.round(F.sum("overlap") / float(seq_len), 6).alias("fill_ratio"),
+    )
+
+
+@_q(
+    "agg_mutual_information",
+    """
+    WITH j AS (SELECT o.o_orderpriority AS x, c.c_mktsegment AS y
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM j),
+    pxy AS (SELECT x, y, count(*) AS cxy FROM j GROUP BY x, y),
+    px AS (SELECT x, count(*) AS cx FROM j GROUP BY x),
+    py AS (SELECT y, count(*) AS cy FROM j GROUP BY y)
+    SELECT CAST(max(nn) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((cxy / nn) * ln((cxy * nn)
+                 / (CAST(cx AS DOUBLE) * cy))), 6) AS mutual_information
+    FROM pxy JOIN px USING (x) JOIN py USING (y), n
+    """,
+)
+def agg_mutual_information(spark, sf_dir):
+    """Mutual information between order priority and customer market
+    segment: MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) in nats — the
+    model-free dependence measure that complements the registry's
+    chi-square test (chi-square answers 'is there dependence', MI
+    answers 'how many bits does knowing one buy you'). Three
+    map-combinable aggregates over one join; the marginals are
+    category-sized frames broadcast back into the cell table."""
+    j = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("x"),
+            F.col("c_mktsegment").alias("y"),
+        )
+    )
+    n = j.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    pxy = j.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+    px = j.groupBy("x").agg(F.count(F.lit(1)).alias("cx"))
+    py = j.groupBy("y").agg(F.count(F.lit(1)).alias("cy"))
+    cell = (
+        pxy.join(F.broadcast(px), "x")
+        .join(F.broadcast(py), "y")
+        .join(F.broadcast(n))
+    )
+    term = (F.col("cxy") / F.col("nn")) * F.log(
+        (F.col("cxy") * F.col("nn"))
+        / (F.col("cx").cast("double") * F.col("cy"))
+    )
+    return cell.agg(
+        F.max("nn").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(term), 6).alias("mutual_information"),
+    )
+
+
+@_q(
+    "parts_price_elasticity",
+    """
+    WITH u AS (SELECT p.p_brand AS brand,
+                      ln(l.l_quantity) AS lq,
+                      ln(l.l_extendedprice / l.l_quantity) AS lp
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+               WHERE l.l_quantity > 0)
+    SELECT brand, CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(lq, lp), 6) AS elasticity,
+           round(regr_r2(lq, lp), 6) AS r2
+    FROM u GROUP BY brand
+    """,
+)
+def parts_price_elasticity(spark, sf_dir):
+    """Log-log price elasticity of demand per part brand: the OLS slope
+    of ln(quantity) on ln(unit price) — the pricing-analytics primitive
+    (elasticity ≈ 0 on TPC-H's uniform quantities, which is itself the
+    correct finding: demand there does not respond to price). One join +
+    one regr_* aggregate pass; unit price derives row-locally."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    u = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log("l_quantity").alias("lq"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "lp"
+            ),
+        )
+    )
+    return u.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("regr_slope(lq, lp)"), 6).alias("elasticity"),
+        F.round(F.expr("regr_r2(lq, lp)"), 6).alias("r2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -110,6 +110,7 @@ HEADLINE = [
     "embedding_pca_power_iteration",
     "dedup_weighted_jaccard",
     "multimodal_mp4_meta_roundtrip",
+    "corpus_sequence_packing",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

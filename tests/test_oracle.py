@@ -116,6 +116,12 @@ def test_gate_window_covers_every_family():
         "dedup_weighted_jaccard",
         # wave 54: MP4 container synthesis -> real box-walk parse
         "multimodal_mp4_meta_roundtrip",
+        # wave 55: GPT-style concat-and-chunk sequence packing
+        "corpus_sequence_packing",
+        # wave 56: mutual information (categorical dependence)
+        "agg_mutual_information",
+        # wave 57: log-log price elasticity per brand
+        "parts_price_elasticity",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
