@@ -9942,6 +9942,166 @@ def parts_price_elasticity(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_hill_tail_index",
+    """
+    WITH r AS (SELECT o_totalprice AS x,
+                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rk
+               FROM orders),
+    xk AS (SELECT x AS x_ref FROM r WHERE rk = 501)
+    SELECT CAST(500 AS BIGINT) AS k,
+           round(avg(ln(x / x_ref)), 6) AS hill_xi,
+           round(1.0 / avg(ln(x / x_ref)), 6) AS tail_alpha,
+           round(max(x), 2) AS x_max
+    FROM r, xk WHERE rk <= 500
+    """,
+)
+def agg_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the heavy-tail index over the top-500 order
+    values: ξ = (1/k)·Σ ln(x_(i)/x_(k+1)), α = 1/ξ — the
+    does-this-distribution-have-a-power-law-tail diagnostic behind
+    skew-aware partitioning decisions and top-heavy revenue analysis
+    (TPC-H's bounded uniform totals correctly read as thin-tailed,
+    large α). The order statistics come from one ranked window with a
+    unique-key tie-break (deterministic cut), the k+1-st value rides a
+    broadcast one-row frame, and the estimator is a single aggregate —
+    at 100 TB replace the global sort with a top-(k+1)
+    TakeOrderedAndProject; semantics unchanged."""
+    r = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+        .alias("rk"),
+    )
+    xk = r.filter(F.col("rk") == 501).select(F.col("x").alias("x_ref"))
+    top = r.filter(F.col("rk") <= 500).join(F.broadcast(xk))
+    xi = F.avg(F.log(F.col("x") / F.col("x_ref")))
+    return top.agg(
+        F.lit(500).cast("long").alias("k"),
+        F.round(xi, 6).alias("hill_xi"),
+        F.round(F.lit(1.0) / xi, 6).alias("tail_alpha"),
+        F.round(F.max("x"), 2).alias("x_max"),
+    )
+
+
+@_q(
+    "orders_mom_growth",
+    """
+    WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                      sum(o_totalprice) AS rev,
+                      count(*) AS n_orders
+               FROM orders GROUP BY 1)
+    SELECT month,
+           round(rev, 2) AS revenue,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           round(100.0 * (rev - lag(rev) OVER (ORDER BY month))
+                 / lag(rev) OVER (ORDER BY month), 4) AS mom_pct,
+           round(avg(rev) OVER (ORDER BY month
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+             AS rev_3mo_avg
+    FROM m
+    """,
+)
+def orders_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth with a trailing 3-month average —
+    the reporting-layer staple (growth %, smoothed trend) expressed as a
+    month-grain rollup plus two ordered windows over the BOUNDED monthly
+    series: the scan aggregates to ~one row per month before any window
+    runs, so the ordered computation never touches raw orders. NULL
+    mom_pct on the first month (no prior) on both engines."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(
+            F.sum("o_totalprice").alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        F.round("rev", 2).alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(
+            100.0 * (F.col("rev") - F.lag("rev").over(w)) / F.lag("rev").over(w),
+            4,
+        ).alias("mom_pct"),
+        F.round(F.avg("rev").over(w.rowsBetween(-2, 0)), 2).alias(
+            "rev_3mo_avg"
+        ),
+    )
+
+
+@_q(
+    "text_kneser_ney_bigrams",
+    f"""
+    WITH w AS (SELECT {_WORDS} AS ws FROM documents),
+    bi AS (SELECT unnest(list_transform(range(1, len(ws)),
+             i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS p FROM w),
+    bc AS (SELECT p.a AS w1, p.b AS w2, count(*) AS c FROM bi GROUP BY 1, 2),
+    uc AS (SELECT w1, sum(c) AS cw1, count(*) AS n_follow FROM bc GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS n_prec FROM bc GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_bi_types FROM bc),
+    scored AS (
+      SELECT bc.w1, bc.w2, bc.c,
+        round(greatest(bc.c - 0.75, 0) / uc.cw1
+              + (0.75 * uc.n_follow / uc.cw1)
+                * (cont.n_prec / n_bi_types), 6) AS p_kn
+      FROM bc JOIN uc USING (w1) JOIN cont USING (w2), tot)
+    SELECT w1, w2, CAST(c AS BIGINT) AS n_pair, p_kn
+    FROM scored ORDER BY p_kn DESC, w1, w2 LIMIT 25
+    """,
+)
+def text_kneser_ney_bigrams(spark, sf_dir):
+    """Kneser-Ney smoothed bigram probabilities (Kneser & Ney 1995, the
+    workhorse n-gram smoothing): P_KN(w2|w1) = max(c−d,0)/c(w1) +
+    d·|follow(w1)|/c(w1) · |prec(w2)|/|bigram types|, d = 0.75 — the
+    CONTINUATION-count backoff that distinguishes versatile words from
+    frequent-but-rigid ones, which add-α smoothing (the registry's
+    bigram LM) cannot. Everything is exact integer counts from one
+    row-local bigram pass + three vocabulary-sized aggregates; the
+    top-25 cut is rounded-probability + pair tie-broken. The corpus-LM
+    depth entry beside bigram_lm_score and BPE."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        ngram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bc = ngram_counts(docs, n=2).select(
+        F.split("ngram", " ").getItem(0).alias("w1"),
+        F.split("ngram", " ").getItem(1).alias("w2"),
+        F.col("n_occurrences").alias("c"),
+    )
+    uc = bc.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    tot = bc.agg(F.count(F.lit(1)).cast("double").alias("n_bi_types"))
+    d = 0.75
+    p_kn = F.round(
+        F.greatest(F.col("c") - d, F.lit(0.0)) / F.col("cw1")
+        + (d * F.col("n_follow") / F.col("cw1"))
+        * (F.col("n_prec") / F.col("n_bi_types")),
+        6,
+    )
+    return (
+        bc.join(F.broadcast(uc), "w1")
+        .join(F.broadcast(cont), "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("n_pair"),
+            p_kn.alias("p_kn"),
+        )
+        .orderBy(F.desc("p_kn"), "w1", "w2")
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

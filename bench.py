@@ -111,6 +111,7 @@ HEADLINE = [
     "dedup_weighted_jaccard",
     "multimodal_mp4_meta_roundtrip",
     "corpus_sequence_packing",
+    "text_kneser_ney_bigrams",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

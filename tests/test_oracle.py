@@ -122,6 +122,12 @@ def test_gate_window_covers_every_family():
         "agg_mutual_information",
         # wave 57: log-log price elasticity per brand
         "parts_price_elasticity",
+        # wave 58: Hill heavy-tail index estimator
+        "agg_hill_tail_index",
+        # wave 59: month-over-month growth + trailing average
+        "orders_mom_growth",
+        # wave 60: Kneser-Ney smoothed bigram LM
+        "text_kneser_ney_bigrams",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
