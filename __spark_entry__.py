@@ -10102,6 +10102,116 @@ def text_kneser_ney_bigrams(spark, sf_dir):
     )
 
 
+@_q(
+    "graph_community_modularity",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem WHERE year(l_shipdate) = 1995),
+    ec AS (SELECT a.pk AS u, b.pk AS v FROM li a
+           JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk),
+    e2 AS (SELECT u AS a, v AS b FROM ec UNION SELECT v, u FROM ec),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM e2),
+    {_lpa_iter('l0', 'i1')},
+    {_lpa_iter('i1', 'i2')},
+    {_lpa_iter('i2', 'i3')},
+    m AS (SELECT CAST(count(*) AS DOUBLE) AS mm FROM ec),
+    deg AS (SELECT a AS node, count(*) AS d FROM e2 GROUP BY a),
+    within AS (SELECT CAST(count(*) AS DOUBLE) AS wc, la.label
+               FROM ec JOIN i3 la ON ec.u = la.node
+                       JOIN i3 lb ON ec.v = lb.node
+               WHERE la.label = lb.label GROUP BY la.label),
+    dsum AS (SELECT i3.label, CAST(sum(d) AS DOUBLE) AS dc
+             FROM i3 JOIN deg USING (node) GROUP BY i3.label),
+    terms AS (SELECT dsum.label,
+                coalesce(within.wc, 0.0) / mm
+                  - (dsum.dc / (2 * mm)) * (dsum.dc / (2 * mm)) AS q
+              FROM dsum LEFT JOIN within ON dsum.label = within.label, m)
+    SELECT CAST((SELECT count(*) FROM terms) AS BIGINT) AS n_communities,
+           CAST((SELECT count(*) FROM l0) AS BIGINT) AS n_nodes,
+           CAST(max(mm) AS BIGINT) AS n_edges,
+           round(sum(q), 6) AS modularity
+    FROM terms, m
+    """,
+)
+def graph_community_modularity(spark, sf_dir):
+    """Newman modularity Q = Σ_c (m_c/m − (d_c/2m)²) of the communities
+    the 3-round label propagation finds on the 1995 part-co-order graph —
+    the did-the-clustering-actually-find-structure score (Q > 0 means
+    denser-than-random within communities), making this the evaluation
+    harness for graph_label_propagation exactly as dedup_minhash_eval
+    evaluates the LSH pipeline. Reuses the SAME deterministic LPA rounds
+    (min-label tie-break, oracle replays them as CTEs); the score itself
+    is two community-sized aggregates joined on the bounded label table.
+    operators/graph.py:label_propagation."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    ec = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        .persist()
+    )
+    labels = label_propagation(
+        ec.select(F.col("u").alias("src"), F.col("v").alias("dst")), iters=3
+    ).persist()
+    e2 = ec.select(F.col("u").alias("x")).unionAll(
+        ec.select(F.col("v").alias("x"))
+    )
+    deg = e2.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    m = ec.agg(F.count(F.lit(1)).cast("double").alias("mm"))
+    la = labels.select(F.col("node").alias("u"), F.col("label").alias("cu"))
+    lb = labels.select(F.col("node").alias("v"), F.col("label").alias("cv"))
+    within = (
+        ec.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("double").alias("wc"))
+    )
+    dsum = (
+        labels.join(deg, labels.node == deg.x)
+        .groupBy("label")
+        .agg(F.sum("d").cast("double").alias("dc"))
+    )
+    terms = (
+        dsum.join(within, "label", "left")
+        .join(F.broadcast(m))
+        .select(
+            (
+                F.coalesce("wc", F.lit(0.0)) / F.col("mm")
+                - (F.col("dc") / (2 * F.col("mm")))
+                * (F.col("dc") / (2 * F.col("mm")))
+            ).alias("q")
+        )
+    )
+    n_nodes = labels.count()
+    n_comms = dsum.count()
+    out = terms.join(F.broadcast(m)).agg(
+        F.lit(n_comms).cast("long").alias("n_communities"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.max("mm").cast("long").alias("n_edges"),
+        F.round(F.sum("q"), 6).alias("modularity"),
+    )
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        _register_caches,
+    )
+
+    return _register_caches(out, [ec, labels])
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -112,6 +112,7 @@ HEADLINE = [
     "multimodal_mp4_meta_roundtrip",
     "corpus_sequence_packing",
     "text_kneser_ney_bigrams",
+    "graph_community_modularity",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

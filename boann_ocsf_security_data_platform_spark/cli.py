@@ -393,6 +393,43 @@ def cmd_corpus_neardup_stream(args) -> int:
     return 0
 
 
+def cmd_corpus_decontam_stream(args) -> int:
+    """Continuous benchmark decontamination over a document-stream
+    directory: each micro-batch is probed against the static benchmark
+    file's word k-grams (the SAME shingling code path as the batch
+    `corpus-clean --decontaminate`) and only clean documents land under
+    the output directory, batch-id exactly-once. `--drain` processes
+    whatever is in the directory and exits (availableNow), else runs
+    until SIGTERM — the ingest-side train/test firewall."""
+    from .streaming import start_decontamination_stream, stop_on_signal
+
+    spark = _spark(args)
+    benchmark = spark.read.json(args.benchmark)
+    stream = (
+        spark.readStream.schema(args.schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .json(args.source)
+    )
+    q, release = start_decontamination_stream(
+        stream,
+        benchmark,
+        clean_dir=args.clean,
+        checkpoint_dir=args.checkpoint,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        available_now=args.drain,
+    )
+    try:
+        if args.drain:
+            q.awaitTermination()
+        else:
+            stop_on_signal(q)
+            q.awaitTermination()
+    finally:
+        release()
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run any registered analytics query from the command line — the
     drivable face of the __spark_entry__ registry: `query --list` prints
@@ -549,6 +586,26 @@ def build_parser() -> argparse.ArgumentParser:
         help="process current contents and exit (availableNow)",
     )
     ns.set_defaults(fn=cmd_corpus_neardup_stream)
+
+    ds = sub.add_parser(
+        "corpus-decontam-stream",
+        help="streaming benchmark decontamination over a doc stream",
+    )
+    ds.add_argument("--source", required=True, help="json docs directory")
+    ds.add_argument(
+        "--benchmark", required=True, help="benchmark json file/dir"
+    )
+    ds.add_argument("--clean", required=True, help="clean docs output dir")
+    ds.add_argument("--checkpoint", required=True)
+    ds.add_argument("--schema", default="doc_id long, text string")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--max-files-per-trigger", type=int, default=100)
+    ds.add_argument(
+        "--drain", action="store_true",
+        help="process current contents and exit (availableNow)",
+    )
+    ds.set_defaults(fn=cmd_corpus_decontam_stream)
 
     q = sub.add_parser(
         "query", help="run a registered analytics query by name"

@@ -47,7 +47,8 @@ def test_parser_wires_all_subcommands():
     )
     assert set(subs.choices) == {
         "convert", "ingest", "stage", "monitor", "compact", "audit",
-        "corpus-clean", "corpus-pack", "corpus-neardup-stream", "query",
+        "corpus-clean", "corpus-pack", "corpus-neardup-stream",
+        "corpus-decontam-stream", "query",
     }
 
 
@@ -372,3 +373,47 @@ def test_cli_corpus_neardup_stream_drain(tmp_path):
         f"SELECT DISTINCT id_a, id_b FROM read_parquet('{tmp_path}/pairs/*/*.parquet')"
     ).fetchall()
     assert rows == [(1, 2)]
+
+
+def test_cli_corpus_decontam_stream_drain(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    src = tmp_path / "dc_in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        _json.dumps({"doc_id": 1, "text": "totally clean document words"})
+        + "\n"
+        + _json.dumps(
+            {"doc_id": 2, "text": "contains the capital of france here"}
+        )
+    )
+    bench = tmp_path / "bench.json"
+    bench.write_text(
+        _json.dumps({"text": "what is the capital of france"})
+    )
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "boann_ocsf_security_data_platform_spark.cli",
+            "corpus-decontam-stream",
+            "--source", str(src),
+            "--benchmark", str(bench),
+            "--clean", str(tmp_path / "clean"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--drain",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{tmp_path}/clean/*/*.parquet')"
+    ).fetchall()
+    assert rows == [(1,)]

@@ -128,6 +128,8 @@ def test_gate_window_covers_every_family():
         "orders_mom_growth",
         # wave 60: Kneser-Ney smoothed bigram LM
         "text_kneser_ney_bigrams",
+        # wave 61: modularity eval of the LPA communities
+        "graph_community_modularity",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
