@@ -391,3 +391,116 @@ def test_ks_statistic_bounds_and_symmetry(spark, a, b):
         abs(ca[v] / na - cb[v] / nb) < 1e-12 for v in set(a) | set(b)
     )
     assert (d1.ks_stat == 0.0) == same_ecdf
+
+
+@SET
+@given(texts=TEXTS)
+def test_weighted_jaccard_bounds_and_exact_dup(spark, texts):
+    """0 < wjaccard <= 1 on every emitted pair, and an exact duplicate
+    document always scores 1.0 (identical shingle sets => I = W_A = W_B)
+    — for arbitrary text, which the fixture-corpus oracle can't reach."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        release_all_caches,
+        weighted_jaccard_pairs,
+    )
+
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    # guaranteed exact duplicate pair with >= k tokens
+    dup = "alpha beta gamma delta epsilon"
+    rows += [(1000, dup, "s"), (1001, dup, "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.id_a, r.id_b): r.wjaccard
+        for r in weighted_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    release_all_caches()
+    assert got[(1000, 1001)] == 1.0
+    assert all(0.0 < v <= 1.0 for v in got.values())
+
+
+@SET
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=30),
+    seq_len=st.sampled_from([64, 2048]),
+)
+def test_sequence_packing_conserves_tokens(spark, toks, seq_len):
+    """Concat-and-chunk must conserve tokens: per-chunk overlaps sum to
+    the corpus token total, every chunk except the last is exactly full,
+    and chunk ids are contiguous from 0."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(toks)], "doc_id long, n_tok long"
+    ).withColumn("source", F.lit("s"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    pos = df.select(
+        "source", "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("s"),
+    ).withColumn("e", F.col("s") + F.col("n_tok"))
+    spans = pos.select(
+        "source", "s", "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / seq_len),
+                F.floor((F.col("e") - 1) / seq_len),
+            )
+        ).alias("chunk"),
+    )
+    per = (
+        spans.select(
+            "chunk",
+            (
+                F.least(F.col("e"), (F.col("chunk") + 1) * seq_len)
+                - F.greatest(F.col("s"), F.col("chunk") * seq_len)
+            ).alias("overlap"),
+        )
+        .groupBy("chunk")
+        .agg(F.sum("overlap").alias("n_tokens"))
+        .collect()
+    )
+    total = sum(toks)
+    by_chunk = {r.chunk: r.n_tokens for r in per}
+    assert sum(by_chunk.values()) == total
+    n_chunks = (total + seq_len - 1) // seq_len
+    assert sorted(by_chunk) == list(range(n_chunks))
+    for c in range(n_chunks - 1):
+        assert by_chunk[c] == seq_len
+    assert by_chunk[n_chunks - 1] == total - (n_chunks - 1) * seq_len
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_ewma_fir_matches_python_reference(spark, vals):
+    """The windowed FIR EWMA equals a direct Python computation of the
+    truncated renormalized weights for arbitrary series."""
+    import __spark_entry__ as entrymod
+    import tempfile
+
+    rows = [
+        (i, f"2024-01-01T00:00:{i:02d}", 1, "e", float(v), "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = entrymod.queries()["events_ewma_snapshot"](spark, tmp).collect()
+    assert len(got) == 1
+    tail = vals[-20:]
+    n = len(tail)
+    ws = [0.3 * 0.7 ** (n - 1 - i) for i in range(n)]
+    expected = round(
+        sum(w * v for w, v in zip(ws, tail)) / sum(ws), 6
+    )
+    assert abs(got[0].ewma - expected) < 1e-9
