@@ -10237,6 +10237,294 @@ def graph_community_modularity(spark, sf_dir):
     return _register_caches(out, [ec, labels])
 
 
+@_q(
+    "text_token_burstiness",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+    per_doc AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY 1, 2),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    st AS (SELECT term,
+             CAST(count(*) AS BIGINT) AS df_t,
+             sum(c) AS total,
+             sum(c * c) AS sq
+           FROM per_doc GROUP BY term),
+    disp AS (SELECT term, df_t, CAST(total AS BIGINT) AS total,
+               (sq / n_docs - (total / n_docs) * (total / n_docs))
+                 / (total / n_docs) AS vmr
+             FROM st, n WHERE df_t >= 10)
+    SELECT term, df_t, total, round(vmr, 6) AS burstiness
+    FROM disp ORDER BY round(vmr, 6) DESC, term LIMIT 25
+    """,
+)
+def text_token_burstiness(spark, sf_dir):
+    """Token burstiness: the variance-to-mean ratio of per-document
+    counts across the corpus (Church & Gale 1995) — bursty tokens
+    (VMR ≫ 1 after the Poisson baseline of 1) are topical CONTENT,
+    evenly-sprinkled tokens are function words / boilerplate, making
+    this the statistics-only content-word detector (no stopword list)
+    and a generated-text tell (LLM output under-disperses). Zero-count
+    documents enter the moments implicitly via the corpus-size
+    denominator — no dense doc×term frame is ever built: one (doc,term)
+    aggregate then one vocabulary-sized moment rollup. Deterministic
+    rounded-VMR + term tie-broken top-25."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    per_doc = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = _t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    st = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    mean = F.col("total") / F.col("n_docs")
+    vmr = (F.col("sq") / F.col("n_docs") - mean * mean) / mean
+    return (
+        st.filter(F.col("df_t") >= 10)
+        .join(F.broadcast(n))
+        .select(
+            "term",
+            F.col("df_t").cast("long").alias("df_t"),
+            F.col("total").cast("long").alias("total"),
+            F.round(vmr, 6).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), "term")
+        .limit(25)
+    )
+
+
+@_q(
+    "parts_abc_xyz_classification",
+    """
+    WITH pm AS (SELECT l_partkey AS pk,
+                       date_trunc('month', l_shipdate) AS month,
+                       sum(l_quantity) AS qty,
+                       sum(l_extendedprice) AS rev
+                FROM lineitem GROUP BY 1, 2),
+    per_part AS (SELECT pk, sum(rev) AS rev,
+                   CASE WHEN avg(qty) > 0
+                        THEN stddev_samp(qty) / avg(qty) ELSE NULL END AS cv,
+                   count(*) AS n_months
+                 FROM pm GROUP BY pk),
+    ranked AS (SELECT *,
+                 sum(rev) OVER (ORDER BY rev DESC, pk
+                   ROWS UNBOUNDED PRECEDING) AS cum_rev,
+                 sum(rev) OVER () AS tot_rev
+               FROM per_part),
+    classed AS (SELECT pk, rev, cv, n_months,
+                  CASE WHEN cum_rev / tot_rev <= 0.8 THEN 'A'
+                       WHEN cum_rev / tot_rev <= 0.95 THEN 'B'
+                       ELSE 'C' END AS abc,
+                  CASE WHEN cv IS NULL OR n_months < 2 THEN 'Z'
+                       WHEN cv <= 0.5 THEN 'X'
+                       WHEN cv <= 1.0 THEN 'Y'
+                       ELSE 'Z' END AS xyz
+                FROM ranked)
+    SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev), 2) AS revenue,
+           round(avg(cv), 6) AS avg_cv
+    FROM classed GROUP BY abc, xyz
+    """,
+)
+def parts_abc_xyz_classification(spark, sf_dir):
+    """ABC-XYZ inventory classification — the supply-chain planning
+    matrix: ABC from the cumulative revenue Pareto (top 80% = A, next
+    15% = B) over a deterministically-ranked running sum, XYZ from the
+    coefficient of variation of monthly demand (steady X ≤ 0.5, variable
+    Y ≤ 1.0, erratic/sparse Z). The ordered window runs over the
+    part-grain frame (not raw lineitem), the monthly rollup is one
+    map-combinable pass, and the output is the bounded 3×3 matrix with
+    revenue and mean-CV per cell."""
+    pm = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.sum("l_extendedprice").alias("rev"),
+        )
+    )
+    per_part = pm.groupBy("pk").agg(
+        F.sum("rev").alias("rev"),
+        F.when(
+            F.avg("qty") > 0, F.stddev_samp("qty") / F.avg("qty")
+        ).alias("cv"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    w_cum = Window.orderBy(F.desc("rev"), F.asc("pk")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_part.select(
+        "pk",
+        "rev",
+        "cv",
+        "n_months",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_tot).alias("tot_rev"),
+    )
+    share = F.col("cum_rev") / F.col("tot_rev")
+    classed = ranked.select(
+        "rev",
+        "cv",
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("cv").isNull() | (F.col("n_months") < 2), "Z")
+        .when(F.col("cv") <= 0.5, "X")
+        .when(F.col("cv") <= 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.round(F.avg("cv"), 6).alias("avg_cv"),
+    )
+
+
+@_q(
+    "embedding_mmr_rerank",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE vec_id = 0),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id <> 0),
+    rel AS (SELECT c.vec_id,
+              round(list_dot_product(c.v, q.v)
+                    / (sqrt(list_dot_product(c.v, c.v))
+                       * sqrt(list_dot_product(q.v, q.v))), 8) AS rel,
+              c.v
+            FROM c, q),
+    p1 AS (SELECT vec_id, rel, v FROM rel
+           ORDER BY rel DESC, vec_id LIMIT 1),
+    s2 AS (SELECT r.vec_id, r.rel, r.v,
+               round(0.7 * r.rel - 0.3 * round(list_dot_product(r.v, p1.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(p1.v, p1.v))), 8), 8) AS score
+             FROM rel r, p1
+             WHERE r.vec_id NOT IN (p1.vec_id)),
+    p2 AS (SELECT vec_id, rel, v FROM s2
+             ORDER BY score DESC, vec_id LIMIT 1),
+    s3 AS (SELECT r.vec_id, r.rel, r.v,
+               round(0.7 * r.rel - 0.3 * greatest(round(list_dot_product(r.v, p1.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(p1.v, p1.v))), 8), round(list_dot_product(r.v, p2.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(p2.v, p2.v))), 8)), 8) AS score
+             FROM rel r, p1, p2
+             WHERE r.vec_id NOT IN (p1.vec_id, p2.vec_id)),
+    p3 AS (SELECT vec_id, rel, v FROM s3
+             ORDER BY score DESC, vec_id LIMIT 1),
+    s4 AS (SELECT r.vec_id, r.rel, r.v,
+               round(0.7 * r.rel - 0.3 * greatest(round(list_dot_product(r.v, p1.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(p1.v, p1.v))), 8), round(list_dot_product(r.v, p2.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(p2.v, p2.v))), 8), round(list_dot_product(r.v, p3.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(p3.v, p3.v))), 8)), 8) AS score
+             FROM rel r, p1, p2, p3
+             WHERE r.vec_id NOT IN (p1.vec_id, p2.vec_id, p3.vec_id)),
+    p4 AS (SELECT vec_id, rel, v FROM s4
+             ORDER BY score DESC, vec_id LIMIT 1),
+    s5 AS (SELECT r.vec_id, r.rel, r.v,
+               round(0.7 * r.rel - 0.3 * greatest(round(list_dot_product(r.v, p1.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(p1.v, p1.v))), 8), round(list_dot_product(r.v, p2.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(p2.v, p2.v))), 8), round(list_dot_product(r.v, p3.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(p3.v, p3.v))), 8), round(list_dot_product(r.v, p4.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(p4.v, p4.v))), 8)), 8) AS score
+             FROM rel r, p1, p2, p3, p4
+             WHERE r.vec_id NOT IN (p1.vec_id, p2.vec_id, p3.vec_id, p4.vec_id)),
+    p5 AS (SELECT vec_id, rel, v FROM s5
+             ORDER BY score DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS relevance FROM p1
+    UNION ALL SELECT CAST(2 AS BIGINT) AS rank, vec_id, rel AS relevance FROM p2
+    UNION ALL SELECT CAST(3 AS BIGINT) AS rank, vec_id, rel AS relevance FROM p3
+    UNION ALL SELECT CAST(4 AS BIGINT) AS rank, vec_id, rel AS relevance FROM p4
+    UNION ALL SELECT CAST(5 AS BIGINT) AS rank, vec_id, rel AS relevance FROM p5
+    """,
+)
+def embedding_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): pick 5
+    results for the vec_id-0 query that are RELEVANT but not redundant —
+    each greedy step maximizes λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s),
+    λ=0.7 — the diversity-aware rerank every RAG retrieval stack bolts
+    onto plain top-k (which happily returns five near-duplicates).
+    Greedy selection is inherently sequential, but the per-step state is
+    ONE selected row (id + 64-float vector): each of the 5 steps is a
+    distributed argmax over the corpus with the selected vectors inlined
+    as literals (bounded MODEL state crossing the driver, the
+    k-means/logreg/PCA precedent), per-step 8-dp rounding + id tie-break
+    making the trajectory engine-deterministic. The oracle replays the
+    identical greedy steps as chained one-row CTEs; the final (rank,
+    id, relevance) projection recomputes relevance distributed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda c: c.cast("double"))
+    q_vec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0)
+        .select(x.alias("x"))
+        .collect()[0]["x"]
+    ]
+    q_norm = sum(v * v for v in q_vec) ** 0.5
+
+    def dot_lit(vec):
+        arr = F.array(*[F.lit(float(v)) for v in vec])
+        return F.aggregate(
+            F.zip_with(F.col("x"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+
+    x_norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("x"), lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+    )
+    base = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", x.alias("x")
+    ).withColumn(
+        "rel", F.round(dot_lit(q_vec) / (x_norm * q_norm), 8)
+    ).localCheckpoint(eager=True)  # 5 argmax scans reuse one pass
+
+    selected = []  # (vec_id, rel, vector) — bounded model state
+    for _ in range(5):
+        if selected:
+            pens = [
+                F.round(
+                    dot_lit(vec)
+                    / (x_norm * (sum(v * v for v in vec) ** 0.5)),
+                    8,
+                )
+                for (_, _, vec) in selected
+            ]
+            pen = pens[0] if len(pens) == 1 else F.greatest(*pens)
+            score = F.round(0.7 * F.col("rel") - 0.3 * pen, 8)
+        else:
+            score = F.col("rel")
+        top = (
+            base.filter(
+                ~F.col("vec_id").isin([s[0] for s in selected])
+            )
+            .orderBy(F.desc(score), F.asc("vec_id"))
+            .select("vec_id", "rel", "x")
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((top["vec_id"], top["rel"], list(top["x"])))
+
+    rank_expr = F.lit(None).cast("long")
+    for i, (vid, _, _) in enumerate(reversed(selected)):
+        rank_expr = F.when(
+            F.col("vec_id") == vid, F.lit(len(selected) - i).cast("long")
+        ).otherwise(rank_expr)
+    return base.filter(
+        F.col("vec_id").isin([s[0] for s in selected])
+    ).select(
+        rank_expr.alias("rank"),
+        "vec_id",
+        F.col("rel").alias("relevance"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -113,6 +113,8 @@ HEADLINE = [
     "corpus_sequence_packing",
     "text_kneser_ney_bigrams",
     "graph_community_modularity",
+    "text_token_burstiness",
+    "embedding_mmr_rerank",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -130,6 +130,12 @@ def test_gate_window_covers_every_family():
         "text_kneser_ney_bigrams",
         # wave 61: modularity eval of the LPA communities
         "graph_community_modularity",
+        # wave 62: token burstiness (variance-to-mean dispersion)
+        "text_token_burstiness",
+        # wave 63: ABC-XYZ inventory classification matrix
+        "parts_abc_xyz_classification",
+        # wave 64: MMR diversity-aware rerank
+        "embedding_mmr_rerank",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
