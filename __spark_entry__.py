@@ -10525,6 +10525,163 @@ def embedding_mmr_rerank(spark, sf_dir):
     )
 
 
+_TEXTRANK_ORACLE = f"""
+    WITH w AS (SELECT {_WORDS} AS ws FROM documents),
+    bi AS (SELECT unnest(list_transform(range(1, len(ws)),
+             i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS p FROM w),
+    bc AS (SELECT p.a AS w1, p.b AS w2, count(*) AS c FROM bi
+           WHERE p.a <> p.b GROUP BY 1, 2),
+    e AS (SELECT src, dst, CAST(sum(c) AS DOUBLE) AS w FROM
+            (SELECT w1 AS src, w2 AS dst, c FROM bc
+             UNION ALL SELECT w2, w1, c FROM bc)
+          GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS w_out FROM e GROUP BY src),
+    r0 AS (SELECT node, round(1.0 / n, 8) AS r FROM nodes, nn),
+    d1 AS (SELECT coalesce(sum(r), 0.0) AS dang FROM r0
+             LEFT JOIN outw ON r0.node = outw.src WHERE outw.src IS NULL),
+    c1 AS (SELECT e.dst AS node, sum(r0.r * e.w / outw.w_out) AS c
+             FROM e JOIN r0 ON e.src = r0.node
+             JOIN outw ON e.src = outw.src GROUP BY e.dst),
+    r1 AS (SELECT nodes.node,
+                    round((1 - 0.85) / n
+                          + 0.85 * (coalesce(c1.c, 0.0) + dang / n),
+                          8) AS r
+             FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, nn, d1),
+    d2 AS (SELECT coalesce(sum(r), 0.0) AS dang FROM r1
+             LEFT JOIN outw ON r1.node = outw.src WHERE outw.src IS NULL),
+    c2 AS (SELECT e.dst AS node, sum(r1.r * e.w / outw.w_out) AS c
+             FROM e JOIN r1 ON e.src = r1.node
+             JOIN outw ON e.src = outw.src GROUP BY e.dst),
+    r2 AS (SELECT nodes.node,
+                    round((1 - 0.85) / n
+                          + 0.85 * (coalesce(c2.c, 0.0) + dang / n),
+                          8) AS r
+             FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, nn, d2),
+    d3 AS (SELECT coalesce(sum(r), 0.0) AS dang FROM r2
+             LEFT JOIN outw ON r2.node = outw.src WHERE outw.src IS NULL),
+    c3 AS (SELECT e.dst AS node, sum(r2.r * e.w / outw.w_out) AS c
+             FROM e JOIN r2 ON e.src = r2.node
+             JOIN outw ON e.src = outw.src GROUP BY e.dst),
+    r3 AS (SELECT nodes.node,
+                    round((1 - 0.85) / n
+                          + 0.85 * (coalesce(c3.c, 0.0) + dang / n),
+                          8) AS r
+             FROM nodes LEFT JOIN c3 ON nodes.node = c3.node, nn, d3)
+    SELECT node AS term, round(r, 6) AS score FROM r3
+    ORDER BY round(r, 6) DESC, node LIMIT 20
+    """
+
+
+@_q("text_textrank_keywords", _TEXTRANK_ORACLE)
+def text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank on
+    the word co-occurrence graph (adjacent-word edges, undirected,
+    count-weighted, self-loops dropped), top-20 terms by rank — the
+    graph-centrality keyword family beside RAKE (degree-scored phrases)
+    and TF-IDF (frequency-scored terms): a word matters because IMPORTANT
+    words co-occur with it, which pure counting cannot express. Reuses
+    the verified fixed-round pagerank operator verbatim on string nodes;
+    edges build row-locally from the same bigram pass as the n-gram
+    family; the oracle replays the full trajectory (graph build + 3
+    rounds) as CTEs. operators/graph.py:pagerank."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import (
+        pagerank,
+    )
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        ngram_counts,
+    )
+
+    bc = (
+        ngram_counts(_t(spark, sf_dir, "documents"), n=2)
+        .select(
+            F.split("ngram", " ").getItem(0).alias("w1"),
+            F.split("ngram", " ").getItem(1).alias("w2"),
+            F.col("n_occurrences").alias("c"),
+        )
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    edges = (
+        bc.select(
+            F.col("w1").alias("src"), F.col("w2").alias("dst"), "c"
+        )
+        .unionAll(
+            bc.select(
+                F.col("w2").alias("src"), F.col("w1").alias("dst"), "c"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("c").cast("double").alias("w"))
+    )
+    return (
+        pagerank(edges, weight_col="w", iters=3)
+        .select(
+            F.col("node").alias("term"),
+            F.round("pagerank", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "term")
+        .limit(20)
+    )
+
+
+@_q(
+    "feature_woe_information_value",
+    """
+    WITH b AS (SELECT o_totalprice,
+                 CAST(o_orderpriority = '1-URGENT' AS INT) AS y,
+                 ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+               FROM orders),
+    tot AS (SELECT CAST(sum(y) AS DOUBLE) AS n_pos,
+                   CAST(count(*) - sum(y) AS DOUBLE) AS n_neg
+            FROM b),
+    per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              sum(y) AS pos, count(*) - sum(y) AS neg
+            FROM b GROUP BY bin)
+    SELECT CAST(bin AS BIGINT) AS bin, n,
+           round((pos / n_pos) / (neg / n_neg), 6) AS odds_ratio,
+           round(ln((pos / n_pos) / (neg / n_neg)), 6) AS woe,
+           round((pos / n_pos - neg / n_neg)
+                 * ln((pos / n_pos) / (neg / n_neg)), 8) AS iv_term
+    FROM per, tot
+    """,
+)
+def feature_woe_information_value(spark, sf_dir):
+    """Weight of Evidence / Information Value per price decile for the
+    is-the-order-urgent target — the credit-scoring encoding standard
+    (WoE = ln(share-of-positives / share-of-negatives) per bin; the IV
+    terms sum to the feature's predictive power). Composes the exact
+    ntile binning with one conditional aggregate; totals ride a
+    broadcast one-row frame. Near-zero IV on TPC-H's independent
+    priority column is the correct reading. The supervised sibling of
+    feature_quantile_binning beside feature_loo_target_encoding."""
+    b = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+    )
+    tot = b.agg(
+        F.sum("y").cast("double").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("double").alias("n_neg"),
+    )
+    per = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    pr = F.col("pos") / F.col("n_pos")
+    nr = F.col("neg") / F.col("n_neg")
+    return per.join(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.round(pr / nr, 6).alias("odds_ratio"),
+        F.round(F.log(pr / nr), 6).alias("woe"),
+        F.round((pr - nr) * F.log(pr / nr), 8).alias("iv_term"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -115,6 +115,7 @@ HEADLINE = [
     "graph_community_modularity",
     "text_token_burstiness",
     "embedding_mmr_rerank",
+    "text_textrank_keywords",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -136,6 +136,10 @@ def test_gate_window_covers_every_family():
         "parts_abc_xyz_classification",
         # wave 64: MMR diversity-aware rerank
         "embedding_mmr_rerank",
+        # wave 65: TextRank keywords (pagerank on the co-occurrence graph)
+        "text_textrank_keywords",
+        # wave 66: WoE / Information Value per bin
+        "feature_woe_information_value",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
