@@ -10682,6 +10682,94 @@ def feature_woe_information_value(spark, sf_dir):
     )
 
 
+@_q(
+    "knn_hard_negatives",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_COS}, 6) AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_COS}, 6) DESC, b.vec_id)
+               AS rank
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 10 AND round({_COS}, 6) < 0.9) t
+    WHERE rank <= 5
+    """,
+)
+def knn_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive retrieval training: per query
+    the 5 MOST similar vectors that stay under cosine 0.9 — hard enough
+    to teach, capped so near-duplicates never enter the negative set
+    (the standard contrastive-training pitfall). Same broadcast plan as
+    knn_bruteforce_cosine with the cap applied before ranking.
+    operators/similarity.py:hard_negatives."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, max_cosine=0.9
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q(
+    "events_retention_triangle",
+    """
+    WITH ua AS (SELECT DISTINCT user_id, date_trunc('month', ts) AS month
+                FROM events),
+    cohort AS (SELECT user_id, min(month) AS cm FROM ua GROUP BY user_id),
+    sizes AS (SELECT cm, count(*) AS n_cohort FROM cohort GROUP BY cm),
+    cells AS (SELECT cohort.cm, date_diff('month', cohort.cm, ua.month) AS k,
+                     count(DISTINCT ua.user_id) AS n_active
+              FROM ua JOIN cohort USING (user_id)
+              GROUP BY 1, 2)
+    SELECT cells.cm AS cohort_month, CAST(k AS BIGINT) AS k,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_cohort AS BIGINT) AS n_cohort,
+           round(100.0 * n_active / n_cohort, 4) AS retention_pct
+    FROM cells JOIN sizes ON cells.cm = sizes.cm
+    """,
+)
+def events_retention_triangle(spark, sf_dir):
+    """The cohort retention triangle — product analytics' canonical
+    table: users grouped by first-activity month, each cell the share of
+    the cohort still active k months later. One distinct
+    (user, month) pass feeds both the cohort assignment (min month per
+    user) and the activity cells; cohort sizes are a month-grain frame
+    broadcast back. Month arithmetic stays on truncated timestamps
+    (integer month difference on both engines — no epoch math)."""
+    ua = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("month", F.col("ts")).alias("month")
+        )
+        .distinct()
+    )
+    cohort = ua.groupBy("user_id").agg(F.min("month").alias("cm"))
+    sizes = cohort.groupBy("cm").agg(F.count(F.lit(1)).alias("n_cohort"))
+    cells = (
+        ua.join(cohort, "user_id")
+        .groupBy(
+            "cm",
+            F.months_between(F.col("month"), F.col("cm"))
+            .cast("long")
+            .alias("k"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cm").select(
+        F.col("cm").alias("cohort_month"),
+        "k",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_cohort").cast("long").alias("n_cohort"),
+        F.round(
+            100.0 * F.col("n_active") / F.col("n_cohort"), 4
+        ).alias("retention_pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

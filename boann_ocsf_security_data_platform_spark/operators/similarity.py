@@ -901,3 +901,42 @@ def pca_top_component(
         F.round(F.col("w") / F.col("nrm"), decimals).alias("loading"),
         F.round(F.col("nrm"), 6).alias("lambda_hat"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    max_cosine: float = 0.9,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: per query,
+    the top-``k`` most similar corpus vectors whose cosine stays BELOW
+    ``max_cosine`` — similar enough to be hard (the model must work to
+    rank them below the positive) but capped so near-duplicates of the
+    query never poison the negative set (a duplicate labeled 'negative'
+    actively teaches the wrong thing; the standard contrastive-training
+    pitfall). Same broadcast-queries → scan → partial-top-k plan as
+    :func:`cosine_topk` with the cap applied BEFORE ranking, so the cut
+    is on the filtered candidate set."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .filter(F.col("cosine") < max_cosine)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -140,6 +140,10 @@ def test_gate_window_covers_every_family():
         "text_textrank_keywords",
         # wave 66: WoE / Information Value per bin
         "feature_woe_information_value",
+        # wave 67: hard-negative mining (capped top-k)
+        "knn_hard_negatives",
+        # wave 68: cohort retention triangle
+        "events_retention_triangle",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
