@@ -10770,6 +10770,215 @@ def events_retention_triangle(spark, sf_dir):
     )
 
 
+@_q(
+    "events_nelson_aalen_hazard",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+    horizon AS (SELECT max(ts) AS tmax FROM events),
+    subj AS (SELECT s.user_id,
+               CASE WHEN p.t1 IS NOT NULL AND p.t1 >= s.t0 THEN
+                 date_diff('microsecond', s.t0, p.t1) / 1000000.0
+               ELSE date_diff('microsecond', s.t0, h.tmax) / 1000000.0 END
+                 AS dur,
+               (p.t1 IS NOT NULL AND p.t1 >= s.t0) AS converted
+             FROM s LEFT JOIN p ON s.user_id = p.user_id, horizon h),
+    et AS (SELECT dur AS t, count(*) AS d FROM subj
+           WHERE converted GROUP BY dur),
+    risk AS (SELECT et.t, et.d,
+               (SELECT count(*) FROM subj WHERE subj.dur >= et.t) AS n_risk
+             FROM et)
+    SELECT round(t, 3) AS t_seconds, CAST(d AS BIGINT) AS n_events,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           round(sum(d / CAST(n_risk AS DOUBLE))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6)
+             AS cum_hazard,
+           round(exp(-sum(d / CAST(n_risk AS DOUBLE))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
+             AS breslow_survival
+    FROM risk ORDER BY t
+    """,
+)
+def events_nelson_aalen_hazard(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard H(t) = Σ d_i/n_i with the Breslow
+    survival estimate exp(−H) — the Kaplan-Meier sibling that sums
+    hazard INCREMENTS instead of multiplying survival factors, which is
+    what you need to COMPARE risk between periods or plot hazard slope
+    (constant slope ⇒ exponential/memoryless conversion; KM's product
+    form can't read slope directly). Identical right-censored subject
+    derivation and plan shape as events_kaplan_meier — duration-grain
+    rollup, descending running sum for at-risk counts, ascending running
+    sum for the hazard — so the two curves are comparable cell-for-cell."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t0"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t1"),
+        F.max("ts").alias("_tmax_u"),
+    )
+    whor = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    conv = F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
+    subj = (
+        per_user.withColumn("tmax", F.max("_tmax_u").over(whor))
+        .filter(F.col("t0").isNotNull())
+        .select(
+            F.when(
+                conv,
+                F.expr("timestampdiff(MICROSECOND, t0, t1)").cast("double")
+                / 1_000_000.0,
+            )
+            .otherwise(
+                F.expr("timestampdiff(MICROSECOND, t0, tmax)").cast(
+                    "double"
+                )
+                / 1_000_000.0
+            )
+            .alias("dur"),
+            conv.alias("converted"),
+        )
+    )
+    per_dur = subj.groupBy("dur").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("a"),
+    )
+    wdesc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_dur.withColumn("n_risk", F.sum("a").over(wdesc)).filter(
+        F.col("d") > 0
+    )
+    wasc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    haz = F.sum(F.col("d") / F.col("n_risk").cast("double")).over(wasc)
+    return risk.select(
+        F.round("dur", 3).alias("t_seconds"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.round(haz, 6).alias("cum_hazard"),
+        F.round(F.exp(-haz), 4).alias("breslow_survival"),
+    ).orderBy("t_seconds")
+
+
+@_q(
+    "join_price_band_pairs",
+    """
+    WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+                      o_totalprice AS v, year(o_orderdate) AS y
+               FROM orders WHERE o_orderkey % 20 = 0)
+    SELECT a.pri, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs(a.v - b.v)), 6) AS avg_diff,
+           round(max(abs(a.v - b.v)), 2) AS max_diff
+    FROM o a JOIN o b
+      ON a.pri = b.pri AND a.k < b.k AND a.y <> b.y
+         AND abs(a.v - b.v) <= 100.0
+    GROUP BY a.pri
+    """,
+)
+def join_price_band_pairs(spark, sf_dir):
+    """Banded numeric similarity join — |price_a − price_b| ≤ ε across
+    different years within a priority class, the generic
+    match-on-a-numeric-band primitive (price matching, sensor
+    correlation, fraud twin-transactions). The naive theta join is
+    quadratic; this plans as an EQUI-join on floor(v/ε) buckets with
+    each left row exploded to its 3 candidate buckets (a band match can
+    only sit in the same or an adjacent bucket — same trick as the LSH
+    band join), then the exact band filter. The oracle runs the plain
+    theta join (exact semantics); the plan audit pins the bucketed path
+    to hash joins (no cartesian). Sampled keys keep the pair count
+    bounded at verification SF; per-class aggregate output."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_totalprice").alias("v"),
+            F.year("o_orderdate").alias("y"),
+        )
+    )
+    eps = 100.0
+    bkt = F.floor(F.col("v") / eps).cast("long")
+    a = o.select(
+        "k", "pri", "v", "y",
+        F.explode(
+            F.array(bkt - 1, bkt, bkt + 1)
+        ).alias("b"),
+    )
+    b = o.select(
+        F.col("k").alias("k2"),
+        F.col("pri").alias("pri2"),
+        F.col("v").alias("v2"),
+        F.col("y").alias("y2"),
+        bkt.alias("b"),
+    )
+    pairs = a.join(b, ["b"]).filter(
+        (F.col("pri") == F.col("pri2"))
+        & (F.col("k") < F.col("k2"))
+        & (F.col("y") != F.col("y2"))
+        & (F.abs(F.col("v") - F.col("v2")) <= eps)
+    )
+    return pairs.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("v") - F.col("v2"))), 6).alias(
+            "avg_diff"
+        ),
+        F.round(F.max(F.abs(F.col("v") - F.col("v2"))), 2).alias(
+            "max_diff"
+        ),
+    )
+
+
+@_q(
+    "events_bitmap_activity_rollup",
+    """
+    WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                     bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT))
+                       AS bm
+                   FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(bit_count(bm)) AS BIGINT) AS daily_slot_total,
+           CAST(bit_count(bit_or(bm)) AS BIGINT) AS distinct_slots
+    FROM daily GROUP BY event_type
+    """,
+)
+def events_bitmap_activity_rollup(spark, sf_dir):
+    """Bitmap-index activity rollup: each (event_type, day) compresses
+    its active users into one 63-slot bitmap (bit = user slot; 63 not 64\n    because DuckDB raises on a shift into the BIGINT sign bit), daily
+    bitmaps OR together per type, and popcounts read activity — the
+    roaring-bitmap/bitmap-index pattern OLAP engines use for
+    distinct-user rollups, in its 64-slot miniature: a day's actives are
+    ONE long instead of a user list, merging periods is bitwise OR
+    (associative, map-side combinable), and the daily-total vs
+    distinct-slot gap measures repeat visitors. Two bit-aggregate passes,
+    no distinct-count shuffle of user ids at the rollup level."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(user_id % 63 AS INT))"
+                )
+            ).alias("bm")
+        )
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.bit_count("bm")).cast("long").alias("daily_slot_total"),
+        F.bit_count(F.bit_or("bm")).cast("long").alias("distinct_slots"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -144,6 +144,12 @@ def test_gate_window_covers_every_family():
         "knn_hard_negatives",
         # wave 68: cohort retention triangle
         "events_retention_triangle",
+        # wave 69: Nelson-Aalen cumulative hazard
+        "events_nelson_aalen_hazard",
+        # wave 70: banded numeric similarity join (bucket trick)
+        "join_price_band_pairs",
+        # wave 71: bitmap-index activity rollup
+        "events_bitmap_activity_rollup",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
