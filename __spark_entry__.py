@@ -10979,6 +10979,170 @@ def events_bitmap_activity_rollup(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_theil_sen_trend",
+    """
+    WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                      sum(o_totalprice) AS rev
+               FROM orders GROUP BY 1),
+    idx AS (SELECT row_number() OVER (ORDER BY month) AS i, rev FROM m),
+    slopes AS (SELECT (b.rev - a.rev) / (b.i - a.i) AS s
+               FROM idx a JOIN idx b ON a.i < b.i)
+    SELECT CAST((SELECT count(*) FROM idx) AS BIGINT) AS n_months,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(s, 0.5), 4) AS theil_sen_slope,
+           round(avg(s), 4) AS mean_pairwise_slope
+    FROM slopes
+    """,
+)
+def agg_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend of monthly revenue: the MEDIAN of all
+    pairwise slopes — up to ~29% of months can be corrupted (an outage,
+    a backfill spike) without moving the estimate, where OLS follows the
+    outlier (the robust sibling of the regr_slope entries). The pairwise
+    self-join runs on the BOUNDED month-grain frame (k months → k²/2
+    pairs — dozens, not data), never on raw orders; the month index
+    comes from one ordered window."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    idx = m.select(
+        F.row_number().over(Window.orderBy("month")).alias("i"), "rev"
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("rev").alias("ra"))
+    b = idx.select(F.col("i").alias("ib"), F.col("rev").alias("rb"))
+    slopes = a.join(b, F.col("ia") < F.col("ib")).select(
+        ((F.col("rb") - F.col("ra")) / (F.col("ib") - F.col("ia"))).alias(
+            "s"
+        )
+    )
+    n_months = idx.count()
+    return slopes.agg(
+        F.lit(n_months).cast("long").alias("n_months"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(s, 0.5)"), 4).alias("theil_sen_slope"),
+        F.round(F.avg("s"), 4).alias("mean_pairwise_slope"),
+    )
+
+
+@_q(
+    "window_max_drawdown",
+    """
+    WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                      sum(o_totalprice) AS rev
+               FROM orders GROUP BY 1),
+    c AS (SELECT day,
+            sum(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d),
+    r AS (SELECT day, cum,
+            max(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+          FROM c)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(max(peak - cum), 2) AS max_drawdown_abs,
+           round(max((peak - cum) / peak), 8) AS max_drawdown_frac,
+           round(max(cum), 2) AS final_cum
+    FROM r
+    """,
+)
+def window_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of the cumulative daily revenue curve — the
+    worst peak-to-trough fall, THE risk statistic for any cumulative
+    series (P&L, capacity headroom, token-budget burn): two stacked
+    running windows (cumsum, then running max) over the bounded
+    day-grain rollup, then one aggregate for the worst gap. Raw orders
+    are touched exactly once."""
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    r = d.select("day", F.sum("rev").over(w).alias("cum"))
+    r = r.select(
+        "cum",
+        F.max("cum")
+        .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("peak"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.max(F.col("peak") - F.col("cum")), 2).alias(
+            "max_drawdown_abs"
+        ),
+        F.round(
+            F.max((F.col("peak") - F.col("cum")) / F.col("peak")), 8
+        ).alias("max_drawdown_frac"),
+        F.round(F.max("cum"), 2).alias("final_cum"),
+    )
+
+
+@_q(
+    "graph_degree_assortativity",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem WHERE year(l_shipdate) = 1995),
+    ec AS (SELECT a.pk AS u, b.pk AS v FROM li a
+           JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk),
+    e2 AS (SELECT u AS a, v AS b FROM ec UNION ALL SELECT v, u FROM ec),
+    deg AS (SELECT a AS node, CAST(count(*) AS DOUBLE) AS d
+            FROM e2 GROUP BY a)
+    SELECT CAST((SELECT count(*) FROM ec) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           round(corr(da.d, db.d), 6) AS assortativity
+    FROM e2 JOIN deg da ON e2.a = da.node JOIN deg db ON e2.b = db.node
+    """,
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over every directed edge instance — do hubs link to
+    hubs (positive, social-network-like) or to leaves (negative,
+    hub-and-spoke/technological)? The one-number wiring fingerprint that
+    decides whether degree-based partitioning skew valves matter.
+    One degree aggregate + two broadcast-able joins of the edge list
+    against the degree table + one corr() — no iteration."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    ec = (
+        a.join(b, "ok")
+        .where(F.col("a.pk") < F.col("b.pk"))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        .persist()
+    )
+    e2 = ec.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        ec.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = e2.groupBy("x").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    n_edges = ec.count()
+    n_nodes = deg.count()
+    da = deg.select(F.col("x").alias("_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("x").alias("_b"), F.col("d").alias("db"))
+    out = (
+        e2.join(da, e2.x == da._a)
+        .join(db, e2.y == db._b)
+        .agg(
+            F.lit(n_edges).cast("long").alias("n_edges"),
+            F.lit(n_nodes).cast("long").alias("n_nodes"),
+            F.round(F.corr("da", "db"), 6).alias("assortativity"),
+        )
+    )
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        _register_caches,
+    )
+
+    return _register_caches(out, [ec])
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -150,6 +150,12 @@ def test_gate_window_covers_every_family():
         "join_price_band_pairs",
         # wave 71: bitmap-index activity rollup
         "events_bitmap_activity_rollup",
+        # wave 72: Theil-Sen robust trend
+        "agg_theil_sen_trend",
+        # wave 73: maximum drawdown of the cumulative series
+        "window_max_drawdown",
+        # wave 74: degree assortativity
+        "graph_degree_assortativity",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
