@@ -116,6 +116,9 @@ HEADLINE = [
     "text_token_burstiness",
     "embedding_mmr_rerank",
     "text_textrank_keywords",
+    "knn_hard_negatives",
+    "events_retention_triangle",
+    "graph_degree_assortativity",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;
