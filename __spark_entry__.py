@@ -11143,6 +11143,158 @@ def graph_degree_assortativity(spark, sf_dir):
     return _register_caches(out, [ec])
 
 
+@_q(
+    "text_heaps_law_fit",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+    first_doc AS (SELECT term, min(doc_id) AS fd FROM w GROUP BY term),
+    tok_per_doc AS (SELECT doc_id, count(*) AS n_tok FROM w GROUP BY doc_id),
+    new_per_doc AS (SELECT fd AS doc_id, count(*) AS n_new
+                    FROM first_doc GROUP BY fd),
+    curve AS (SELECT t.doc_id,
+                sum(t.n_tok) OVER (ORDER BY t.doc_id
+                  ROWS UNBOUNDED PRECEDING) AS n_cum,
+                sum(coalesce(n.n_new, 0)) OVER (ORDER BY t.doc_id
+                  ROWS UNBOUNDED PRECEDING) AS v_cum
+              FROM tok_per_doc t LEFT JOIN new_per_doc n USING (doc_id)),
+    sampled AS (SELECT * FROM curve WHERE doc_id % 50 = 49)
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(CAST(v_cum AS DOUBLE)),
+                            ln(CAST(n_cum AS DOUBLE))), 6) AS heaps_beta,
+           round(exp(regr_intercept(ln(CAST(v_cum AS DOUBLE)),
+                                    ln(CAST(n_cum AS DOUBLE)))), 4)
+             AS heaps_k,
+           CAST(max(v_cum) AS BIGINT) AS final_vocab,
+           CAST(max(n_cum) AS BIGINT) AS final_tokens
+    FROM sampled
+    """,
+)
+def text_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law vocabulary growth fit, V(n) = K·n^β — the
+    companion curve to the Zipf entry: natural corpora grow vocabulary
+    as a power law (β ≈ 0.4-0.6); a FLATTENING curve is the classic
+    tell that a crawl has started re-ingesting duplicates or a
+    generator is looping. The cumulative-distinct count that makes this
+    expensive naively is rewritten via FIRST OCCURRENCE: a term
+    contributes to the vocabulary exactly at its min doc_id, so the
+    curve is one min-aggregate plus two running sums over the bounded
+    per-doc frame — no distinct-over-growing-prefix scan. Sampled every
+    50 docs, fitted with regr_* in log-log space."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    w = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    first_doc = w.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    tok_per_doc = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    new_per_doc = first_doc.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    ww = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        tok_per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(ww).alias("n_cum"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(ww).alias("v_cum"),
+        )
+        .filter(F.col("doc_id") % 50 == 49)
+    )
+    lv = "ln(CAST(v_cum AS DOUBLE))"
+    ln = "ln(CAST(n_cum AS DOUBLE))"
+    return curve.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.expr(f"regr_slope({lv}, {ln})"), 6).alias("heaps_beta"),
+        F.round(F.exp(F.expr(f"regr_intercept({lv}, {ln})")), 4).alias(
+            "heaps_k"
+        ),
+        F.max("v_cum").cast("long").alias("final_vocab"),
+        F.max("n_cum").cast("long").alias("final_tokens"),
+    )
+
+
+@_q(
+    "agg_runs_test_randomness",
+    """
+    WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                      sum(o_totalprice) AS rev
+               FROM orders GROUP BY 1),
+    med AS (SELECT quantile_cont(rev, 0.5) AS m FROM d),
+    signed AS (SELECT day, CAST(rev > m AS INT) AS s
+               FROM d, med WHERE rev <> m),
+    runs AS (SELECT s,
+               CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                    OR s <> lag(s) OVER (ORDER BY day)
+                    THEN 1 ELSE 0 END AS new_run
+             FROM signed),
+    agg AS (SELECT CAST(sum(new_run) AS DOUBLE) AS r,
+                   CAST(count(*) FILTER (WHERE s = 1) AS DOUBLE) AS n1,
+                   CAST(count(*) FILTER (WHERE s = 0) AS DOUBLE) AS n2
+            FROM runs)
+    SELECT CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           round((r - (2 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 4)
+             AS z,
+           abs((r - (2 * n1 * n2 / (n1 + n2) + 1))
+               / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))) > 1.96
+             AS nonrandom
+    FROM agg
+    """,
+)
+def agg_runs_test_randomness(spark, sf_dir):
+    """Wald-Wolfowitz runs test on daily revenue vs its median: too FEW
+    runs of above/below-median days means trending or regime-switching,
+    too MANY means oscillation — the is-this-series-actually-random
+    check that belongs before any i.i.d.-assuming test in the registry's
+    stats family (Welch, KS, Mann-Whitney all assume it). One ordered
+    lag window over the bounded day-grain series; z uses the exact
+    run-count moments."""
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    med = d.agg(F.expr("percentile(rev, 0.5)").alias("m"))
+    signed = (
+        d.join(F.broadcast(med))
+        .filter(F.col("rev") != F.col("m"))
+        .select("day", (F.col("rev") > F.col("m")).cast("int").alias("s"))
+    )
+    wlag = Window.orderBy("day")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(wlag).isNull()
+            | (F.col("s") != F.lag("s").over(wlag)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("double").alias("r"),
+        F.count(F.when(F.col("s") == 1, 1)).cast("double").alias("n1"),
+        F.count(F.when(F.col("s") == 0, 1)).cast("double").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    z = (r - mu) / F.sqrt(var)
+    return agg.select(
+        r.cast("long").alias("n_runs"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("nonrandom"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -156,6 +156,10 @@ def test_gate_window_covers_every_family():
         "window_max_drawdown",
         # wave 74: degree assortativity
         "graph_degree_assortativity",
+        # wave 75: Heaps'-law vocabulary growth fit
+        "text_heaps_law_fit",
+        # wave 76: Wald-Wolfowitz runs test
+        "agg_runs_test_randomness",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
