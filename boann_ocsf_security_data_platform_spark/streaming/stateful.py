@@ -16,6 +16,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -218,5 +219,76 @@ def streaming_zscore_alerts(
         outputStructType=ALERTS_SCHEMA,
         stateStructType=_WELFORD_STATE,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HEAVY_HITTER_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("item", LongType()),
+        StructField("est_count", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_HH_STATE_SCHEMA = "items ARRAY<BIGINT>, counts ARRAY<BIGINT>, n_seen BIGINT"
+
+
+def streaming_heavy_hitters(stream_df, k: int = 8):
+    """Per-key Misra-Gries heavy-hitter sketch maintained across
+    micro-batches (Misra & Gries 1982): at most ``k`` counters per group
+    key; every item with true frequency > n/(k+1) is GUARANTEED present,
+    and every estimate undercounts by at most n/(k+1) — the streaming
+    top-talkers primitive (noisy users, hot partitions, abusive IPs)
+    whose state is O(k) per key FOREVER, unlike a true count which grows
+    with the item universe.
+
+    Input stream needs ``event_type`` (the group key) and ``user_id``
+    (the item). Emits the sketch's current candidates each batch; state
+    rides the checkpointed state store like the other stateful
+    operators. The sketch is deterministic for a given arrival order, so
+    an availableNow drain over sorted files replays identically — pinned
+    with the error-bound parity test against exact batch counts."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, n_seen = state.get
+            sketch = dict(zip(items, counts))
+        else:
+            sketch, n_seen = {}, 0
+        for pdf in pdfs:
+            for item in pdf["user_id"]:
+                item = int(item)
+                n_seen += 1
+                if item in sketch:
+                    sketch[item] += 1
+                elif len(sketch) < k:
+                    sketch[item] = 1
+                else:
+                    # decrement-all step: the O(k) amortized compaction
+                    sketch = {
+                        i: c - 1 for i, c in sketch.items() if c > 1
+                    }
+        items = sorted(sketch)
+        state.update(
+            (items, [sketch[i] for i in items], n_seen)
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(items),
+                "item": items,
+                "est_count": [sketch[i] for i in items],
+                "n_seen": [n_seen] * len(items),
+            }
+        )
+
+    return stream_df.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=HEAVY_HITTER_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -946,3 +946,65 @@ def test_streaming_decontamination_replay_idempotent(spark, tmp_path):
     run()
     rows = read_clean_docs(spark, str(tmp_path / "dcr_clean")).collect()
     assert [r.doc_id for r in rows] == [2]  # no duplication on replay
+
+
+def test_streaming_heavy_hitters_error_bound(spark, tmp_path):
+    """The cross-batch Misra-Gries sketch must satisfy the MG guarantees
+    against exact counts over the whole stream: every item with true
+    frequency > n/(k+1) is present, and every estimate lies in
+    [true − n/(k+1), true]."""
+    from collections import Counter
+
+    from boann_ocsf_security_data_platform_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    k = 4
+    # skewed stream: user 1 dominates, user 2 second, rest is noise
+    items = ([1] * 30 + [2] * 15 + [3, 4, 5, 6, 7, 8, 9] * 3)
+    batches = [items[0:24], items[24:48], items[48:]]
+    src = tmp_path / "hh_in"
+    src.mkdir()
+    import json as _json
+
+    eid = 0
+    for i, chunk in enumerate(batches):
+        lines = []
+        for u in chunk:
+            lines.append(
+                _json.dumps(
+                    {"event_id": eid, "event_type": "click", "user_id": u}
+                )
+            )
+            eid += 1
+        (src / f"b{i}.json").write_text("\n".join(lines))
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, user_id long"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    out_dir = tmp_path / "hh_out"
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("_b", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(str(out_dir))
+
+    q = (
+        streaming_heavy_hitters(stream, k=k)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out_dir)).collect()
+    last_b = max(r["_b"] for r in rows)
+    final = {r.item: r.est_count for r in rows if r["_b"] == last_b}
+    n = len(items)
+    true = Counter(items)
+    bound = n / (k + 1)
+    for item, c in true.items():
+        if c > bound:
+            assert item in final, f"true heavy hitter {item} missing"
+    for item, est in final.items():
+        assert true[item] - bound <= est <= true[item]
