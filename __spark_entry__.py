@@ -11185,8 +11185,19 @@ def text_heaps_law_fit(spark, sf_dir):
     w = _t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    first_doc = w.groupBy("term").agg(F.min("doc_id").alias("fd"))
-    tok_per_doc = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # ONE token-explode pass: the reduced (doc, term, count) frame feeds
+    # both the first-occurrence aggregate and the per-doc token totals
+    # (the BM25 lesson — re-deriving the explode per aggregate is the
+    # 100 TB cost)
+    per_doc_term = (
+        w.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    first_doc = per_doc_term.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    tok_per_doc = per_doc_term.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok")
+    )
     new_per_doc = first_doc.groupBy(F.col("fd").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_new")
     )
@@ -11202,7 +11213,7 @@ def text_heaps_law_fit(spark, sf_dir):
     )
     lv = "ln(CAST(v_cum AS DOUBLE))"
     ln = "ln(CAST(n_cum AS DOUBLE))"
-    return curve.agg(
+    out = curve.agg(
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.expr(f"regr_slope({lv}, {ln})"), 6).alias("heaps_beta"),
         F.round(F.exp(F.expr(f"regr_intercept({lv}, {ln})")), 4).alias(
@@ -11211,6 +11222,11 @@ def text_heaps_law_fit(spark, sf_dir):
         F.max("v_cum").cast("long").alias("final_vocab"),
         F.max("n_cum").cast("long").alias("final_tokens"),
     )
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        _register_caches,
+    )
+
+    return _register_caches(out, [per_doc_term])
 
 
 @_q(

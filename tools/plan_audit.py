@@ -531,6 +531,35 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         and not re.findall(r"\(\d+\) Generate", pew),
         "the FIR rewrite must stay row-local",
     )
+
+    # round-6 waves 70-75
+    pband = plan_of(qs["join_price_band_pairs"](spark, sf_dir))
+    check(
+        "band join is an equi hash join (no cartesian/BNLJ)",
+        "CartesianProduct" not in pband
+        and "BroadcastNestedLoopJoin" not in pband,
+        "the bucket trick must turn |a-b|<=eps into an equi-join",
+    )
+    pbm2 = plan_of(qs["events_bitmap_activity_rollup"](spark, sf_dir))
+    check(
+        "bitmap rollup is one scan, zero joins",
+        pbm2.count("Location:") == 1 and "Join" not in pbm2,
+        "two bit-aggregate passes over one events scan",
+    )
+    hdf = qs["text_heaps_law_fit"](spark, sf_dir)
+    hdf.count()  # materialize the registered per-doc-term cache
+    ph = plan_of(hdf)
+    check(
+        "heaps fit explodes the corpus once (cached doc-term reuse)",
+        ph.count("Location:") <= 1
+        and ("InMemoryTableScan" in ph or "InMemoryRelation" in ph),
+        "first-occurrence rewrite + one reduced frame feeds both sides",
+    )
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        release_all_caches as _rel,
+    )
+
+    _rel()
     return results
 
 
