@@ -11311,6 +11311,223 @@ def agg_runs_test_randomness(spark, sf_dir):
     )
 
 
+@_q(
+    "orders_littles_law_check",
+    """
+    WITH o AS (SELECT o_orderkey, CAST(date_trunc('day', o_orderdate) AS DATE)
+                        AS d0
+               FROM orders),
+    done AS (SELECT l_orderkey, CAST(date_trunc('day', max(l_shipdate)) AS DATE)
+                      AS d1
+             FROM lineitem GROUP BY l_orderkey),
+    iv AS (SELECT o.d0, done.d1 FROM o JOIN done ON o.o_orderkey = done.l_orderkey
+           WHERE done.d1 > o.d0),
+    bounds AS (SELECT min(d0) AS lo, max(d1) AS hi FROM iv),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM bounds),
+    deltas AS (SELECT d AS day, sum(delta) AS delta FROM (
+                 SELECT d0 AS d, 1 AS delta FROM iv
+                 UNION ALL SELECT d1, -1 FROM iv) t GROUP BY d),
+    inflight AS (SELECT spine.day,
+                   sum(coalesce(delta, 0)) OVER (ORDER BY spine.day
+                     ROWS UNBOUNDED PRECEDING) AS l
+                 FROM spine LEFT JOIN deltas
+                   ON CAST(spine.day AS DATE) = deltas.day),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_days, avg(l) AS big_l
+              FROM inflight),
+    arr AS (SELECT CAST(count(*) AS DOUBLE) AS n_orders,
+                   avg(date_diff('day', d0, d1)) AS w FROM iv)
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_days AS BIGINT) AS n_days,
+           round(big_l, 4) AS avg_in_flight,
+           round(n_orders / n_days, 6) AS lambda_per_day,
+           round(w, 4) AS avg_days_in_flight,
+           round(big_l / ((n_orders / n_days) * w), 6) AS littles_ratio
+    FROM stats, arr
+    """,
+)
+def orders_littles_law_check(spark, sf_dir):
+    """Little's Law validation, L = λ·W: average work-in-progress must
+    equal arrival rate × average time-in-system — the queueing identity
+    every capacity model leans on, here CHECKED from two independent
+    measurements (L by day-grain interval counting over a generated day
+    spine with a +1/−1 running sum; λ and W directly from the order
+    intervals) instead of assumed; ratio ≈ 1 up to edge effects. The
+    spine is the bounded calendar range, the running sum is one ordered
+    window on it, and the interval endpoints come from one
+    lineitem-grain aggregate — raw tables are scanned once each."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d0"),
+    )
+    done = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.date_trunc("day", F.max("l_shipdate")).cast("date").alias("d1")
+        )
+    )
+    iv = o.join(done, o.o_orderkey == done.l_orderkey).filter(
+        F.col("d1") > F.col("d0")
+    ).select("d0", "d1")
+    bounds = iv.agg(F.min("d0").alias("lo"), F.max("d1").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    deltas = (
+        iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta"))
+        .unionAll(iv.select(F.col("d1").alias("day"), F.lit(-1).alias("delta")))
+        .groupBy("day")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    inflight = spine.join(deltas, "day", "left").select(
+        "day",
+        F.sum(F.coalesce("delta", F.lit(0))).over(wrun).alias("l"),
+    )
+    stats = inflight.agg(
+        F.count(F.lit(1)).cast("double").alias("n_days"),
+        F.avg("l").alias("big_l"),
+    )
+    arr = iv.agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.avg(F.datediff("d1", "d0")).alias("w"),
+    )
+    lam = F.col("n_orders") / F.col("n_days")
+    return stats.crossJoin(arr).select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round("big_l", 4).alias("avg_in_flight"),
+        F.round(lam, 6).alias("lambda_per_day"),
+        F.round("w", 4).alias("avg_days_in_flight"),
+        F.round(F.col("big_l") / (lam * F.col("w")), 6).alias(
+            "littles_ratio"
+        ),
+    )
+
+
+@_q(
+    "agg_bh_fdr_correction",
+    f"""
+    WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+               FROM events),
+    bounds AS (SELECT min(day) AS b0, max(day) AS b1 FROM d),
+    half AS (SELECT b0, CAST(floor(date_diff('day', b0, b1) / 2.0) AS BIGINT)
+                      AS mid,
+                    date_diff('day', b0, b1) + 1 AS total
+             FROM bounds),
+    agg AS (SELECT event_type,
+              CAST(count(*) FILTER (WHERE date_diff('day', b0, day) < mid)
+                AS DOUBLE) AS n1,
+              CAST(count(*) FILTER (WHERE date_diff('day', b0, day) >= mid)
+                AS DOUBLE) AS n2,
+              CAST(any_value(mid) AS DOUBLE) AS t1,
+              CAST(any_value(total) - any_value(mid) AS DOUBLE) AS t2
+            FROM d, half GROUP BY event_type),
+    zs AS (SELECT event_type,
+             (n1 / t1 - n2 / t2)
+               / sqrt(n1 / (t1 * t1) + n2 / (t2 * t2)) AS z
+           FROM agg),
+    ps AS (SELECT event_type, z, abs(z) AS az,
+                  1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))
+                    AS tt
+           FROM zs),
+    pv AS (SELECT event_type, round(z, 4) AS z,
+                  round(2 * (1 - (0.5 * (1 + (1 - (0.254829592 * tt - 0.284496736 * tt * tt + 1.421413741 * tt * tt * tt - 1.453152027 * tt * tt * tt * tt + 1.061405429 * tt * tt * tt * tt * tt) * exp(-(az / 1.4142135623730951) * (az / 1.4142135623730951)))))), 8) AS p
+           FROM ps),
+    ranked AS (SELECT event_type, z, p,
+                 row_number() OVER (ORDER BY p, event_type) AS rk,
+                 count(*) OVER () AS m
+               FROM pv),
+    crit AS (SELECT *, round(0.10 * rk / m, 8) AS bh_crit FROM ranked),
+    kmax AS (SELECT coalesce(max(rk), 0) AS k FROM crit WHERE p <= bh_crit)
+    SELECT event_type, z, p, CAST(rk AS BIGINT) AS rank, bh_crit,
+           rk <= k AS rejected
+    FROM crit, kmax
+    """,
+)
+def agg_bh_fdr_correction(spark, sf_dir):
+    """Benjamini-Hochberg FDR correction over the per-event-type
+    rate-ratio z-tests: p-values rank ascending and the step-up rule
+    rejects every hypothesis up to the largest k with p_(k) ≤ α·k/m
+    (α = 0.10) — the multiple-testing discipline the registry's test
+    family needs once you run one test PER GROUP (at 5% per test, 20
+    event types expect one false alarm every run; BH caps the expected
+    FALSE DISCOVERY share instead). Neither engine ships erf, so Φ uses
+    the Abramowitz-Stegun 7.1.26 polynomial verbatim on both sides
+    (pure arithmetic — bit-comparable after rounding). One conditional
+    aggregate for the tests, two ordered windows on the bounded
+    per-type frame for the step-up."""
+    d = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    )
+    bounds = d.agg(F.min("day").alias("b0"), F.max("day").alias("b1")).select(
+        "b0",
+        F.floor(F.datediff("b1", "b0") / 2.0).cast("long").alias("mid"),
+        (F.datediff("b1", "b0") + 1).alias("total"),
+    )
+    agg = (
+        d.join(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.count(
+                F.when(F.datediff("day", "b0") < F.col("mid"), 1)
+            ).cast("double").alias("n1"),
+            F.count(
+                F.when(F.datediff("day", "b0") >= F.col("mid"), 1)
+            ).cast("double").alias("n2"),
+            F.any_value("mid").cast("double").alias("t1"),
+            (F.any_value("total") - F.any_value("mid"))
+            .cast("double")
+            .alias("t2"),
+        )
+    )
+    z = (
+        F.col("n1") / F.col("t1") - F.col("n2") / F.col("t2")
+    ) / F.sqrt(
+        F.col("n1") / (F.col("t1") * F.col("t1"))
+        + F.col("n2") / (F.col("t2") * F.col("t2"))
+    )
+    zs = agg.select("event_type", z.alias("z"))
+    az = F.abs(F.col("z"))
+    x = az / F.lit(2.0 ** 0.5)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    erf = 1.0 - (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    ) * F.exp(-x * x)
+    p = F.round(2 * (1 - (0.5 * (1 + erf))), 8)
+    pv = zs.select("event_type", F.round("z", 4).alias("z"), p.alias("p"))
+    wr = Window.orderBy("p", "event_type")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pv.select(
+        "event_type",
+        "z",
+        "p",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    ).withColumn(
+        "bh_crit", F.round(0.10 * F.col("rk") / F.col("m"), 8)
+    )
+    kmax = ranked.filter(F.col("p") <= F.col("bh_crit")).agg(
+        F.coalesce(F.max("rk"), F.lit(0)).alias("k")
+    )
+    return ranked.join(F.broadcast(kmax)).select(
+        "event_type",
+        "z",
+        "p",
+        F.col("rk").cast("long").alias("rank"),
+        "bh_crit",
+        (F.col("rk") <= F.col("k")).alias("rejected"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -160,6 +160,10 @@ def test_gate_window_covers_every_family():
         "text_heaps_law_fit",
         # wave 76: Wald-Wolfowitz runs test
         "agg_runs_test_randomness",
+        # wave 77: Little's law L = lambda*W validation
+        "orders_littles_law_check",
+        # wave 78: Benjamini-Hochberg FDR step-up
+        "agg_bh_fdr_correction",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
