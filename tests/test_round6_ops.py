@@ -333,3 +333,32 @@ def test_retention_triangle_k0_is_full_cohort(spark, sf_smoke):
     k0 = [r for r in rows if r.k == 0]
     assert k0 and all(r.retention_pct == 100.0 for r in k0)
     assert all(r.n_active <= r.n_cohort for r in rows)
+
+
+def test_bh_rejection_set_is_downward_closed(spark, sf_smoke):
+    """BH's step-up property: the rejected set is exactly ranks 1..k —
+    no rejected hypothesis may rank above an accepted one, and every
+    rejected p is <= its BH critical value at rank k."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["agg_bh_fdr_correction"](
+        spark, sf_smoke
+    ).collect()
+    assert rows
+    rejected = sorted(r.rank for r in rows if r.rejected)
+    assert rejected == list(range(1, len(rejected) + 1))
+    ps = {r.rank: r.p for r in rows}
+    assert ps == dict(sorted(ps.items()))  # ranks follow p order
+
+
+def test_littles_law_ratio_near_one(spark, sf_smoke):
+    """The independently-measured L must agree with lambda*W within edge
+    effects (partial first/last days) — ratio in [0.8, 1.2] on the
+    fixture data."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["orders_littles_law_check"](
+        spark, sf_smoke
+    ).collect()[0]
+    assert 0.8 <= row.littles_ratio <= 1.2
+    assert row.avg_in_flight > 0 and row.lambda_per_day > 0
