@@ -11619,16 +11619,18 @@ _GATE_ORDER = [
 # round-7 window.
 #
 # ROUND-7 ROTATION PLAN (for the next session): fill the window with the
-# round-6 `next_window_pending` entries (authoritative list in
-# tests/test_oracle.py — oracle-verify each at sf0.001+sf0.01 AND --hostile
-# before pinning), then fill the remaining slots with re-verifications of
-# the oldest prior-green entries, continuing the round-robin where round 6
-# stopped: the 13 remaining last-green-r2 entries (events_tumbling_window,
+# 38 round-6 `next_window_pending` entries (authoritative list in
+# tests/test_oracle.py — all already oracle-verified at sf0.001+sf0.01 AND
+# --hostile at landing time this round; re-verify before pinning), then
+# fill the remaining 12 slots with re-verifications of the oldest
+# prior-green entries, continuing the round-robin where round 6 stopped:
+# the 13 remaining last-green-r2 entries (events_tumbling_window,
 # events_sessionize, events_json_extract, dedup_exact, dedup_minhash_lsh,
 # dedup_simhash, dedup_ngram_jaccard, knn_bruteforce_cosine,
 # variant_json_path, text_quality_metrics, dedup_clusters,
-# dedup_filtered_corpus, text_quality_filtered) first, then the oldest
-# last-green-r3 entries in CORRECTNESS_r03 order.
+# dedup_filtered_corpus, text_quality_filtered) first (the one that does
+# not fit rolls to round 8), then the oldest last-green-r3 entries in
+# CORRECTNESS_r03 order.
 
 
 def _gate_ordered(d: dict) -> dict:
