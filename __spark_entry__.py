@@ -11528,6 +11528,135 @@ def agg_bh_fdr_correction(spark, sf_dir):
     )
 
 
+@_q(
+    "orders_skyline_pareto_front",
+    """
+    WITH pts AS (SELECT o.o_orderkey AS k, o.o_totalprice AS price,
+                        date_diff('day',
+                          CAST(date_trunc('day', o.o_orderdate) AS DATE),
+                          CAST(date_trunc('day', max(l.l_shipdate)) AS DATE))
+                          AS days
+                 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                 GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderdate),
+    ranked AS (SELECT k, price, days,
+                 min(days) OVER (ORDER BY price, days, k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_prev
+               FROM pts WHERE days > 0)
+    SELECT k AS o_orderkey, round(price, 2) AS price,
+           CAST(days AS BIGINT) AS days_to_ship
+    FROM ranked WHERE best_prev IS NULL OR days < best_prev
+    """,
+)
+def orders_skyline_pareto_front(spark, sf_dir):
+    """Skyline / Pareto-front query: the orders no other order beats on
+    BOTH price and days-to-ship — the multi-criteria shortlist operator
+    (cheapest-AND-fastest offers, best cost-latency configs) that plain
+    ORDER BY cannot express. The naive dominance test is an O(n²)
+    anti-self-join; sorted by (price, days, key) it collapses to ONE
+    running-min window: a point survives iff its days beat the best days
+    of every strictly-preceding (≤-price) point — the classic
+    sort-filter skyline (Börzsönyi et al. 2001), output size ~O(log n)
+    on independent dims. At 100 TB: pre-prune with a coarse grid (a
+    point dominated within its cell is dominated globally), then run the
+    window on survivors; semantics unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    pts = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.date_trunc("day", F.max("l_shipdate")).cast("date"),
+                F.date_trunc("day", F.col("o_orderdate")).cast("date"),
+            ).alias("days")
+        )
+        .filter(F.col("days") > 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+            "days",
+        )
+    )
+    w = Window.orderBy("price", "days", "k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = pts.withColumn("best_prev", F.min("days").over(w))
+    return ranked.filter(
+        F.col("best_prev").isNull() | (F.col("days") < F.col("best_prev"))
+    ).select(
+        F.col("k").alias("o_orderkey"),
+        F.round("price", 2).alias("price"),
+        F.col("days").cast("long").alias("days_to_ship"),
+    )
+
+
+@_q(
+    "text_char_entropy_profile",
+    """
+    WITH ch AS (SELECT doc_id, source,
+                  substr(text, CAST(unnest(range(1, strlen(text) + 1))
+                               AS INT), 1) AS c
+                FROM documents WHERE strlen(text) > 0),
+    cnt AS (SELECT doc_id, source, c, count(*) AS n FROM ch GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1),
+    ent AS (SELECT cnt.source, cnt.doc_id,
+              -sum((n / t) * ln(n / t)) AS h
+            FROM cnt JOIN tot USING (doc_id) GROUP BY 1, 2)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(h), 6) AS avg_entropy,
+           round(min(h), 6) AS min_entropy,
+           round(max(h), 6) AS max_entropy
+    FROM ent GROUP BY source
+    """,
+)
+def text_char_entropy_profile(spark, sf_dir):
+    """Character-level Shannon entropy per document, profiled per source
+    — the compression-free repetitiveness signal: natural text sits in a
+    narrow entropy band, while looping generators, base64 blobs, and
+    padding junk fall outside it (low = repetitive, high = random-ish),
+    making this the cheapest anomalous-source detector in the quality
+    family. Characters come from a POSITION explode (substr at an
+    unnested index — identical semantics on both engines, avoiding
+    split-on-empty-regex edge cases); per-doc entropy is two
+    map-combinable aggregates; the source profile rolls up the bounded
+    per-doc frame."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ch = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("substr(text, CAST(pos AS INT), 1)").alias("c"),
+        )
+    )
+    cnt = ch.groupBy("doc_id", "source", "c").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("n").cast("double").alias("t"))
+    ent = (
+        cnt.join(tot, "doc_id")
+        .groupBy("source", "doc_id")
+        .agg(
+            (-F.sum((F.col("n") / F.col("t")) * F.log(F.col("n") / F.col("t"))))
+            .alias("h")
+        )
+    )
+    return ent.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("h"), 6).alias("avg_entropy"),
+        F.round(F.min("h"), 6).alias("min_entropy"),
+        F.round(F.max("h"), 6).alias("max_entropy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

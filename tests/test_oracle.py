@@ -164,6 +164,10 @@ def test_gate_window_covers_every_family():
         "orders_littles_law_check",
         # wave 78: Benjamini-Hochberg FDR step-up
         "agg_bh_fdr_correction",
+        # wave 79: skyline / Pareto-front query
+        "orders_skyline_pareto_front",
+        # wave 80: character-entropy quality profile
+        "text_char_entropy_profile",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
