@@ -11748,10 +11748,10 @@ _GATE_ORDER = [
 # round-7 window.
 #
 # ROUND-7 ROTATION PLAN (for the next session): fill the window with the
-# 38 round-6 `next_window_pending` entries (authoritative list in
+# 40 round-6 `next_window_pending` entries (authoritative list in
 # tests/test_oracle.py — all already oracle-verified at sf0.001+sf0.01 AND
 # --hostile at landing time this round; re-verify before pinning), then
-# fill the remaining 12 slots with re-verifications of the oldest
+# fill the remaining 10 slots with re-verifications of the oldest
 # prior-green entries, continuing the round-robin where round 6 stopped:
 # the 13 remaining last-green-r2 entries (events_tumbling_window,
 # events_sessionize, events_json_extract, dedup_exact, dedup_minhash_lsh,
