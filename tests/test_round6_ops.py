@@ -1,5 +1,6 @@
-"""Round-6 fixes: the ADVICE items from the round-5 review.
+"""Round-6 regression + invariant tests.
 
+Part 1 — the ADVICE items from the round-5 review:
 1. text_span_corruption_stats on a zero-token document — Spark's
    sequence(1, 0) evaluates to the DESCENDING array [1, 0] (not []), so an
    unguarded mask got 2 phantom positions and diverged from the oracle's
@@ -11,6 +12,12 @@
 3. asof_join direction='nearest' with numeric / date time columns —
    backward/forward accept any orderable type, nearest used to require
    timestamps (timestampdiff) and failed at analysis time.
+
+Part 2 — invariants for the round-6 operator waves that a value-hash
+oracle can't express: PNG CRC rejection, HITS L1 normalization, EWMA
+short-history exactness, BM25 cache release, MMR diversity vs plain
+top-k, hard-negative cap, retention-triangle bounds, BH downward-closed
+rejections, Little's-law ratio.
 """
 
 import json
