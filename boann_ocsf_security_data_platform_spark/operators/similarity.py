@@ -863,10 +863,18 @@ def pca_top_component(
     mu = [float(mu_row[f"m{j}"]) for j in range(dim)]
     v = [round(1.0 / dim ** 0.5, decimals)] * dim
 
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+
     def s_expr():
-        return sum(
-            (F.col("x")[j] - F.lit(mu[j])) * F.lit(v[j]) for j in range(dim)
+        # array-fold form, not a 64-term Python sum: zip_with keeps the
+        # expression tree 3 nodes deep instead of O(dim), cutting Catalyst
+        # compile time per iteration; the fold runs left-to-right in index
+        # order, bit-identical to the summed-terms form it replaces
+        centered = F.zip_with(F.col("x"), mu_arr, lambda a, b: a - b)
+        weighted = F.zip_with(
+            centered, F.array(*[F.lit(c) for c in v]), lambda a, b: a * b
         )
+        return F.aggregate(weighted, F.lit(0.0), lambda acc, y: acc + y)
 
     for _ in range(iters - 1):
         scored = X.withColumn("s", s_expr())

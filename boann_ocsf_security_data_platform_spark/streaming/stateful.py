@@ -292,3 +292,72 @@ def streaming_heavy_hitters(stream_df, k: int = 8):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BOTTOMK_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("item", LongType()),
+        StructField("h", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_BK_STATE_SCHEMA = "items ARRAY<BIGINT>, hashes ARRAY<BIGINT>, n_seen BIGINT"
+
+
+def streaming_bottom_k_sample(stream_df, k: int = 8):
+    """Cross-batch bottom-k sample per key: keep the ``k`` DISTINCT items
+    with the smallest portable 60-bit hash — a deterministic uniform
+    sample of the distinct-item set that is ALSO a distinct-count sketch
+    (the classic bottom-k/KMV estimator: n̂ ≈ (k−1)·2^60/h_(k)) and is
+    ORDER-INDEPENDENT: unlike reservoir sampling there is no RNG and no
+    arrival-order dependence, so the streamed result over any batch split
+    EXACTLY equals the batch computation — pinned by the equality test.
+    State is the k (item, hash) pairs per key, O(k) forever.
+
+    Input stream needs ``event_type`` and ``user_id``. Hash is the same
+    md5-based hash64 the dedup/LSH family uses, so the sample is
+    reproducible across engines and reshardings."""
+    import hashlib
+
+    def h64(item: int) -> int:
+        return int(
+            hashlib.md5(f"bk:{item}".encode()).hexdigest()[:15], 16
+        )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, hashes, n_seen = state.get
+            best = dict(zip(items, hashes))
+        else:
+            best, n_seen = {}, 0
+        for pdf in pdfs:
+            for item in pdf["user_id"]:
+                item = int(item)
+                n_seen += 1
+                if item not in best:
+                    best[item] = h64(item)
+                    if len(best) > k:
+                        worst = max(best, key=lambda i: best[i])
+                        del best[worst]
+        items = sorted(best)
+        state.update((items, [best[i] for i in items], n_seen))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(items),
+                "item": items,
+                "h": [best[i] for i in items],
+                "n_seen": [n_seen] * len(items),
+            }
+        )
+
+    return stream_df.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=BOTTOMK_SCHEMA,
+        stateStructType=_BK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

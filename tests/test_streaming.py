@@ -1008,3 +1008,65 @@ def test_streaming_heavy_hitters_error_bound(spark, tmp_path):
             assert item in final, f"true heavy hitter {item} missing"
     for item, est in final.items():
         assert true[item] - bound <= est <= true[item]
+
+
+def test_streaming_bottom_k_equals_batch(spark, tmp_path):
+    """Bottom-k is order-independent: the streamed sample over any batch
+    split must EXACTLY equal the batch computation (k smallest hashes of
+    the distinct items) — no error bound, bit equality."""
+    import hashlib
+    import json as _json
+
+    from boann_ocsf_security_data_platform_spark.streaming.stateful import (
+        streaming_bottom_k_sample,
+    )
+
+    k = 5
+    items = [7, 3, 9, 3, 12, 45, 7, 88, 2, 15, 23, 9, 51, 60, 2, 71]
+    batches = [items[0:6], items[6:11], items[11:]]
+    src = tmp_path / "bk_in"
+    src.mkdir()
+    eid = 0
+    for i, chunk in enumerate(batches):
+        lines = []
+        for u in chunk:
+            lines.append(
+                _json.dumps(
+                    {"event_id": eid, "event_type": "click", "user_id": u}
+                )
+            )
+            eid += 1
+        (src / f"b{i}.json").write_text("\n".join(lines))
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, user_id long"
+    ).option("maxFilesPerTrigger", 1).json(str(src))
+    out_dir = tmp_path / "bk_out"
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("_b", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(str(out_dir))
+
+    q = (
+        streaming_bottom_k_sample(stream, k=k)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "bk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out_dir)).collect()
+    last_b = max(r["_b"] for r in rows)
+    streamed = sorted(
+        (r.item, r.h) for r in rows if r["_b"] == last_b
+    )
+
+    def h64(item):
+        return int(hashlib.md5(f"bk:{item}".encode()).hexdigest()[:15], 16)
+
+    expected = sorted(
+        sorted(((i, h64(i)) for i in set(items)), key=lambda t: t[1])[:k]
+    )
+    assert streamed == expected
+    assert all(r.n_seen == len(items) for r in rows if r["_b"] == last_b)
