@@ -504,3 +504,34 @@ def test_ewma_fir_matches_python_reference(spark, vals):
         sum(w * v for w, v in zip(ws, tail)) / sum(ws), 6
     )
     assert abs(got[0].ewma - expected) < 1e-9
+
+
+@SET
+@given(blob=st.binary(min_size=0, max_size=200))
+def test_byte_parsers_never_raise_on_garbage(blob):
+    """Every container parser (image sniff, PNG CRC walk, audio chunk
+    walk, MP4 box walk) must treat arbitrary bytes as data, not errors:
+    None/Nones out, never an exception — at 100 TB a poison payload that
+    kills an executor task kills the job. Includes blobs that START like
+    a valid container then truncate."""
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        _parse_png,
+        _sniff_audio,
+        _sniff_header,
+        _sniff_mp4,
+    )
+
+    prefixes = [
+        b"",
+        b"\x89PNG\r\n\x1a\n",
+        b"RIFF\x10\x00\x00\x00WAVE",
+        b"\x00\x00\x00\x10ftypisom",
+        b"\xff\xd8\xff",
+        b"GIF89a",
+    ]
+    for p in prefixes:
+        data = p + blob
+        _sniff_header(data)
+        _parse_png(data)
+        _sniff_audio(data)
+        _sniff_mp4(data)
