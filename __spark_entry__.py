@@ -73,10 +73,22 @@ def _artifact_scope() -> str:
     round 5 — r5 VERDICT "What's wrong" #2). Parallel safety is preserved:
     pytest shards carry ``PYTEST_SHARD=i/n``, and the oracle sweep
     partitions query names disjointly across its shard processes, so no
-    two concurrent processes share a scope for the same entry."""
+    two concurrent processes share a scope for the same entry.
+
+    SINGLE-WRITER ASSUMPTION (r6 ADVICE #2): when neither env var is set
+    the scope is the shared literal ``main`` — two concurrent unscoped
+    processes (e.g. a manual query run alongside bench.py) that hit the
+    SAME artifact-writing entry would rmtree/overwrite each other's
+    bucketed tables / IVF index / tar shards mid-read. Anything that
+    runs artifact entries concurrently must either rely on the sweep's
+    disjoint name-partitioning or set ``SPARK_GRAFT_ARTIFACT_SCOPE`` to a
+    unique tag per process (and clean up its scoped copies afterwards)."""
     import os
 
-    return os.environ.get("PYTEST_SHARD", "main").replace("/", "_")
+    scope = os.environ.get("SPARK_GRAFT_ARTIFACT_SCOPE") or os.environ.get(
+        "PYTEST_SHARD", "main"
+    )
+    return scope.replace("/", "_")
 
 
 def _fresh_managed_table(spark: SparkSession, name: str) -> None:
@@ -9094,11 +9106,12 @@ def graph_hits_hubs_authorities(spark, sf_dir):
                    CAST(any_value(total) - any_value(mid) AS DOUBLE) AS t2
             FROM marked GROUP BY event_type)
     SELECT event_type, n1, n2,
-           round(n1 / t1, 6) AS rate1, round(n2 / t2, 6) AS rate2,
-           round((n1 / t1 - n2 / t2)
-                 / sqrt(n1 / (t1 * t1) + n2 / (t2 * t2)), 4) AS z,
-           abs((n1 / t1 - n2 / t2)
-               / sqrt(n1 / (t1 * t1) + n2 / (t2 * t2))) > 1.96
+           round(CASE WHEN t1 > 0 THEN n1 / t1 END, 6) AS rate1,
+           round(n2 / t2, 6) AS rate2,
+           round(CASE WHEN t1 > 0 THEN (n1 / t1 - n2 / t2)
+                 / sqrt(n1 / (t1 * t1) + n2 / (t2 * t2)) END, 4) AS z,
+           CASE WHEN t1 > 0 THEN abs((n1 / t1 - n2 / t2)
+               / sqrt(n1 / (t1 * t1) + n2 / (t2 * t2))) > 1.96 END
              AS significant
     FROM agg
     """,
@@ -9111,7 +9124,10 @@ def events_rate_ratio_test(spark, sf_dir):
     normal approximation (counts as rates over day-exposures). One scan,
     one conditional aggregate; the day bounds ride a broadcast one-row
     frame. Integer day arithmetic on both sides (no timestamp-epoch
-    math — NTZ/timezone-proof by construction)."""
+    math — NTZ/timezone-proof by construction). Degenerate single-day
+    inputs (d0 = d1 so mid = 0, exposure t1 = 0) yield NULL rate1/z/
+    significant via an explicit guard on BOTH engines instead of relying
+    on matching division-by-zero behavior (r6 ADVICE #4)."""
     e = _t(spark, sf_dir, "events").select(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
@@ -9137,6 +9153,7 @@ def events_rate_ratio_test(spark, sf_dir):
         .cast("double")
         .alias("t2"),
     )
+    ok = F.col("t1") > 0
     r1 = F.col("n1") / F.col("t1")
     r2 = F.col("n2") / F.col("t2")
     z = (r1 - r2) / F.sqrt(
@@ -9147,10 +9164,10 @@ def events_rate_ratio_test(spark, sf_dir):
         "event_type",
         "n1",
         "n2",
-        F.round(r1, 6).alias("rate1"),
+        F.round(F.when(ok, r1), 6).alias("rate1"),
         F.round(r2, 6).alias("rate2"),
-        F.round(z, 4).alias("z"),
-        (F.abs(z) > 1.96).alias("significant"),
+        F.round(F.when(ok, z), 4).alias("z"),
+        F.when(ok, F.abs(z) > 1.96).alias("significant"),
     )
 
 
@@ -11427,7 +11444,7 @@ def orders_littles_law_check(spark, sf_dir):
     zs AS (SELECT event_type,
              (n1 / t1 - n2 / t2)
                / sqrt(n1 / (t1 * t1) + n2 / (t2 * t2)) AS z
-           FROM agg),
+           FROM agg WHERE t1 > 0),
     ps AS (SELECT event_type, z, abs(z) AS az,
                   1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))
                     AS tt
@@ -11457,7 +11474,10 @@ def agg_bh_fdr_correction(spark, sf_dir):
     the Abramowitz-Stegun 7.1.26 polynomial verbatim on both sides
     (pure arithmetic — bit-comparable after rounding). One conditional
     aggregate for the tests, two ordered windows on the bounded
-    per-type frame for the step-up."""
+    per-type frame for the step-up. Degenerate single-day inputs
+    (mid = 0 so exposure t1 = 0) are excluded from the hypothesis set
+    on both engines — an undefined test is not a hypothesis (r6
+    ADVICE #4)."""
     d = _t(spark, sf_dir, "events").select(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
@@ -11489,7 +11509,7 @@ def agg_bh_fdr_correction(spark, sf_dir):
         F.col("n1") / (F.col("t1") * F.col("t1"))
         + F.col("n2") / (F.col("t2") * F.col("t2"))
     )
-    zs = agg.select("event_type", z.alias("z"))
+    zs = agg.filter(F.col("t1") > 0).select("event_type", z.alias("z"))
     az = F.abs(F.col("z"))
     x = az / F.lit(2.0 ** 0.5)
     t = 1.0 / (1.0 + 0.3275911 * x)
@@ -11595,9 +11615,9 @@ def orders_skyline_pareto_front(spark, sf_dir):
     "text_char_entropy_profile",
     """
     WITH ch AS (SELECT doc_id, source,
-                  substr(text, CAST(unnest(range(1, strlen(text) + 1))
+                  substr(text, CAST(unnest(range(1, length(text) + 1))
                                AS INT), 1) AS c
-                FROM documents WHERE strlen(text) > 0),
+                FROM documents WHERE length(text) > 0),
     cnt AS (SELECT doc_id, source, c, count(*) AS n FROM ch GROUP BY 1, 2, 3),
     tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS t FROM cnt GROUP BY 1),
     ent AS (SELECT cnt.source, cnt.doc_id,
@@ -11618,7 +11638,10 @@ def text_char_entropy_profile(spark, sf_dir):
     making this the cheapest anomalous-source detector in the quality
     family. Characters come from a POSITION explode (substr at an
     unnested index — identical semantics on both engines, avoiding
-    split-on-empty-regex edge cases); per-doc entropy is two
+    split-on-empty-regex edge cases; DuckDB length()/substr() are
+    CHARACTER-based like Spark's, where strlen() is bytes and would mint
+    phantom empty chars on non-ASCII text — r6 ADVICE #3); per-doc
+    entropy is two
     map-combinable aggregates; the source profile rolls up the bounded
     per-doc frame."""
     d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
@@ -11676,90 +11699,84 @@ def text_char_entropy_profile(spark, sf_dir):
 # tests/test_oracle.py and deliberately kept OUT of the window so no slot is
 # burned on a row that can never be green.
 _GATE_ORDER = [
-    # ROUND-6 ROTATION (executes the plan pinned in the round-5 comment +
-    # VERDICT item #1): the 24 round-5 `next_window_pending` entries
-    # (waves 26-41, all oracle-verified at sf0.001+sf0.01 and --hostile,
-    # judge-verified 209/209 in the r5 session) followed by 26 round-robin
-    # drift-guard re-verifications of the OLDEST prior-green entries —
-    # the 26 earliest-registered entries whose last driver-green row is
-    # CORRECTNESS_r02 (q1/q3 got their r5 re-green; these are next in the
-    # round-robin). After this round the ever-green union covers every
-    # oracle-backed entry registered through round 5.
-    # --- r5 first-timers (waves 26-41) ---
-    "knn_ivf_index_persisted",
-    "text_bpe_roundtrip",
-    "events_cusum_changepoint",
-    "embedding_random_projection",
-    "agg_ks_test",
-    "multimodal_webdataset_roundtrip",
-    "text_hash_features",
-    "graph_link_prediction",
-    "events_time_to_convert",
-    "agg_mann_whitney_u",
-    "agg_benford_deviation",
-    "feature_loo_target_encoding",
-    "events_kaplan_meier",
-    "asof_join_nearest",
-    "text_span_corruption_stats",
-    "range_merge_intervals",
-    "corpus_quality_logreg",
-    "multimodal_wav_meta_roundtrip",
-    "multimodal_pcm_energy_roundtrip",
-    "feature_robust_scale",
-    "join_bucketed_colocated",
-    "agg_decimal_exact_revenue",
-    "corpus_dedup_report",
-    "graph_personalized_pagerank",
-    # --- drift guard: 26 oldest prior-green (last green r2, in original
-    # registration order) ---
-    "q5_local_supplier_volume",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta_inequality",
-    "agg_distinct_and_stats",
-    "agg_collect_sorted",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "window_running_sum",
-    "window_lag_lead",
-    "topk_per_group",
-    "q17_small_quantity_correlated",
-    "q8_market_share",
-    "agg_histogram_buckets",
-    "map_and_array_functions",
-    "q4_order_priority_check",
-    "q14_promo_share",
-    "pivot_status_by_priority",
-    "agg_percentiles",
-    "explode_with_position",
-    "setop_intersect",
-    "setop_except",
-    "setop_union_all",
+    # ROUND-7 ROTATION (executes the plan pinned in the round-6 comment,
+    # with the counts corrected per r6 ADVICE #1: 39 pending entries —
+    # not 40 — leaving ELEVEN drift-guard slots, so TWO of the 13
+    # last-green-r2 entries roll to round 8): the 39 round-6
+    # `next_window_pending` entries (waves 42-80, all oracle-verified at
+    # sf0.001+sf0.01 and --hostile at landing time) followed by 11
+    # round-robin drift-guard re-verifications of the oldest prior-green
+    # entries (last green r2, original registration order).
+    # --- r6 first-timers (waves 42-80) ---
+    "text_bm25_retrieval",
+    "graph_hits_hubs_authorities",
+    "events_rate_ratio_test",
+    "feature_quantile_binning",
+    "text_zipf_fit",
+    "join_fuzzy_entity_resolution",
+    "agg_bootstrap_subsample_ci",
+    "multimodal_png_ihdr_roundtrip",
+    "events_ewma_snapshot",
+    "text_pmi_collocations",
+    "embedding_pca_power_iteration",
+    "dedup_weighted_jaccard",
+    "multimodal_mp4_meta_roundtrip",
+    "corpus_sequence_packing",
+    "agg_mutual_information",
+    "parts_price_elasticity",
+    "agg_hill_tail_index",
+    "orders_mom_growth",
+    "text_kneser_ney_bigrams",
+    "graph_community_modularity",
+    "text_token_burstiness",
+    "parts_abc_xyz_classification",
+    "embedding_mmr_rerank",
+    "text_textrank_keywords",
+    "feature_woe_information_value",
+    "knn_hard_negatives",
+    "events_retention_triangle",
+    "events_nelson_aalen_hazard",
+    "join_price_band_pairs",
+    "events_bitmap_activity_rollup",
+    "agg_theil_sen_trend",
+    "window_max_drawdown",
+    "graph_degree_assortativity",
+    "text_heaps_law_fit",
+    "agg_runs_test_randomness",
+    "orders_littles_law_check",
+    "agg_bh_fdr_correction",
+    "orders_skyline_pareto_front",
+    "text_char_entropy_profile",
+    # --- drift guard: 11 oldest prior-green (last green r2; dedup_filtered_corpus
+    # and text_quality_filtered roll to round 8) ---
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_json_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "knn_bruteforce_cosine",
+    "variant_json_path",
+    "text_quality_metrics",
+    "dedup_clusters",
 ]
 # Entries beyond the 50-row window all have driver-green rows in
-# CORRECTNESS_r01-r05 (after this round's rotation the ever-green union
-# covers every oracle-backed entry registered through round 5) or are
+# CORRECTNESS_r01-r06 (after this round's rotation the ever-green union
+# covers every oracle-backed entry registered through round 6) or are
 # approximate by design; all are re-verified by tools/oracle_check.py every
 # round — the pinned accounting lives in tests/test_oracle.py. Entries added
-# DURING round 6 are declared `next_window_pending` there and fill the
-# round-7 window.
+# DURING round 7 are declared `next_window_pending` there and fill the
+# round-8 window.
 #
-# ROUND-7 ROTATION PLAN (for the next session): fill the window with the
-# 40 round-6 `next_window_pending` entries (authoritative list in
-# tests/test_oracle.py — all already oracle-verified at sf0.001+sf0.01 AND
-# --hostile at landing time this round; re-verify before pinning), then
-# fill the remaining 10 slots with re-verifications of the oldest
-# prior-green entries, continuing the round-robin where round 6 stopped:
-# the 13 remaining last-green-r2 entries (events_tumbling_window,
-# events_sessionize, events_json_extract, dedup_exact, dedup_minhash_lsh,
-# dedup_simhash, dedup_ngram_jaccard, knn_bruteforce_cosine,
-# variant_json_path, text_quality_metrics, dedup_clusters,
-# dedup_filtered_corpus, text_quality_filtered) first (the one that does
-# not fit rolls to round 8), then the oldest last-green-r3 entries in
-# CORRECTNESS_r03 order.
+# ROUND-8 ROTATION PLAN (for the next session): fill the window with the
+# round-7 `next_window_pending` entries (authoritative list AND counts in
+# tests/test_oracle.py — the counts below are derived at rotation time from
+# that list, never from this comment), then fill the remaining slots with
+# re-verifications of the oldest prior-green entries, continuing the
+# round-robin where round 7 stopped: the 2 remaining last-green-r2 entries
+# (dedup_filtered_corpus, text_quality_filtered) first, then the oldest
+# last-green-r3 entries in CORRECTNESS_r03 order.
 
 
 def _gate_ordered(d: dict) -> dict:

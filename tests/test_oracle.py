@@ -87,87 +87,11 @@ def test_gate_window_covers_every_family():
         "agg_approx_percentiles",
     }
     next_window_pending = set({
-        # round-6 additions (declared here as they land; they fill the
-        # round-7 window — all oracle-checked every round by
-        # tools/oracle_check.py and the parametrized oracle tests above)
-        # wave 42: Okapi BM25 sparse retrieval
-        "text_bm25_retrieval",
-        # wave 43: HITS hubs/authorities
-        "graph_hits_hubs_authorities",
-        # wave 44: Poisson rate-ratio z-test
-        "events_rate_ratio_test",
-        # wave 45: equal-frequency quantile binning
-        "feature_quantile_binning",
-        # wave 46: Zipf rank-frequency fit
-        "text_zipf_fit",
-        # wave 47: blocked fuzzy join (entity resolution)
-        "join_fuzzy_entity_resolution",
-        # wave 49: deterministic subsample bootstrap CI
-        "agg_bootstrap_subsample_ci",
-        # wave 48: PNG header synthesis -> CRC-verified parse round-trip
-        "multimodal_png_ihdr_roundtrip",
-        # wave 50: truncated-EWMA snapshot per user
-        "events_ewma_snapshot",
-        # wave 51: PMI collocations
-        "text_pmi_collocations",
-        # wave 52: distributed PCA by power iteration
-        "embedding_pca_power_iteration",
-        # wave 53: IDF-weighted Jaccard near-dup pairs
-        "dedup_weighted_jaccard",
-        # wave 54: MP4 container synthesis -> real box-walk parse
-        "multimodal_mp4_meta_roundtrip",
-        # wave 55: GPT-style concat-and-chunk sequence packing
-        "corpus_sequence_packing",
-        # wave 56: mutual information (categorical dependence)
-        "agg_mutual_information",
-        # wave 57: log-log price elasticity per brand
-        "parts_price_elasticity",
-        # wave 58: Hill heavy-tail index estimator
-        "agg_hill_tail_index",
-        # wave 59: month-over-month growth + trailing average
-        "orders_mom_growth",
-        # wave 60: Kneser-Ney smoothed bigram LM
-        "text_kneser_ney_bigrams",
-        # wave 61: modularity eval of the LPA communities
-        "graph_community_modularity",
-        # wave 62: token burstiness (variance-to-mean dispersion)
-        "text_token_burstiness",
-        # wave 63: ABC-XYZ inventory classification matrix
-        "parts_abc_xyz_classification",
-        # wave 64: MMR diversity-aware rerank
-        "embedding_mmr_rerank",
-        # wave 65: TextRank keywords (pagerank on the co-occurrence graph)
-        "text_textrank_keywords",
-        # wave 66: WoE / Information Value per bin
-        "feature_woe_information_value",
-        # wave 67: hard-negative mining (capped top-k)
-        "knn_hard_negatives",
-        # wave 68: cohort retention triangle
-        "events_retention_triangle",
-        # wave 69: Nelson-Aalen cumulative hazard
-        "events_nelson_aalen_hazard",
-        # wave 70: banded numeric similarity join (bucket trick)
-        "join_price_band_pairs",
-        # wave 71: bitmap-index activity rollup
-        "events_bitmap_activity_rollup",
-        # wave 72: Theil-Sen robust trend
-        "agg_theil_sen_trend",
-        # wave 73: maximum drawdown of the cumulative series
-        "window_max_drawdown",
-        # wave 74: degree assortativity
-        "graph_degree_assortativity",
-        # wave 75: Heaps'-law vocabulary growth fit
-        "text_heaps_law_fit",
-        # wave 76: Wald-Wolfowitz runs test
-        "agg_runs_test_randomness",
-        # wave 77: Little's law L = lambda*W validation
-        "orders_littles_law_check",
-        # wave 78: Benjamini-Hochberg FDR step-up
-        "agg_bh_fdr_correction",
-        # wave 79: skyline / Pareto-front query
-        "orders_skyline_pareto_front",
-        # wave 80: character-entropy quality profile
-        "text_char_entropy_profile",
+        # round-7 additions (declared here as they land; they fill the
+        # round-8 window — all oracle-checked every round by
+        # tools/oracle_check.py and the parametrized oracle tests above).
+        # The 39 round-6 entries formerly listed here moved INTO the
+        # round-7 gate window (_GATE_ORDER) at rotation time.
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
