@@ -11681,6 +11681,299 @@ def text_char_entropy_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 81: Spearman rank correlation (tie-aware average ranks)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_spearman_rank_corr",
+    """
+    WITH r AS (SELECT l_returnflag,
+                 rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                   + (count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                      - 1) / 2.0 AS rq,
+                 rank() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice)
+                   + (count(*) OVER (PARTITION BY l_returnflag,
+                                     l_extendedprice) - 1) / 2.0 AS rp
+               FROM lineitem)
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(corr(rq, rp), 6) + 0.0 AS spearman_rho
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def agg_spearman_rank_corr(spark, sf_dir):
+    """Spearman rank correlation between quantity and price per return
+    flag — the monotone-association measure that survives outliers and
+    nonlinearity where Pearson (agg_linear_regression) does not; the
+    robustness primitive behind feature screening on heavy-tailed data.
+    Tie-aware AVERAGE ranks built from min-rank + (tie_count-1)/2 (both
+    engines lack a native avg-rank; rank()+count() over the value
+    partition reconstructs it exactly), then one corr() over the ranked
+    frame — Pearson-on-ranks IS Spearman. Two window passes + one
+    map-combinable aggregate; all rank windows share the l_returnflag
+    partitioning so AQE coalesces them into one exchange."""
+    l = _t(spark, sf_dir, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    tq = Window.partitionBy("l_returnflag", "l_quantity")
+    tp = Window.partitionBy("l_returnflag", "l_extendedprice")
+    r = l.select(
+        "l_returnflag",
+        (F.rank().over(wq) + (F.count(F.lit(1)).over(tq) - 1) / 2.0).alias("rq"),
+        (F.rank().over(wp) + (F.count(F.lit(1)).over(tp) - 1) / 2.0).alias("rp"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.corr("rq", "rp"), 6) + 0.0).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 82: market-basket association rules (support/confidence/lift)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_market_basket_rules",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, p_brand
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM items),
+    freq AS (SELECT p_brand, CAST(count(*) AS DOUBLE) AS n_b FROM items
+             GROUP BY p_brand),
+    pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                                       AND a.p_brand < b.p_brand
+              GROUP BY 1, 2)
+    SELECT brand_a, brand_b, n_ab,
+           round(n_ab / n_orders, 6) AS support,
+           round(n_ab / fa.n_b, 6) AS confidence,
+           round(n_ab * n_orders / (fa.n_b * fb.n_b), 4) AS lift
+    FROM pairs
+    JOIN freq fa ON brand_a = fa.p_brand
+    JOIN freq fb ON brand_b = fb.p_brand
+    CROSS JOIN n
+    WHERE n_ab / n_orders >= 0.01
+    """,
+)
+def join_market_basket_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets at brand
+    granularity: support, confidence(a→b) and lift for every co-occurring
+    brand pair above 1% support — the a-priori primitive behind
+    recommend-with, cross-sell, and (in corpus work) tag-co-occurrence
+    mining. One DISTINCT projection builds the basket-item frame; the
+    pair generation is an equi-self-join on the basket key (never a
+    cross join — the brand inequality prunes inside the join), and the
+    item frequencies ride broadcast joins (bounded: one row per brand).
+    At 100 TB: prune to frequent items FIRST (the a-priori downward-
+    closure step) so the self-join only sees items that can clear min
+    support; basket key stays the shuffle key throughout."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    items = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    freq = items.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n_b")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    fa = freq.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_b").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_b").alias("n_bb")
+    )
+    out = (
+        pairs.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .join(F.broadcast(n))
+        .filter(F.col("n_ab") / F.col("n_orders") >= 0.01)
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "n_ab",
+        F.round(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+        F.round(
+            F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_bb")),
+            4,
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 83: RFM customer segmentation (deterministic quintiles)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_rfm_segmentation",
+    """
+    WITH mx AS (SELECT max(CAST(date_trunc('day', o_orderdate) AS DATE)) AS gmax
+                FROM orders),
+    cust AS (SELECT o_custkey,
+               date_diff('day',
+                         max(CAST(date_trunc('day', o_orderdate) AS DATE)),
+                         gmax) AS rec,
+               count(*) AS freq,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS mon_c
+             FROM orders CROSS JOIN mx GROUP BY o_custkey, gmax),
+    scored AS (SELECT
+                 ntile(5) OVER (ORDER BY rec DESC, o_custkey) AS r_score,
+                 ntile(5) OVER (ORDER BY freq ASC, o_custkey) AS f_score,
+                 ntile(5) OVER (ORDER BY mon_c ASC, o_custkey) AS m_score,
+                 mon_c
+               FROM cust)
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           floor(sum(mon_c) * 1.0 / count(*) + 0.5) / 100.0 AS avg_monetary,
+           CAST(sum(mon_c) AS BIGINT) AS total_monetary_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def orders_rfm_segmentation(spark, sf_dir):
+    """RFM (recency/frequency/monetary) quintile segmentation — the
+    classic customer-value matrix: score 5 = most recent / most frequent
+    / highest spend, summarized per (R,F,M) cell. Recency is integer-day
+    arithmetic against the global max order day (broadcast one-row
+    frame, NTZ-proof); the three quintiles are ntile over DETERMINISTIC
+    orders (metric + custkey tie-break so equal values land identically
+    on every engine — the feature_quantile_binning discipline). Money is
+    INTEGER CENTS end-to-end: exact order-independent sums, a cents-keyed
+    m_score sort, and an explicit floor(+0.5) half-up mean — engine
+    round() half-mode differences can't touch any cell (the
+    agg_decimal_exact_revenue discipline). At 100 TB swap the three
+    global ntile sorts for approx_percentile cut points; the per-cell
+    rollup is map-combinable either way."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate")).cast("date")
+    mx = o.agg(F.max(day).alias("gmax"))
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    cust = (
+        o.join(F.broadcast(mx))
+        .groupBy("o_custkey", "gmax")
+        .agg(
+            F.max(day).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(cents).alias("mon_c"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff("gmax", "last_day").alias("rec"),
+            "freq",
+            "mon_c",
+        )
+    )
+    scored = cust.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.col("rec").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").asc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("mon_c").asc(), "o_custkey"))
+        .alias("m_score"),
+        "mon_c",
+    )
+    return scored.groupBy(
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.floor(
+                F.sum("mon_c") * 1.0 / F.count(F.lit(1)) + 0.5
+            ) / 100.0
+        ).alias("avg_monetary"),
+        F.sum("mon_c").alias("total_monetary_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 84: inter-arrival exponential fit (MLE rate + burstiness CV)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_interarrival_expfit",
+    """
+    WITH g AS (SELECT event_type,
+                 floor(epoch(ts - lag(ts) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id)))
+                   AS gap_s
+               FROM events),
+    a AS (SELECT event_type,
+                 CAST(count(gap_s) AS BIGINT) AS n_gaps,
+                 avg(gap_s) AS mean_gap,
+                 stddev_samp(gap_s) AS sd_gap
+          FROM g GROUP BY event_type)
+    SELECT event_type, n_gaps,
+           round(mean_gap, 4) AS mean_gap_s,
+           round(CASE WHEN mean_gap > 0 THEN 1.0 / mean_gap END, 8)
+             AS lambda_per_s,
+           round(CASE WHEN mean_gap > 0 THEN sd_gap / mean_gap END, 4)
+             AS cv
+    FROM a
+    """,
+)
+def events_interarrival_expfit(spark, sf_dir):
+    """Per-type inter-arrival analysis: MLE exponential rate (λ = 1/mean
+    gap) and the coefficient of variation — the Poisson-ness check behind
+    capacity planning and burst detection (CV ≈ 1 is memoryless, ≫ 1 is
+    bursty, ≪ 1 is metronomic). Gaps come from one lag window in whole
+    seconds via interval subtraction (timestamp-flavor robust — the
+    events_sessionize discipline: no session-timezone epoch math);
+    degenerate all-simultaneous streams (mean gap 0) yield NULL λ/CV via
+    an explicit guard on both engines. One window + one map-combinable
+    aggregate, both partitioned by event_type."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (F.col("ts") - F.lag("ts").over(w)).cast("long").alias("gap_s"),
+    )
+    a = g.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.avg("gap_s").alias("mean_gap"),
+        F.stddev_samp("gap_s").alias("sd_gap"),
+    )
+    ok = F.col("mean_gap") > 0
+    return a.select(
+        "event_type",
+        "n_gaps",
+        F.round("mean_gap", 4).alias("mean_gap_s"),
+        F.round(F.when(ok, 1.0 / F.col("mean_gap")), 8).alias("lambda_per_s"),
+        F.round(F.when(ok, F.col("sd_gap") / F.col("mean_gap")), 4).alias("cv"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -119,6 +119,11 @@ HEADLINE = [
     "knn_hard_negatives",
     "events_retention_triangle",
     "graph_degree_assortativity",
+    # round-7 waves 81-84 (excluded from core15 as well)
+    "agg_spearman_rank_corr",
+    "join_market_basket_rules",
+    "orders_rfm_segmentation",
+    "events_interarrival_expfit",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -92,6 +92,14 @@ def test_gate_window_covers_every_family():
         # tools/oracle_check.py and the parametrized oracle tests above).
         # The 39 round-6 entries formerly listed here moved INTO the
         # round-7 gate window (_GATE_ORDER) at rotation time.
+        # wave 81: tie-aware Spearman rank correlation
+        "agg_spearman_rank_corr",
+        # wave 82: market-basket association rules (support/confidence/lift)
+        "join_market_basket_rules",
+        # wave 83: RFM quintile segmentation (integer-cents money)
+        "orders_rfm_segmentation",
+        # wave 84: inter-arrival exponential fit (MLE rate + CV burstiness)
+        "events_interarrival_expfit",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
