@@ -11974,6 +11974,331 @@ def events_interarrival_expfit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 85: Jensen-Shannon divergence between source unigram LMs
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_js_divergence_sources",
+    f"""
+    WITH w AS (SELECT source, unnest({_WORDS}) AS term FROM documents),
+    d AS (SELECT source, term, count(*) AS n FROM w GROUP BY 1, 2),
+    t AS (SELECT source, CAST(sum(n) AS DOUBLE) AS tot FROM d GROUP BY 1),
+    p AS (SELECT d.source, term, n / tot AS p
+          FROM d JOIN t ON d.source = t.source),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    pairs AS (SELECT a.source AS sa, b.source AS sb
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+    sup AS (SELECT sa, sb, term FROM pairs JOIN p ON p.source = sa
+            UNION
+            SELECT sa, sb, term FROM pairs JOIN p ON p.source = sb),
+    terms AS (SELECT sup.sa, sup.sb, sup.term,
+                coalesce(pa.p, 0.0) AS pa, coalesce(pb.p, 0.0) AS pb
+              FROM sup
+              LEFT JOIN p pa ON pa.source = sup.sa AND pa.term = sup.term
+              LEFT JOIN p pb ON pb.source = sup.sb AND pb.term = sup.term)
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(count(*) AS BIGINT) AS n_union_terms,
+           round(sum(CASE WHEN pa > 0
+                          THEN 0.5 * pa * ln(pa / ((pa + pb) / 2))
+                          ELSE 0.0 END)
+               + sum(CASE WHEN pb > 0
+                          THEN 0.5 * pb * ln(pb / ((pa + pb) / 2))
+                          ELSE 0.0 END), 6) + 0.0 AS js_divergence
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def text_js_divergence_sources(spark, sf_dir):
+    """Jensen-Shannon divergence between every pair of per-source unigram
+    distributions — the symmetric, bounded (≤ ln 2) distribution-shift
+    measure behind domain-mixture monitoring and dedup-across-dumps
+    triage (CCNet-style corpus QA: a source whose JSD to its siblings
+    jumps changed its crawler or its spam mix). The pair support set is
+    the UNION of each pair's vocabularies (two equi-joins — never words ×
+    pairs), zero-probability terms contribute exactly their one-sided KL
+    share, and the bounded pair frame (|sources|²) rolls up in one
+    aggregate. Tokenization is the shared engine pair (operators.text.
+    tokens ≡ the oracle's split/normalize)."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = d.groupBy("source").agg(F.sum("n").cast("double").alias("tot"))
+    p = d.join(t, "source").select(
+        "source", "term", (F.col("n") / F.col("tot")).alias("p")
+    )
+    srcs = p.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(
+            srcs.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+    )
+    sup = (
+        pairs.join(p.alias("pa0"), F.col("sa") == F.col("pa0.source"))
+        .select("sa", "sb", "term")
+        .union(
+            pairs.join(p.alias("pb0"), F.col("sb") == F.col("pb0.source"))
+            .select("sa", "sb", "term")
+        )
+        .distinct()
+    )
+    pa = p.select(
+        F.col("source").alias("sa"), F.col("term"), F.col("p").alias("pa")
+    )
+    pb = p.select(
+        F.col("source").alias("sb"), F.col("term"), F.col("p").alias("pb")
+    )
+    terms = (
+        sup.join(pa, ["sa", "term"], "left")
+        .join(pb, ["sb", "term"], "left")
+        .select(
+            "sa",
+            "sb",
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    kl_a = F.when(
+        F.col("pa") > 0, 0.5 * F.col("pa") * F.log(F.col("pa") / m)
+    ).otherwise(0.0)
+    kl_b = F.when(
+        F.col("pb") > 0, 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+    ).otherwise(0.0)
+    return terms.groupBy(
+        F.col("sa").alias("source_a"), F.col("sb").alias("source_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_union_terms"),
+        (F.round(F.sum(kl_a) + F.sum(kl_b), 6) + 0.0).alias("js_divergence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 86: Markov stationary distribution of event-type transitions
+# ---------------------------------------------------------------------------
+
+
+def _markov_stationary_oracle(iters: int = 6) -> str:
+    """Unrolled power-iteration CTE chain (the _pagerank_oracle pattern,
+    damping 1.0) over the per-user consecutive event-type transition
+    graph."""
+    base = """
+    WITH seq AS (SELECT event_type AS dst,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS src
+                 FROM events),
+    e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          FROM seq WHERE src IS NOT NULL GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS w_out FROM e GROUP BY src),
+    r0 AS (SELECT node, round(1.0 / n, 8) AS r FROM nodes, nn)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        base += f""",
+    d{i} AS (SELECT coalesce(sum(r), 0.0) AS dang FROM {prev}
+             LEFT JOIN outw ON {prev}.node = outw.src WHERE outw.src IS NULL),
+    c{i} AS (SELECT e.dst AS node, sum({prev}.r * e.w / outw.w_out) AS c
+             FROM e JOIN {prev} ON e.src = {prev}.node
+             JOIN outw ON e.src = outw.src GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    round(0.0 / n
+                          + 1.0 * (coalesce(c{i}.c, 0.0) + dang / n),
+                          8) AS r
+             FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node, nn, d{i})"""
+        prev = f"r{i}"
+    return base + f"""
+    SELECT node AS event_type, round(r, 6) AS stationary_prob FROM {prev}
+    """
+
+
+@_q("events_markov_stationary", _markov_stationary_oracle())
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the first-order Markov chain over
+    event types (per-user consecutive transitions; 6 fixed power-
+    iteration rounds) — where user journeys SPEND their time in the
+    long run, the equilibrium view that transition counts
+    (events_transition_counts) can't give. Reuses operators.graph.
+    pagerank with damping 1.0: teleport vanishes and the dangling-mass
+    redistribution becomes the standard stuck-state→uniform patch, so
+    the iteration IS the chain's power method; per-round 8-decimal
+    rounding keeps engine ULPs from compounding (the graph_pagerank
+    discipline, replayed exactly by the unrolled oracle CTE chain).
+    The state space is bounded (distinct event types), so each round is
+    one tiny equi-join + one map-combinable aggregate."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import pagerank
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    edges = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    pr = pagerank(edges, weight_col="w", damping=1.0, iters=6)
+    return pr.select(
+        F.col("node").alias("event_type"),
+        F.round("pagerank", 6).alias("stationary_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 87: Cramér's V effect size (market segment × order priority)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_cramers_v",
+    """
+    WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j),
+    cell AS (SELECT seg, pri, CAST(count(*) AS DOUBLE) AS o
+             FROM j GROUP BY 1, 2),
+    rowm AS (SELECT seg, sum(o) AS rt FROM cell GROUP BY seg),
+    colm AS (SELECT pri, sum(o) AS ct FROM cell GROUP BY pri),
+    chi AS (SELECT sum((o - rt * ct / n) * (o - rt * ct / n)
+                       / (rt * ct / n)) AS chi2
+            FROM cell JOIN rowm USING (seg) JOIN colm USING (pri)
+            CROSS JOIN nt),
+    rd AS (SELECT CAST(count(*) AS DOUBLE) AS r FROM rowm),
+    cd AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM colm)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(chi2, 4) AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM chi CROSS JOIN nt CROSS JOIN rd CROSS JOIN cd
+    """,
+)
+def agg_cramers_v(spark, sf_dir):
+    """Cramér's V between customer market segment and order priority —
+    the normalized [0,1] effect size the raw chi-square statistic
+    (agg_chi_square_independence) can't give across tables of different
+    size: V = sqrt(χ² / (N·min(r−1, c−1))). Expected counts come from
+    broadcast marginal joins against the bounded cell frame (r×c rows);
+    the fact join shuffles once on the customer key and everything after
+    is map-combinable."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    nt = j.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cell = j.groupBy("seg", "pri").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rowm = cell.groupBy("seg").agg(F.sum("o").alias("rt"))
+    colm = cell.groupBy("pri").agg(F.sum("o").alias("ct"))
+    exp = F.col("rt") * F.col("ct") / F.col("n")
+    chi = (
+        cell.join(F.broadcast(rowm), "seg")
+        .join(F.broadcast(colm), "pri")
+        .join(F.broadcast(nt))
+        .agg(F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp).alias("chi2"))
+    )
+    rd = rowm.agg(F.count(F.lit(1)).cast("double").alias("r"))
+    cd = colm.agg(F.count(F.lit(1)).cast("double").alias("c"))
+    return (
+        chi.join(F.broadcast(nt))
+        .join(F.broadcast(rd))
+        .join(F.broadcast(cd))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round("chi2", 4).alias("chi2"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 88: temperature-scaled dataset-mixture weights (τ = 0.7)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_temperature_mixture",
+    f"""
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len({_WORDS})) AS DOUBLE) AS n_tokens
+               FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_tokens) AS t FROM c),
+    s AS (SELECT source, n_docs, n_tokens, n_tokens / t AS nat,
+                 pow(n_tokens, 0.7) AS pw
+          FROM c CROSS JOIN tot),
+    z AS (SELECT sum(pw) AS zsum FROM s)
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(nat, 6) AS natural_share,
+           round(pw / zsum, 6) AS temp_share,
+           round((pw / zsum) / nat, 4) AS upweight,
+           round(t * (pw / zsum) / n_tokens, 4) AS epochs_at_budget
+    FROM s CROSS JOIN z CROSS JOIN tot
+    """,
+)
+def corpus_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled dataset-mixture weights (τ = 0.7, the
+    multilingual-pretraining recipe): per-source sampling share ∝
+    tokens^τ, reported against the natural share with the implied
+    upweight ratio and epochs-per-source at a one-pass token budget —
+    the how-many-times-does-the-small-domain-repeat planning table every
+    mixture decision starts from (complements corpus_mixture_sample,
+    which EXECUTES a target mixture). One token-count aggregate over the
+    corpus; every later step lives on the bounded per-source frame with
+    scalar totals on broadcast one-row frames."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    c = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.size(tokens(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("double").alias("n_tokens"),
+        )
+    )
+    tot = c.agg(F.sum("n_tokens").alias("t"))
+    s = c.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("t")).alias("nat"),
+        F.pow("n_tokens", F.lit(0.7)).alias("pw"),
+        "t",
+    )
+    z = s.agg(F.sum("pw").alias("zsum"))
+    share = F.col("pw") / F.col("zsum")
+    return s.join(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("nat", 6).alias("natural_share"),
+        F.round(share, 6).alias("temp_share"),
+        F.round(share / F.col("nat"), 4).alias("upweight"),
+        F.round(F.col("t") * share / F.col("n_tokens"), 4).alias(
+            "epochs_at_budget"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -124,6 +124,10 @@ HEADLINE = [
     "join_market_basket_rules",
     "orders_rfm_segmentation",
     "events_interarrival_expfit",
+    "text_js_divergence_sources",
+    "events_markov_stationary",
+    "agg_cramers_v",
+    "corpus_temperature_mixture",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -100,6 +100,14 @@ def test_gate_window_covers_every_family():
         "orders_rfm_segmentation",
         # wave 84: inter-arrival exponential fit (MLE rate + CV burstiness)
         "events_interarrival_expfit",
+        # wave 85: pairwise Jensen-Shannon divergence between source LMs
+        "text_js_divergence_sources",
+        # wave 86: Markov stationary distribution (pagerank damping 1.0)
+        "events_markov_stationary",
+        # wave 87: Cramér's V effect size
+        "agg_cramers_v",
+        # wave 88: temperature-scaled mixture weights (τ = 0.7)
+        "corpus_temperature_mixture",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
