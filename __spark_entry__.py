@@ -12299,6 +12299,324 @@ def corpus_temperature_mixture(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 89: simplified silhouette over label clusters (embeddings)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "embedding_label_silhouette",
+    """
+    WITH pts AS (SELECT vec_id, label,
+                   CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS pos,
+                   embedding
+                 FROM embeddings),
+    x AS (SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS v
+          FROM pts),
+    cent AS (SELECT label AS clabel, pos, round(avg(v), 8) AS c
+             FROM x GROUP BY label, pos),
+    d2 AS (SELECT vec_id, label, clabel,
+                  sqrt(sum((v - c) * (v - c))) AS dist
+           FROM x JOIN cent USING (pos) GROUP BY vec_id, label, clabel),
+    ab AS (SELECT vec_id, label,
+             min(CASE WHEN clabel = label THEN dist END) AS a,
+             min(CASE WHEN clabel <> label THEN dist END) AS b
+           FROM d2 GROUP BY vec_id, label),
+    s AS (SELECT vec_id, label, a, b,
+            CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+                 ELSE 0.0 END AS sil
+          FROM ab)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+           round(avg(sil), 6) + 0.0 AS mean_silhouette,
+           round(avg(a), 4) AS mean_intra,
+           round(avg(b), 4) AS mean_nearest_other
+    FROM s GROUP BY label
+    """,
+)
+def embedding_label_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette score per label cluster:
+    a = distance to own centroid, b = distance to the nearest OTHER
+    centroid, s = (b−a)/max(a,b) — the did-my-clustering/labeling-
+    actually-separate check behind embedding-space QA, at O(n·k) instead
+    of the textbook O(n²) pairwise silhouette. Vectors unnest
+    POSITIONALLY (index into the array at an unnested range — the
+    text_char_entropy_profile discipline, identical on both engines);
+    centroids round to 8 decimals so engine summation-order ULPs cannot
+    flip the nearest-other argmin; distances are one positional
+    equi-join (n·k·dim rows) + a map-combinable aggregate. At 100 TB the
+    centroid frame (k·dim rows) rides a broadcast join and the big side
+    never reshuffles."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "v0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    cent = x.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.round(F.avg("v"), 8).alias("c")
+    )
+    d2 = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+            ).alias("dist")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    sil = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(0.0)
+    return ab.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.round(F.avg(sil), 6) + 0.0).alias("mean_silhouette"),
+        F.round(F.avg("a"), 4).alias("mean_intra"),
+        F.round(F.avg("b"), 4).alias("mean_nearest_other"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 90: RSI-14 momentum indicator over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_rsi_indicator",
+    """
+    WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+                     sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS rev_c
+                   FROM orders GROUP BY 1),
+    d AS (SELECT day, rev_c,
+                 rev_c - lag(rev_c) OVER (ORDER BY day) AS delta,
+                 row_number() OVER (ORDER BY day) AS rn
+          FROM daily),
+    g AS (SELECT day, rn,
+                 avg(greatest(delta, 0)) OVER (
+                   ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                   AS ag,
+                 avg(greatest(-delta, 0)) OVER (
+                   ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                   AS al
+          FROM d)
+    SELECT day,
+           round(CASE WHEN al > 0 THEN 100 - 100 / (1 + ag / al)
+                      ELSE 100.0 END, 4) AS rsi_14,
+           CAST(floor(ag + 0.5) AS BIGINT) AS avg_gain_cents,
+           CAST(floor(al + 0.5) AS BIGINT) AS avg_loss_cents
+    FROM g WHERE rn >= 15
+    """,
+)
+def window_rsi_indicator(spark, sf_dir):
+    """14-period RSI (simple-average variant) over the daily revenue
+    series: RSI = 100 − 100/(1 + avgGain/avgLoss) over a 14-row frame —
+    the bounded-oscillator shape behind overbought/oversold monitors and
+    any is-this-metric-trending-too-hard alert. Revenue is exact integer
+    cents (order-independent sums); the day key stays TIMESTAMP on both
+    engines (date-render parity); the all-gain degenerate frame pins RSI
+    to 100 by definition on both sides. Warm-up rows (fewer than 14
+    deltas) are excluded by row_number, not by date arithmetic. One
+    aggregate to the bounded daily frame, then two window passes over
+    the same global order — a single sort at scale (and a per-series
+    partition key the moment there are multiple series)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(cents).alias("rev_c"))
+    w = Window.orderBy("day")
+    d = daily.select(
+        "day",
+        (F.col("rev_c") - F.lag("rev_c").over(w)).alias("delta"),
+        F.row_number().over(w).alias("rn"),
+    )
+    frame = Window.orderBy("day").rowsBetween(-13, 0)
+    g = d.select(
+        "day",
+        "rn",
+        F.avg(F.greatest("delta", F.lit(0))).over(frame).alias("ag"),
+        F.avg(F.greatest(-F.col("delta"), F.lit(0))).over(frame).alias("al"),
+    )
+    rsi = F.when(
+        F.col("al") > 0, 100 - 100 / (1 + F.col("ag") / F.col("al"))
+    ).otherwise(F.lit(100.0))
+    return g.filter(F.col("rn") >= 15).select(
+        "day",
+        F.round(rsi, 4).alias("rsi_14"),
+        F.floor(F.col("ag") + 0.5).cast("long").alias("avg_gain_cents"),
+        F.floor(F.col("al") + 0.5).cast("long").alias("avg_loss_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 91: delete-one-group jackknife variance of the mean
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_jackknife_variance",
+    """
+    WITH g AS (SELECT c_nationkey,
+                 sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS s_c,
+                 CAST(count(*) AS BIGINT) AS m
+               FROM customer GROUP BY c_nationkey),
+    tot AS (SELECT sum(s_c) AS st, sum(m) AS nt,
+                   CAST(count(*) AS DOUBLE) AS gg FROM g),
+    loo AS (SELECT c_nationkey,
+                   (st - s_c) * 1.0 / (nt - m) / 100.0 AS theta_g
+            FROM g CROSS JOIN tot),
+    jm AS (SELECT avg(theta_g) AS theta_bar FROM loo)
+    SELECT CAST(nt AS BIGINT) AS n_customers,
+           CAST(gg AS BIGINT) AS n_groups,
+           round(any_value(st) * 1.0 / nt / 100.0, 6) AS estimate,
+           round(sqrt((gg - 1) / gg
+                 * sum((theta_g - theta_bar) * (theta_g - theta_bar))), 6)
+             AS jackknife_se
+    FROM loo CROSS JOIN tot CROSS JOIN jm
+    GROUP BY nt, gg
+    """,
+)
+def agg_jackknife_variance(spark, sf_dir):
+    """Delete-one-GROUP jackknife standard error of the mean account
+    balance, nations as the resampling blocks — the cluster-aware
+    uncertainty estimate plain SE gets wrong when observations within a
+    group are correlated (and the agg_bootstrap_subsample_ci sibling
+    without resampling randomness: every leave-one-out estimate is
+    algebra over the group sums). Balances are exact integer cents so
+    the group sums are order-independent; the G leave-one-out estimates
+    are row-local arithmetic on the bounded per-group frame against a
+    broadcast one-row total. One scan, one shuffle on the group key."""
+    c = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    g = c.groupBy("c_nationkey").agg(
+        F.sum(cents).alias("s_c"), F.count(F.lit(1)).alias("m")
+    )
+    tot = g.agg(
+        F.sum("s_c").alias("st"),
+        F.sum("m").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("gg"),
+    )
+    loo = g.join(F.broadcast(tot)).select(
+        "st",
+        "nt",
+        "gg",
+        (
+            (F.col("st") - F.col("s_c"))
+            * 1.0
+            / (F.col("nt") - F.col("m"))
+            / 100.0
+        ).alias("theta_g"),
+    )
+    jm = loo.agg(F.avg("theta_g").alias("theta_bar"))
+    dev = F.col("theta_g") - F.col("theta_bar")
+    return (
+        loo.join(F.broadcast(jm))
+        .groupBy("nt", "gg")
+        .agg(
+            F.round(
+                F.sqrt(
+                    (F.col("gg") - 1) / F.col("gg") * F.sum(dev * dev)
+                ),
+                6,
+            ).alias("jackknife_se"),
+            F.round(
+                F.any_value(F.col("st") * 1.0 / F.col("nt") / 100.0), 6
+            ).alias("estimate"),
+        )
+        .select(
+            F.col("nt").cast("long").alias("n_customers"),
+            F.col("gg").cast("long").alias("n_groups"),
+            "estimate",
+            "jackknife_se",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 92: pairwise source vocabulary Jaccard overlap
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_vocab_jaccard_sources",
+    f"""
+    WITH v AS (SELECT DISTINCT source, unnest({_WORDS}) AS term
+               FROM documents),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM v
+           GROUP BY source),
+    inter AS (SELECT a.source AS sa, b.source AS sb,
+                     CAST(count(*) AS BIGINT) AS n_inter
+              FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT sa AS source_a, sb AS source_b, n_inter,
+           na.nv + nb.nv - n_inter AS n_union,
+           round(n_inter * 1.0 / (na.nv + nb.nv - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sz na ON sa = na.source
+    JOIN sz nb ON sb = nb.source
+    """,
+)
+def text_vocab_jaccard_sources(spark, sf_dir):
+    """Vocabulary Jaccard overlap between every source pair — the
+    set-level companion to text_js_divergence_sources (shared WORDS
+    rather than shared MASS): low overlap between dumps that should
+    share a domain flags tokenizer drift or crawl-scope change, high
+    overlap across supposedly-distinct domains flags mirror
+    contamination. The intersection is one equi-self-join on the term
+    of the DISTINCT (source, term) frame (term is the shuffle key;
+    source inequality prunes inside the join); vocab sizes ride
+    broadcast joins on the bounded per-source frame."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    v = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = v.alias("a")
+    b = v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sz.select(F.col("source").alias("sa"), F.col("nv").alias("na_v"))
+    nb = sz.select(F.col("source").alias("sb"), F.col("nv").alias("nb_v"))
+    uni = F.col("na_v") + F.col("nb_v") - F.col("n_inter")
+    return (
+        inter.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_inter",
+            uni.alias("n_union"),
+            F.round(F.col("n_inter") * 1.0 / uni, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -128,6 +128,10 @@ HEADLINE = [
     "events_markov_stationary",
     "agg_cramers_v",
     "corpus_temperature_mixture",
+    "embedding_label_silhouette",
+    "window_rsi_indicator",
+    "agg_jackknife_variance",
+    "text_vocab_jaccard_sources",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -108,6 +108,14 @@ def test_gate_window_covers_every_family():
         "agg_cramers_v",
         # wave 88: temperature-scaled mixture weights (τ = 0.7)
         "corpus_temperature_mixture",
+        # wave 89: centroid-based silhouette over label clusters
+        "embedding_label_silhouette",
+        # wave 90: RSI-14 momentum oscillator (integer-cents revenue)
+        "window_rsi_indicator",
+        # wave 91: delete-one-group jackknife SE of the mean
+        "agg_jackknife_variance",
+        # wave 92: pairwise source vocabulary Jaccard
+        "text_vocab_jaccard_sources",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
