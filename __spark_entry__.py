@@ -12501,8 +12501,13 @@ def agg_jackknife_variance(spark, sf_dir):
     broadcast one-row total. One scan, one shuffle on the group key."""
     c = _t(spark, sf_dir, "customer")
     cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
-    g = c.groupBy("c_nationkey").agg(
-        F.sum(cents).alias("s_c"), F.count(F.lit(1)).alias("m")
+    # the bounded per-group frame feeds four branches (totals, LOO
+    # estimates, jack mean, final) — checkpoint it so the customer scan
+    # happens ONCE, not once per branch
+    g = (
+        c.groupBy("c_nationkey")
+        .agg(F.sum(cents).alias("s_c"), F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
     )
     tot = g.agg(
         F.sum("s_c").alias("st"),

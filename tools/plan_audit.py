@@ -560,6 +560,41 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     )
 
     _rel()
+
+    # round-7 waves 81-92
+    pmb = plan_of(qs["join_market_basket_rules"](spark, sf_dir))
+    check(
+        "market basket pairs via basket-key equi-join (no cartesian)",
+        "CartesianProduct" not in pmb
+        and ("SortMergeJoin" in pmb or "ShuffledHashJoin" in pmb),
+        "pair generation must hash/merge-join on l_orderkey",
+    )
+    pjs = plan_of(qs["text_js_divergence_sources"](spark, sf_dir))
+    check(
+        "js divergence joins per-pair support (no words x pairs blowup)",
+        "CartesianProduct" not in pjs,
+        "support set is two equi-joins unioned, never a cross join",
+    )
+    psil = plan_of(qs["embedding_label_silhouette"](spark, sf_dir))
+    check(
+        "silhouette broadcasts the k x dim centroid frame",
+        "BroadcastHashJoin" in psil and "CartesianProduct" not in psil,
+        "points never reshuffle against centroids",
+    )
+    prsi = plan_of(qs["window_rsi_indicator"](spark, sf_dir))
+    check(
+        "rsi is one scan + windows over the bounded daily frame",
+        prsi.count("Location:") == 1 and "Join" not in prsi,
+        "no join, no second scan",
+    )
+    pjk = plan_of(qs["agg_jackknife_variance"](spark, sf_dir))
+    check(
+        "jackknife scans customer once (checkpointed group frame)",
+        pjk.count("Location:") <= 1
+        and "SortMergeJoin" not in pjk
+        and "CartesianProduct" not in pjk,
+        "four branches reuse one bounded 25-row checkpoint",
+    )
     return results
 
 
