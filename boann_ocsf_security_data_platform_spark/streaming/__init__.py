@@ -14,3 +14,4 @@ from .neardup import (  # noqa: F401
     read_near_dup_pairs,
     start_near_dup_stream,
 )
+from .sessions import sessionize_stream  # noqa: F401

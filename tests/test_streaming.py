@@ -2,6 +2,7 @@
 coverage: watermarked tumbling windows, session windows, stateful dedup."""
 
 import json
+import os
 import time
 
 import pytest
@@ -1070,3 +1071,94 @@ def test_streaming_bottom_k_equals_batch(spark, tmp_path):
     )
     assert streamed == expected
     assert all(r.n_seen == len(items) for r in rows if r["_b"] == last_b)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Stream/batch parity for stateful sessionization: events arrive
+    across THREE micro-batches (one session EXTENDS across a batch
+    boundary, one 45-min gap closes mid-stream, one exactly-30-min gap
+    must stay inside the session — the inclusive bound the batch oracle
+    pins); per-user far-future sentinel events close every real session
+    via the gap path, and the closed-session rows equal the batch
+    events_sessionize islands over the same real events."""
+    import datetime
+
+    import __spark_entry__ as entrymod
+    from boann_ocsf_security_data_platform_spark.streaming import sessionize_stream
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    sentinel = datetime.datetime(2024, 6, 1)
+    real = [
+        # user 1: one session crossing the b1/b2 boundary, then a second
+        (1, ts(0), 1), (1, ts(10), 2), (1, ts(20), 3),
+        (1, ts(90), 4), (1, ts(100), 5),
+        # user 2: singleton, then a 45-min gap closes it
+        (2, ts(5), 6), (2, ts(50), 7), (2, ts(55), 8),
+        # user 3: exactly-30-min gap stays INSIDE the session
+        (3, ts(0), 9), (3, ts(30), 10),
+    ]
+    batches = [
+        real[0:2] + real[5:6] + real[8:9],          # 00:00-00:10 region
+        real[2:4] + real[6:7] + real[9:10],         # 00:20/01:30/00:50/00:30
+        real[4:5] + real[7:8]
+        + [(1, sentinel, 100), (2, sentinel, 101), (3, sentinel, 102)],
+    ]
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "user_id": u,
+                        "ts": t.strftime("%Y-%m-%dT%H:%M:%S"),
+                        "event_id": e,
+                    }
+                )
+                for u, t, e in rows
+            )
+        )
+        # the file source orders micro-batches by MODIFICATION TIME, not
+        # name — pin strictly increasing mtimes or batch order scrambles
+        os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+        if r.session_start < sentinel  # sentinel sessions stay open
+    }
+
+    # batch ground truth over the SAME real events
+    spark.createDataFrame(
+        [
+            (e, t, u, "click", 1.0, "{}")
+            for u, t, e in real
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    expect = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in entrymod.queries()["events_sessionize"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expect and len(got) == 5
