@@ -12622,6 +12622,262 @@ def text_vocab_jaccard_sources(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 93: Monte-Carlo permutation test (deterministic hash labels)
+# ---------------------------------------------------------------------------
+
+
+_H64_PERM = _H64.format(
+    expr="concat('perm', CAST(k AS VARCHAR), ':', CAST(event_id AS VARCHAR))"
+)
+
+
+@_q(
+    "agg_permutation_test",
+    f"""
+    WITH mn AS (SELECT min(event_type) AS m FROM events),
+    obs AS (SELECT
+              CAST(count(*) FILTER (WHERE event_type = m) AS BIGINT) AS n_a,
+              CAST(count(*) FILTER (WHERE event_type <> m) AS BIGINT) AS n_b,
+              round(avg(value) FILTER (WHERE event_type = m)
+                    - avg(value) FILTER (WHERE event_type <> m), 8) AS t_obs
+            FROM events CROSS JOIN mn),
+    ks AS (SELECT CAST(unnest(range(1, 200)) AS BIGINT) AS k),
+    perm AS (SELECT k,
+               round(avg(CASE WHEN {_H64_PERM} % 2 = 0 THEN value END)
+                     - avg(CASE WHEN {_H64_PERM} % 2 = 1 THEN value END), 8)
+                 AS t_k
+             FROM events CROSS JOIN ks GROUP BY k)
+    SELECT n_a, n_b, round(t_obs, 4) AS t_obs,
+           CAST(count(*) AS BIGINT) AS n_perms,
+           round((1.0 + count(*) FILTER (WHERE abs(t_k) >= abs(t_obs)))
+                 / (count(*) + 1), 6) AS p_value
+    FROM perm CROSS JOIN obs GROUP BY n_a, n_b, t_obs
+    """,
+)
+def agg_permutation_test(spark, sf_dir):
+    """Monte-Carlo permutation test of the mean-value difference between
+    the first event type and the rest, 199 DETERMINISTIC relabelings —
+    the assumption-free two-sample test (no normality, no equal
+    variances: the null is built by breaking the label-value link
+    itself). Each pseudo-label is the portable 60-bit md5 hash of
+    (permutation k, event_id) mod 2 — reproducible across engines and
+    runs, the agg_bootstrap_subsample_ci discipline; statistics round to
+    8 decimals BEFORE the exceedance comparison so summation-order ULPs
+    cannot flip a count. The explode is rows x K feeding one
+    map-combinable aggregate keyed by k; at 100 TB run the permutations
+    over a stratified hash-subsample (the documented approximate path)
+    or cut K — the plan shape stays one shuffle."""
+    e = _t(spark, sf_dir, "events")
+    mn = e.agg(F.min("event_type").alias("m"))
+    is_a = F.col("event_type") == F.col("m")
+    obs = (
+        e.join(F.broadcast(mn))
+        .agg(
+            F.count(F.when(is_a, 1)).alias("n_a"),
+            F.count(F.when(~is_a, 1)).alias("n_b"),
+            F.round(
+                F.avg(F.when(is_a, F.col("value")))
+                - F.avg(F.when(~is_a, F.col("value"))),
+                8,
+            ).alias("t_obs"),
+        )
+    )
+    from boann_ocsf_security_data_platform_spark.functions.hash_fns import hash64
+
+    h = hash64(
+        F.concat(
+            F.lit("perm"),
+            F.col("k").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    perm = (
+        e.select("event_id", "value")
+        .withColumn(
+            "k",
+            F.explode(F.sequence(F.lit(1), F.lit(199)).cast("array<long>")),
+        )
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.avg(F.when(h % 2 == 0, F.col("value")))
+                - F.avg(F.when(h % 2 == 1, F.col("value"))),
+                8,
+            ).alias("t_k")
+        )
+    )
+    return (
+        perm.join(F.broadcast(obs))
+        .groupBy("n_a", "n_b", "t_obs")
+        .agg(
+            F.count(F.lit(1)).alias("n_perms"),
+            F.round(
+                (
+                    1.0
+                    + F.count(F.when(F.abs("t_k") >= F.abs("t_obs"), 1))
+                )
+                / (F.count(F.lit(1)) + 1),
+                6,
+            ).alias("p_value"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.round("t_obs", 4).alias("t_obs"),
+            "n_perms",
+            "p_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 94: BMP container synthesis -> stride-verified parse round-trip
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_bmp_roundtrip",
+    """
+    WITH dims AS (SELECT doc_id,
+                    CAST(n_chars % 31 + 1 AS BIGINT) AS w,
+                    CAST(doc_id % 7 + 1 AS BIGINT) AS h
+                  FROM documents)
+    SELECT doc_id, 'bmp' AS format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(24 AS INT) AS bits_per_pixel,
+           CAST(((3 * w + 3) // 4) * 4 AS INT) AS row_stride,
+           FALSE AS top_down,
+           TRUE AS size_ok
+    FROM dims
+    """,
+)
+def multimodal_bmp_roundtrip(spark, sf_dir):
+    """Synthesize a VALID 24-bit BMP per document in pure Column
+    expressions — BITMAPFILEHEADER + BITMAPINFOHEADER little-endian via
+    hex/unhex, data-derived dimensions (width from n_chars exercises
+    every remainder case of the 4-byte row-stride padding), and a zero
+    pixel array sized EXACTLY stride*height — then push it through the
+    stride/size-verifying parser (operators/multimodal.py:
+    parse_bmp_meta). The oracle computes expected dimensions and the
+    padded stride directly from the table with integer floor division
+    (engine-cast discipline), and size_ok must read TRUE on every row:
+    any byte drift in the synthesis or the parser's stride arithmetic
+    breaks the hash. The uncompressed-raster sibling of the PNG/WAV/MP4
+    round-trips; synthesis is row-local, parsing the Arrow mapInPandas
+    stage."""
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        parse_bmp_meta,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 31 + 1).cast("long").alias("w"),
+        (F.col("doc_id") % 7 + 1).cast("long").alias("h"),
+    )
+    stride = (F.floor((3 * F.col("w") + 3) / 4) * 4).cast("long")
+    data_len = stride * F.col("h")
+    bmp = F.concat(
+        F.lit(b"BM"),
+        _le_bytes(data_len + 54, 8),          # file size
+        F.lit(bytes(4)),                      # reserved
+        _le_bytes(F.lit(54), 8),              # pixel-array offset
+        _le_bytes(F.lit(40), 8),              # BITMAPINFOHEADER size
+        _le_bytes(F.col("w"), 8),             # width  (LE32)
+        _le_bytes(F.col("h"), 8),             # height (LE32, bottom-up)
+        _le_bytes(F.lit(1), 4),               # planes (LE16)
+        _le_bytes(F.lit(24), 4),              # bpp    (LE16)
+        _le_bytes(F.lit(0), 8),               # BI_RGB
+        _le_bytes(data_len, 8),               # image size
+        _le_bytes(F.lit(2835), 8),            # x ppm
+        _le_bytes(F.lit(2835), 8),            # y ppm
+        _le_bytes(F.lit(0), 8),               # palette colors
+        _le_bytes(F.lit(0), 8),               # important colors
+        F.unhex(F.repeat(F.lit("00"), data_len.cast("int"))),
+    )
+    meta = parse_bmp_meta(d.select("media_id", bmp.alias("payload")))
+    return meta.select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        "width",
+        "height",
+        "bits_per_pixel",
+        "row_stride",
+        "top_down",
+        "size_ok",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 95: Bollinger bands + %B over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_bollinger_bands",
+    """
+    WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+                     sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS rev_c
+                   FROM orders GROUP BY 1),
+    b AS (SELECT day, rev_c,
+                 row_number() OVER (ORDER BY day) AS rn,
+                 avg(rev_c) OVER (ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ma,
+                 stddev_samp(rev_c) OVER (ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd
+          FROM daily)
+    SELECT day, CAST(rev_c AS BIGINT) AS close_cents,
+           CAST(floor(ma + 0.5) AS BIGINT) AS ma_cents,
+           round(sd / 100.0, 2) AS sd_dollars,
+           round(CASE WHEN sd > 0
+                      THEN (rev_c - (ma - 2 * sd)) / (4 * sd) END, 4)
+             AS pct_b,
+           round(CASE WHEN ma > 0 THEN 4 * sd / ma END, 6) AS bandwidth
+    FROM b WHERE rn >= 20
+    """,
+)
+def window_bollinger_bands(spark, sf_dir):
+    """Bollinger bands (20-day mean +/- 2 sigma) with %B and relative
+    bandwidth over the daily revenue series — the volatility-envelope
+    companion to window_rsi_indicator: %B locates today inside the
+    envelope, the bandwidth spike IS the volatility-regime-change alarm.
+    Revenue is exact integer cents; mean/stddev run over the same fixed
+    20-row frame (one global sort shared with a row_number pass — at
+    scale, a per-series partition key); degenerate zero-variance frames
+    yield NULL %B via an explicit guard on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(cents).alias("rev_c"))
+    w = Window.orderBy("day")
+    frame = Window.orderBy("day").rowsBetween(-19, 0)
+    b = daily.select(
+        "day",
+        "rev_c",
+        F.row_number().over(w).alias("rn"),
+        F.avg("rev_c").over(frame).alias("ma"),
+        F.stddev_samp("rev_c").over(frame).alias("sd"),
+    )
+    pct_b = F.when(
+        F.col("sd") > 0,
+        (F.col("rev_c") - (F.col("ma") - 2 * F.col("sd")))
+        / (4 * F.col("sd")),
+    )
+    return b.filter(F.col("rn") >= 20).select(
+        "day",
+        F.col("rev_c").alias("close_cents"),
+        F.floor(F.col("ma") + 0.5).cast("long").alias("ma_cents"),
+        F.round(F.col("sd") / 100.0, 2).alias("sd_dollars"),
+        F.round(pct_b, 4).alias("pct_b"),
+        F.round(
+            F.when(F.col("ma") > 0, 4 * F.col("sd") / F.col("ma")), 6
+        ).alias("bandwidth"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

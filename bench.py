@@ -132,6 +132,9 @@ HEADLINE = [
     "window_rsi_indicator",
     "agg_jackknife_variance",
     "text_vocab_jaccard_sources",
+    "agg_permutation_test",
+    "multimodal_bmp_roundtrip",
+    "window_bollinger_bands",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -1033,3 +1033,78 @@ def parse_png_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(batches, PNG_META_SCHEMA)
+
+
+BMP_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bits_per_pixel", IntegerType()),
+        StructField("row_stride", IntegerType()),
+        StructField("top_down", BooleanType()),
+        StructField("size_ok", BooleanType()),
+    ]
+)
+
+
+def _parse_bmp(b: bytes):
+    """BITMAPFILEHEADER + BITMAPINFOHEADER walk with the 4-byte row-stride
+    padding arithmetic VERIFIED against the actual payload length: stride
+    = ((bpp·width + 31) // 32) · 4, and the pixel array declared by the
+    header (offset + stride·|height|) must fit inside the buffer — a
+    truncated or forged BMP reads size_ok=False instead of silently
+    yielding dimensions. Negative biHeight means top-down row order."""
+    import struct
+
+    try:
+        if b[:2] != b"BM" or len(b) < 54:
+            return None
+        pixel_off = struct.unpack("<I", b[10:14])[0]
+        hdr_size = struct.unpack("<I", b[14:18])[0]
+        if hdr_size < 40:
+            return None
+        w, h = struct.unpack("<ii", b[18:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        if w <= 0 or h == 0 or planes != 1 or bpp == 0:
+            return None
+        stride = ((bpp * w + 31) // 32) * 4
+        size_ok = pixel_off + stride * abs(h) <= len(b)
+        return w, abs(h), bpp, stride, h < 0, size_ok
+    except (struct.error, IndexError):
+        return None
+
+
+def parse_bmp_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """BMP header metadata with stride/size verification, Arrow-batched —
+    the uncompressed-raster sibling of :func:`parse_png_meta`: width,
+    height, bits per pixel, the padded row stride, top-down flag, and
+    whether the declared pixel array actually fits the payload. Non-BMP
+    payloads yield NULLs (bad bytes are data, not errors, at 100 TB)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [_parse_bmp(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": ["bmp" if r else None for r in rows],
+                    "width": pd.array(
+                        [r[0] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r[1] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "bits_per_pixel": pd.array(
+                        [r[2] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "row_stride": pd.array(
+                        [r[3] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "top_down": [r[4] if r else None for r in rows],
+                    "size_ok": [r[5] if r else None for r in rows],
+                }
+            )
+
+    return df.mapInPandas(batches, BMP_META_SCHEMA)

@@ -116,6 +116,12 @@ def test_gate_window_covers_every_family():
         "agg_jackknife_variance",
         # wave 92: pairwise source vocabulary Jaccard
         "text_vocab_jaccard_sources",
+        # wave 93: deterministic Monte-Carlo permutation test
+        "agg_permutation_test",
+        # wave 94: BMP synthesis -> stride-verified parse round-trip
+        "multimodal_bmp_roundtrip",
+        # wave 95: Bollinger bands + %B (20-day envelope)
+        "window_bollinger_bands",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

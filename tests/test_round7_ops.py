@@ -245,3 +245,76 @@ def test_vocab_jaccard_bounds_and_identity(spark, sf_smoke, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     out = QS["text_vocab_jaccard_sources"](spark, str(tmp_path)).collect()
     assert out[0].jaccard == 1.0 and out[0].n_inter == 3
+
+
+def test_permutation_test_p_bounds_and_null_behavior(spark, sf_smoke, tmp_path):
+    r = QS["agg_permutation_test"](spark, sf_smoke).collect()[0]
+    assert r.n_perms == 199
+    assert 1.0 / 200 <= r.p_value <= 1.0
+    # label-independent values -> p must be LARGE (the null holds by
+    # construction: value identical for every row)
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, i % 60), i % 7, "t" + str(i % 3), 5.0, "{}")
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QS["agg_permutation_test"](spark, str(tmp_path)).collect()[0]
+    assert out.t_obs == 0.0 and out.p_value == 1.0
+
+
+def test_bmp_parser_rejects_garbage_and_truncation(spark):
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        _parse_bmp,
+    )
+
+    assert _parse_bmp(b"") is None
+    assert _parse_bmp(b"not a bmp at all" * 10) is None
+    assert _parse_bmp(b"BM" + bytes(20)) is None  # too short
+    # valid header that DECLARES more pixels than the buffer holds
+    import struct
+
+    hdr = (
+        b"BM"
+        + struct.pack("<I", 54 + 100)
+        + bytes(4)
+        + struct.pack("<I", 54)
+        + struct.pack("<I", 40)
+        + struct.pack("<ii", 10, 10)  # needs 10 rows * 32-byte stride
+        + struct.pack("<HH", 1, 24)
+        + bytes(24)
+    )
+    r = _parse_bmp(hdr + bytes(10))  # only 10 pixel bytes present
+    assert r is not None and r[5] is False  # size_ok False, not a crash
+    # top-down flag: negative height
+    hdr_td = (
+        b"BM"
+        + struct.pack("<I", 54)
+        + bytes(4)
+        + struct.pack("<I", 54)
+        + struct.pack("<I", 40)
+        + struct.pack("<ii", 1, -1)
+        + struct.pack("<HH", 1, 24)
+        + bytes(24)
+        + bytes(4)
+    )
+    r = _parse_bmp(hdr_td)
+    assert r is not None and r[4] is True and r[5] is True
+
+
+def test_bollinger_pct_b_inside_band_meaning(spark, sf_smoke):
+    rows = QS["window_bollinger_bands"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        # |close - ma| <= 2sd  <=>  0 <= pct_b <= 1; allow excursions but
+        # sanity-pin the algebra: pct_b == (close - (ma-2sd)) / (4sd)
+        if r.pct_b is not None and r.sd_dollars and r.sd_dollars > 0:
+            sd_c = r.sd_dollars * 100
+            recomputed = (r.close_cents - (r.ma_cents - 2 * sd_c)) / (4 * sd_c)
+            assert abs(recomputed - r.pct_b) < 0.01
+        assert r.bandwidth is None or r.bandwidth >= 0
