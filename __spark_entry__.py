@@ -12878,6 +12878,309 @@ def window_bollinger_bands(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 96: Bellman-Ford shortest paths (min-plus fixed rounds)
+# ---------------------------------------------------------------------------
+
+
+def _bellman_ford_oracle(iters: int = 5) -> str:
+    """Unrolled min-plus relaxation CTE chain (the _pagerank_oracle
+    pattern on a different semiring) over the nation trade graph with
+    affinity costs w = 1/count; the explicit NULL ladder mirrors the
+    operator exactly (engine least() NULL semantics differ)."""
+    base = """
+    WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                       CAST(count(*) AS DOUBLE) AS cnt
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                GROUP BY 1, 2),
+    e AS (SELECT src, dst, round(1.0 / cnt, 8) AS w FROM e0),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    d0 AS (SELECT node, CASE WHEN node = 0 THEN 0.0 END AS d FROM nodes)"""
+    prev = "d0"
+    for i in range(1, iters + 1):
+        base += f""",
+    c{i} AS (SELECT e.dst AS node, min({prev}.d + e.w) AS cand
+             FROM e JOIN {prev} ON e.src = {prev}.node
+             WHERE {prev}.d IS NOT NULL GROUP BY e.dst),
+    d{i} AS (SELECT {prev}.node,
+               round(CASE WHEN {prev}.d IS NULL THEN c{i}.cand
+                          WHEN c{i}.cand IS NULL THEN {prev}.d
+                          WHEN c{i}.cand < {prev}.d THEN c{i}.cand
+                          ELSE {prev}.d END, 6) AS d
+             FROM {prev} LEFT JOIN c{i} ON {prev}.node = c{i}.node)"""
+        prev = f"d{i}"
+    return base + f"""
+    SELECT node AS nationkey, round(d, 6) AS distance FROM {prev}
+    """
+
+
+@_q("graph_bellman_ford_sssp", _bellman_ford_oracle())
+def graph_bellman_ford_sssp(spark, sf_dir):
+    """Single-source cheapest paths from nation 0 over the trade graph,
+    edge cost = 1/trade-count (strong trade = cheap hop), 5 fixed
+    Bellman-Ford relaxation rounds — the min-plus semiring sibling of
+    graph_pagerank: same one-equi-join-plus-one-aggregate per round,
+    same localCheckpoint lineage cuts, same per-round rounding, but the
+    aggregate is min(d+w) instead of sum(r*w/W), covering latency-budget
+    and cheapest-route rollups (operators/graph.py:bellman_ford_sssp).
+    k rounds = exact distances over <= k-hop paths, replayed exactly by
+    the unrolled oracle CTE chain; unreached nodes stay NULL through an
+    explicit NULL ladder on both engines."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import (
+        bellman_ford_sssp,
+    )
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(
+            F.round(1.0 / F.count(F.lit(1)).cast("double"), 8).alias("w")
+        )
+    )
+    d = bellman_ford_sssp(edges, source=0, iters=5)
+    return d.select(
+        F.col("node").alias("nationkey"),
+        F.round("distance", 6).alias("distance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 97: open-order aging buckets (receivables-style report)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_aging_buckets",
+    """
+    WITH mx AS (SELECT max(CAST(date_trunc('day', o_orderdate) AS DATE))
+                  AS gmax FROM orders),
+    open_o AS (SELECT o_orderkey,
+                 date_diff('day',
+                           CAST(date_trunc('day', o_orderdate) AS DATE),
+                           gmax) AS age_days,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders CROSS JOIN mx
+               WHERE o_orderstatus <> 'F'),
+    b AS (SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                      WHEN age_days <= 90 THEN '31-90'
+                      WHEN age_days <= 365 THEN '91-365'
+                      ELSE '365+' END AS bucket,
+                 age_days, cents
+          FROM open_o)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS open_cents,
+           CAST(min(age_days) AS BIGINT) AS min_age_days,
+           CAST(max(age_days) AS BIGINT) AS max_age_days
+    FROM b GROUP BY bucket
+    """,
+)
+def orders_aging_buckets(spark, sf_dir):
+    """Open-order aging report: every non-finalized order bucketed by age
+    against the latest order day (0-30 / 31-90 / 91-365 / 365+), with
+    exact integer-cent exposure per bucket — the receivables/backlog
+    primitive behind every is-old-work-piling-up ops dashboard. Integer
+    day arithmetic against a broadcast one-row max (NTZ-proof), one scan,
+    one map-combinable aggregate to a four-row frame."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate")).cast("date")
+    mx = o.agg(F.max(day).alias("gmax"))
+    age = F.datediff("gmax", day)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 90, "31-90")
+        .when(age <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        o.join(F.broadcast(mx))
+        .filter(F.col("o_orderstatus") != "F")
+        .select(
+            bucket.alias("bucket"),
+            age.alias("age_days"),
+            cents.alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("open_cents"),
+            F.min("age_days").cast("long").alias("min_age_days"),
+            F.max("age_days").cast("long").alias("max_age_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 98: Lincoln-Petersen capture-recapture population estimate
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_capture_recapture",
+    """
+    WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+               FROM events),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+    half AS (SELECT d0,
+               CAST(floor(date_diff('day', d0, d1) / 2.0) AS BIGINT) AS mid
+             FROM bounds),
+    marked AS (SELECT DISTINCT user_id,
+                 date_diff('day', d0, day) < mid AS in_p1
+               FROM d CROSS JOIN half),
+    s AS (SELECT
+            CAST(count(DISTINCT CASE WHEN in_p1 THEN user_id END) AS BIGINT)
+              AS n1,
+            CAST(count(DISTINCT CASE WHEN NOT in_p1 THEN user_id END)
+              AS BIGINT) AS n2,
+            CAST(count(*) FILTER (WHERE in_p1)
+                 + count(*) FILTER (WHERE NOT in_p1)
+                 - count(DISTINCT user_id) AS BIGINT) AS m,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_observed
+          FROM marked)
+    SELECT n1, n2, m, n_observed,
+           round(CASE WHEN m > 0
+                      THEN (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 END, 2)
+             AS chapman_estimate
+    FROM s
+    """,
+)
+def events_capture_recapture(spark, sf_dir):
+    """Capture-recapture population estimate (Chapman's bias-corrected
+    Lincoln-Petersen): the first and second half of the day range are
+    two capture occasions; users seen in both are recaptures, and
+    N-hat = (n1+1)(n2+1)/(m+1) - 1 estimates the TOTAL population
+    including never-observed users — the how-many-users-do-we-actually-
+    have estimator behind market-size and dark-traffic questions (the
+    same statistics ecologists use to count fish). One
+    distinct-projection scan, conditional distinct aggregates, integer
+    day arithmetic on a broadcast one-row bound; the degenerate
+    no-recapture case yields NULL via an explicit guard on both
+    engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    )
+    bounds = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
+        "d0",
+        F.floor(F.datediff("d1", "d0") / 2.0).cast("long").alias("mid"),
+    )
+    marked = (
+        e.join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            (F.datediff("day", "d0") < F.col("mid")).alias("in_p1"),
+        )
+        .distinct()
+    )
+    s = marked.agg(
+        F.countDistinct(F.when(F.col("in_p1"), F.col("user_id"))).alias("n1"),
+        F.countDistinct(F.when(~F.col("in_p1"), F.col("user_id"))).alias("n2"),
+        (
+            F.count(F.when(F.col("in_p1"), 1))
+            + F.count(F.when(~F.col("in_p1"), 1))
+            - F.countDistinct("user_id")
+        ).alias("m"),
+        F.countDistinct("user_id").alias("n_observed"),
+    )
+    est = F.when(
+        F.col("m") > 0,
+        (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0,
+    )
+    return s.select(
+        "n1",
+        "n2",
+        "m",
+        "n_observed",
+        F.round(est, 2).alias("chapman_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 99: diagonal-Mahalanobis embedding outliers
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "embedding_mahalanobis_outliers",
+    """
+    WITH x AS (SELECT vec_id, label,
+                 CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS pos,
+                 embedding
+               FROM embeddings),
+    v AS (SELECT vec_id, label, pos,
+                 CAST(embedding[pos] AS DOUBLE) AS val FROM x),
+    stats AS (SELECT pos, round(avg(val), 8) AS mu,
+                     round(stddev_samp(val), 8) AS sd
+              FROM v GROUP BY pos),
+    score AS (SELECT vec_id, label,
+                sqrt(sum(CASE WHEN sd > 0
+                              THEN (val - mu) * (val - mu) / (sd * sd)
+                              ELSE 0.0 END)) AS md
+              FROM v JOIN stats USING (pos) GROUP BY vec_id, label)
+    SELECT vec_id, CAST(label AS INT) AS label, round(md, 4) AS mahalanobis
+    FROM score ORDER BY md DESC, vec_id LIMIT 20
+    """,
+)
+def embedding_mahalanobis_outliers(spark, sf_dir):
+    """Top-20 embedding outliers by diagonal Mahalanobis distance
+    (per-dimension z-scores, sqrt of the summed squares) — the
+    embedding-space QA sweep that catches corrupt vectors, collapsed
+    encoders, and domain leaks BEFORE they poison an ANN index or a
+    semantic-dedup pass; diagonal covariance keeps it one positional
+    aggregate instead of a d x d matrix solve (full covariance is the
+    documented scale-out via a d x d gram aggregate). Per-dimension
+    mean/std round to 8 decimals so summation-order ULPs cannot reorder
+    the top-k; stats ride a broadcast join keyed by position; the top-20
+    plans as TakeOrdered, never a global sort materialization."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "val0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    stats = v.groupBy("pos").agg(
+        F.round(F.avg("val"), 8).alias("mu"),
+        F.round(F.stddev_samp("val"), 8).alias("sd"),
+    )
+    z2 = F.when(
+        F.col("sd") > 0,
+        (F.col("val") - F.col("mu"))
+        * (F.col("val") - F.col("mu"))
+        / (F.col("sd") * F.col("sd")),
+    ).otherwise(0.0)
+    score = (
+        v.join(F.broadcast(stats), "pos")
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(z2)).alias("md"))
+    )
+    return (
+        score.orderBy(F.desc("md"), F.asc("vec_id"))
+        .limit(20)
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.round("md", 4).alias("mahalanobis"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -135,6 +135,10 @@ HEADLINE = [
     "agg_permutation_test",
     "multimodal_bmp_roundtrip",
     "window_bollinger_bands",
+    "graph_bellman_ford_sssp",
+    "orders_aging_buckets",
+    "events_capture_recapture",
+    "embedding_mahalanobis_outliers",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

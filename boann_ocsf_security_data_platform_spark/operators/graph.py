@@ -517,3 +517,73 @@ def hits(
     for c in (e, nodes):
         c.unpersist()
     return out
+
+
+def bellman_ford_sssp(
+    edges: DataFrame,
+    source,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iters: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Single-source shortest paths by a FIXED number of Bellman-Ford
+    relaxation rounds over the min-plus semiring — the iterative-graph
+    shape that covers weighted reachability, latency budgets, and
+    cheapest-route rollups where PageRank's sum-times covers influence.
+
+    Per round: ``d'(v) = min(d(v), min_{u→v} d(u) + w_uv)`` — one
+    edge⋈distance equi-join keyed by the source node plus one min
+    aggregate keyed by the destination, the same
+    one-join-one-agg-per-round recipe as :func:`pagerank`, with
+    ``localCheckpoint`` truncating lineage between rounds. Distances
+    round to ``decimals`` per round so engine summation ULPs cannot flip
+    a later min. ``iters`` bounds the relaxation like the fixed-round
+    PageRank (k rounds ≡ exact distances over paths of ≤ k hops — enough
+    for bounded-diameter graphs, and exactly replayable by an unrolled
+    SQL oracle). Unreached nodes keep NULL distance.
+
+    Scale: the distance table is one row per node; each round shuffles
+    the edge list once on ``src`` (pre-bucket it by src and only the
+    small distance side moves), so cost is O(iters · |E|) — never
+    materializing paths.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == source, F.lit(0.0)).alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        relaxed = (
+            e.join(dist, e.src == dist.node)
+            .filter(F.col("d").isNotNull())
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("d") + F.col("w")).alias("cand"))
+        )
+        dist = (
+            dist.join(relaxed, "node", "left")
+            .select(
+                "node",
+                # explicit NULL ladder (unreached / no-candidate) — engine
+                # least() NULL semantics differ, so never feed it a NULL
+                F.round(
+                    F.when(F.col("d").isNull(), F.col("cand"))
+                    .when(F.col("cand").isNull(), F.col("d"))
+                    .otherwise(F.least("d", "cand")),
+                    decimals,
+                ).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return dist.select("node", F.col("d").alias("distance"))

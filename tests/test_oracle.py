@@ -122,6 +122,14 @@ def test_gate_window_covers_every_family():
         "multimodal_bmp_roundtrip",
         # wave 95: Bollinger bands + %B (20-day envelope)
         "window_bollinger_bands",
+        # wave 96: Bellman-Ford min-plus shortest paths (5 fixed rounds)
+        "graph_bellman_ford_sssp",
+        # wave 97: open-order aging buckets (integer-cents exposure)
+        "orders_aging_buckets",
+        # wave 98: Chapman capture-recapture population estimate
+        "events_capture_recapture",
+        # wave 99: diagonal-Mahalanobis embedding outliers (top-20)
+        "embedding_mahalanobis_outliers",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

@@ -318,3 +318,75 @@ def test_bollinger_pct_b_inside_band_meaning(spark, sf_smoke):
             recomputed = (r.close_cents - (r.ma_cents - 2 * sd_c)) / (4 * sd_c)
             assert abs(recomputed - r.pct_b) < 0.01
         assert r.bandwidth is None or r.bandwidth >= 0
+
+
+def test_bellman_ford_triangle_inequality_and_source_zero(spark, sf_smoke):
+    rows = QS["graph_bellman_ford_sssp"](spark, sf_smoke).collect()
+    d = {r.nationkey: r.distance for r in rows}
+    assert d.get(0) == 0.0
+    reached = [v for v in d.values() if v is not None]
+    assert all(v >= 0 for v in reached)
+    # at sf0.001 the trade graph is sparse — just pin that SOMETHING
+    # beyond the source is reached and nothing is negative; exact
+    # reachability/values are the oracle's job
+    assert len(reached) >= 2
+
+
+def test_bellman_ford_unreached_stays_null(spark):
+    from boann_ocsf_security_data_platform_spark.operators.graph import (
+        bellman_ford_sssp,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (5, 6, 1.0)],  # 5->6 disconnected from 0
+        "src long, dst long, w double",
+    )
+    d = {
+        r.node: r.distance
+        for r in bellman_ford_sssp(edges, source=0, iters=4).collect()
+    }
+    assert d[0] == 0.0 and d[1] == 1.0 and d[2] == 3.0
+    assert d[6] is None and d[5] is None
+
+
+def test_aging_buckets_partition_open_orders(spark, sf_smoke):
+    rows = QS["orders_aging_buckets"](spark, sf_smoke).collect()
+    n_open = (
+        entrymod._t(spark, sf_smoke, "orders")
+        .filter(F.col("o_orderstatus") != "F")
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == n_open
+    order = {"0-30": 0, "31-90": 1, "91-365": 2, "365+": 3}
+    for r in rows:
+        assert r.bucket in order
+        assert r.min_age_days <= r.max_age_days
+
+
+def test_capture_recapture_estimate_bounds(spark, sf_smoke):
+    r = QS["events_capture_recapture"](spark, sf_smoke).collect()[0]
+    # Chapman estimate can never be below the observed population minus
+    # rounding, and overlap can't exceed either occasion
+    assert r.m <= min(r.n1, r.n2)
+    assert r.n_observed == r.n1 + r.n2 - r.m
+    if r.chapman_estimate is not None:
+        assert r.chapman_estimate >= r.n_observed - 1
+
+
+def test_mahalanobis_outliers_scores_ordered_and_extreme_vector_wins(
+    spark, sf_smoke, tmp_path
+):
+    rows = QS["embedding_mahalanobis_outliers"](spark, sf_smoke).collect()
+    assert len(rows) == 20
+    scores = [r.mahalanobis for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a planted far-out vector must rank first
+    import numpy as np
+
+    data = [(i, [float(x) for x in np.ones(8) * (i % 5)], 0) for i in range(50)]
+    data.append((999, [1e6] * 8, 1))
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = QS["embedding_mahalanobis_outliers"](spark, str(tmp_path)).collect()
+    assert out[0].vec_id == 999
