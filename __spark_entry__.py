@@ -13181,6 +13181,371 @@ def embedding_mahalanobis_outliers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 100: code-vs-prose detection (symbol-density heuristic)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_code_detection",
+    """
+    WITH d AS (SELECT source,
+                 length(text) AS n,
+                 length(text) - length(regexp_replace(text,
+                   '[{}();=<>#]', '', 'g')) AS n_sym
+               FROM documents WHERE length(text) > 0),
+    r AS (SELECT source, n_sym * 1.0 / n AS sym_ratio FROM d)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE sym_ratio > 0.03) AS BIGINT)
+             AS n_code_docs,
+           round(avg(CASE WHEN sym_ratio > 0.03 THEN 1.0 ELSE 0.0 END), 6)
+             AS code_share,
+           round(avg(sym_ratio), 6) AS avg_symbol_ratio,
+           round(max(sym_ratio), 6) AS max_symbol_ratio
+    FROM r GROUP BY source
+    """,
+)
+def text_code_detection(spark, sf_dir):
+    """Code-vs-prose split per source by structural-symbol density
+    ({ } ( ) ; = < > #) — the cheapest code detector in a curation
+    pipeline, and the first gate before routing documents to a code
+    tokenizer vs a prose quality model (natural prose sits well under 3%
+    symbol density; source files, config dumps, and minified blobs sit
+    far above). One regexp_replace length-difference per document (the
+    count-without-extracting idiom — no explode, no UDF), rolled up per
+    source in one map-combinable aggregate."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0).select(
+        "source",
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "[{}();=<>#]", ""))
+            )
+            * 1.0
+            / F.length("text")
+        ).alias("sym_ratio"),
+    )
+    is_code = F.col("sym_ratio") > 0.03
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(is_code, 1)).alias("n_code_docs"),
+        F.round(F.avg(F.when(is_code, 1.0).otherwise(0.0)), 6).alias(
+            "code_share"
+        ),
+        F.round(F.avg("sym_ratio"), 6).alias("avg_symbol_ratio"),
+        F.round(F.max("sym_ratio"), 6).alias("max_symbol_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 101: rare-category collapse + frequency encoding
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "feature_rare_category_collapse",
+    """
+    WITH tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM part),
+    c AS (SELECT p_type AS cat, count(*) AS cnt FROM part GROUP BY p_type),
+    mapped AS (SELECT CASE WHEN cnt * 1.0 / n < 0.005 THEN '__rare__'
+                           ELSE cat END AS cat_out, cnt
+               FROM c CROSS JOIN tot)
+    SELECT cat_out AS category,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_merged_categories,
+           round(sum(cnt) / any_value(n), 6) AS frequency
+    FROM mapped CROSS JOIN tot GROUP BY cat_out
+    """,
+)
+def feature_rare_category_collapse(spark, sf_dir):
+    """Rare-category collapse + frequency encoding over part types:
+    categories under 0.5% support merge into a single __rare__ level
+    before encoding — the cardinality-control step every categorical
+    feature needs (unseen/rare levels otherwise explode one-hot width
+    and leak noise into target encodings; the collapsed level is also
+    the natural serving-time fallback for unseen categories). One
+    count-by-category aggregate, the collapse is row-local arithmetic on
+    the bounded category frame against a broadcast one-row total."""
+    p = _t(spark, sf_dir, "part")
+    tot = p.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    c = p.groupBy(F.col("p_type").alias("cat")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mapped = c.join(F.broadcast(tot)).select(
+        F.when(F.col("cnt") * 1.0 / F.col("n") < 0.005, "__rare__")
+        .otherwise(F.col("cat"))
+        .alias("cat_out"),
+        "cnt",
+        "n",
+    )
+    return mapped.groupBy(F.col("cat_out").alias("category")).agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_merged_categories"),
+        F.round(F.sum("cnt") / F.any_value("n"), 6).alias("frequency"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 102: local-maximum peak detection over the daily series
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_peak_detection",
+    """
+    WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+    w AS (SELECT day, n,
+                 lag(n) OVER (ORDER BY day) AS prev,
+                 lead(n) OVER (ORDER BY day) AS nxt,
+                 avg(n) OVER (ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS base
+          FROM daily)
+    SELECT day, n AS n_events,
+           round(base, 2) AS baseline_7d,
+           round(n / base, 4) AS spike_ratio
+    FROM w
+    WHERE prev IS NOT NULL AND nxt IS NOT NULL
+      AND n > prev AND n > nxt AND base > 0 AND n >= 1.2 * base
+    """,
+)
+def events_peak_detection(spark, sf_dir):
+    """Daily-volume peak detection: a peak is a STRICT local maximum
+    (greater than both neighbors) that also clears 1.2x its trailing
+    7-day baseline — the two-condition rule that separates real spikes
+    from sawtooth noise (local-max alone) and from slow ramps (threshold
+    alone); the launch/incident/anomaly marker every ops dashboard
+    draws. One aggregate to the bounded daily frame, one window pass
+    (lag/lead/trailing-avg share the global day order — per-series
+    partition key at scale); integer counts make neighbor comparisons
+    exact on both engines."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    base_w = Window.orderBy("day").rowsBetween(-7, -1)
+    d = daily.select(
+        "day",
+        "n",
+        F.lag("n").over(w).alias("prev"),
+        F.lead("n").over(w).alias("nxt"),
+        F.avg("n").over(base_w).alias("base"),
+    )
+    return d.filter(
+        F.col("prev").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("n") > F.col("prev"))
+        & (F.col("n") > F.col("nxt"))
+        & (F.col("base") > 0)
+        & (F.col("n") >= 1.2 * F.col("base"))
+    ).select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.round("base", 2).alias("baseline_7d"),
+        F.round(F.col("n") / F.col("base"), 4).alias("spike_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 103: Gumbel extreme-value fit over monthly revenue maxima
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_extreme_value_gumbel",
+    """
+    WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+                     sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS rev_c
+                   FROM orders GROUP BY 1),
+    mm AS (SELECT date_trunc('month', day) AS month,
+                  max(rev_c) AS block_max
+           FROM daily GROUP BY 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                 avg(block_max) AS mean_max,
+                 stddev_samp(block_max) AS sd_max
+          FROM mm)
+    SELECT n_blocks,
+           CAST(floor(mean_max + 0.5) AS BIGINT) AS mean_max_cents,
+           round(sd_max * sqrt(6) / pi() / 100.0, 2) AS beta_dollars,
+           round((mean_max - 0.5772156649015329 * sd_max * sqrt(6) / pi())
+                 / 100.0, 2) AS mu_dollars,
+           round((mean_max - 0.5772156649015329 * sd_max * sqrt(6) / pi()
+                  - sd_max * sqrt(6) / pi() * ln(-ln(0.99))) / 100.0, 2)
+             AS p99_dollars
+    FROM s
+    """,
+)
+def agg_extreme_value_gumbel(spark, sf_dir):
+    """Gumbel extreme-value fit by the method of moments over monthly
+    block maxima of daily revenue: beta = sd sqrt(6)/pi, mu = mean -
+    gamma_E beta, and the implied 99th-percentile monthly max mu - beta
+    ln(-ln 0.99) — the EVT answer to how-big-can-the-spike-get that
+    capacity planning needs and that averages structurally cannot give
+    (extremes follow their own distribution). Exact integer-cent daily
+    sums, a bounded monthly block-max frame, and a one-row moments fit —
+    the Euler-Mascheroni constant is inlined verbatim on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(cents).alias("rev_c"))
+    mm = daily.groupBy(F.date_trunc("month", F.col("day")).alias("month")).agg(
+        F.max("rev_c").alias("block_max")
+    )
+    s = mm.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.avg("block_max").alias("mean_max"),
+        F.stddev_samp("block_max").alias("sd_max"),
+    )
+    import math as _math
+
+    gamma_e = 0.5772156649015329
+    beta = F.col("sd_max") * _math.sqrt(6) / _math.pi
+    mu = F.col("mean_max") - gamma_e * beta
+    return s.select(
+        "n_blocks",
+        F.floor(F.col("mean_max") + 0.5).cast("long").alias("mean_max_cents"),
+        F.round(beta / 100.0, 2).alias("beta_dollars"),
+        F.round(mu / 100.0, 2).alias("mu_dollars"),
+        F.round(
+            (mu - beta * _math.log(-_math.log(0.99))) / 100.0, 2
+        ).alias("p99_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 104: intra-document repetition ratio (degenerate-text gate)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_repetition_ratio",
+    f"""
+    WITH ws AS (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+    g AS (SELECT doc_id, source,
+                 CAST(len(ws) - 2 AS BIGINT) AS n_grams,
+                 CAST(len(list_distinct(list_transform(
+                   range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])))
+                   AS BIGINT) AS n_distinct
+          FROM ws WHERE len(ws) >= 3)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg((n_grams - n_distinct) * 1.0 / n_grams), 6)
+             AS avg_repetition,
+           round(max((n_grams - n_distinct) * 1.0 / n_grams), 6)
+             AS max_repetition,
+           CAST(count(*) FILTER (
+             WHERE (n_grams - n_distinct) * 1.0 / n_grams > 0.2) AS BIGINT)
+             AS n_degenerate
+    FROM g GROUP BY source
+    """,
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Intra-document trigram repetition ratio profiled per source —
+    1 - distinct/total word-trigrams, THE degenerate-generation gate
+    (looping LM output, boilerplate stamps, and copy-paste spam repeat
+    n-grams; natural prose almost never exceeds 20%), complementing the
+    INTER-document dedup family which can't see a document repeating
+    itself. Trigrams stay row-local (array transform + array_distinct on
+    the token array — no explode, no shuffle until the bounded per-source
+    rollup); docs under 3 tokens are excluded on both engines (the
+    sequence(1,0) descending-array trap)."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.col("text")).alias("ws")
+    ).filter(F.size("ws") >= 3)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("ws", i),
+            F.element_at("ws", i + 1),
+            F.element_at("ws", i + 2),
+        ),
+    )
+    g = d.select(
+        "source",
+        (F.size("ws") - 2).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(gram)).cast("long").alias("n_distinct"),
+    )
+    rep = (F.col("n_grams") - F.col("n_distinct")) * 1.0 / F.col("n_grams")
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(rep), 6).alias("avg_repetition"),
+        F.round(F.max(rep), 6).alias("max_repetition"),
+        F.count(F.when(rep > 0.2, 1)).alias("n_degenerate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 105: Weibull shape fit (method of moments) on ship latencies
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_weibull_moments_fit",
+    """
+    WITH d AS (SELECT o.o_orderkey,
+                 date_diff('day',
+                           CAST(date_trunc('day', o.o_orderdate) AS DATE),
+                           CAST(date_trunc('day', max(l.l_shipdate)) AS DATE))
+                   AS days
+               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+               GROUP BY o.o_orderkey, o.o_orderdate),
+    pos AS (SELECT CAST(days AS DOUBLE) AS days FROM d WHERE days > 0),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 avg(days) AS mean_days,
+                 stddev_samp(days) AS sd_days
+          FROM pos)
+    SELECT n, round(mean_days, 4) AS mean_days, round(sd_days, 4) AS sd_days,
+           round(sd_days / mean_days, 6) AS cv,
+           round(pow(sd_days / mean_days, -1.086), 4) AS weibull_k
+    FROM s
+    """,
+)
+def orders_weibull_moments_fit(spark, sf_dir):
+    """Weibull shape parameter for order-to-last-shipment latency by the
+    method of moments (k = CV^-1.086, the standard closed-form
+    approximation — exact MLE needs iteration; this is the one-pass
+    screening fit): k < 1 means burn-in (latency hazard FALLS with age
+    — stuck orders stay stuck), k > 1 means wear-out (the longer open,
+    the likelier to finally ship), the distribution-shape diagnosis the
+    Kaplan-Meier / Nelson-Aalen entries describe nonparametrically. One
+    fact join shuffled on the order key, one moments aggregate; integer
+    day arithmetic end-to-end."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    d = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.date_trunc("day", F.max("l_shipdate")).cast("date"),
+                F.date_trunc("day", F.col("o_orderdate")).cast("date"),
+            ).alias("days")
+        )
+        .filter(F.col("days") > 0)
+        .select(F.col("days").cast("double").alias("days"))
+    )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("days").alias("mean_days"),
+        F.stddev_samp("days").alias("sd_days"),
+    )
+    cv = F.col("sd_days") / F.col("mean_days")
+    return s.select(
+        "n",
+        F.round("mean_days", 4).alias("mean_days"),
+        F.round("sd_days", 4).alias("sd_days"),
+        F.round(cv, 6).alias("cv"),
+        F.round(F.pow(cv, F.lit(-1.086)), 4).alias("weibull_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

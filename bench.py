@@ -139,6 +139,12 @@ HEADLINE = [
     "orders_aging_buckets",
     "events_capture_recapture",
     "embedding_mahalanobis_outliers",
+    "text_code_detection",
+    "feature_rare_category_collapse",
+    "events_peak_detection",
+    "agg_extreme_value_gumbel",
+    "text_repetition_ratio",
+    "orders_weibull_moments_fit",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -130,6 +130,18 @@ def test_gate_window_covers_every_family():
         "events_capture_recapture",
         # wave 99: diagonal-Mahalanobis embedding outliers (top-20)
         "embedding_mahalanobis_outliers",
+        # wave 100: code-vs-prose detection (symbol density)
+        "text_code_detection",
+        # wave 101: rare-category collapse + frequency encoding
+        "feature_rare_category_collapse",
+        # wave 102: strict-local-max peak detection over the daily series
+        "events_peak_detection",
+        # wave 103: Gumbel EVT moments fit over monthly block maxima
+        "agg_extreme_value_gumbel",
+        # wave 104: intra-doc trigram repetition ratio
+        "text_repetition_ratio",
+        # wave 105: Weibull shape via method of moments (CV^-1.086)
+        "orders_weibull_moments_fit",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

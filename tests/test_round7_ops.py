@@ -390,3 +390,86 @@ def test_mahalanobis_outliers_scores_ordered_and_extreme_vector_wins(
     ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     out = QS["embedding_mahalanobis_outliers"](spark, str(tmp_path)).collect()
     assert out[0].vec_id == 999
+
+
+def test_code_detection_separates_code_from_prose(spark, tmp_path):
+    docs = [
+        (1, "the quiet town sleeps under gentle rain tonight", "en", "prose", 47),
+        (2, "for (i = 0; i < n; i++) { sum += a[i]; } // #inc", "en", "code", 48),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r for r in QS["text_code_detection"](spark, str(tmp_path)).collect()
+    }
+    assert out["code"].code_share == 1.0 and out["prose"].code_share == 0.0
+    assert out["code"].avg_symbol_ratio > out["prose"].avg_symbol_ratio
+
+
+def test_rare_collapse_preserves_total_and_threshold(spark, sf_smoke):
+    rows = QS["feature_rare_category_collapse"](spark, sf_smoke).collect()
+    total = entrymod._t(spark, sf_smoke, "part").count()
+    assert sum(r.n_rows for r in rows) == total
+    for r in rows:
+        if r.category != "__rare__":
+            assert r.n_merged_categories == 1
+            assert r.n_rows / total >= 0.005
+    assert abs(sum(r.frequency for r in rows) - 1.0) < 1e-3
+
+
+def test_peak_detection_finds_planted_spike(spark, tmp_path):
+    import datetime
+
+    rows = []
+    eid = 0
+    for d in range(30):
+        # flat 10/day, except day 15 spikes to 50
+        n = 50 if d == 15 else 10
+        for j in range(n):
+            eid += 1
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1 + d, j % 24), eid % 5,
+                 "click", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QS["events_peak_detection"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].day.day == 16 and out[0].n_events == 50
+    assert out[0].spike_ratio == pytest.approx(5.0, rel=0.01)
+
+
+def test_gumbel_p99_exceeds_mean_max(spark, sf_smoke):
+    r = QS["agg_extreme_value_gumbel"](spark, sf_smoke).collect()[0]
+    assert r.beta_dollars > 0
+    assert r.p99_dollars > r.mu_dollars
+    # mu < mean of block maxima (Gumbel mean = mu + gamma*beta > mu)
+    assert r.mu_dollars < r.mean_max_cents / 100.0
+
+
+def test_repetition_ratio_flags_looping_text(spark, tmp_path):
+    docs = [
+        (1, "one two three " * 20, "en", "loop", 280),
+        (2, "every word here is completely unlike all other words present",
+         "en", "fresh", 61),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in QS["text_repetition_ratio"](spark, str(tmp_path)).collect()
+    }
+    assert out["loop"].avg_repetition > 0.9
+    assert out["fresh"].avg_repetition == 0.0
+    assert out["loop"].n_degenerate == 1 and out["fresh"].n_degenerate == 0
+
+
+def test_weibull_k_matches_cv_formula(spark, sf_smoke):
+    r = QS["orders_weibull_moments_fit"](spark, sf_smoke).collect()[0]
+    assert r.n > 0 and r.cv > 0
+    assert r.weibull_k == pytest.approx(r.cv ** -1.086, rel=1e-3)
