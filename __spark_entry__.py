@@ -13563,6 +13563,224 @@ def orders_weibull_moments_fit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 106: int8 quantization reconstruction error (oracle-pinned)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "embedding_int8_quant_error",
+    """
+    WITH base AS (SELECT vec_id, label, embedding,
+                    CAST(list_min(embedding) AS DOUBLE) AS mn,
+                    CAST(list_max(embedding) AS DOUBLE) AS mx
+                  FROM embeddings),
+    p AS (SELECT vec_id, label, mn, mx, (mx - mn) / 254.0 AS scale,
+            CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS pos,
+            embedding
+          FROM base),
+    c AS (SELECT vec_id, label, scale,
+            CAST(embedding[pos] AS DOUBLE) AS x,
+            CASE WHEN mx > mn
+                 THEN CAST(round((CAST(embedding[pos] AS DOUBLE) - mn)
+                                 / scale) AS INT) - 127
+                 ELSE 0 END AS q,
+            mn
+          FROM p),
+    e AS (SELECT vec_id, label, scale,
+            abs(CASE WHEN scale > 0
+                     THEN (q + 127) * scale + mn ELSE mn END - x) AS err
+          FROM c)
+    SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+           round(avg(err), 8) AS mean_abs_err,
+           round(max(err), 8) AS max_abs_err,
+           round(sqrt(avg(err * err)), 8) AS rmse,
+           round(max(CASE WHEN scale > 0 THEN err / scale ELSE 0.0 END), 6)
+             AS max_err_over_scale
+    FROM e GROUP BY label
+    """,
+)
+def embedding_int8_quant_error(spark, sf_dir):
+    """Reconstruction error of the int8 scalar quantization path
+    (operators/similarity.py:quantize_embeddings -> dequantize_embeddings)
+    profiled per label: mean/max absolute error, RMSE, and the
+    scale-normalized worst case — which the linear-rounding contract
+    bounds at 0.5 quantization steps, so this entry is the 4x-smaller-
+    storage-is-actually-lossless-enough proof, hash-pinned by an oracle
+    that replays the exact quantize/dequantize arithmetic positionally
+    (both engines round half-away-from-zero on the non-negative scaled
+    components, so even exact .5 boundaries agree). Row-local transforms
+    plus one positional explode for the error rollup."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    dq = dequantize_embeddings(quantize_embeddings(e))
+    pair = dq.select(
+        "vec_id",
+        "label",
+        "q_scale",
+        F.posexplode(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("embedding_dq"),
+                lambda a, b: F.abs(b - a.cast("double")),
+            )
+        ).alias("pos", "err"),
+    )
+    return pair.groupBy("label").agg(
+        F.countDistinct("vec_id").alias("n_vecs"),
+        F.round(F.avg("err"), 8).alias("mean_abs_err"),
+        F.round(F.max("err"), 8).alias("max_abs_err"),
+        F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 8).alias("rmse"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("q_scale") > 0, F.col("err") / F.col("q_scale")
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("max_err_over_scale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 107: calendar-spine gap detection (missing days)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_missing_days",
+    """
+    WITH daily AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+                   FROM events),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1,
+                      CAST(count(*) AS BIGINT) AS observed
+               FROM daily),
+    steps AS (SELECT date_diff('day',
+                       lag(day) OVER (ORDER BY day), day) AS step
+              FROM daily),
+    gaps AS (SELECT max(step) AS max_step FROM steps)
+    SELECT date_diff('day', d0, d1) + 1 AS expected_days,
+           observed AS observed_days,
+           date_diff('day', d0, d1) + 1 - observed AS n_missing,
+           CAST(coalesce(max_step, 1) - 1 AS BIGINT) AS longest_gap_days,
+           round(observed * 1.0 / (date_diff('day', d0, d1) + 1), 6)
+             AS coverage
+    FROM bounds CROSS JOIN gaps
+    """,
+)
+def events_missing_days(spark, sf_dir):
+    """Calendar-spine completeness check: expected vs observed event days
+    between the first and last day, count of missing days, the longest
+    consecutive gap, and the coverage ratio — the
+    did-ingestion-silently-skip-a-day guard every time-partitioned
+    pipeline needs BEFORE trend math runs on top (a 3-day hole reads as
+    a dip to every rolling window downstream). One distinct-day
+    projection; the gap scan is a single lag window over the bounded
+    daily frame — no generated spine needed for the summary (the count
+    algebra IS the anti-join), keeping it one scan at any scale."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    bounds = daily.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.count(F.lit(1)).alias("observed"),
+    )
+    w = Window.orderBy("day")
+    gaps = daily.select(
+        F.datediff(F.col("day"), F.lag("day").over(w)).alias("step")
+    ).agg(F.max("step").alias("max_step"))
+    expected = F.datediff("d1", "d0") + 1
+    return bounds.join(F.broadcast(gaps)).select(
+        expected.alias("expected_days"),
+        F.col("observed").alias("observed_days"),
+        (expected - F.col("observed")).alias("n_missing"),
+        (F.coalesce(F.col("max_step"), F.lit(1)) - 1)
+        .cast("long")
+        .alias("longest_gap_days"),
+        F.round(F.col("observed") * 1.0 / expected, 6).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 108: supplier ship-latency ranking (worst-10)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "supplier_latency_ranking",
+    """
+    WITH l AS (SELECT l_suppkey,
+                 date_diff('day',
+                           CAST(date_trunc('day', o_orderdate) AS DATE),
+                           CAST(date_trunc('day', l_shipdate) AS DATE))
+                   AS lat
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    s AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+                 round(avg(lat), 4) AS avg_latency_days,
+                 round(avg(CASE WHEN lat > 90 THEN 1.0 ELSE 0.0 END), 6)
+                   AS slow_rate,
+                 CAST(max(lat) AS BIGINT) AS worst_days
+          FROM l GROUP BY l_suppkey HAVING count(*) >= 10)
+    SELECT s_suppkey, s_name, n_lines, avg_latency_days, slow_rate,
+           worst_days
+    FROM s JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY slow_rate DESC, avg_latency_days DESC, s_suppkey LIMIT 10
+    """,
+)
+def supplier_latency_ranking(spark, sf_dir):
+    """Worst-10 suppliers by slow-shipment rate (order-to-ship latency
+    over 90 days), with average and worst-case latency — the vendor
+    scorecard behind every procurement review; the HAVING floor (>= 10
+    lines) keeps one-shipment suppliers from gaming the ranking. Integer
+    day arithmetic on DATE-truncated columns (NTZ-proof), one fact join
+    shuffled on the order key, one map-combinable aggregate keyed by
+    supplier, a broadcast dim join for the name, and a deterministic
+    rate+latency+key top-10 that plans as TakeOrdered."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    lat = F.datediff(
+        F.date_trunc("day", F.col("l_shipdate")).cast("date"),
+        F.date_trunc("day", F.col("o_orderdate")).cast("date"),
+    )
+    base = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", lat.alias("lat")
+    )
+    s = (
+        base.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("lat"), 4).alias("avg_latency_days"),
+            F.round(
+                F.avg(F.when(F.col("lat") > 90, 1.0).otherwise(0.0)), 6
+            ).alias("slow_rate"),
+            F.max("lat").cast("long").alias("worst_days"),
+        )
+        .filter(F.col("n_lines") >= 10)
+    )
+    return (
+        s.join(F.broadcast(sup), s.l_suppkey == sup.s_suppkey)
+        .orderBy(
+            F.desc("slow_rate"), F.desc("avg_latency_days"), F.asc("s_suppkey")
+        )
+        .limit(10)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_lines",
+            "avg_latency_days",
+            "slow_rate",
+            "worst_days",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

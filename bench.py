@@ -145,6 +145,9 @@ HEADLINE = [
     "agg_extreme_value_gumbel",
     "text_repetition_ratio",
     "orders_weibull_moments_fit",
+    "embedding_int8_quant_error",
+    "events_missing_days",
+    "supplier_latency_ranking",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -142,6 +142,12 @@ def test_gate_window_covers_every_family():
         "text_repetition_ratio",
         # wave 105: Weibull shape via method of moments (CV^-1.086)
         "orders_weibull_moments_fit",
+        # wave 106: int8 quantize->dequantize reconstruction error
+        "embedding_int8_quant_error",
+        # wave 107: calendar-spine gap detection (missing days)
+        "events_missing_days",
+        # wave 108: supplier ship-latency worst-10 scorecard
+        "supplier_latency_ranking",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

@@ -473,3 +473,46 @@ def test_weibull_k_matches_cv_formula(spark, sf_smoke):
     r = QS["orders_weibull_moments_fit"](spark, sf_smoke).collect()[0]
     assert r.n > 0 and r.cv > 0
     assert r.weibull_k == pytest.approx(r.cv ** -1.086, rel=1e-3)
+
+
+def test_int8_quant_error_bounded_by_half_step(spark, sf_smoke):
+    for r in QS["embedding_int8_quant_error"](spark, sf_smoke).collect():
+        # the linear-rounding contract: per-component error <= scale/2
+        # (tiny float->double slack allowed)
+        assert r.max_err_over_scale <= 0.5 + 1e-6
+        assert 0 <= r.mean_abs_err <= r.max_abs_err
+        assert r.rmse <= r.max_abs_err + 1e-12
+
+
+def test_missing_days_detects_planted_hole(spark, sf_smoke, tmp_path):
+    r = QS["events_missing_days"](spark, sf_smoke).collect()[0]
+    assert r.expected_days == r.observed_days + r.n_missing
+    assert 0 < r.coverage <= 1.0
+    import datetime
+
+    rows = []
+    eid = 0
+    for d in [1, 2, 3, 7, 8]:  # days 4-6 missing: 3-day hole
+        eid += 1
+        rows.append(
+            (eid, datetime.datetime(2024, 1, d), 1, "click", 1.0, "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = QS["events_missing_days"](spark, str(tmp_path)).collect()[0]
+    assert out.expected_days == 8 and out.observed_days == 5
+    assert out.n_missing == 3 and out.longest_gap_days == 3
+
+
+def test_supplier_latency_ranking_is_worst_first(spark, sf_smoke):
+    rows = QS["supplier_latency_ranking"](spark, sf_smoke).collect()
+    assert 0 < len(rows) <= 10
+    rates = [r.slow_rate for r in rows]
+    assert rates == sorted(rates, reverse=True)
+    for r in rows:
+        assert r.n_lines >= 10
+        assert 0.0 <= r.slow_rate <= 1.0
+        assert r.worst_days >= r.avg_latency_days
