@@ -13781,6 +13781,233 @@ def supplier_latency_ranking(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 109: Cohen's d / Hedges' g effect size
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_cohens_d_effect_size",
+    """
+    WITH mn AS (SELECT min(event_type) AS m FROM events),
+    s AS (SELECT
+            CAST(count(*) FILTER (WHERE event_type = m) AS BIGINT) AS n1,
+            CAST(count(*) FILTER (WHERE event_type <> m) AS BIGINT) AS n2,
+            avg(value) FILTER (WHERE event_type = m) AS m1,
+            avg(value) FILTER (WHERE event_type <> m) AS m2,
+            var_samp(value) FILTER (WHERE event_type = m) AS v1,
+            var_samp(value) FILTER (WHERE event_type <> m) AS v2
+          FROM events CROSS JOIN mn)
+    SELECT n1, n2,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                  / (n1 + n2 - 2)), 6) + 0.0 AS cohens_d,
+           round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                  / (n1 + n2 - 2))
+                 * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) + 0.0
+             AS hedges_g
+    FROM s
+    """,
+)
+def agg_cohens_d_effect_size(spark, sf_dir):
+    """Cohen's d (pooled-SD standardized mean difference) with the
+    Hedges' g small-sample correction, first event type vs the rest —
+    the HOW-BIG companion to the significance family
+    (agg_welch_ttest / agg_permutation_test answer whether; d answers
+    whether anyone should care: 0.2 small, 0.5 medium, 0.8 large,
+    comparable across metrics and experiments). One conditional
+    aggregate over a single scan; the label rides a broadcast one-row
+    min frame."""
+    e = _t(spark, sf_dir, "events")
+    mn = e.agg(F.min("event_type").alias("m"))
+    is_a = F.col("event_type") == F.col("m")
+    s = e.join(F.broadcast(mn)).agg(
+        F.count(F.when(is_a, 1)).alias("n1"),
+        F.count(F.when(~is_a, 1)).alias("n2"),
+        F.avg(F.when(is_a, F.col("value"))).alias("m1"),
+        F.avg(F.when(~is_a, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(is_a, F.col("value"))).alias("v1"),
+        F.var_samp(F.when(~is_a, F.col("value"))).alias("v2"),
+    )
+    pooled = F.sqrt(
+        ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = (F.col("m1") - F.col("m2")) / pooled
+    corr = 1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2")) - 9.0)
+    return s.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        (F.round(d, 6) + 0.0).alias("cohens_d"),
+        (F.round(d * corr, 6) + 0.0).alias("hedges_g"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 110: dwell-time histogram (log-decade buckets)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_dwell_time_histogram",
+    """
+    WITH g AS (SELECT floor(epoch(ts - lag(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+               FROM events),
+    b AS (SELECT CASE WHEN gap_s < 1 THEN 0
+                      WHEN gap_s < 10 THEN 1
+                      WHEN gap_s < 100 THEN 2
+                      WHEN gap_s < 1000 THEN 3
+                      WHEN gap_s < 10000 THEN 4
+                      WHEN gap_s < 100000 THEN 5
+                      ELSE 6 END AS decade,
+                 gap_s
+          FROM g WHERE gap_s IS NOT NULL),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM b)
+    SELECT CAST(decade AS BIGINT) AS decade,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(count(*) / any_value(tot), 6) AS share,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM b CROSS JOIN t GROUP BY decade
+    """,
+)
+def events_dwell_time_histogram(spark, sf_dir):
+    """Per-user dwell-time (gap to previous event) histogram in log10
+    decades — the bimodality detector the mean-based
+    events_interarrival_expfit cannot be: human sessions put one mode at
+    seconds and one at hours/days, and the saddle between them IS the
+    right sessionization gap; bots collapse to a single sharp decade.
+    One lag window partitioned by user, integer-second gaps via interval
+    arithmetic (timestamp-flavor robust), a CASE ladder instead of
+    floor(log10) — the ulp-unstable-near-powers-of-ten trap — and one
+    map-combinable aggregate to a 7-row frame."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        (F.col("ts") - F.lag("ts").over(w)).cast("long").alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    decade = (
+        F.when(F.col("gap_s") < 1, 0)
+        .when(F.col("gap_s") < 10, 1)
+        .when(F.col("gap_s") < 100, 2)
+        .when(F.col("gap_s") < 1000, 3)
+        .when(F.col("gap_s") < 10000, 4)
+        .when(F.col("gap_s") < 100000, 5)
+        .otherwise(6)
+    )
+    b = g.select(decade.cast("long").alias("decade"), "gap_s")
+    t = b.agg(F.count(F.lit(1)).cast("double").alias("tot"))
+    return (
+        b.join(F.broadcast(t))
+        .groupBy("decade")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.count(F.lit(1)) / F.any_value("tot"), 6).alias("share"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 111: Brown-Forsythe robust equal-variance test
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_brown_forsythe_test",
+    """
+    WITH med AS (SELECT l_returnflag, median(l_extendedprice) AS md
+                 FROM lineitem GROUP BY l_returnflag),
+    z AS (SELECT l.l_returnflag,
+                 abs(l_extendedprice - md) AS z
+          FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag),
+    grp AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_i,
+                   avg(z) AS zbar_i,
+                   sum(z * z) AS zz_i, sum(z) AS zs_i
+            FROM z GROUP BY l_returnflag),
+    tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   sum(zs_i) / sum(n_i) AS zbar
+            FROM grp),
+    parts AS (SELECT
+                sum(n_i * (zbar_i - zbar) * (zbar_i - zbar)) AS between_ss,
+                sum(zz_i - 2 * zbar_i * zs_i + n_i * zbar_i * zbar_i)
+                  AS within_ss,
+                any_value(n) AS n, any_value(k) AS k
+              FROM grp CROSS JOIN tot)
+    SELECT n, k,
+           round((n - k) * 1.0 / (k - 1) * between_ss / within_ss, 6)
+             AS bf_statistic,
+           (n - k) * 1.0 / (k - 1) * between_ss / within_ss > 2.60
+             AS heteroscedastic
+    FROM parts
+    """,
+)
+def agg_brown_forsythe_test(spark, sf_dir):
+    """Brown-Forsythe test (Levene with MEDIAN centers) for equal
+    variances of price across return flags — the robust gatekeeper run
+    BEFORE pooled-variance methods (classic Levene's mean centers break
+    under the same heavy tails the test is looking for; medians don't).
+    W = (N-k)/(k-1) * between/within over z = |x - group median|, with
+    the within sum-of-squares expanded algebraically (sum z², sum z per
+    group) so the whole test is TWO passes: one median aggregate (both
+    engines interpolate linearly — the pinned percentile pairing), one
+    moment aggregate over the deviations; the 2.60 threshold is
+    F(0.05; 2, inf). Group medians ride a broadcast join."""
+    l = _t(spark, sf_dir, "lineitem")
+    med = l.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("md")
+    )
+    z = l.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("md")).alias("z"),
+    )
+    grp = z.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.avg("z").alias("zbar_i"),
+        F.sum(F.col("z") * F.col("z")).alias("zz_i"),
+        F.sum("z").alias("zs_i"),
+    )
+    tot = grp.agg(
+        F.sum("n_i").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        (F.sum("zs_i") / F.sum("n_i")).alias("zbar"),
+    )
+    parts = (
+        grp.join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n_i")
+                * (F.col("zbar_i") - F.col("zbar"))
+                * (F.col("zbar_i") - F.col("zbar"))
+            ).alias("between_ss"),
+            F.sum(
+                F.col("zz_i")
+                - 2 * F.col("zbar_i") * F.col("zs_i")
+                + F.col("n_i") * F.col("zbar_i") * F.col("zbar_i")
+            ).alias("within_ss"),
+            F.any_value("n").alias("n"),
+            F.any_value("k").alias("k"),
+        )
+    )
+    w = (
+        (F.col("n") - F.col("k"))
+        * 1.0
+        / (F.col("k") - 1)
+        * F.col("between_ss")
+        / F.col("within_ss")
+    )
+    return parts.select(
+        "n",
+        "k",
+        F.round(w, 6).alias("bf_statistic"),
+        (w > 2.60).alias("heteroscedastic"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -148,6 +148,9 @@ HEADLINE = [
     "embedding_int8_quant_error",
     "events_missing_days",
     "supplier_latency_ranking",
+    "agg_cohens_d_effect_size",
+    "events_dwell_time_histogram",
+    "agg_brown_forsythe_test",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -148,6 +148,12 @@ def test_gate_window_covers_every_family():
         "events_missing_days",
         # wave 108: supplier ship-latency worst-10 scorecard
         "supplier_latency_ranking",
+        # wave 109: Cohen's d / Hedges' g effect size
+        "agg_cohens_d_effect_size",
+        # wave 110: dwell-time histogram (log-decade buckets)
+        "events_dwell_time_histogram",
+        # wave 111: Brown-Forsythe robust equal-variance test
+        "agg_brown_forsythe_test",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

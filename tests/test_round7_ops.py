@@ -516,3 +516,36 @@ def test_supplier_latency_ranking_is_worst_first(spark, sf_smoke):
         assert r.n_lines >= 10
         assert 0.0 <= r.slow_rate <= 1.0
         assert r.worst_days >= r.avg_latency_days
+
+
+def test_cohens_d_hedges_relationship(spark, sf_smoke):
+    r = QS["agg_cohens_d_effect_size"](spark, sf_smoke).collect()[0]
+    # Hedges' g shrinks d toward zero, same sign
+    assert abs(r.hedges_g) <= abs(r.cohens_d) + 1e-9
+    assert (r.hedges_g >= 0) == (r.cohens_d >= 0)
+
+
+def test_dwell_histogram_shares_sum_to_one(spark, sf_smoke):
+    rows = QS["events_dwell_time_histogram"](spark, sf_smoke).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    bounds = {0: (0, 0), 1: (1, 9), 2: (10, 99), 3: (100, 999),
+              4: (1000, 9999), 5: (10000, 99999)}
+    for r in rows:
+        if r.decade in bounds:
+            lo, hi = bounds[r.decade]
+            assert r.min_gap_s >= lo and r.max_gap_s <= hi
+
+
+def test_brown_forsythe_detects_constructed_heteroscedasticity(
+    spark, tmp_path
+):
+    # group A tightly clustered, group B wildly spread -> W must be large
+    rows = []
+    for i in range(200):
+        rows.append(("A", 1.0, 100.0 + (i % 3)))
+        rows.append(("B", 1.0, 100.0 + (i % 80) * 25.0))
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = QS["agg_brown_forsythe_test"](spark, str(tmp_path)).collect()[0]
+    assert r.heteroscedastic is True and r.bf_statistic > 100
