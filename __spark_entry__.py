@@ -14015,6 +14015,127 @@ def agg_brown_forsythe_test(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 112: partial correlation (controlling for a confounder)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_partial_correlation",
+    """
+    WITH s AS (SELECT corr(l_quantity, l_extendedprice) AS rxy,
+                      corr(l_quantity, l_discount) AS rxz,
+                      corr(l_extendedprice, l_discount) AS rzy,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM lineitem)
+    SELECT n,
+           round(rxy, 6) + 0.0 AS r_qty_price,
+           round(rxz, 6) + 0.0 AS r_qty_discount,
+           round(rzy, 6) + 0.0 AS r_price_discount,
+           round((rxy - rxz * rzy)
+                 / sqrt((1 - rxz * rxz) * (1 - rzy * rzy)), 6) + 0.0
+             AS partial_corr
+    FROM s
+    """,
+)
+def agg_partial_correlation(spark, sf_dir):
+    """First-order partial correlation of quantity and price CONTROLLING
+    for discount: r_xy.z = (r_xy - r_xz r_zy) / sqrt((1-r_xz²)(1-r_zy²))
+    — the is-the-association-real-or-confounded primitive behind every
+    pricing and feature-attribution analysis (a raw corr that collapses
+    after partialling means the third variable carried it). ONE
+    conditional-free aggregate computes all three Pearson terms in a
+    single scan (corr is map-combinable); the algebra is a row-local
+    epilogue on the one-row frame."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = l.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("rxy"),
+        F.corr("l_quantity", "l_discount").alias("rxz"),
+        F.corr("l_extendedprice", "l_discount").alias("rzy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    part = (F.col("rxy") - F.col("rxz") * F.col("rzy")) / F.sqrt(
+        (1 - F.col("rxz") * F.col("rxz")) * (1 - F.col("rzy") * F.col("rzy"))
+    )
+    return s.select(
+        "n",
+        (F.round("rxy", 6) + 0.0).alias("r_qty_price"),
+        (F.round("rxz", 6) + 0.0).alias("r_qty_discount"),
+        (F.round("rzy", 6) + 0.0).alias("r_price_discount"),
+        (F.round(part, 6) + 0.0).alias("partial_corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 113: classical seasonal decomposition (monthly revenue)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_seasonal_decomposition",
+    """
+    WITH monthly AS (SELECT date_trunc('month', o_orderdate) AS month,
+                       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                         AS rev_c
+                     FROM orders GROUP BY 1),
+    tr AS (SELECT month, rev_c,
+             CAST(date_part('month', month) AS BIGINT) AS moy,
+             avg(rev_c) OVER (ORDER BY month
+               ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS trend,
+             row_number() OVER (ORDER BY month) AS rn,
+             count(*) OVER () AS nm
+           FROM monthly),
+    det AS (SELECT moy, rev_c - trend AS detrended
+            FROM tr WHERE rn > 6 AND rn <= nm - 5)
+    SELECT moy AS month_of_year,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(floor(avg(detrended) + 0.5) AS BIGINT)
+             AS seasonal_cents,
+           CAST(floor(avg(abs(detrended)) + 0.5) AS BIGINT)
+             AS mean_abs_dev_cents
+    FROM det GROUP BY moy
+    """,
+)
+def orders_seasonal_decomposition(spark, sf_dir):
+    """Classical additive seasonal decomposition of monthly revenue:
+    trend = 12-tap moving average, seasonal index = mean detrended value
+    per calendar month (edge months without a full trend window
+    excluded by row_number, not by date math) — the
+    is-December-actually-bigger decomposition behind every seasonality
+    adjustment, complementing events_seasonal_baseline's day-of-week
+    grain. Exact integer-cent sums; the trend window and the exclusion
+    band use identical ROWS frames on both engines; output is the
+    bounded 12-row seasonal profile with an explicit half-up cents
+    floor."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(cents).alias("rev_c"))
+    w = Window.orderBy("month")
+    frame = Window.orderBy("month").rowsBetween(-6, 5)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tr = monthly.select(
+        F.month("month").cast("long").alias("moy"),
+        "rev_c",
+        F.avg("rev_c").over(frame).alias("trend"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("nm"),
+    )
+    det = tr.filter(
+        (F.col("rn") > 6) & (F.col("rn") <= F.col("nm") - 5)
+    ).select("moy", (F.col("rev_c") - F.col("trend")).alias("detrended"))
+    return det.groupBy(F.col("moy").alias("month_of_year")).agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.floor(F.avg("detrended") + 0.5).cast("long").alias("seasonal_cents"),
+        F.floor(F.avg(F.abs("detrended")) + 0.5)
+        .cast("long")
+        .alias("mean_abs_dev_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -154,6 +154,10 @@ def test_gate_window_covers_every_family():
         "events_dwell_time_histogram",
         # wave 111: Brown-Forsythe robust equal-variance test
         "agg_brown_forsythe_test",
+        # wave 112: first-order partial correlation
+        "agg_partial_correlation",
+        # wave 113: classical additive seasonal decomposition (monthly)
+        "orders_seasonal_decomposition",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

@@ -549,3 +549,31 @@ def test_brown_forsythe_detects_constructed_heteroscedasticity(
     ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
     r = QS["agg_brown_forsythe_test"](spark, str(tmp_path)).collect()[0]
     assert r.heteroscedastic is True and r.bf_statistic > 100
+
+
+def test_partial_correlation_bounds_and_confounder_collapse(spark, tmp_path):
+    # construct x,y driven ENTIRELY by z: partial corr must collapse
+    # toward 0 while raw corr stays high
+    rows = []
+    for i in range(500):
+        z = float(i % 97)
+        rows.append(("A", z * 2.0 + (i % 7) * 0.01, z * 3.0 + (i % 5) * 0.01, z / 100.0))
+    spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_quantity double, l_extendedprice double, "
+        "l_discount double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = QS["agg_partial_correlation"](spark, str(tmp_path)).collect()[0]
+    assert r.r_qty_price > 0.99  # raw association is near-perfect
+    assert abs(r.partial_corr) < 0.5  # mostly explained by the confounder
+    for v in (r.r_qty_price, r.r_qty_discount, r.r_price_discount):
+        assert -1.0 <= v <= 1.0
+
+
+def test_seasonal_decomposition_profile_shape(spark, sf_smoke):
+    rows = QS["orders_seasonal_decomposition"](spark, sf_smoke).collect()
+    assert 1 <= len(rows) <= 12
+    for r in rows:
+        assert 1 <= r.month_of_year <= 12
+        assert r.mean_abs_dev_cents >= 0
+        assert abs(r.seasonal_cents) <= r.mean_abs_dev_cents * 2 + 1
