@@ -14136,6 +14136,180 @@ def orders_seasonal_decomposition(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 114: Katz centrality (attenuated path counting)
+# ---------------------------------------------------------------------------
+
+
+def _katz_oracle(alpha: float = 0.1, iters: int = 4) -> str:
+    """Unrolled Katz iteration c' = alpha * A^T c + 1 over the nation
+    trade graph (unweighted adjacency), the _pagerank_oracle pattern."""
+    base = """
+    WITH e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    c0 AS (SELECT node, 1.0 AS c FROM nodes)"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        base += f""",
+    s{i} AS (SELECT e.dst AS node, sum({prev}.c) AS sc
+             FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY e.dst),
+    c{i} AS (SELECT nodes.node,
+               round({alpha} * coalesce(s{i}.sc, 0.0) + 1.0, 8) AS c
+             FROM nodes LEFT JOIN s{i} ON nodes.node = s{i}.node)"""
+        prev = f"c{i}"
+    return base + f"""
+    SELECT node AS nationkey, round(c, 6) AS katz FROM {prev}
+    """
+
+
+@_q("graph_katz_centrality", _katz_oracle())
+def graph_katz_centrality(spark, sf_dir):
+    """Katz centrality over the nation trade graph, 4 fixed iterations
+    of c' = alpha A^T c + 1 (alpha = 0.1, inside 1/lambda_max for this
+    bounded graph) — attenuated ALL-paths influence, the centrality that
+    credits a node for long-range reachability where PageRank divides
+    influence by out-degree and triangle count sees only local closure.
+    Same one-equi-join-plus-one-aggregate round shape as
+    graph_pagerank / bellman_ford with per-round 8-decimal rounding,
+    replayed exactly by the unrolled oracle CTE chain; the DISTINCT
+    adjacency projection keeps edge multiplicity out of the operator
+    (weighted Katz is the one-line variant)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("c")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(4):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("sc"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    0.1 * F.coalesce("sc", F.lit(0.0)) + 1.0, 8
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks.select(
+        F.col("node").alias("nationkey"), F.round("c", 6).alias("katz")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 115: Good-Turing frequency smoothing
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_good_turing_smoothing",
+    f"""
+    WITH w AS (SELECT unnest({_WORDS}) AS term FROM documents),
+    f AS (SELECT term, CAST(count(*) AS BIGINT) AS r FROM w GROUP BY term),
+    tot AS (SELECT CAST(sum(r) AS DOUBLE) AS n_tokens FROM f),
+    fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM f GROUP BY r),
+    led AS (SELECT r, n_r,
+              lead(n_r) OVER (ORDER BY r) AS n_r1,
+              lead(r) OVER (ORDER BY r) AS r1,
+              row_number() OVER (ORDER BY r) AS rk
+            FROM fof)
+    SELECT r AS count_r, n_r AS n_types,
+           round(CASE WHEN r1 = r + 1 AND n_r > 0
+                      THEN (r + 1.0) * n_r1 / n_r END, 6) AS r_star,
+           round(r * n_r / n_tokens, 8) AS raw_mass,
+           round(CASE WHEN r1 = r + 1 AND n_r > 0
+                      THEN (r + 1.0) * n_r1 / n_tokens END, 8)
+             AS smoothed_mass
+    FROM led CROSS JOIN tot
+    WHERE rk <= 10
+    """,
+)
+def text_good_turing_smoothing(spark, sf_dir):
+    """Good-Turing frequency smoothing over the corpus unigrams:
+    adjusted count r* = (r+1) N_{{r+1}}/N_r from the frequency-of-
+    frequencies table, reported for the 10 SMALLEST observed counts
+    (rank-adaptive — a tiny synthetic corpus may have no singletons at
+    all) with raw vs smoothed probability mass — the unseen-mass estimator under every
+    Katz-backoff / Kneser-Ney LM (row r = 1's smoothed mass IS the
+    probability the next token is novel), and a corpus-health read:
+    natural text has a smooth hyperbolic N_r; template spam puts spikes
+    in it. Two aggregates (term counts, then counts-of-counts, both
+    map-combinable) and one lead window over the bounded N_r frame;
+    the adjacent-rank guard (r1 = r+1) yields NULL where N_{{r+1}} is
+    missing instead of silently borrowing a farther rank, identically
+    on both engines."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    f = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    tot = f.agg(F.sum("r").cast("double").alias("n_tokens"))
+    fof = f.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    w = Window.orderBy("r")
+    led = fof.select(
+        "r",
+        "n_r",
+        F.lead("n_r").over(w).alias("n_r1"),
+        F.lead("r").over(w).alias("r1"),
+        F.row_number().over(w).alias("rk"),
+    )
+    ok = (F.col("r1") == F.col("r") + 1) & (F.col("n_r") > 0)
+    return (
+        led.join(F.broadcast(tot))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+        .select(
+            F.col("r").alias("count_r"),
+            F.col("n_r").alias("n_types"),
+            F.round(
+                F.when(ok, (F.col("r") + 1.0) * F.col("n_r1") / F.col("n_r")),
+                6,
+            ).alias("r_star"),
+            F.round(F.col("r") * F.col("n_r") / F.col("n_tokens"), 8).alias(
+                "raw_mass"
+            ),
+            F.round(
+                F.when(
+                    ok, (F.col("r") + 1.0) * F.col("n_r1") / F.col("n_tokens")
+                ),
+                8,
+            ).alias("smoothed_mass"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -158,6 +158,10 @@ def test_gate_window_covers_every_family():
         "agg_partial_correlation",
         # wave 113: classical additive seasonal decomposition (monthly)
         "orders_seasonal_decomposition",
+        # wave 114: Katz centrality (attenuated path counting, 4 rounds)
+        "graph_katz_centrality",
+        # wave 115: Good-Turing frequency smoothing (r <= 10 table)
+        "text_good_turing_smoothing",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

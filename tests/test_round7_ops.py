@@ -577,3 +577,35 @@ def test_seasonal_decomposition_profile_shape(spark, sf_smoke):
         assert 1 <= r.month_of_year <= 12
         assert r.mean_abs_dev_cents >= 0
         assert abs(r.seasonal_cents) <= r.mean_abs_dev_cents * 2 + 1
+
+
+def test_katz_floor_and_connectivity_monotonicity(spark, sf_smoke):
+    rows = QS["graph_katz_centrality"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.katz >= 1.0  # the +1 base is a hard floor
+    # at least one node accumulates path mass beyond the floor
+    assert max(r.katz for r in rows) > 1.0
+
+
+def test_good_turing_rank_adaptive_head_and_planted_singletons(
+    spark, sf_smoke, tmp_path
+):
+    rows = QS["text_good_turing_smoothing"](spark, sf_smoke).collect()
+    assert 1 <= len(rows) <= 10  # rank-adaptive head always non-empty
+    for r in rows:
+        assert 0.0 < r.raw_mass <= 1.0
+    # constructed corpus with known counts: 3 singletons, 1 doubleton
+    docs = [(1, "apple banana cherry dog dog", "en", "s1", 27)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.count_r: r for r in QS["text_good_turing_smoothing"](
+        spark, str(tmp_path)).collect()}
+    assert out[1].n_types == 3 and out[2].n_types == 1
+    # r* for r=1: (1+1) * N_2/N_1 = 2/3
+    import pytest as _pt
+
+    assert out[1].r_star == _pt.approx(2.0 / 3.0, rel=1e-4)
+    # unseen mass N_1 * 1 / N = 3/5
+    assert out[1].raw_mass == _pt.approx(0.6, rel=1e-4)
