@@ -14310,6 +14310,160 @@ def text_good_turing_smoothing(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 116: bigram conditional entropy rate per source
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_bigram_entropy_rate",
+    f"""
+    WITH ws AS (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+    bg AS (SELECT source, ws[i] AS w1, ws[i + 1] AS w2
+           FROM ws, unnest(range(1, len(ws))) AS t(i)
+           WHERE len(ws) >= 2),
+    pair AS (SELECT source, w1, w2, CAST(count(*) AS DOUBLE) AS c12
+             FROM bg GROUP BY 1, 2, 3),
+    uni AS (SELECT source, w1, sum(c12) AS c1 FROM pair GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c12) AS n FROM pair GROUP BY source)
+    SELECT pair.source,
+           CAST(count(*) AS BIGINT) AS n_bigram_types,
+           round(-sum((c12 / n) * ln(c12 / c1)), 6) + 0.0
+             AS cond_entropy_nats,
+           round(-sum((c12 / n) * ln(c12 / c1)) / ln(2.0), 6) + 0.0
+             AS cond_entropy_bits
+    FROM pair
+    JOIN uni ON pair.source = uni.source AND pair.w1 = uni.w1
+    JOIN tot ON pair.source = tot.source
+    GROUP BY pair.source
+    """,
+)
+def text_bigram_entropy_rate(spark, sf_dir):
+    """Bigram conditional entropy rate H(w2|w1) per source — the
+    first-order entropy-rate estimate of how predictable each source's
+    text is given one word of context: the information-theoretic
+    companion to text_kneser_ney_bigrams (which models; this MEASURES),
+    and a sharper generated-text detector than unigram entropy (LM
+    output is unusually predictable at fixed context). H = -sum
+    p(w1,w2) ln p(w2|w1) assembled from two map-combinable count
+    aggregates joined on the (source, w1) key; bigrams stay row-local
+    until the count shuffle (index into the token array at an unnested
+    range, the established discipline, docs under 2 tokens excluded on
+    both engines)."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", tokens(F.col("text")).alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bg = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("source", "p.w1", "p.w2")
+    pair = bg.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    uni = pair.groupBy("source", "w1").agg(F.sum("c12").alias("c1"))
+    tot = pair.groupBy("source").agg(F.sum("c12").alias("n"))
+    h = -F.sum(
+        (F.col("c12") / F.col("n")) * F.log(F.col("c12") / F.col("c1"))
+    )
+    return (
+        pair.join(uni, ["source", "w1"])
+        .join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigram_types"),
+            (F.round(h, 6) + 0.0).alias("cond_entropy_nats"),
+            (F.round(h / float(__import__("math").log(2.0)), 6) + 0.0).alias(
+                "cond_entropy_bits"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 117: nearest-centroid classification confusion matrix
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "embedding_nearest_centroid_confusion",
+    """
+    WITH pts AS (SELECT vec_id, label,
+                   CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS pos,
+                   embedding
+                 FROM embeddings),
+    x AS (SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS v
+          FROM pts),
+    cent AS (SELECT label AS clabel, pos, round(avg(v), 8) AS c
+             FROM x GROUP BY label, pos),
+    d2 AS (SELECT vec_id, label, clabel,
+                  sum((v - c) * (v - c)) AS dist2
+           FROM x JOIN cent USING (pos) GROUP BY vec_id, label, clabel),
+    ranked AS (SELECT vec_id, label, clabel,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist2, clabel) AS rn
+               FROM d2)
+    SELECT CAST(label AS INT) AS true_label,
+           CAST(clabel AS INT) AS predicted_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked WHERE rn = 1 GROUP BY label, clabel
+    """,
+)
+def embedding_nearest_centroid_confusion(spark, sf_dir):
+    """Nearest-centroid classification confusion matrix over the labeled
+    embeddings — the five-line sanity classifier every embedding space
+    should pass before anything fancier trains on it: assign each vector
+    to its closest label centroid and cross-tabulate against the true
+    label (the diagonal mass IS linear separability-by-centroid; the
+    silhouette sibling reports geometry, this reports decisions).
+    Deterministic argmin via a (distance, label)-ordered row_number —
+    ties break identically on both engines (DuckDB's min_by cannot take
+    a composite key); 8-decimal centroid rounding keeps ULPs from
+    flipping the argmin. Same O(n*k*dim) positional-join shape as
+    embedding_label_silhouette with the centroid frame broadcast; the
+    argmin window partitions by vec_id, so it shards with the data."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "v0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    cent = x.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.round(F.avg("v"), 8).alias("c")
+    )
+    d2 = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias(
+                "dist2"
+            )
+        )
+    )
+    wmin = Window.partitionBy("vec_id").orderBy("dist2", "clabel")
+    pred = d2.select(
+        "label", "clabel", F.row_number().over(wmin).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return pred.groupBy(
+        F.col("label").cast("int").alias("true_label"),
+        F.col("clabel").cast("int").alias("predicted_label"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

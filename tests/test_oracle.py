@@ -162,6 +162,10 @@ def test_gate_window_covers_every_family():
         "graph_katz_centrality",
         # wave 115: Good-Turing frequency smoothing (r <= 10 table)
         "text_good_turing_smoothing",
+        # wave 116: bigram conditional entropy rate per source
+        "text_bigram_entropy_rate",
+        # wave 117: nearest-centroid confusion matrix
+        "embedding_nearest_centroid_confusion",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

@@ -609,3 +609,44 @@ def test_good_turing_rank_adaptive_head_and_planted_singletons(
     assert out[1].r_star == _pt.approx(2.0 / 3.0, rel=1e-4)
     # unseen mass N_1 * 1 / N = 3/5
     assert out[1].raw_mass == _pt.approx(0.6, rel=1e-4)
+
+
+def test_bigram_entropy_rate_bounds_and_deterministic_text(spark, tmp_path):
+    # a fully deterministic sequence (each word always followed by the
+    # same next word) has conditional entropy exactly 0
+    docs = [(1, "a b c a b c a b c a b", "en", "det", 21),
+            (2, "x y x z x y x w x q x v", "en", "mixed", 23)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in QS["text_bigram_entropy_rate"](
+        spark, str(tmp_path)).collect()}
+    assert out["det"].cond_entropy_nats == 0.0
+    assert out["mixed"].cond_entropy_nats > 0.5
+    assert out["mixed"].cond_entropy_bits == pytest.approx(
+        out["mixed"].cond_entropy_nats / math.log(2), rel=1e-4
+    )
+
+
+def test_nearest_centroid_confusion_diagonal_on_separated_blobs(
+    spark, sf_smoke, tmp_path
+):
+    rows = QS["embedding_nearest_centroid_confusion"](spark, sf_smoke).collect()
+    n_total = sum(r.n for r in rows)
+    n_vecs = entrymod._t(spark, sf_smoke, "embeddings").count()
+    assert n_total == n_vecs  # every vector classified exactly once
+    # far-apart blobs -> perfectly diagonal confusion
+    import numpy as np
+
+    data = []
+    for i in range(30):
+        data.append((i, [float(x) for x in np.zeros(4) + (i % 3)], 0))
+        data.append((100 + i, [float(x) for x in np.zeros(4) + 50 + (i % 3)], 1))
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = QS["embedding_nearest_centroid_confusion"](
+        spark, str(tmp_path)
+    ).collect()
+    assert all(r.true_label == r.predicted_label for r in out)
+    assert sum(r.n for r in out) == 60
