@@ -14464,6 +14464,109 @@ def embedding_nearest_centroid_confusion(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 118: Anderson-Darling normality test (tail-weighted)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_anderson_darling_normality",
+    """
+    WITH s AS (SELECT l_returnflag AS g, avg(l_discount) AS mu,
+                      stddev_samp(l_discount) AS sd
+               FROM lineitem GROUP BY l_returnflag),
+    z0 AS (SELECT l.l_returnflag AS g,
+                  round((l_discount - mu) / sd, 8) AS z,
+                  l_orderkey, l_linenumber
+           FROM lineitem l JOIN s ON l.l_returnflag = s.g),
+    r AS (SELECT g, z,
+            row_number() OVER (PARTITION BY g
+                               ORDER BY z, l_orderkey, l_linenumber) AS i,
+            count(*) OVER (PARTITION BY g) AS n
+          FROM z0),
+    terms AS (SELECT g, n,
+                (2.0 * i - 1) * ln(greatest(least(CASE WHEN z >= 0 THEN 0.5 * (1 + (1 - (0.254829592 * (1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951))) - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 2) + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 3) - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 4) + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 5)) * exp(-(z / 1.4142135623730951) * (z / 1.4142135623730951)))) ELSE 0.5 * (1 - (1 - (0.254829592 * (1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951))) - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 2) + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 3) - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 4) + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 5)) * exp(-(z / 1.4142135623730951) * (z / 1.4142135623730951)))) END, 1.0 - 1e-12), 1e-12))
+                + (2.0 * (n - i) + 1) * ln(1.0 - greatest(least(CASE WHEN z >= 0 THEN 0.5 * (1 + (1 - (0.254829592 * (1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951))) - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 2) + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 3) - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 4) + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 5)) * exp(-(z / 1.4142135623730951) * (z / 1.4142135623730951)))) ELSE 0.5 * (1 - (1 - (0.254829592 * (1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951))) - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 2) + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 3) - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 4) + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 5)) * exp(-(z / 1.4142135623730951) * (z / 1.4142135623730951)))) END, 1.0 - 1e-12), 1e-12)) AS t
+              FROM r)
+    SELECT g AS l_returnflag, CAST(any_value(n) AS BIGINT) AS n,
+           round(-any_value(n) - sum(t) / any_value(n), 4) AS a_squared,
+           round(-any_value(n) - sum(t) / any_value(n), 4) > 3.878
+             AS reject_normal_1pct
+    FROM terms GROUP BY g
+    """.replace("greatest(least(CASE WHEN z >= 0 THEN 0.5 * (1 + (1 - (0.254829592 * (1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951))) - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 2) + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 3) - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 4) + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 5)) * exp(-(z / 1.4142135623730951) * (z / 1.4142135623730951)))) ELSE 0.5 * (1 - (1 - (0.254829592 * (1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951))) - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 2) + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 3) - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 4) + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 5)) * exp(-(z / 1.4142135623730951) * (z / 1.4142135623730951)))) END, 1.0 - 1e-12), 1e-12)", "greatest(least(CASE WHEN z >= 0 THEN 0.5 * (1 + (1 - (0.254829592 * (1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951))) - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 2) + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 3) - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 4) + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (z / 1.4142135623730951)), 5)) * exp(-(z / 1.4142135623730951) * (z / 1.4142135623730951)))) ELSE 0.5 * (1 - (1 - (0.254829592 * (1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951))) - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 2) + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 3) - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 4) + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (-z / 1.4142135623730951)), 5)) * exp(-(z / 1.4142135623730951) * (z / 1.4142135623730951)))) END, 1.0 - 1e-12), 1e-12)"),
+)
+def agg_anderson_darling_normality(spark, sf_dir):
+    """Anderson-Darling normality test of the discount distribution per
+    return flag — the tail-weighted refinement of agg_ks_test (KS is
+    most sensitive mid-distribution; A-D's 1/[F(1-F)] weight makes it
+    the right detector for the heavy tails that actually break pooled-
+    variance math): A2 = -n - (1/n) sum[(2i-1) ln PHI(z_i) + (2(n-i)+1)
+    ln(1-PHI(z_i))], one ascending rank per group (re-indexing the
+    reversed term onto the same row, so ONE window pass), with PHI from
+    the signed Abramowitz-Stegun 7.1.26 erf polynomial inlined verbatim
+    on both engines (the BH-FDR discipline extended to negative z) and
+    clamped to [1e-12, 1-1e-12] so extreme standardized values cannot
+    produce ln(0). Standardized z rounds to 8 decimals BEFORE ranking
+    so ULPs cannot reorder ties; deterministic (z, orderkey, linenumber)
+    rank; the 3.878 critical value is the 1% case-0 asymptote."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = l.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.avg("l_discount").alias("mu"),
+        F.stddev_samp("l_discount").alias("sd"),
+    )
+    z0 = l.join(
+        F.broadcast(s), l.l_returnflag == s.g
+    ).select(
+        "g",
+        F.round((F.col("l_discount") - F.col("mu")) / F.col("sd"), 8).alias(
+            "z"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = Window.partitionBy("g").orderBy("z", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("g")
+    r = z0.select(
+        "g",
+        "z",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    az = F.abs(F.col("z"))
+    x = az / F.lit(2.0 ** 0.5)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    erf = 1.0 - (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    ) * F.exp(-x * x)
+    phi_signed = F.when(
+        F.col("z") >= 0, 0.5 * (1 + erf)
+    ).otherwise(0.5 * (1 - erf))
+    phi = F.greatest(F.least(phi_signed, F.lit(1.0 - 1e-12)), F.lit(1e-12))
+    term = (2.0 * F.col("i") - 1) * F.log(phi) + (
+        2.0 * (F.col("n") - F.col("i")) + 1
+    ) * F.log(1.0 - phi)
+    a2 = -F.any_value("n") - F.sum("t") / F.any_value("n")
+    return (
+        r.select("g", "n", term.alias("t"))
+        .groupBy("g")
+        .agg(
+            F.any_value("n").alias("n_keep"),
+            F.round(a2, 4).alias("a_squared"),
+            (F.round(a2, 4) > 3.878).alias("reject_normal_1pct"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n_keep").cast("long").alias("n"),
+            "a_squared",
+            "reject_normal_1pct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

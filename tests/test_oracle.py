@@ -166,6 +166,8 @@ def test_gate_window_covers_every_family():
         "text_bigram_entropy_rate",
         # wave 117: nearest-centroid confusion matrix
         "embedding_nearest_centroid_confusion",
+        # wave 118: Anderson-Darling tail-weighted normality test
+        "agg_anderson_darling_normality",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

@@ -650,3 +650,23 @@ def test_nearest_centroid_confusion_diagonal_on_separated_blobs(
     ).collect()
     assert all(r.true_label == r.predicted_label for r in out)
     assert sum(r.n for r in out) == 60
+
+
+def test_anderson_darling_accepts_normal_rejects_uniform(spark, tmp_path):
+    # z-standardized normal draws -> small A2; uniform data -> large A2
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [("N", 1.0, float(v)) for v in rng.normal(0.05, 0.01, 800)]
+    rows += [("U", 1.0, float(v)) for v in rng.uniform(0.0, 0.1, 800)]
+    df = spark.createDataFrame(
+        [(g, q, d, i, i % 7) for i, (g, q, d) in enumerate(rows)],
+        "l_returnflag string, l_quantity double, l_discount double, "
+        "l_orderkey long, l_linenumber int",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.l_returnflag: r for r in QS["agg_anderson_darling_normality"](
+        spark, str(tmp_path)).collect()}
+    assert out["N"].a_squared < out["U"].a_squared
+    assert out["U"].reject_normal_1pct is True
+    assert out["N"].a_squared < 3.878
