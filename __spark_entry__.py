@@ -14567,6 +14567,347 @@ def agg_anderson_darling_normality(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 119: best-split search by Gini impurity (tree/GBDT core)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "feature_best_split_gini",
+    """
+    WITH qs AS (SELECT quantile_cont(o_totalprice,
+                  [0.05, 0.10, 0.15, 0.20, 0.25, 0.30, 0.35, 0.40, 0.45,
+                   0.50, 0.55, 0.60, 0.65, 0.70, 0.75, 0.80, 0.85, 0.90,
+                   0.95]) AS ts
+                FROM orders),
+    cand AS (SELECT CAST(unnest(range(1, 20)) AS BIGINT) AS j, ts FROM qs),
+    thr AS (SELECT j, round(ts[CAST(j AS INT)], 2) AS t FROM cand),
+    lab AS (SELECT o_totalprice AS x,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                     AS y
+            FROM orders),
+    split AS (SELECT j, t,
+                CAST(count(*) FILTER (WHERE x <= t) AS DOUBLE) AS nl,
+                CAST(sum(y) FILTER (WHERE x <= t) AS DOUBLE) AS pl,
+                CAST(count(*) FILTER (WHERE x > t) AS DOUBLE) AS nr,
+                CAST(sum(y) FILTER (WHERE x > t) AS DOUBLE) AS pr,
+                CAST(count(*) AS DOUBLE) AS n
+              FROM lab CROSS JOIN thr GROUP BY j, t),
+    g AS (SELECT j, t,
+            round((nl * (2 * (pl / nl) * (1 - pl / nl))
+                   + nr * (2 * (pr / nr) * (1 - pr / nr))) / n, 6)
+              AS weighted_gini
+          FROM split WHERE nl > 0 AND nr > 0)
+    SELECT j AS candidate, t AS threshold, weighted_gini,
+           weighted_gini = min(weighted_gini) OVER () AS is_best
+    FROM g
+    """,
+)
+def feature_best_split_gini(spark, sf_dir):
+    """Histogram-style best-split search: 19 quantile candidate
+    thresholds on order value scored by weighted binary Gini impurity
+    against the is-urgent label — THE inner loop of every decision-tree
+    / GBDT trainer (XGBoost/LightGBM evaluate exactly this quantity per
+    histogram bin), expressed as one explode + one conditional aggregate
+    instead of a per-threshold scan: rows x 19 cheap indicator
+    comparisons, map-side combined, never 19 passes. Candidate
+    thresholds come from quantile_cont (the pinned
+    linear-interpolation percentile pairing); degenerate splits (an
+    empty side) are excluded on both engines; the argmin is a window
+    min over the bounded 19-row frame."""
+    o = _t(spark, sf_dir, "orders")
+    pcts = [round(0.05 * j, 2) for j in range(1, 20)]
+    qs = o.agg(
+        F.percentile("o_totalprice", F.lit(pcts)).alias("ts")
+    )
+    thr = qs.select(
+        F.posexplode("ts").alias("j0", "t0")
+    ).select(
+        (F.col("j0") + 1).cast("long").alias("j"),
+        F.round("t0", 2).alias("t"),
+    )
+    lab = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    split = (
+        lab.join(F.broadcast(thr))
+        .groupBy("j", "t")
+        .agg(
+            F.count(F.when(F.col("x") <= F.col("t"), 1))
+            .cast("double")
+            .alias("nl"),
+            F.sum(F.when(F.col("x") <= F.col("t"), F.col("y")))
+            .cast("double")
+            .alias("pl"),
+            F.count(F.when(F.col("x") > F.col("t"), 1))
+            .cast("double")
+            .alias("nr"),
+            F.sum(F.when(F.col("x") > F.col("t"), F.col("y")))
+            .cast("double")
+            .alias("pr"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+    )
+    gl = 2 * (F.col("pl") / F.col("nl")) * (1 - F.col("pl") / F.col("nl"))
+    gr = 2 * (F.col("pr") / F.col("nr")) * (1 - F.col("pr") / F.col("nr"))
+    g = split.filter((F.col("nl") > 0) & (F.col("nr") > 0)).select(
+        "j",
+        "t",
+        F.round(
+            (F.col("nl") * gl + F.col("nr") * gr) / F.col("n"), 6
+        ).alias("weighted_gini"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        F.col("j").alias("candidate"),
+        F.col("t").alias("threshold"),
+        "weighted_gini",
+        (
+            F.col("weighted_gini") == F.min("weighted_gini").over(wall)
+        ).alias("is_best"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 120: harmonic closeness centrality (multi-source BFS)
+# ---------------------------------------------------------------------------
+
+
+def _closeness_oracle(iters: int = 5) -> str:
+    """Unrolled multi-source BFS over (source, node) pairs — the
+    Bellman-Ford recipe lifted to ALL sources in one dataflow; integer
+    hop counts need no rounding."""
+    base = """
+    WITH e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    d0 AS (SELECT node AS s, node, CAST(0 AS BIGINT) AS d FROM nodes)"""
+    prev = "d0"
+    for i in range(1, iters + 1):
+        base += f""",
+    d{i} AS (SELECT s, node, min(d) AS d FROM (
+               SELECT s, node, d FROM {prev}
+               UNION ALL
+               SELECT p.s, e.dst AS node, p.d + 1 AS d
+               FROM {prev} p JOIN e ON p.node = e.src) u
+             GROUP BY s, node)"""
+        prev = f"d{i}"
+    return base + f"""
+    SELECT s AS nationkey,
+           CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS n_reached,
+           round(coalesce(sum(1.0 / d) FILTER (WHERE d > 0), 0.0), 6)
+             AS harmonic_closeness
+    FROM {prev} GROUP BY s
+    """
+
+
+@_q("graph_harmonic_closeness", _closeness_oracle())
+def graph_harmonic_closeness(spark, sf_dir):
+    """Harmonic closeness centrality over the nation trade graph —
+    sum of 1/hop-distance to every node reachable within 5 BFS rounds,
+    computed for ALL sources in ONE dataflow: the frontier table is
+    keyed (source, node) so the multi-source expansion is the same
+    union + min-aggregate per round as single-source Bellman-Ford, just
+    with the source id riding along as a partition column (at 100 TB
+    that key IS the shuffle parallelism — 25 sources here, millions of
+    landmark sources in a real landmark-closeness deployment). Harmonic
+    (not classic) closeness so disconnected pairs contribute zero
+    instead of poisoning the mean; integer hop counts make every min
+    exact on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    e = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.select(
+        F.col("node").alias("s"), "node", F.lit(0).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    for _ in range(5):
+        expanded = (
+            dist.join(e, dist.node == e.src)
+            .select("s", F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("s", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    reached = F.col("d") > 0
+    return dist.groupBy(F.col("s").alias("nationkey")).agg(
+        F.count(F.when(reached, 1)).alias("n_reached"),
+        F.round(
+            F.coalesce(F.sum(F.when(reached, 1.0 / F.col("d"))), F.lit(0.0)),
+            6,
+        ).alias("harmonic_closeness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 121: CUPED variance reduction (pre-period covariate)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_cuped_variance_reduction",
+    """
+    WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+               FROM events),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+    half AS (SELECT d0,
+               CAST(floor(date_diff('day', d0, d1) / 2.0) AS BIGINT) AS mid
+             FROM bounds),
+    u AS (SELECT user_id,
+            CAST(count(*) FILTER (WHERE date_diff('day', d0, day) < mid)
+              AS DOUBLE) AS x,
+            CAST(count(*) FILTER (WHERE date_diff('day', d0, day) >= mid)
+              AS DOUBLE) AS y
+          FROM d CROSS JOIN half GROUP BY user_id),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 var_samp(y) AS vy, var_samp(x) AS vx,
+                 covar_samp(x, y) AS cxy
+          FROM u)
+    SELECT n_users,
+           round(cxy / vx, 6) AS theta,
+           round(vy, 4) AS var_y,
+           round(vy - cxy * cxy / vx, 4) AS var_cuped,
+           round(CASE WHEN vy > 0 THEN (cxy * cxy / vx) / vy END, 6)
+             AS variance_reduction
+    FROM s
+    """,
+)
+def events_cuped_variance_reduction(spark, sf_dir):
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): regress
+    each user's post-period activity on their pre-period activity and
+    report the variance the covariate removes — var(y_cuped) = var(y) -
+    cov²/var(x), reduction = corr², theta = cov/var(x); the standard
+    sensitivity multiplier for online experiments (20% variance
+    reduction = 20% fewer users for the same statistical power, for
+    free). Periods are the rate-ratio day-split; per-user frame is one
+    conditional aggregate, the moments are one map-combinable pass
+    over it. Degenerate zero-variance outcomes yield NULL reduction via
+    an explicit guard on both engines."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    )
+    bounds = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
+        "d0",
+        F.floor(F.datediff("d1", "d0") / 2.0).cast("long").alias("mid"),
+    )
+    pre = F.datediff("day", "d0") < F.col("mid")
+    u = (
+        e.join(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(pre, 1)).cast("double").alias("x"),
+            F.count(F.when(~pre, 1)).cast("double").alias("y"),
+        )
+    )
+    s = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.var_samp("y").alias("vy"),
+        F.var_samp("x").alias("vx"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    explained = F.col("cxy") * F.col("cxy") / F.col("vx")
+    return s.select(
+        "n_users",
+        F.round(F.col("cxy") / F.col("vx"), 6).alias("theta"),
+        F.round("vy", 4).alias("var_y"),
+        F.round(F.col("vy") - explained, 4).alias("var_cuped"),
+        F.round(
+            F.when(F.col("vy") > 0, explained / F.col("vy")), 6
+        ).alias("variance_reduction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 122: GIF container synthesis -> bit-field parse round-trip
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_gif_header_roundtrip",
+    """
+    SELECT doc_id, 'gif' AS format,
+           CAST(n_chars % 320 + 1 AS INT) AS width,
+           CAST(doc_id % 240 + 1 AS INT) AS height,
+           CAST(pow(2, doc_id % 8 + 1) AS INT) AS gct_colors,
+           CAST(8 AS INT) AS color_resolution,
+           TRUE AS size_ok
+    FROM documents
+    """,
+)
+def multimodal_gif_header_roundtrip(spark, sf_dir):
+    """Synthesize a VALID GIF89a logical screen descriptor per document
+    in pure Column expressions — little-endian dims from the data, the
+    PACKED BIT-FIELD byte assembled arithmetically (GCT flag set, color
+    resolution 7 in bits 6-4, size exponent N = doc_id%8 in bits 2-0),
+    a zeroed global color table of EXACTLY 3*2^(N+1) bytes, and the 0x3B
+    trailer — then push it through the bit-field-decoding parser
+    (operators/multimodal.py:parse_gif_meta), which must recover the
+    dimensions, the 2^(N+1) palette size, and verify the declared table
+    fits. The palette-indexed sibling of the PNG/BMP/WAV/MP4/tar
+    round-trips: any drift in the bit packing OR the parser's shifts
+    breaks the hash. Synthesis row-local, parsing Arrow mapInPandas."""
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        parse_gif_meta,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 320 + 1).cast("long").alias("w"),
+        (F.col("doc_id") % 240 + 1).cast("long").alias("h"),
+        (F.col("doc_id") % 8).cast("long").alias("nexp"),
+    )
+    packed = F.lit(0x80) + F.lit(0x70) + F.col("nexp")  # 1|111|0|NNN
+    gct_bytes = 3 * F.pow(F.lit(2.0), F.col("nexp") + 1).cast("long")
+    gif = F.concat(
+        F.lit(b"GIF89a"),
+        _le_bytes(F.col("w"), 4),              # width  LE16
+        _le_bytes(F.col("h"), 4),              # height LE16
+        F.unhex(F.lpad(F.hex(packed), 2, "0")),
+        F.lit(bytes(2)),                       # bg color + aspect
+        F.unhex(F.repeat(F.lit("00"), gct_bytes.cast("int"))),
+        F.lit(b"\x3b"),
+    )
+    meta = parse_gif_meta(d.select("media_id", gif.alias("payload")))
+    return meta.select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        "width",
+        "height",
+        "gct_colors",
+        "color_resolution",
+        "size_ok",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -1108,3 +1108,72 @@ def parse_bmp_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(batches, BMP_META_SCHEMA)
+
+
+GIF_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("gct_colors", IntegerType()),
+        StructField("color_resolution", IntegerType()),
+        StructField("size_ok", BooleanType()),
+    ]
+)
+
+
+def _parse_gif(b: bytes):
+    """GIF89a/87a logical-screen-descriptor walk with BIT-FIELD decoding:
+    the packed byte carries the global-color-table flag (bit 7), color
+    resolution (bits 6-4, stored as depth-1) and the GCT size exponent
+    (bits 2-0, table = 3·2^(N+1) bytes) — the declared table must fit
+    inside the buffer before the trailer or size_ok reads False."""
+    import struct
+
+    try:
+        if b[:6] not in (b"GIF89a", b"GIF87a") or len(b) < 13:
+            return None
+        w, h = struct.unpack("<HH", b[6:10])
+        packed = b[10]
+        has_gct = (packed >> 7) & 1
+        color_res = ((packed >> 4) & 0x7) + 1
+        n_exp = packed & 0x7
+        gct_colors = (2 ** (n_exp + 1)) if has_gct else 0
+        gct_bytes = 3 * gct_colors
+        size_ok = 13 + gct_bytes <= len(b)
+        return w, h, gct_colors, color_res, size_ok
+    except (struct.error, IndexError):
+        return None
+
+
+def parse_gif_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """GIF logical-screen metadata with bit-field decoding and
+    table-fits verification, Arrow-batched — the palette-indexed sibling
+    of :func:`parse_bmp_meta`. Non-GIF payloads yield NULLs (bad bytes
+    are data, not errors, at 100 TB)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [_parse_gif(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": ["gif" if r else None for r in rows],
+                    "width": pd.array(
+                        [r[0] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [r[1] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "gct_colors": pd.array(
+                        [r[2] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "color_resolution": pd.array(
+                        [r[3] if r else None for r in rows], dtype="Int32"
+                    ),
+                    "size_ok": [r[4] if r else None for r in rows],
+                }
+            )
+
+    return df.mapInPandas(batches, GIF_META_SCHEMA)

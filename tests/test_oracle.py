@@ -168,6 +168,14 @@ def test_gate_window_covers_every_family():
         "embedding_nearest_centroid_confusion",
         # wave 118: Anderson-Darling tail-weighted normality test
         "agg_anderson_darling_normality",
+        # wave 119: histogram best-split search by weighted Gini
+        "feature_best_split_gini",
+        # wave 120: harmonic closeness (multi-source BFS, one dataflow)
+        "graph_harmonic_closeness",
+        # wave 121: CUPED variance reduction (pre-period covariate)
+        "events_cuped_variance_reduction",
+        # wave 122: GIF bit-field synthesis -> parse round-trip
+        "multimodal_gif_header_roundtrip",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

@@ -670,3 +670,49 @@ def test_anderson_darling_accepts_normal_rejects_uniform(spark, tmp_path):
     assert out["N"].a_squared < out["U"].a_squared
     assert out["U"].reject_normal_1pct is True
     assert out["N"].a_squared < 3.878
+
+
+def test_best_split_exactly_one_best_and_gini_bounds(spark, sf_smoke):
+    rows = QS["feature_best_split_gini"](spark, sf_smoke).collect()
+    assert rows
+    assert sum(1 for r in rows if r.is_best) >= 1
+    best = min(r.weighted_gini for r in rows)
+    for r in rows:
+        assert 0.0 <= r.weighted_gini <= 0.5 + 1e-9  # binary Gini cap
+        assert r.is_best == (r.weighted_gini == best)
+    ths = [r.threshold for r in sorted(rows, key=lambda r: r.candidate)]
+    assert ths == sorted(ths)  # quantile thresholds are monotone
+
+
+def test_harmonic_closeness_bounds(spark, sf_smoke):
+    rows = QS["graph_harmonic_closeness"](spark, sf_smoke).collect()
+    n = len(rows)
+    for r in rows:
+        assert 0 <= r.n_reached <= n - 1
+        # harmonic closeness is at most n_reached (each term <= 1)
+        assert 0.0 <= r.harmonic_closeness <= r.n_reached + 1e-9
+
+
+def test_cuped_reduction_is_corr_squared(spark, sf_smoke):
+    r = QS["events_cuped_variance_reduction"](spark, sf_smoke).collect()[0]
+    if r.variance_reduction is not None:
+        assert 0.0 <= r.variance_reduction <= 1.0
+        assert r.var_cuped <= r.var_y + 1e-6
+        assert r.var_cuped == pytest.approx(
+            r.var_y * (1 - r.variance_reduction), rel=1e-2
+        )
+
+
+def test_gif_parser_bitfields_and_garbage(spark):
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import _parse_gif
+
+    assert _parse_gif(b"") is None
+    assert _parse_gif(b"NOTGIF" + bytes(20)) is None
+    # hand-built: 3x2, GCT of 4 colors (N=1), packed = 1|111|0|001 = 0xF1
+    hdr = b"GIF89a" + b"\x03\x00\x02\x00" + bytes([0xF1, 0, 0])
+    full = hdr + bytes(12) + b"\x3b"
+    r = _parse_gif(full)
+    assert r == (3, 2, 4, 8, True)
+    # truncated table -> size_ok False
+    r2 = _parse_gif(hdr + bytes(5))
+    assert r2 is not None and r2[4] is False
