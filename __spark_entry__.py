@@ -14908,6 +14908,173 @@ def multimodal_gif_header_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 123: Luhn check-digit round-trip (identifier hygiene)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "scalar_luhn_checksum",
+    """
+    WITH d AS (SELECT o_orderkey,
+                 lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS s
+               FROM orders),
+    dig AS (SELECT o_orderkey, s,
+              list_transform(range(1, 13),
+                i -> CAST(substr(s, CAST(i AS INT), 1) AS BIGINT)) AS ds
+            FROM d),
+    lu AS (SELECT o_orderkey, s,
+             list_sum(list_transform(range(1, 13), i ->
+               CASE WHEN (13 - i) % 2 = 1
+                    THEN CASE WHEN ds[CAST(i AS INT)] * 2 > 9
+                              THEN ds[CAST(i AS INT)] * 2 - 9
+                              ELSE ds[CAST(i AS INT)] * 2 END
+                    ELSE ds[CAST(i AS INT)] END)) AS lsum
+           FROM dig),
+    fin AS (SELECT o_orderkey,
+              CAST((10 - lsum % 10) % 10 AS BIGINT) AS check_digit
+            FROM lu)
+    SELECT CAST(check_digit AS BIGINT) AS check_digit,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM fin GROUP BY check_digit
+    """,
+)
+def scalar_luhn_checksum(spark, sf_dir):
+    """Luhn (mod-10) check digits computed for every order key padded to
+    a 12-digit identifier, summarized as the check-digit distribution —
+    the self-validating-identifier primitive behind card numbers, IMEIs
+    and national-id hygiene checks (a skewed digit distribution over a
+    healthy key space flags a broken generator or transposed-digit
+    corruption upstream). Pure row-local digit arithmetic: positions
+    explode inside a transform lambda (doubling every second digit from
+    the right, folding > 9 by subtracting 9 — integer math end-to-end,
+    the 60-bit-hash digit discipline), one bounded 10-row rollup."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+    d = o.select("o_orderkey", s.alias("s"))
+    ds = F.transform(
+        F.sequence(F.lit(1), F.lit(12)),
+        lambda i: F.substring(F.col("s"), 1, 12)
+        .substr(i, F.lit(1))
+        .cast("long"),
+    )
+    dig = d.select("o_orderkey", "s", ds.alias("ds"))
+    lsum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda i: F.when(
+                (13 - i) % 2 == 1,
+                F.when(
+                    F.element_at("ds", i) * 2 > 9,
+                    F.element_at("ds", i) * 2 - 9,
+                ).otherwise(F.element_at("ds", i) * 2),
+            ).otherwise(F.element_at("ds", i)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    fin = dig.select(
+        (((10 - lsum % 10) % 10)).cast("long").alias("check_digit")
+    )
+    return fin.groupBy("check_digit").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 124: Pythagorean mean family (arithmetic/geometric/harmonic)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_mean_family",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_extendedprice), 4) AS arithmetic_mean,
+           round(exp(avg(ln(l_extendedprice))), 4) AS geometric_mean,
+           round(count(*) / sum(1.0 / l_extendedprice), 4) AS harmonic_mean
+    FROM lineitem WHERE l_extendedprice > 0 GROUP BY l_returnflag
+    """,
+)
+def agg_mean_family(spark, sf_dir):
+    """The Pythagorean mean family per return flag — arithmetic,
+    geometric (exp of the mean log, the only mean that respects
+    multiplicative processes like growth rates and price relatives) and
+    harmonic (the correct average for rates: average speed, average
+    price per unit when spending fixed amounts). AM >= GM >= HM is a
+    hard identity the invariant test pins; the gap between them is a
+    built-in skewness read. One conditional-free aggregate, all three
+    map-combinable in a single pass."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice"), 4).alias("arithmetic_mean"),
+        F.round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias(
+            "geometric_mean"
+        ),
+        F.round(
+            F.count(F.lit(1)) / F.sum(1.0 / F.col("l_extendedprice")), 4
+        ).alias("harmonic_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 125: casing profile (shouting / title-case / numeric words)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_casing_profile",
+    """
+    WITH w AS (SELECT source,
+                 unnest(list_filter(string_split(trim(regexp_replace(
+                   text, '\\s+', ' ', 'g')), ' '), t -> t <> '')) AS tok
+               FROM documents),
+    c AS (SELECT source, tok,
+            CASE WHEN regexp_full_match(tok, '[A-Z]{2,}') THEN 1 ELSE 0 END
+              AS is_shout,
+            CASE WHEN regexp_full_match(tok, '[A-Z][a-z]+') THEN 1 ELSE 0 END
+              AS is_title,
+            CASE WHEN regexp_full_match(tok, '[0-9]+') THEN 1 ELSE 0 END
+              AS is_numeric
+          FROM w)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(is_shout), 6) AS shout_ratio,
+           round(avg(is_title), 6) AS title_ratio,
+           round(avg(is_numeric), 6) AS numeric_ratio
+    FROM c GROUP BY source
+    """,
+)
+def text_casing_profile(spark, sf_dir):
+    """Casing profile per source over RAW (un-lowercased) tokens:
+    ALL-CAPS shouting ratio, Title-Case ratio, and pure-numeric ratio —
+    three one-pass quality signals the lowercasing tokenizer pipeline
+    destroys (shouting flags spam/boilerplate, heavy title-case flags
+    listings and navigation chrome, numeric density flags tables and
+    logs masquerading as prose). Whitespace split WITHOUT normalization
+    (its own expression, not operators.text.tokens, which lowercases);
+    anchored regex matches on both engines (regexp_full_match ==
+    Spark's rlike with ^$ anchors); one explode, one map-combinable
+    rollup."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(
+            F.trim(F.regexp_replace("text", r"\s+", " ")), " "
+        ),
+        lambda t: t != "",
+    )
+    w = d.select("source", F.explode(toks).alias("tok"))
+    shout = F.col("tok").rlike("^[A-Z]{2,}$").cast("int")
+    title = F.col("tok").rlike("^[A-Z][a-z]+$").cast("int")
+    num = F.col("tok").rlike("^[0-9]+$").cast("int")
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(shout), 6).alias("shout_ratio"),
+        F.round(F.avg(title), 6).alias("title_ratio"),
+        F.round(F.avg(num), 6).alias("numeric_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

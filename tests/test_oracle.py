@@ -176,6 +176,12 @@ def test_gate_window_covers_every_family():
         "events_cuped_variance_reduction",
         # wave 122: GIF bit-field synthesis -> parse round-trip
         "multimodal_gif_header_roundtrip",
+        # wave 123: Luhn mod-10 check-digit distribution
+        "scalar_luhn_checksum",
+        # wave 124: Pythagorean mean family (AM >= GM >= HM)
+        "agg_mean_family",
+        # wave 125: casing profile over raw tokens
+        "text_casing_profile",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

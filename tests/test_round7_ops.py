@@ -716,3 +716,39 @@ def test_gif_parser_bitfields_and_garbage(spark):
     # truncated table -> size_ok False
     r2 = _parse_gif(hdr + bytes(5))
     assert r2 is not None and r2[4] is False
+
+
+def test_luhn_known_vector_and_distribution_covers_keys(spark, sf_smoke):
+    rows = QS["scalar_luhn_checksum"](spark, sf_smoke).collect()
+    n_orders = entrymod._t(spark, sf_smoke, "orders").count()
+    assert sum(r.n_keys for r in rows) == n_orders
+    assert all(0 <= r.check_digit <= 9 for r in rows)
+    # known vector: 7992739871 -> check digit 3 (classic Luhn example),
+    # padded to 12 digits (leading zeros don't change the Luhn sum parity
+    # here because 12 and 10 digits share the doubling phase)
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(7992739871,)], "o_orderkey long"
+    ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    out = QS["scalar_luhn_checksum"](spark, tmp).collect()
+    assert len(out) == 1 and out[0].check_digit == 3
+
+
+def test_mean_family_inequality(spark, sf_smoke):
+    for r in QS["agg_mean_family"](spark, sf_smoke).collect():
+        assert r.arithmetic_mean >= r.geometric_mean >= r.harmonic_mean
+        assert r.harmonic_mean > 0
+
+
+def test_casing_profile_flags_shouting(spark, tmp_path):
+    docs = [(1, "BUY NOW LIMITED OFFER ACT FAST", "en", "spam", 30),
+            (2, "a quiet evening walk in the park", "en", "calm", 32)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in QS["text_casing_profile"](
+        spark, str(tmp_path)).collect()}
+    assert out["spam"].shout_ratio == 1.0
+    assert out["calm"].shout_ratio == 0.0
