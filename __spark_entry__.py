@@ -15075,6 +15075,128 @@ def text_casing_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 126: 1-D nearest neighbor via sorted adjacency (no cross join)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_nearest_price_neighbor",
+    """
+    WITH d AS (SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+                 date_trunc('day', o_orderdate) AS day
+               FROM orders),
+    adj AS (SELECT day, o_orderkey, c,
+              lag(c) OVER w AS pv,
+              lead(c) OVER w AS nx
+            FROM d
+            WINDOW w AS (PARTITION BY day ORDER BY c, o_orderkey)),
+    nb AS (SELECT day,
+             CASE WHEN pv IS NULL AND nx IS NULL THEN NULL
+                  WHEN pv IS NULL THEN nx - c
+                  WHEN nx IS NULL THEN c - pv
+                  WHEN c - pv <= nx - c THEN c - pv
+                  ELSE nx - c END AS gap
+           FROM adj)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(floor(avg(gap) + 0.5) AS BIGINT) AS mean_nn_gap_cents,
+           CAST(min(gap) AS BIGINT) AS min_nn_gap_cents,
+           CAST(count(*) FILTER (WHERE gap < 100) AS BIGINT)
+             AS n_near_twins
+    FROM nb WHERE gap IS NOT NULL GROUP BY day
+    """,
+)
+def orders_nearest_price_neighbor(spark, sf_dir):
+    """Per-day 1-D nearest-neighbor gap in order value, WITHOUT a self
+    cross join: after sorting within the day, every row's nearest
+    neighbor is its sorted predecessor or successor (a 1-D metric-space
+    identity), so lag/lead replace the O(n²) pair enumeration — the
+    pattern behind near-twin detection (duplicate submissions, split
+    invoices, price-point collisions) at any scale; the near-twin count
+    (< $1 apart) is the fraud/dedup signal. Prices are exact integer
+    cents end-to-end (double gap averages landed on a half-boundary and
+    diverged between engines — the pinned money discipline). One window
+    over (day, cents, key) with a deterministic tie-break; day is the
+    partition key so the sort shards with the data."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+    )
+    w = Window.partitionBy("day").orderBy("c", "o_orderkey")
+    adj = d.select(
+        "day",
+        "c",
+        F.lag("c").over(w).alias("pv"),
+        F.lead("c").over(w).alias("nx"),
+    )
+    up = F.col("c") - F.col("pv")
+    down = F.col("nx") - F.col("c")
+    gap = (
+        F.when(F.col("pv").isNull() & F.col("nx").isNull(), F.lit(None))
+        .when(F.col("pv").isNull(), down)
+        .when(F.col("nx").isNull(), up)
+        .when(up <= down, up)
+        .otherwise(down)
+    )
+    nb = adj.select("day", gap.alias("gap")).filter(F.col("gap").isNotNull())
+    return nb.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.floor(F.avg("gap") + 0.5).cast("long").alias("mean_nn_gap_cents"),
+        F.min("gap").cast("long").alias("min_nn_gap_cents"),
+        F.count(F.when(F.col("gap") < 100, 1)).alias("n_near_twins"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 127: basket-size profile (lineitems per order)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_basket_size_profile",
+    """
+    WITH b AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+               FROM lineitem GROUP BY l_orderkey),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS n_orders FROM b)
+    SELECT n_lines AS basket_size,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(count(*) / any_value(t.n_orders), 6) AS share,
+           round(sum(n_lines) / any_value(t.n_orders), 6)
+             AS lines_contributed_per_order
+    FROM b CROSS JOIN t GROUP BY n_lines
+    """,
+)
+def orders_basket_size_profile(spark, sf_dir):
+    """Basket-size distribution — how many line items per order, with
+    each size's share of orders and its contribution to total lines per
+    order — the fulfillment-cost and picking-route planning histogram,
+    and (in corpus terms) the records-per-group profile every skew
+    analysis starts from. One count aggregate keyed by the order, one
+    bounded rollup keyed by the count itself (the
+    frequency-of-frequencies move from Good-Turing applied to
+    relational data)."""
+    l = _t(spark, sf_dir, "lineitem")
+    b = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    t = b.agg(F.count(F.lit(1)).cast("double").alias("n_orders_t"))
+    return (
+        b.join(F.broadcast(t))
+        .groupBy(F.col("n_lines").alias("basket_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.count(F.lit(1)) / F.any_value("n_orders_t"), 6
+            ).alias("share"),
+            F.round(
+                F.sum("n_lines") / F.any_value("n_orders_t"), 6
+            ).alias("lines_contributed_per_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -182,6 +182,10 @@ def test_gate_window_covers_every_family():
         "agg_mean_family",
         # wave 125: casing profile over raw tokens
         "text_casing_profile",
+        # wave 126: 1-D nearest price neighbor via sorted adjacency
+        "orders_nearest_price_neighbor",
+        # wave 127: basket-size profile (frequency-of-frequencies)
+        "orders_basket_size_profile",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

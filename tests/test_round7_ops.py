@@ -752,3 +752,35 @@ def test_casing_profile_flags_shouting(spark, tmp_path):
         spark, str(tmp_path)).collect()}
     assert out["spam"].shout_ratio == 1.0
     assert out["calm"].shout_ratio == 0.0
+
+
+def test_nearest_neighbor_matches_bruteforce_on_small_day(spark, tmp_path):
+    import datetime
+
+    prices = [100.00, 100.50, 102.00, 110.00, 110.40]
+    rows = [
+        (i, datetime.datetime(2024, 1, 1), p) for i, p in enumerate(prices)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = QS["orders_nearest_price_neighbor"](spark, str(tmp_path)).collect()[0]
+    # brute-force nn gaps in cents: [50, 50, 150, 40, 40] -> mean 66
+    assert r.n_orders == 5
+    assert r.min_nn_gap_cents == 40
+    assert r.mean_nn_gap_cents == 66
+    assert r.n_near_twins == 4  # gaps under 100 cents
+
+
+def test_basket_profile_partitions_orders(spark, sf_smoke):
+    rows = QS["orders_basket_size_profile"](spark, sf_smoke).collect()
+    n_orders = (
+        entrymod._t(spark, sf_smoke, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.basket_size >= 1
