@@ -15197,6 +15197,603 @@ def orders_basket_size_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 128: Kruskal-Wallis k-sample rank test
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_kruskal_wallis",
+    """
+    WITH j AS (SELECT o.o_totalprice AS v, c.c_mktsegment AS g
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    r AS (SELECT g, v,
+                 rank() OVER (ORDER BY v) AS rk,
+                 count(*) OVER (PARTITION BY v) AS tie_n
+          FROM j),
+    a AS (SELECT g, rk + (tie_n - 1) / 2.0 AS arank FROM r),
+    grp AS (SELECT g, sum(arank) AS r_g, count(*) AS n_g FROM a GROUP BY g),
+    tot AS (SELECT count(*) AS n FROM j),
+    ties AS (SELECT coalesce(sum(tn * tn * tn - tn), 0) AS tie_term
+             FROM (SELECT count(*) AS tn FROM j GROUP BY v
+                   HAVING count(*) > 1)),
+    s AS (SELECT sum(r_g * r_g / n_g) AS s, count(*) AS k FROM grp),
+    fin AS (SELECT k, n,
+                   12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0) AS h_raw,
+                   1.0 - tie_term
+                       / (CAST(n AS DOUBLE) * n * n - n) AS corr
+            FROM s CROSS JOIN tot CROSS JOIN ties)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+           CAST(k - 1 AS BIGINT) AS dof,
+           round(h_raw, 4) AS h_stat,
+           round(h_raw / corr, 4) AS h_corrected,
+           (h_raw / corr) > 9.487729 AS reject_h0
+    FROM fin
+    """,
+)
+def agg_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H test — does order price differ across ALL five
+    market segments at once (the k-sample generalization of
+    Mann-Whitney, the nonparametric one-way ANOVA): H = 12/(N(N+1)) *
+    sum R_g^2/n_g - 3(N+1), tie-corrected by 1 - sum(t^3-t)/(N^3-N),
+    rejected against the df=4 chi-square 0.05 critical value. Same
+    distinct-value formulation as agg_mann_whitney_u: collapse to
+    per-(value, group) counts first (one hash aggregate — the only pass
+    over the fact), average ranks from one ordered window over the
+    BOUNDED distinct-value table, so no global row-level sort; the
+    oracle keeps the textbook row-rank formulation, making the hash
+    match a cross-derivation proof. At 100 TB the window runs over
+    distinct prices (bounded domain), not rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.col("c_mktsegment").alias("g"),
+        )
+        .groupBy("v", "g")
+        .agg(F.count(F.lit(1)).alias("n_vg"))
+    )
+    vals = pv.groupBy("v").agg(F.sum("n_vg").alias("tn"))
+    wprev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    vals = vals.select(
+        "v",
+        "tn",
+        (
+            F.coalesce(F.sum("tn").over(wprev), F.lit(0))
+            + (F.col("tn") + 1) / F.lit(2.0)
+        ).alias("arank"),
+    )
+    grp = (
+        pv.join(vals, "v")
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("n_vg") * F.col("arank")).alias("r_g"),
+            F.sum("n_vg").alias("n_g"),
+        )
+    )
+    sc = vals.agg(
+        F.sum("tn").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("tn") > 1,
+                    F.col("tn") * F.col("tn") * F.col("tn") - F.col("tn"),
+                )
+            ),
+            F.lit(0),
+        ).alias("tie_term"),
+    )
+    st = grp.agg(
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("s"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    n = F.col("n").cast("double")
+    h_raw = F.lit(12.0) / (n * (n + 1)) * F.col("s") - 3.0 * (n + 1)
+    corr = F.lit(1.0) - F.col("tie_term") / (n * n * n - n)
+    return st.join(F.broadcast(sc)).select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(h_raw, 4).alias("h_stat"),
+        F.round(h_raw / corr, 4).alias("h_corrected"),
+        ((h_raw / corr) > 9.487729).alias("reject_h0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 129: G-test of independence (log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_g_test_independence",
+    """
+    WITH o AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+                      count(*) AS obs
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY 1, 2),
+    r AS (SELECT seg, sum(obs) AS rt FROM o GROUP BY seg),
+    c AS (SELECT pri, sum(obs) AS ct FROM o GROUP BY pri),
+    t AS (SELECT CAST(sum(obs) AS DOUBLE) AS tot FROM o),
+    g AS (SELECT 2.0 * sum(obs * ln(obs / (r.rt * c.ct / t.tot))) AS g_stat
+          FROM o JOIN r USING (seg) JOIN c USING (pri) CROSS JOIN t),
+    m AS (SELECT (SELECT tot FROM t) AS tot,
+                 (SELECT sum(1.0 / rt) FROM r) AS inv_r,
+                 (SELECT sum(1.0 / ct) FROM c) AS inv_c,
+                 (SELECT count(*) FROM r) AS nr,
+                 (SELECT count(*) FROM c) AS nc),
+    q AS (SELECT nr, nc,
+                 1.0 + (tot * inv_r - 1.0) * (tot * inv_c - 1.0)
+                     / (6.0 * tot * (nr - 1) * (nc - 1)) AS will_q
+          FROM m)
+    SELECT round(g_stat, 4) AS g_stat,
+           round(g_stat / will_q, 4) AS g_williams,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           g_stat / will_q > 26.296228 AS reject_h0
+    FROM g CROSS JOIN q
+    """,
+)
+def agg_g_test_independence(spark, sf_dir):
+    """G-test (log-likelihood ratio) of independence between customer
+    market segment and order priority, with the Williams small-sample
+    correction q = 1 + (N*sum(1/r_i)-1)(N*sum(1/c_j)-1)/(6N(r-1)(c-1))
+    — the information-theoretic sibling of agg_chi_square_independence
+    (G = 2N * mutual information in nats; additive across partitions
+    where Pearson X^2 is not, which is why log-linear modelling uses
+    it). One hash aggregate builds the 5x5 contingency table; marginals
+    and the Williams factor ride broadcast one-row frames; rejected
+    against the df=16 chi-square 0.05 critical value."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    cells = (
+        o.join(cst, o.o_custkey == cst.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rows = cells.groupBy("seg").agg(F.sum("obs").alias("rt"))
+    cols = cells.groupBy("pri").agg(F.sum("obs").alias("ct"))
+    tot = cells.agg(F.sum("obs").cast("double").alias("tot"))
+    rsum = rows.agg(
+        F.sum(F.lit(1.0) / F.col("rt")).alias("inv_r"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    csum = cols.agg(
+        F.sum(F.lit(1.0) / F.col("ct")).alias("inv_c"),
+        F.count(F.lit(1)).alias("nc"),
+    )
+    g = (
+        cells.join(F.broadcast(rows), "seg")
+        .join(F.broadcast(cols), "pri")
+        .join(F.broadcast(tot))
+        .agg(
+            (
+                F.lit(2.0)
+                * F.sum(
+                    F.col("obs")
+                    * F.log(
+                        F.col("obs")
+                        / (F.col("rt") * F.col("ct") / F.col("tot"))
+                    )
+                )
+            ).alias("g_stat")
+        )
+    )
+    will_q = F.lit(1.0) + (
+        F.col("tot") * F.col("inv_r") - 1.0
+    ) * (F.col("tot") * F.col("inv_c") - 1.0) / (
+        F.lit(6.0)
+        * F.col("tot")
+        * (F.col("nr") - 1)
+        * (F.col("nc") - 1)
+    )
+    return (
+        g.join(F.broadcast(tot))
+        .join(F.broadcast(rsum))
+        .join(F.broadcast(csum))
+        .select(
+            F.round(F.col("g_stat"), 4).alias("g_stat"),
+            F.round(F.col("g_stat") / will_q, 4).alias("g_williams"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1))
+            .cast("long")
+            .alias("dof"),
+            (F.col("g_stat") / will_q > 26.296228).alias("reject_h0"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 130: Durbin-Watson autocorrelation of trend residuals
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_durbin_watson",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+               FROM events GROUP BY 1),
+    x AS (SELECT cnt,
+                 CAST(day - (SELECT min(day) FROM d) AS DOUBLE) AS t
+          FROM d),
+    fit AS (SELECT regr_slope(cnt, t) AS b1,
+                   regr_intercept(cnt, t) AS b0,
+                   count(*) AS n
+            FROM x),
+    e AS (SELECT x.t, x.cnt - (fit.b0 + fit.b1 * x.t) AS resid
+          FROM x CROSS JOIN fit),
+    l AS (SELECT resid,
+                 lag(resid) OVER (ORDER BY t) AS prev
+          FROM e),
+    s AS (SELECT sum((resid - prev) * (resid - prev)) AS num,
+                 sum(resid * resid) AS den,
+                 count(*) AS n
+          FROM l)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round((SELECT b1 FROM fit), 6) AS slope_per_day,
+           round(num / den, 4) AS dw_stat,
+           round(1.0 - num / den / 2.0, 4) AS rho_approx,
+           (num / den) < 1.5 AS positive_autocorr
+    FROM s
+    """,
+)
+def events_durbin_watson(spark, sf_dir):
+    """Durbin-Watson test on the residuals of a daily-count-vs-time OLS
+    trend — is the de-trended event volume serially correlated (DW =
+    sum (e_t - e_(t-1))^2 / sum e_t^2, ~2 when independent, < 1.5 flags
+    positive autocorrelation, rho ~ 1 - DW/2)? The guardrail behind
+    every 'fit a trend, alert on residuals' monitor: autocorrelated
+    residuals invalidate the iid error bars. One scan collapses events
+    to the BOUNDED daily table; the OLS fit is a broadcast one-row
+    frame (regr_slope/regr_intercept on both engines); the lag window
+    orders the daily domain, never raw rows."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = d.agg(F.min("day").alias("d0"))
+    x = d.join(F.broadcast(m)).select(
+        F.col("cnt").cast("double").alias("cnt"),
+        F.datediff(F.col("day"), F.col("d0")).cast("double").alias("t"),
+    )
+    fit = x.agg(
+        F.regr_slope("cnt", "t").alias("b1"),
+        F.regr_intercept("cnt", "t").alias("b0"),
+    )
+    resid = x.join(F.broadcast(fit)).select(
+        "t",
+        (F.col("cnt") - (F.col("b0") + F.col("b1") * F.col("t"))).alias(
+            "resid"
+        ),
+    )
+    lagw = Window.orderBy("t")
+    l = resid.select(
+        "resid", F.lag("resid").over(lagw).alias("prev")
+    )
+    s = l.agg(
+        F.sum(
+            (F.col("resid") - F.col("prev"))
+            * (F.col("resid") - F.col("prev"))
+        ).alias("num"),
+        F.sum(F.col("resid") * F.col("resid")).alias("den"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dw = F.col("num") / F.col("den")
+    return s.join(F.broadcast(fit)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("b1"), 6).alias("slope_per_day"),
+        F.round(dw, 4).alias("dw_stat"),
+        F.round(F.lit(1.0) - dw / 2.0, 4).alias("rho_approx"),
+        (dw < 1.5).alias("positive_autocorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 131: closed-form two-predictor OLS (normal equations)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_ols_two_predictor",
+    """
+    WITH per AS (SELECT l_orderkey,
+                        count(*) AS n_lines,
+                        sum(l_quantity) AS tot_qty
+                 FROM lineitem GROUP BY 1),
+    j AS (SELECT CAST(per.n_lines AS DOUBLE) AS x1,
+                 CAST(per.tot_qty AS DOUBLE) AS x2,
+                 o.o_totalprice AS y
+          FROM per JOIN orders o ON per.l_orderkey = o.o_orderkey),
+    m AS (SELECT count(*) AS n, avg(x1) AS mx1, avg(x2) AS mx2,
+                 avg(y) AS my,
+                 covar_pop(x1, x1) AS s11, covar_pop(x2, x2) AS s22,
+                 covar_pop(x1, x2) AS s12,
+                 covar_pop(x1, y) AS s1y, covar_pop(x2, y) AS s2y,
+                 var_pop(y) AS syy
+          FROM j),
+    b AS (SELECT n, mx1, mx2, my, syy, s1y, s2y,
+                 (s1y * s22 - s2y * s12)
+                   / (s11 * s22 - s12 * s12) AS b1,
+                 (s2y * s11 - s1y * s12)
+                   / (s11 * s22 - s12 * s12) AS b2
+          FROM m)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(my - b1 * mx1 - b2 * mx2, 4) AS b0,
+           round(b1, 4) AS b1_lines,
+           round(b2, 4) AS b2_qty,
+           round((b1 * s1y + b2 * s2y) / syy, 6) AS r2
+    FROM b
+    """,
+)
+def agg_ols_two_predictor(spark, sf_dir):
+    """Two-predictor OLS solved in closed form from the 2x2 normal
+    equations (no iteration, no matrix library): regress order total
+    price on line count and total quantity. With centered second
+    moments S_ij, beta = [S11 S12; S12 S22]^-1 [S1y; S2y] via the 2x2
+    determinant, R^2 = (b1*S1y + b2*S2y)/Syy. The whole model reduces
+    to ONE map-combinable aggregate of nine moments over the joined
+    fact — the pattern that generalizes to any small-p regression at
+    100 TB (p^2 moments, one pass, no collect of rows). Engine
+    covar_pop on both sides keeps the arithmetic identical."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_quantity").alias("tot_qty"),
+    )
+    j = per.join(o, per.l_orderkey == o.o_orderkey).select(
+        F.col("n_lines").cast("double").alias("x1"),
+        F.col("tot_qty").cast("double").alias("x2"),
+        F.col("o_totalprice").alias("y"),
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x1").alias("mx1"),
+        F.avg("x2").alias("mx2"),
+        F.avg("y").alias("my"),
+        F.covar_pop("x1", "x1").alias("s11"),
+        F.covar_pop("x2", "x2").alias("s22"),
+        F.covar_pop("x1", "x2").alias("s12"),
+        F.covar_pop("x1", "y").alias("s1y"),
+        F.covar_pop("x2", "y").alias("s2y"),
+        F.var_pop("y").alias("syy"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det
+    b2 = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("my") - b1 * F.col("mx1") - b2 * F.col("mx2"), 4
+        ).alias("b0"),
+        F.round(b1, 4).alias("b1_lines"),
+        F.round(b2, 4).alias("b2_qty"),
+        F.round(
+            (b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy"), 6
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 132: Epanechnikov KDE at a fixed evaluation grid
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_kde_grid",
+    """
+    WITH b AS (SELECT round(o_totalprice / 100.0) * 100.0 AS v,
+                      count(*) AS cnt
+               FROM orders GROUP BY 1),
+    st AS (SELECT min(v) AS lo, max(v) AS hi,
+                  sum(cnt) AS n,
+                  sqrt(sum(cnt * v * v) / sum(cnt)
+                       - (sum(cnt * v) / sum(cnt))
+                         * (sum(cnt * v) / sum(cnt))) AS sd
+           FROM b),
+    h AS (SELECT lo, hi, n,
+                 1.06 * sd * pow(CAST(n AS DOUBLE), -0.2) AS bw
+          FROM st),
+    g AS (SELECT i AS grid_idx,
+                 lo + i * (hi - lo) / 20.0 AS gx, bw, n
+          FROM h, unnest(range(0, 21)) AS t(i)),
+    k AS (SELECT g.grid_idx, g.gx, g.bw, g.n, b.v, b.cnt,
+                 (g.gx - b.v) / g.bw AS u
+          FROM g JOIN b ON abs(g.gx - b.v) < g.bw)
+    SELECT CAST(grid_idx AS BIGINT) AS grid_idx,
+           round(any_value(gx), 2) AS grid_x,
+           round(sum(cnt * 0.75 * (1.0 - u * u))
+                 / (any_value(n) * any_value(bw)), 9) AS density
+    FROM k GROUP BY grid_idx
+    ORDER BY grid_idx
+    """,
+)
+def agg_kde_grid(spark, sf_dir):
+    """Epanechnikov kernel density estimate of the order-price
+    distribution evaluated at a fixed 21-point grid (the histogram's
+    smooth sibling — what a price-distribution dashboard actually
+    plots). Scale discipline: the fact is FIRST collapsed to a bounded
+    pre-binned value domain (prices rounded to $100, one hash
+    aggregate), so the kernel evaluation is a bounded-domain range
+    join (|grid - v| < bandwidth pushes into the join condition), not
+    a 21x full-table blow-up; bandwidth is the Gaussian rule of thumb
+    1.06*sd*n^(-1/5) computed from weighted moments on the same binned
+    table. Density integrates to ~1 by construction; grid rows with no
+    in-bandwidth support are absent (inner join) on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.groupBy(
+        (F.round(F.col("o_totalprice") / 100.0) * 100.0).alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    st = b.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("cnt").alias("n"),
+        F.sqrt(
+            F.sum(F.col("cnt") * F.col("v") * F.col("v")) / F.sum("cnt")
+            - (F.sum(F.col("cnt") * F.col("v")) / F.sum("cnt"))
+            * (F.sum(F.col("cnt") * F.col("v")) / F.sum("cnt"))
+        ).alias("sd"),
+    )
+    h = st.select(
+        "lo",
+        "hi",
+        "n",
+        (
+            F.lit(1.06)
+            * F.col("sd")
+            * F.pow(F.col("n").cast("double"), -0.2)
+        ).alias("bw"),
+    )
+    g = h.select(
+        F.explode(F.sequence(F.lit(0), F.lit(20))).alias("grid_idx"),
+        "lo",
+        "hi",
+        "bw",
+        "n",
+    ).select(
+        "grid_idx",
+        (
+            F.col("lo")
+            + F.col("grid_idx") * (F.col("hi") - F.col("lo")) / 20.0
+        ).alias("gx"),
+        "bw",
+        "n",
+    )
+    k = F.broadcast(g).join(
+        b, F.abs(F.col("gx") - F.col("v")) < F.col("bw")
+    )
+    u = (F.col("gx") - F.col("v")) / F.col("bw")
+    return (
+        k.groupBy("grid_idx")
+        .agg(
+            F.round(F.any_value("gx"), 2).alias("grid_x"),
+            F.round(
+                F.sum(F.col("cnt") * 0.75 * (F.lit(1.0) - u * u))
+                / (F.any_value("n") * F.any_value("bw")),
+                9,
+            ).alias("density"),
+        )
+        .select(
+            F.col("grid_idx").cast("long").alias("grid_idx"),
+            "grid_x",
+            "density",
+        )
+        .orderBy("grid_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 133: Cook's distance — top influential points of an OLS fit
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_cooks_distance_topk",
+    """
+    WITH d AS (SELECT l_orderkey, l_linenumber,
+                      CAST(l_quantity AS DOUBLE) AS x,
+                      l_extendedprice AS y
+               FROM lineitem),
+    m AS (SELECT count(*) AS n, avg(x) AS mx,
+                 regr_slope(y, x) AS b1, regr_intercept(y, x) AS b0,
+                 sum(x * x) - count(*) * avg(x) * avg(x) AS sxx
+          FROM d),
+    e AS (SELECT d.l_orderkey, d.l_linenumber, d.x,
+                 d.y - (m.b0 + m.b1 * d.x) AS resid,
+                 1.0 / m.n + (d.x - m.mx) * (d.x - m.mx) / m.sxx AS lev,
+                 m.n
+          FROM d CROSS JOIN m),
+    s2 AS (SELECT sum(resid * resid) / (any_value(n) - 2) AS s2 FROM e),
+    cd AS (SELECT l_orderkey, l_linenumber, lev,
+                  round(resid * resid / (2.0 * s2.s2)
+                        * lev / ((1.0 - lev) * (1.0 - lev)), 8) AS cook_d
+           FROM e CROSS JOIN s2)
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           round(lev, 8) AS leverage, cook_d
+    FROM cd
+    ORDER BY cook_d DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def agg_cooks_distance_topk(spark, sf_dir):
+    """Cook's distance influence diagnostics for the quantity ->
+    extended-price OLS fit: D_i = e_i^2/(p*s^2) * h_i/(1-h_i)^2 with
+    simple-regression leverage h_i = 1/n + (x_i-xbar)^2/Sxx — surfaces
+    the 10 line items that most move the fitted line (the 'which rows
+    should I audit before trusting this model' primitive). The model
+    and Sxx are a broadcast one-row frame; leverage and residuals are a
+    shuffle-free projection over the fact; only the top-10 rows
+    (ranked on the PRE-ROUNDED-to-8 Cook's D with full key tie-break,
+    so the cut is ulp-stable across engines) survive the final
+    ORDER BY ... LIMIT — a TakeOrdered, never a global sort
+    materialization."""
+    l = _t(spark, sf_dir, "lineitem")
+    d = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.regr_slope("y", "x").alias("b1"),
+        F.regr_intercept("y", "x").alias("b0"),
+        (
+            F.sum(F.col("x") * F.col("x"))
+            - F.count(F.lit(1)) * F.avg("x") * F.avg("x")
+        ).alias("sxx"),
+    )
+    e = d.join(F.broadcast(m)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))).alias(
+            "resid"
+        ),
+        (
+            F.lit(1.0) / F.col("n")
+            + (F.col("x") - F.col("mx"))
+            * (F.col("x") - F.col("mx"))
+            / F.col("sxx")
+        ).alias("lev"),
+        "n",
+    )
+    s2 = e.agg(
+        (
+            F.sum(F.col("resid") * F.col("resid"))
+            / (F.any_value("n") - 2)
+        ).alias("s2")
+    )
+    cd = e.join(F.broadcast(s2)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "lev",
+        F.round(
+            F.col("resid")
+            * F.col("resid")
+            / (F.lit(2.0) * F.col("s2"))
+            * F.col("lev")
+            / ((F.lit(1.0) - F.col("lev")) * (F.lit(1.0) - F.col("lev"))),
+            8,
+        ).alias("cook_d"),
+    )
+    return (
+        cd.orderBy(
+            F.col("cook_d").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.round(F.col("lev"), 8).alias("leverage"),
+            "cook_d",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -186,6 +186,18 @@ def test_gate_window_covers_every_family():
         "orders_nearest_price_neighbor",
         # wave 127: basket-size profile (frequency-of-frequencies)
         "orders_basket_size_profile",
+        # wave 128: Kruskal-Wallis k-sample rank test
+        "agg_kruskal_wallis",
+        # wave 129: G-test of independence with Williams correction
+        "agg_g_test_independence",
+        # wave 130: Durbin-Watson autocorrelation of trend residuals
+        "events_durbin_watson",
+        # wave 131: closed-form two-predictor OLS (normal equations)
+        "agg_ols_two_predictor",
+        # wave 132: binned Epanechnikov KDE at a fixed 21-point grid
+        "agg_kde_grid",
+        # wave 133: Cook's distance top-10 influence diagnostics
+        "agg_cooks_distance_topk",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
