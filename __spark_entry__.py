@@ -15794,6 +15794,359 @@ def agg_cooks_distance_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 134: Poisson overdispersion index per event type
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_poisson_dispersion",
+    """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type,
+                 count(*) AS n_days,
+                 avg(cnt) AS mean_cnt,
+                 var_samp(cnt) AS var_cnt
+          FROM d GROUP BY event_type)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(mean_cnt, 4) AS mean_daily,
+           round(var_cnt, 4) AS var_daily,
+           round(var_cnt / mean_cnt, 4) AS dispersion_index,
+           var_cnt / mean_cnt
+             > 1.0 + 2.0 * sqrt(2.0 / (n_days - 1)) AS overdispersed
+    FROM s ORDER BY event_type
+    """,
+)
+def events_poisson_dispersion(spark, sf_dir):
+    """Poisson overdispersion check per event type: the index of
+    dispersion D = var/mean of DAILY counts is ~1 for a Poisson
+    arrival process; D above 1 + 2*sqrt(2/(n-1)) (two sigmas of D's
+    null sampling spread) flags burstiness/clumping — the decision
+    between 'use a Poisson alert threshold' and 'need a negative
+    binomial'. Complements events_interarrival_expfit (which tests the
+    gap distribution; this tests count stability). One scan collapses
+    to the bounded (type, day) domain; everything after is a per-type
+    aggregate of a few hundred rows."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.avg("cnt").alias("mean_cnt"),
+        F.var_samp("cnt").alias("var_cnt"),
+    )
+    disp = F.col("var_cnt") / F.col("mean_cnt")
+    return s.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("mean_cnt"), 4).alias("mean_daily"),
+        F.round(F.col("var_cnt"), 4).alias("var_daily"),
+        F.round(disp, 4).alias("dispersion_index"),
+        (
+            disp
+            > F.lit(1.0)
+            + F.lit(2.0) * F.sqrt(F.lit(2.0) / (F.col("n_days") - 1))
+        ).alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 135: Wilcoxon signed-rank test (paired halves)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_wilcoxon_signed_rank",
+    """
+    WITH b AS (SELECT min(CAST(o_orderdate AS DATE))
+                      + CAST((max(CAST(o_orderdate AS DATE))
+                              - min(CAST(o_orderdate AS DATE))) // 2
+                             AS INTEGER) AS mid
+               FROM orders),
+    per AS (SELECT o_custkey,
+                   round(sum(CASE WHEN CAST(o_orderdate AS DATE) <= b.mid
+                                  THEN o_totalprice END), 2) AS s1,
+                   round(sum(CASE WHEN CAST(o_orderdate AS DATE) > b.mid
+                                  THEN o_totalprice END), 2) AS s2
+            FROM orders CROSS JOIN b GROUP BY o_custkey, b.mid),
+    d AS (SELECT round(s2 - s1, 2) AS diff FROM per
+          WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+            AND round(s2 - s1, 2) <> 0),
+    r AS (SELECT diff, abs(diff) AS ad,
+                 rank() OVER (ORDER BY abs(diff)) AS rk,
+                 count(*) OVER (PARTITION BY abs(diff)) AS tie_n
+          FROM d),
+    a AS (SELECT diff, rk + (tie_n - 1) / 2.0 AS arank, tie_n FROM r),
+    st AS (SELECT count(*) AS n,
+                  sum(CASE WHEN diff > 0 THEN arank ELSE 0 END) AS w_plus
+           FROM a),
+    ties AS (SELECT coalesce(sum(tn * tn * tn - tn), 0) AS tie_term
+             FROM (SELECT count(*) AS tn FROM d GROUP BY abs(diff)
+                   HAVING count(*) > 1)),
+    z AS (SELECT n, w_plus,
+                 n * (n + 1) / 4.0 AS mu,
+                 sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0
+                      - tie_term / 48.0) AS sigma
+          FROM st CROSS JOIN ties)
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(w_plus, 2) AS w_plus,
+           round((w_plus - mu) / sigma, 4) AS zscore,
+           abs((w_plus - mu) / sigma) > 1.96 AS reject_h0
+    FROM z
+    """,
+)
+def agg_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test on paired customer spend: did
+    per-customer total spend change between the first and second half
+    of the order-date range (the paired companion to Mann-Whitney —
+    each customer is its own control)? Differences are rounded to
+    cents BEFORE ranking so the sign/|d| ordering is ulp-stable across
+    engines; zero differences drop per the textbook procedure;
+    average-rank tie handling with the t^3-t variance correction.
+    Spark side uses the distinct-|d| formulation (hash-aggregate to
+    per-|d| sign counts, one ordered window over the bounded distinct
+    domain) — the oracle keeps row-level ranks, so the hash match is a
+    cross-derivation proof."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "od", F.col("o_orderdate").cast("date")
+    )
+    b = o.agg(
+        F.date_add(
+            F.min("od"),
+            F.floor(
+                F.datediff(F.max("od"), F.min("od")) / 2
+            ).cast("int"),
+        ).alias("mid")
+    )
+    per = (
+        o.join(F.broadcast(b))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("od") <= F.col("mid"),
+                        F.col("o_totalprice"),
+                    )
+                ),
+                2,
+            ).alias("s1"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("od") > F.col("mid"),
+                        F.col("o_totalprice"),
+                    )
+                ),
+                2,
+            ).alias("s2"),
+        )
+    )
+    d = (
+        per.filter(
+            F.col("s1").isNotNull() & F.col("s2").isNotNull()
+        )
+        .select(F.round(F.col("s2") - F.col("s1"), 2).alias("diff"))
+        .filter(F.col("diff") != 0)
+    )
+    pv = d.groupBy(F.abs(F.col("diff")).alias("ad")).agg(
+        F.count(F.lit(1)).alias("tn"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).alias("npos"),
+    )
+    wprev = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    pv = pv.select(
+        "tn",
+        "npos",
+        (
+            F.coalesce(F.sum("tn").over(wprev), F.lit(0))
+            + (F.col("tn") + 1) / F.lit(2.0)
+        ).alias("arank"),
+    )
+    st = pv.agg(
+        F.sum("tn").alias("n"),
+        F.sum(F.col("npos") * F.col("arank")).alias("w_plus"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("tn") > 1,
+                    F.col("tn") * F.col("tn") * F.col("tn") - F.col("tn"),
+                )
+            ),
+            F.lit(0),
+        ).alias("tie_term"),
+    )
+    n = F.col("n").cast("double")
+    mu = n * (n + 1) / 4.0
+    sigma = F.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - F.col("tie_term") / 48.0
+    )
+    z = (F.col("w_plus") - mu) / sigma
+    return st.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(F.col("w_plus"), 2).alias("w_plus"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > 1.96).alias("reject_h0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 136: epoch allocation under a token budget
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_epoch_allocation",
+    f"""
+    WITH t AS (SELECT source, {_WORDS} AS ws FROM documents),
+    s AS (SELECT source, CAST(sum(len(ws)) AS BIGINT) AS tokens
+          FROM t GROUP BY source),
+    w AS (SELECT source, tokens,
+                 sqrt(CAST(tokens AS DOUBLE)) AS wgt FROM s),
+    tot AS (SELECT sum(wgt) AS wsum, 3.0 * sum(tokens) AS budget FROM w),
+    a AS (SELECT source, tokens, wgt / wsum AS share,
+                 least(4.0, (budget * wgt / wsum) / tokens) AS epochs,
+                 budget
+          FROM w CROSS JOIN tot)
+    SELECT source, tokens, round(share, 6) AS share,
+           round(epochs, 4) AS epochs,
+           CAST(round(epochs * tokens, 0) AS BIGINT) AS allocated_tokens,
+           epochs >= 4.0 AS capped,
+           round(epochs * tokens / budget, 6) AS budget_frac
+    FROM a ORDER BY source
+    """,
+)
+def corpus_epoch_allocation(spark, sf_dir):
+    """Training-mixture epoch allocation: given a total token budget
+    (3x the corpus here) and square-root temperature weights over
+    per-source token mass, how many epochs of each source does the
+    sampler draw, with small sources capped at 4 epochs (the
+    LLaMA-style 'don't repeat a tiny source forever' valve)? epochs_s
+    = min(cap, budget*share_s/tokens_s) — the single-shot allocation
+    every data-mixing recipe starts from (uncapped mass is reported as
+    budget_frac so the caller can see the shortfall the cap created).
+    One tokenize+aggregate pass collapses the corpus to a bounded
+    per-source table; weights and the budget ride a broadcast one-row
+    frame."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.size(tokens(F.col("text"))).alias("nt")
+    )
+    s = d.groupBy("source").agg(F.sum("nt").alias("tokens"))
+    w = s.select(
+        "source",
+        "tokens",
+        F.sqrt(F.col("tokens").cast("double")).alias("wgt"),
+    )
+    tot = w.agg(
+        F.sum("wgt").alias("wsum"),
+        (F.lit(3.0) * F.sum("tokens")).alias("budget"),
+    )
+    a = w.join(F.broadcast(tot))
+    epochs = F.least(
+        F.lit(4.0),
+        F.col("budget") * F.col("wgt") / F.col("wsum") / F.col("tokens"),
+    )
+    return a.select(
+        "source",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.round(F.col("wgt") / F.col("wsum"), 6).alias("share"),
+        F.round(epochs, 4).alias("epochs"),
+        F.round(epochs * F.col("tokens"), 0)
+        .cast("long")
+        .alias("allocated_tokens"),
+        (epochs >= 4.0).alias("capped"),
+        F.round(epochs * F.col("tokens") / F.col("budget"), 6).alias(
+            "budget_frac"
+        ),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 137: per-node local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "graph_clustering_coefficient",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem WHERE year(l_shipdate) = 1995),
+    e AS (SELECT a.pk AS u, b.pk AS v FROM li a
+          JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY a.pk, b.pk),
+    deg AS (SELECT node, count(*) AS deg FROM
+              (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node),
+    tri AS (SELECT e1.u AS c0, e1.v AS c1, e2.v AS c2 FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+    pn AS (SELECT node, count(*) AS t FROM
+             (SELECT c0 AS node FROM tri UNION ALL SELECT c1 FROM tri
+              UNION ALL SELECT c2 FROM tri)
+           GROUP BY node)
+    SELECT d.node AS part_key, CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN d.deg >= 2
+                 THEN 2.0 * coalesce(pn.t, 0) / (d.deg * (d.deg - 1.0))
+                 ELSE 0 END, 6) AS clustering_coeff
+    FROM deg d LEFT JOIN pn ON d.node = pn.node
+    ORDER BY clustering_coeff DESC, triangles DESC, part_key
+    LIMIT 20
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Per-node local clustering coefficient of the 1995 part-co-order
+    graph — cc(v) = 2*t(v)/(deg(v)(deg(v)-1)), the node-level cohesion
+    statistic (triangle_count's global total, attributed to corners).
+    Top-20 by coefficient with (triangles, node) tie-break; the cut is
+    ulp-stable because cc is one IEEE division of exact small integers,
+    identical on both engines. Engine side enumerates each triangle
+    ONCE degree-ordered (O(m^1.5), skew-proof) then explodes it to its
+    3 corners for a hash count — the oracle is the naive 3-way
+    self-join it provably equals. operators/graph.py:
+    local_clustering_coefficient."""
+    from boann_ocsf_security_data_platform_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+    )
+    out = local_clustering_coefficient(edges)
+    return (
+        out.select(
+            F.col("node").alias("part_key"),
+            F.col("deg").cast("long").alias("degree"),
+            F.col("triangles").cast("long").alias("triangles"),
+            F.round(F.col("cc"), 6).alias("clustering_coeff"),
+        )
+        .orderBy(
+            F.col("clustering_coeff").desc(),
+            F.col("triangles").desc(),
+            "part_key",
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -184,6 +184,98 @@ def triangle_count(
     return result
 
 
+def local_clustering_coefficient(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient cc(v) = 2*t(v) /
+    (deg(v)*(deg(v)-1)) — how close each node's neighborhood is to a
+    clique, the node-level cohesion statistic behind small-world /
+    community analyses (triangle_count gives the global total; this
+    attributes each triangle to all three corners).
+
+    Same degree-ordered wedge enumeration as :func:`triangle_count`
+    (orient low-(degree,id) -> high, wedges only at the low corner, one
+    equi-join closes them — O(m^1.5) regardless of skew); each closed
+    triangle (a, b1, b2) is then exploded to its three corners and
+    hash-counted per node. Nodes of degree < 2 have cc = 0 by
+    convention. Returns ``(node, deg, triangles, cc)``.
+
+    Scale: identical shuffle profile to triangle_count plus one extra
+    map-combinable per-node aggregate over the triangle list — the
+    explode is 3 rows per triangle, bounded by the wedge-closure output,
+    never by n^2.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ranked = (
+        canon.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            "u",
+            "v",
+            F.struct(
+                F.col("du.deg").alias("d"), F.col("u").alias("x")
+            ).alias("ru"),
+            F.struct(
+                F.col("dv.deg").alias("d"), F.col("v").alias("x")
+            ).alias("rv"),
+        )
+    )
+    oriented = ranked.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(F.col("ru") < F.col("rv"), F.col("rv")).otherwise(F.col("ru")).alias("rb"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.a") == F.col("e2.a")).where(
+        F.col("e1.rb") < F.col("e2.rb")
+    )
+    closing = oriented.select(
+        F.col("a").alias("cb1"), F.col("b").alias("cb2")
+    )
+    tris = wedges.join(
+        closing,
+        (F.col("e1.b") == F.col("cb1")) & (F.col("e2.b") == F.col("cb2")),
+    ).select(
+        F.col("e1.a").alias("c0"),
+        F.col("e1.b").alias("c1"),
+        F.col("e2.b").alias("c2"),
+    )
+    per_node = (
+        tris.select(F.explode(F.array("c0", "c1", "c2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                2.0
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cc"),
+        )
+    )
+    return out
+
+
 def label_propagation(
     edges: DataFrame,
     src_col: str = "src",

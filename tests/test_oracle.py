@@ -198,6 +198,14 @@ def test_gate_window_covers_every_family():
         "agg_kde_grid",
         # wave 133: Cook's distance top-10 influence diagnostics
         "agg_cooks_distance_topk",
+        # wave 134: Poisson overdispersion index per event type
+        "events_poisson_dispersion",
+        # wave 135: Wilcoxon signed-rank test on paired customer spend
+        "agg_wilcoxon_signed_rank",
+        # wave 136: epoch allocation under a token budget
+        "corpus_epoch_allocation",
+        # wave 137: per-node local clustering coefficient
+        "graph_clustering_coefficient",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
