@@ -16147,6 +16147,430 @@ def graph_clustering_coefficient(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 138: Sharpe / Sortino ratios of daily revenue returns
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_sharpe_sortino",
+    """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      sum(o_totalprice) AS rev
+               FROM orders GROUP BY 1),
+    r AS (SELECT day, ln(rev / lag(rev) OVER (ORDER BY day)) AS x
+          FROM d),
+    y AS (SELECT year(day) AS yr, x FROM r WHERE x IS NOT NULL),
+    s AS (SELECT yr, count(*) AS n, avg(x) AS mu,
+                 stddev_samp(x) AS sd,
+                 sqrt(avg(CASE WHEN x < 0 THEN x * x ELSE 0 END))
+                   AS dd
+          FROM y GROUP BY yr)
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(n AS BIGINT) AS n_days,
+           round(mu * 10000, 4) AS mean_bp,
+           round(sd * 10000, 4) AS vol_bp,
+           round(mu / sd * sqrt(252.0), 4) AS sharpe_ann,
+           round(CASE WHEN dd > 0 THEN mu / dd * sqrt(252.0) END, 4)
+             AS sortino_ann
+    FROM s ORDER BY yr
+    """,
+)
+def window_sharpe_sortino(spark, sf_dir):
+    """Annualized Sharpe and Sortino ratios of daily revenue
+    log-returns, per year — the risk-adjusted-trend statistic
+    (Sortino penalizes only downside deviation sqrt(avg(min(x,0)^2)),
+    the asymmetric-risk variant every SLO/finance dashboard pairs with
+    Sharpe). Mean and vol are reported in basis points. One scan
+    collapses orders to the bounded daily-revenue domain; the return
+    lag is a window over days, not rows; the per-year stats are a
+    bounded aggregate. Zero-downside years yield NULL Sortino on both
+    engines (guarded division)."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    lagw = Window.orderBy("day")
+    r = d.select(
+        "day",
+        F.log(F.col("rev") / F.lag("rev").over(lagw)).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    s = r.groupBy(F.year("day").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mu"),
+        F.stddev_samp("x").alias("sd"),
+        F.sqrt(
+            F.avg(
+                F.when(F.col("x") < 0, F.col("x") * F.col("x")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+        ).alias("dd"),
+    )
+    return s.select(
+        F.col("yr").cast("long").alias("yr"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("mu") * 10000, 4).alias("mean_bp"),
+        F.round(F.col("sd") * 10000, 4).alias("vol_bp"),
+        F.round(
+            F.col("mu") / F.col("sd") * F.sqrt(F.lit(252.0)), 4
+        ).alias("sharpe_ann"),
+        F.round(
+            F.when(
+                F.col("dd") > 0,
+                F.col("mu") / F.col("dd") * F.sqrt(F.lit(252.0)),
+            ),
+            4,
+        ).alias("sortino_ann"),
+    ).orderBy("yr")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 139: IPv4 derive -> format -> parse round-trip profile
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "scalar_ipv4_roundtrip",
+    """
+    WITH ip AS (SELECT c_custkey,
+                       (c_custkey * 2654435761) % 4294967296 AS addr
+                FROM customer),
+    oct AS (SELECT c_custkey, addr,
+                   addr // 16777216 AS o1,
+                   (addr // 65536) % 256 AS o2,
+                   (addr // 256) % 256 AS o3,
+                   addr % 256 AS o4
+            FROM ip),
+    s AS (SELECT *,
+                 concat(CAST(o1 AS VARCHAR), '.', CAST(o2 AS VARCHAR),
+                        '.', CAST(o3 AS VARCHAR), '.',
+                        CAST(o4 AS VARCHAR)) AS dotted
+          FROM oct),
+    p AS (SELECT addr, dotted, o1, o2,
+                 CAST(string_split(dotted, '.')[1] AS BIGINT) * 16777216
+                 + CAST(string_split(dotted, '.')[2] AS BIGINT) * 65536
+                 + CAST(string_split(dotted, '.')[3] AS BIGINT) * 256
+                 + CAST(string_split(dotted, '.')[4] AS BIGINT)
+                   AS reparsed
+          FROM s)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN reparsed = addr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_roundtrip_ok,
+           CAST(count(DISTINCT o1) AS BIGINT) AS n_slash8,
+           CAST(count(DISTINCT o1 * 256 + o2) AS BIGINT) AS n_slash16,
+           min(dotted) AS min_ip, max(dotted) AS max_ip
+    FROM p
+    """,
+)
+def scalar_ipv4_roundtrip(spark, sf_dir):
+    """IPv4 integer->dotted-quad->integer round-trip over synthetic
+    addresses (Knuth multiplicative hash of custkey mod 2^32): octet
+    extraction by integer division, string formatting, split-and-
+    reassemble parse, then a one-row profile (round-trip success
+    count, /8 and /16 subnet cardinalities, lexicographic min/max of
+    the dotted form — note string ordering, so '10.x' < '9.x' by
+    design). The network-telemetry scalar kit (the OCSF reference
+    stores src/dst endpoints as strings; this is the parse/derive
+    discipline for them) — all engine-native integer/string exprs,
+    shuffle-free until the final aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    ip = c.select(
+        "c_custkey",
+        (
+            (F.col("c_custkey") * F.lit(2654435761)) % F.lit(4294967296)
+        ).alias("addr"),
+    )
+    oct_ = ip.select(
+        "addr",
+        F.expr("addr div 16777216").alias("o1"),
+        F.expr("(addr div 65536) % 256").alias("o2"),
+        F.expr("(addr div 256) % 256").alias("o3"),
+        (F.col("addr") % 256).alias("o4"),
+    )
+    s = oct_.withColumn(
+        "dotted",
+        F.concat_ws(
+            ".",
+            F.col("o1").cast("string"),
+            F.col("o2").cast("string"),
+            F.col("o3").cast("string"),
+            F.col("o4").cast("string"),
+        ),
+    )
+    parts = F.split(F.col("dotted"), r"\.")
+    p = s.withColumn(
+        "reparsed",
+        parts.getItem(0).cast("long") * 16777216
+        + parts.getItem(1).cast("long") * 65536
+        + parts.getItem(2).cast("long") * 256
+        + parts.getItem(3).cast("long"),
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("reparsed") == F.col("addr"), 1).otherwise(0)
+        ).alias("n_roundtrip_ok"),
+        F.countDistinct("o1").alias("n_slash8"),
+        F.countDistinct(F.col("o1") * 256 + F.col("o2")).alias(
+            "n_slash16"
+        ),
+        F.min("dotted").alias("min_ip"),
+        F.max("dotted").alias("max_ip"),
+    ).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_roundtrip_ok").cast("long").alias("n_roundtrip_ok"),
+        F.col("n_slash8").cast("long").alias("n_slash8"),
+        F.col("n_slash16").cast("long").alias("n_slash16"),
+        "min_ip",
+        "max_ip",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 140: Kendall tau-b from a bounded binned contingency
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_kendall_tau_binned",
+    """
+    WITH per AS (SELECT l_orderkey, count(*) AS n_lines,
+                        sum(l_quantity) AS qty
+                 FROM lineitem GROUP BY 1),
+    j AS (SELECT o.o_totalprice AS x, CAST(per.qty AS DOUBLE) AS y
+          FROM per JOIN orders o ON per.l_orderkey = o.o_orderkey),
+    mm AS (SELECT min(x) AS x0, max(x) AS x1,
+                  min(y) AS y0, max(y) AS y1 FROM j),
+    b AS (SELECT least(9, CAST(floor((x - x0) / (x1 - x0) * 10)
+                               AS BIGINT)) AS bx,
+                 least(9, CAST(floor((y - y0) / (y1 - y0) * 10)
+                               AS BIGINT)) AS by
+          FROM j CROSS JOIN mm),
+    cells AS (SELECT bx, by, count(*) AS cnt FROM b GROUP BY 1, 2),
+    conc AS (SELECT sum(a.cnt * c.cnt) AS c FROM cells a
+             JOIN cells c ON c.bx > a.bx AND c.by > a.by),
+    disc AS (SELECT sum(a.cnt * c.cnt) AS d FROM cells a
+             JOIN cells c ON c.bx > a.bx AND c.by < a.by),
+    rowt AS (SELECT sum(t * (t - 1) / 2.0) AS t1 FROM
+               (SELECT sum(cnt) AS t FROM cells GROUP BY bx)),
+    colt AS (SELECT sum(t * (t - 1) / 2.0) AS t2 FROM
+               (SELECT sum(cnt) AS t FROM cells GROUP BY by)),
+    n AS (SELECT sum(cnt) AS n FROM cells),
+    fin AS (SELECT c, d, t1, t2, n,
+                   n * (n - 1) / 2.0 AS t0
+            FROM conc CROSS JOIN disc CROSS JOIN rowt
+                 CROSS JOIN colt CROSS JOIN n)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           round((c - d) / sqrt((t0 - t1) * (t0 - t2)), 6) AS tau_b,
+           round(3.0 * (c - d)
+                 / sqrt(n * (n - 1.0) * (2 * n + 5) / 2.0), 4) AS zscore
+    FROM fin
+    """,
+)
+def agg_kendall_tau_binned(spark, sf_dir):
+    """Kendall tau-b rank correlation between order price and total
+    quantity, computed from a bounded 10x10 binned contingency table —
+    the large-n formulation: concordant/discordant pair counts come
+    from the CELL table self-join (100x100 integer products), never
+    the O(n^2) row-pair space, and the tie corrections are the
+    marginal t(t-1)/2 sums tau-b is defined with. Width-based bins
+    (broadcast min/max) keep bin assignment deterministic across
+    engines — no ntile arbitrary tie-split. Completes the correlation
+    family (Pearson, Spearman, partial): tau-b is the one that is a
+    proper probability statement (P[concordant] - P[discordant])."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per = l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+    j = per.join(o, per.l_orderkey == o.o_orderkey).select(
+        F.col("o_totalprice").alias("x"),
+        F.col("qty").cast("double").alias("y"),
+    )
+    mm = j.agg(
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+        F.min("y").alias("y0"),
+        F.max("y").alias("y1"),
+    )
+    b = j.join(F.broadcast(mm)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("x") - F.col("x0"))
+                / (F.col("x1") - F.col("x0"))
+                * 10
+            ),
+        ).alias("bx"),
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("y") - F.col("y0"))
+                / (F.col("y1") - F.col("y0"))
+                * 10
+            ),
+        ).alias("by"),
+    )
+    cells = b.groupBy("bx", "by").agg(F.count(F.lit(1)).alias("cnt"))
+    a, c = cells.alias("a"), cells.alias("c")
+    conc = a.join(
+        c,
+        (F.col("c.bx") > F.col("a.bx")) & (F.col("c.by") > F.col("a.by")),
+    ).agg(F.sum(F.col("a.cnt") * F.col("c.cnt")).alias("c"))
+    disc = a.join(
+        c,
+        (F.col("c.bx") > F.col("a.bx")) & (F.col("c.by") < F.col("a.by")),
+    ).agg(F.sum(F.col("a.cnt") * F.col("c.cnt")).alias("d"))
+    rowt = (
+        cells.groupBy("bx")
+        .agg(F.sum("cnt").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2.0).alias("t1"))
+    )
+    colt = (
+        cells.groupBy("by")
+        .agg(F.sum("cnt").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2.0).alias("t2"))
+    )
+    nf = cells.agg(F.sum("cnt").alias("n"))
+    fin = (
+        conc.join(F.broadcast(disc))
+        .join(F.broadcast(rowt))
+        .join(F.broadcast(colt))
+        .join(F.broadcast(nf))
+    )
+    n = F.col("n").cast("double")
+    t0 = n * (n - 1) / 2.0
+    return fin.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.round(
+            (F.col("c") - F.col("d"))
+            / F.sqrt((t0 - F.col("t1")) * (t0 - F.col("t2"))),
+            6,
+        ).alias("tau_b"),
+        F.round(
+            F.lit(3.0)
+            * (F.col("c") - F.col("d"))
+            / F.sqrt(n * (n - 1) * (2 * n + 5) / 2.0),
+            4,
+        ).alias("zscore"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 141: Hurst exponent via rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_hurst_exponent",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+               FROM events GROUP BY 1),
+    ix AS (SELECT CAST(cnt AS DOUBLE) AS x,
+                  day - (SELECT min(day) FROM d) AS t
+           FROM d),
+    kk AS (SELECT unnest([8, 16, 32, 64]) AS k),
+    e AS (SELECT k, t // k AS blk, t, x FROM ix CROSS JOIN kk),
+    full_b AS (SELECT k, blk FROM e GROUP BY k, blk
+               HAVING count(*) = k),
+    f AS (SELECT e.* FROM e JOIN full_b USING (k, blk)),
+    st AS (SELECT k, blk, avg(x) AS mu, stddev_pop(x) AS s
+           FROM f GROUP BY k, blk),
+    c AS (SELECT f.k, f.blk, st.s,
+                 sum(f.x - st.mu) OVER (PARTITION BY f.k, f.blk
+                                        ORDER BY f.t) AS z
+          FROM f JOIN st USING (k, blk)),
+    rs AS (SELECT k, blk, (max(z) - min(z)) / any_value(s) AS rs
+           FROM c WHERE s > 0 GROUP BY k, blk),
+    m AS (SELECT k, avg(rs) AS mean_rs, count(*) AS n_blocks
+          FROM rs GROUP BY k),
+    h AS (SELECT regr_slope(ln(mean_rs), ln(CAST(k AS DOUBLE)))
+            AS hurst FROM m)
+    SELECT CAST(m.k AS BIGINT) AS k,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           round(mean_rs, 4) AS mean_rs,
+           round((SELECT hurst FROM h), 4) AS hurst
+    FROM m ORDER BY k
+    """,
+)
+def events_hurst_exponent(spark, sf_dir):
+    """Hurst exponent of the daily event-count series by rescaled-range
+    analysis: for window sizes k in {8,16,32,64}, split the day-indexed
+    series into complete blocks, compute R/S per block (range of the
+    cumulative mean-deviation over the block's own stddev), and fit
+    ln(mean R/S) ~ H*ln(k) — H~0.5 is a random walk, H>0.5 long-range
+    persistence (bursty load that STAYS bursty — the capacity-planning
+    red flag plain variance misses). The fact collapses to the bounded
+    daily domain once; the 4x window explode is over days, not events;
+    cumulative deviations are per-block ordered windows; the final fit
+    is regr_slope over FOUR points riding a broadcast one-row frame."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m0 = d.agg(F.min("day").alias("d0"))
+    ix = d.join(F.broadcast(m0)).select(
+        F.col("cnt").cast("double").alias("x"),
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+    )
+    kdf = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(8), F.lit(16), F.lit(32), F.lit(64))
+        ).alias("k")
+    )
+    ev = ix.join(F.broadcast(kdf)).select(
+        "k", F.expr("t div k").alias("blk"), "t", "x"
+    )
+    full_b = (
+        ev.groupBy("k", "blk")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") == F.col("k"))
+        .select("k", "blk")
+    )
+    f = ev.join(full_b, ["k", "blk"])
+    st = f.groupBy("k", "blk").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("s")
+    )
+    wcum = (
+        Window.partitionBy("k", "blk")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = f.join(st, ["k", "blk"]).select(
+        "k",
+        "blk",
+        "s",
+        F.sum(F.col("x") - F.col("mu")).over(wcum).alias("z"),
+    )
+    rs = (
+        c.filter(F.col("s") > 0)
+        .groupBy("k", "blk")
+        .agg(
+            ((F.max("z") - F.min("z")) / F.any_value("s")).alias("rs")
+        )
+    )
+    m = rs.groupBy("k").agg(
+        F.avg("rs").alias("mean_rs"), F.count(F.lit(1)).alias("n_blocks")
+    )
+    h = m.agg(
+        F.regr_slope(
+            F.log(F.col("mean_rs")), F.log(F.col("k").cast("double"))
+        ).alias("hurst")
+    )
+    return (
+        m.join(F.broadcast(h))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            F.round(F.col("mean_rs"), 4).alias("mean_rs"),
+            F.round(F.col("hurst"), 4).alias("hurst"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

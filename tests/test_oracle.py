@@ -206,6 +206,14 @@ def test_gate_window_covers_every_family():
         "corpus_epoch_allocation",
         # wave 137: per-node local clustering coefficient
         "graph_clustering_coefficient",
+        # wave 138: annualized Sharpe/Sortino of daily revenue returns
+        "window_sharpe_sortino",
+        # wave 139: IPv4 derive -> format -> parse round-trip profile
+        "scalar_ipv4_roundtrip",
+        # wave 140: Kendall tau-b from a bounded binned contingency
+        "agg_kendall_tau_binned",
+        # wave 141: Hurst exponent via rescaled-range analysis
+        "events_hurst_exponent",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
