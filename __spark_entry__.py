@@ -16510,9 +16510,16 @@ def events_hurst_exponent(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt")
     )
     m0 = d.agg(F.min("day").alias("d0"))
-    ix = d.join(F.broadcast(m0)).select(
-        F.col("cnt").cast("double").alias("x"),
-        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+    ix = (
+        d.join(F.broadcast(m0))
+        .select(
+            F.col("cnt").cast("double").alias("x"),
+            F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+        )
+        # bounded daily domain; the k-explode, block filter, per-block
+        # stats and cumsum branches all reuse this one materialization
+        # instead of re-scanning events per branch
+        .localCheckpoint(eager=True)
     )
     kdf = spark.range(1).select(
         F.explode(

@@ -595,6 +595,63 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         and "CartesianProduct" not in pjk,
         "four branches reuse one bounded 25-row checkpoint",
     )
+
+    # Waves 128-141: late round-7 statistics/graph additions
+    pkde = plan_of(qs["agg_kde_grid"](spark, sf_dir))
+    kde_schema = re.findall(r"ReadSchema: struct<([^>]*)>", pkde)
+    check(
+        "kde grid: kernel join is broadcast over the bounded grid",
+        "BroadcastNestedLoopJoin" in pkde
+        and "CartesianProduct" not in pkde
+        and all("o_totalprice" in s and "o_custkey" not in s for s in kde_schema),
+        "grid x binned-domain range join, scan prunes to o_totalprice",
+    )
+    pck = plan_of(qs["agg_cooks_distance_topk"](spark, sf_dir))
+    check(
+        "cooks distance: top-10 is TakeOrdered, model broadcast",
+        "TakeOrderedAndProject" in pck
+        and "BroadcastNestedLoopJoin" in pck
+        and "CartesianProduct" not in pck,
+        "no global sort materialization for the top-k cut",
+    )
+    pkw = plan_of(qs["agg_kruskal_wallis"](spark, sf_dir))
+    check(
+        "kruskal-wallis: rank window rides the distinct-value aggregate",
+        pkw.count("HashAggregate") >= 4
+        and "CartesianProduct" not in pkw,
+        "per-(value,group) hash agg precedes the ordered window",
+    )
+    pkt = plan_of(qs["agg_kendall_tau_binned"](spark, sf_dir))
+    check(
+        "kendall tau: pair counting joins the 100-cell table, not rows",
+        "BroadcastNestedLoopJoin" in pkt
+        and pkt.count("CartesianProduct") == 0,
+        "concordant/discordant from the bounded cell self-join",
+    )
+    plcc = plan_of(qs["graph_clustering_coefficient"](spark, sf_dir))
+    check(
+        "clustering coefficient: wedge closure equi-joins, top-20 TakeOrdered",
+        "TakeOrderedAndProject" in plcc
+        and "CartesianProduct" not in plcc
+        and "BroadcastNestedLoopJoin" not in plcc,
+        "degree-ordered wedges close via hash joins only",
+    )
+    pip = plan_of(qs["scalar_ipv4_roundtrip"](spark, sf_dir))
+    check(
+        "ipv4 roundtrip: join-free projection into aggregates",
+        "Join" not in pip and "CartesianProduct" not in pip
+        and pip.count("Location:") == 1,
+        "derive/format/parse in one codegen stage; exchanges are the "
+        "two countDistinct phases only",
+    )
+    phu = plan_of(qs["events_hurst_exponent"](spark, sf_dir))
+    check(
+        "hurst: events scanned once, block explode over the daily domain",
+        phu.count("Scan parquet") == 0
+        and phu.count("Scan ExistingRDD") >= 1
+        and "CartesianProduct" not in phu,
+        "branches reuse the checkpointed daily frame; no raw re-scan",
+    )
     return results
 
 
