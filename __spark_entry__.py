@@ -12,6 +12,7 @@ the driver records a rows-only check for them.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -16574,6 +16575,336 @@ def events_hurst_exponent(spark, sf_dir):
             F.round(F.col("hurst"), 4).alias("hurst"),
         )
         .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 142: Tukey HSD post-hoc pairwise comparisons
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_tukey_hsd",
+    """
+    WITH j AS (SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    s AS (SELECT g, count(*) AS n, avg(v) AS mu, var_samp(v) AS s2
+          FROM j GROUP BY g),
+    mse AS (SELECT sum((n - 1) * s2) / (sum(n) - count(*)) AS mse FROM s),
+    p AS (SELECT a.g AS seg_a, b.g AS seg_b,
+                 a.mu - b.mu AS diff,
+                 sqrt(mse.mse / 2.0 * (1.0 / a.n + 1.0 / b.n)) AS se
+          FROM s a JOIN s b ON a.g < b.g CROSS JOIN mse)
+    SELECT seg_a, seg_b, round(diff, 4) AS mean_diff,
+           round(abs(diff) / se, 4) AS q_stat,
+           abs(diff) / se > 3.858 AS reject_h0
+    FROM p ORDER BY seg_a, seg_b
+    """,
+)
+def agg_tukey_hsd(spark, sf_dir):
+    """Tukey honestly-significant-difference post-hoc test: all 10
+    pairwise mean-price comparisons between the five market segments
+    with ONE pooled error term (the studentized-range q = |diff| /
+    sqrt(MSE/2*(1/na+1/nb)), rejected against the k=5, df=inf 0.05
+    critical value 3.858) — the follow-up every ANOVA/Kruskal omnibus
+    needs, with family-wise error control the 10 separate t-tests
+    would lose. One hash aggregate collapses the fact to 5 group
+    moments; the pair frame is the bounded 5x5 self-join of THAT, and
+    MSE rides a broadcast one-row frame."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("g"),
+        F.col("o_totalprice").alias("v"),
+    )
+    s = j.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("v").alias("mu"),
+        F.var_samp("v").alias("s2"),
+    )
+    mse = s.agg(
+        (
+            F.sum((F.col("n") - 1) * F.col("s2"))
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("mse")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    p = (
+        a.join(b, F.col("a.g") < F.col("b.g"))
+        .join(F.broadcast(mse))
+        .select(
+            F.col("a.g").alias("seg_a"),
+            F.col("b.g").alias("seg_b"),
+            (F.col("a.mu") - F.col("b.mu")).alias("diff"),
+            F.sqrt(
+                F.col("mse")
+                / 2.0
+                * (F.lit(1.0) / F.col("a.n") + F.lit(1.0) / F.col("b.n"))
+            ).alias("se"),
+        )
+    )
+    return p.select(
+        "seg_a",
+        "seg_b",
+        F.round(F.col("diff"), 4).alias("mean_diff"),
+        F.round(F.abs(F.col("diff")) / F.col("se"), 4).alias("q_stat"),
+        (F.abs(F.col("diff")) / F.col("se") > 3.858).alias("reject_h0"),
+    ).orderBy("seg_a", "seg_b")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 143: circular statistics + Rayleigh uniformity test
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_circular_stats",
+    """
+    WITH d AS (SELECT c.c_mktsegment AS g,
+                      2.0 * pi() * (dayofyear(CAST(o.o_orderdate AS DATE))
+                                    - 1) / 365.0 AS theta
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    s AS (SELECT g, count(*) AS n,
+                 avg(cos(theta)) AS cbar, avg(sin(theta)) AS sbar
+          FROM d GROUP BY g),
+    r AS (SELECT g, n, sqrt(cbar * cbar + sbar * sbar) AS rbar,
+                 degrees(atan2(sbar, cbar)) AS ang
+          FROM s)
+    SELECT g AS seg, CAST(n AS BIGINT) AS n,
+           round(rbar, 6) AS resultant_len,
+           round(1.0 - rbar, 6) AS circ_variance,
+           round(CASE WHEN ang < 0 THEN ang + 360.0 ELSE ang END, 2)
+             AS mean_day_angle,
+           round(n * rbar * rbar, 4) AS rayleigh_z,
+           n * rbar * rbar > 2.9957 AS nonuniform
+    FROM r ORDER BY seg
+    """,
+)
+def agg_circular_stats(spark, sf_dir):
+    """Directional statistics of order dates on the day-of-year circle,
+    per market segment: resultant length R-bar (0 = dates spread
+    uniformly around the year, 1 = all on one day), circular variance,
+    the mean direction in degrees, and the Rayleigh uniformity test
+    z = n*R-bar^2 (z > -ln(0.05) ~ 3.0 rejects 'no seasonal phase').
+    The statistic linear month-averages get WRONG at the December/
+    January wrap — the reason directional stats exist. One conditional
+    aggregate of cos/sin per group; angles derive from the DATE cast
+    (timezone-fixed) so hostile-session clocks cannot shift a day."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    theta = (
+        F.lit(2.0)
+        * F.lit(math.pi)
+        * (F.dayofyear(F.col("o_orderdate").cast("date")) - 1)
+        / F.lit(365.0)
+    )
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("g"), theta.alias("theta")
+    )
+    s = d.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.cos("theta")).alias("cbar"),
+        F.avg(F.sin("theta")).alias("sbar"),
+    )
+    rbar = F.sqrt(
+        F.col("cbar") * F.col("cbar") + F.col("sbar") * F.col("sbar")
+    )
+    ang = F.degrees(F.atan2(F.col("sbar"), F.col("cbar")))
+    return s.select(
+        F.col("g").alias("seg"),
+        F.col("n").cast("long").alias("n"),
+        F.round(rbar, 6).alias("resultant_len"),
+        F.round(F.lit(1.0) - rbar, 6).alias("circ_variance"),
+        F.round(
+            F.when(ang < 0, ang + 360.0).otherwise(ang), 2
+        ).alias("mean_day_angle"),
+        F.round(F.col("n") * rbar * rbar, 4).alias("rayleigh_z"),
+        (F.col("n") * rbar * rbar > 2.9957).alias("nonuniform"),
+    ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 144: fixed-period periodogram probe (DFT at named periods)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_periodogram_probe",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+               FROM events GROUP BY 1),
+    m AS (SELECT avg(cnt) AS mu, count(*) AS n FROM d),
+    ix AS (SELECT CAST(cnt AS DOUBLE) - mu AS x,
+                  CAST(day - (SELECT min(day) FROM d) AS DOUBLE) AS t,
+                  n
+           FROM d CROSS JOIN m),
+    pp AS (SELECT unnest([7, 14, 30, 91]) AS period),
+    f AS (SELECT period,
+                 sum(x * cos(2 * pi() * t / period)) AS cs,
+                 sum(x * sin(2 * pi() * t / period)) AS sn,
+                 any_value(n) AS n
+          FROM ix CROSS JOIN pp GROUP BY period),
+    pw AS (SELECT period,
+                  round((cs * cs + sn * sn) / n, 4) AS power
+           FROM f)
+    SELECT CAST(period AS BIGINT) AS period, power,
+           power = (SELECT max(power) FROM pw) AS dominant
+    FROM pw ORDER BY period
+    """,
+)
+def events_periodogram_probe(spark, sf_dir):
+    """Periodogram probe of the daily event-count series at the four
+    calendar periods that matter (7/14/30/91 days): spectral power
+    |DFT|^2/n of the mean-centered series at each named frequency,
+    with the dominant period flagged — the frequency-domain seasonality
+    detector that complements the time-domain autocorrelation and STL
+    entries (a 7-day peak says 'weekly cycle' directly, no lag
+    scanning). Dominance compares ROUNDED powers so the argmax is
+    ulp-stable across engines. One scan collapses events to the
+    bounded daily domain; the 4x period explode rides that bounded
+    frame; each power is one map-combinable cos/sin aggregate."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = d.agg(
+        F.avg("cnt").alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("day").alias("d0"),
+    )
+    ix = d.join(F.broadcast(m)).select(
+        (F.col("cnt").cast("double") - F.col("mu")).alias("x"),
+        F.datediff(F.col("day"), F.col("d0")).cast("double").alias("t"),
+        "n",
+    )
+    pp = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(7), F.lit(14), F.lit(30), F.lit(91))
+        ).alias("period")
+    )
+    f = (
+        ix.join(F.broadcast(pp))
+        .groupBy("period")
+        .agg(
+            F.sum(
+                F.col("x")
+                * F.cos(
+                    F.lit(2.0) * F.lit(math.pi) * F.col("t") / F.col("period")
+                )
+            ).alias("cs"),
+            F.sum(
+                F.col("x")
+                * F.sin(
+                    F.lit(2.0) * F.lit(math.pi) * F.col("t") / F.col("period")
+                )
+            ).alias("sn"),
+            F.any_value("n").alias("n"),
+        )
+    )
+    pw = f.select(
+        "period",
+        F.round(
+            (F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn"))
+            / F.col("n"),
+            4,
+        ).alias("power"),
+    )
+    mx = pw.agg(F.max("power").alias("maxp"))
+    return (
+        pw.join(F.broadcast(mx))
+        .select(
+            F.col("period").cast("long").alias("period"),
+            "power",
+            (F.col("power") == F.col("maxp")).alias("dominant"),
+        )
+        .orderBy("period")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 145: two-proportion z-test
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_two_proportion_ztest",
+    """
+    WITH s AS (SELECT
+                 sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+                   AS n1,
+                 sum(CASE WHEN l_discount >= 0.05
+                          AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS x1,
+                 sum(CASE WHEN l_discount < 0.05 THEN 1 ELSE 0 END)
+                   AS n2,
+                 sum(CASE WHEN l_discount < 0.05
+                          AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS x2
+               FROM lineitem),
+    z AS (SELECT n1, x1, n2, x2,
+                 CAST(x1 AS DOUBLE) / n1 AS p1,
+                 CAST(x2 AS DOUBLE) / n2 AS p2,
+                 CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+          FROM s)
+    SELECT CAST(n1 AS BIGINT) AS n_hi_disc, CAST(n2 AS BIGINT) AS n_lo_disc,
+           round(p1, 6) AS p_return_hi,
+           round(p2, 6) AS p_return_lo,
+           round((p1 - p2)
+                 / sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2)), 4)
+             AS zscore,
+           round(p1 - p2 - 1.96 * sqrt(p1 * (1 - p1) / n1
+                                       + p2 * (1 - p2) / n2), 6)
+             AS ci95_lo,
+           round(p1 - p2 + 1.96 * sqrt(p1 * (1 - p1) / n1
+                                       + p2 * (1 - p2) / n2), 6)
+             AS ci95_hi,
+           abs((p1 - p2)
+               / sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))) > 1.96
+             AS reject_h0
+    FROM z
+    """,
+)
+def agg_two_proportion_ztest(spark, sf_dir):
+    """Two-proportion z-test: does the return rate differ between
+    high-discount (>= 5%) and low-discount line items? Pooled-
+    proportion z statistic plus the unpooled Wald 95% CI for the
+    difference — the categorical A/B primitive (conversion-rate
+    deltas, error-rate deltas) that the chi-square entry answers only
+    as an omnibus. The whole test is ONE conditional aggregate over a
+    three-column scan; every derived quantity is scalar arithmetic on
+    that one row."""
+    l = _t(spark, sf_dir, "lineitem")
+    hi = F.col("l_discount") >= 0.05
+    s = l.agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when(hi & (F.col("l_returnflag") == "R"), 1).otherwise(0)
+        ).alias("x1"),
+        F.sum(F.when(~hi, 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(~hi & (F.col("l_returnflag") == "R"), 1).otherwise(0)
+        ).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    w = F.sqrt(
+        p1 * (1 - p1) / F.col("n1") + p2 * (1 - p2) / F.col("n2")
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n_hi_disc"),
+        F.col("n2").cast("long").alias("n_lo_disc"),
+        F.round(p1, 6).alias("p_return_hi"),
+        F.round(p2, 6).alias("p_return_lo"),
+        F.round(z, 4).alias("zscore"),
+        F.round(p1 - p2 - 1.96 * w, 6).alias("ci95_lo"),
+        F.round(p1 - p2 + 1.96 * w, 6).alias("ci95_hi"),
+        (F.abs(z) > 1.96).alias("reject_h0"),
     )
 
 

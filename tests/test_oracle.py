@@ -214,6 +214,14 @@ def test_gate_window_covers_every_family():
         "agg_kendall_tau_binned",
         # wave 141: Hurst exponent via rescaled-range analysis
         "events_hurst_exponent",
+        # wave 142: Tukey HSD post-hoc pairwise comparisons
+        "agg_tukey_hsd",
+        # wave 143: circular statistics + Rayleigh uniformity test
+        "agg_circular_stats",
+        # wave 144: fixed-period periodogram probe
+        "events_periodogram_probe",
+        # wave 145: two-proportion z-test on the discount split
+        "agg_two_proportion_ztest",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
