@@ -16909,6 +16909,229 @@ def agg_two_proportion_ztest(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 146: quality x duplication interaction (odds ratio)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_quality_dedup_interaction",
+    f"""
+    WITH q AS ({_TQ_ORACLE}),
+    nd AS ({_minhash_oracle()}),
+    flags AS (SELECT d.doc_id,
+                     d.doc_id IN (SELECT id_a FROM nd
+                                  UNION SELECT id_b FROM nd) AS is_dup
+              FROM documents d),
+    j AS (SELECT (q.quality_score >= 0.82) AS hi_q, flags.is_dup
+          FROM q JOIN flags USING (doc_id)),
+    cells AS (SELECT
+        sum(CASE WHEN hi_q AND is_dup THEN 1 ELSE 0 END) AS n_hd,
+        sum(CASE WHEN hi_q AND NOT is_dup THEN 1 ELSE 0 END) AS n_hu,
+        sum(CASE WHEN NOT hi_q AND is_dup THEN 1 ELSE 0 END) AS n_ld,
+        sum(CASE WHEN NOT hi_q AND NOT is_dup THEN 1 ELSE 0 END) AS n_lu
+      FROM j),
+    o AS (SELECT n_hd, n_hu, n_ld, n_lu,
+                 ln((n_hd + 0.5) * (n_lu + 0.5)
+                    / ((n_hu + 0.5) * (n_ld + 0.5))) AS lor,
+                 sqrt(1.0 / (n_hd + 0.5) + 1.0 / (n_hu + 0.5)
+                      + 1.0 / (n_ld + 0.5) + 1.0 / (n_lu + 0.5)) AS se
+          FROM cells)
+    SELECT CAST(n_hd AS BIGINT) AS hi_q_dup,
+           CAST(n_hu AS BIGINT) AS hi_q_uniq,
+           CAST(n_ld AS BIGINT) AS lo_q_dup,
+           CAST(n_lu AS BIGINT) AS lo_q_uniq,
+           round(CASE WHEN n_hd + n_hu > 0
+                 THEN CAST(n_hd AS DOUBLE) / (n_hd + n_hu) END, 6)
+             AS dup_rate_hi_q,
+           round(CASE WHEN n_ld + n_lu > 0
+                 THEN CAST(n_ld AS DOUBLE) / (n_ld + n_lu) END, 6)
+             AS dup_rate_lo_q,
+           round(lor, 4) AS log_odds_ratio,
+           round(lor - 1.96 * se, 4) AS ci95_lo,
+           round(lor + 1.96 * se, 4) AS ci95_hi,
+           (lor - 1.96 * se > 0) OR (lor + 1.96 * se < 0) AS associated
+    FROM o
+    """,
+)
+def corpus_quality_dedup_interaction(spark, sf_dir):
+    """Curation-pipeline interaction diagnostic: the 2x2 contingency of
+    (passes the quality filter at 0.82) x (participates in a MinHash
+    near-duplicate pair), with the Haldane-corrected log odds ratio
+    and its Wald 95% CI — answers 'are near-duplicates systematically
+    lower quality?', which decides whether dedup-then-filter and
+    filter-then-dedup give materially different corpora (independence
+    => order-free). Duplicate flags come from the SAME banded-LSH pair
+    pipeline the dedup family pins (no second near-dup implementation
+    to drift); quality is the shared text_quality scorer; the 2x2
+    collapse is one conditional aggregate and the inference is scalar
+    arithmetic on that row. Division guards keep degenerate cells NULL
+    on both engines (ANSI-safe)."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from boann_ocsf_security_data_platform_spark.operators.text import text_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    nd = minhash_near_dup_pairs(docs)
+    dup_ids = (
+        nd.select(F.col("id_a").alias("doc_id"))
+        .union(nd.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup_m", F.lit(True))
+    )
+    flags = docs.select("doc_id").join(
+        F.broadcast(dup_ids), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("is_dup_m", F.lit(False)).alias("is_dup")
+    )
+    q = text_quality(docs).select(
+        "doc_id",
+        (F.round(F.col("quality_score"), 6) >= 0.82).alias("hi_q"),
+    )
+    j = q.join(flags, "doc_id")
+    cells = j.agg(
+        F.sum(
+            F.when(F.col("hi_q") & F.col("is_dup"), 1).otherwise(0)
+        ).alias("n_hd"),
+        F.sum(
+            F.when(F.col("hi_q") & ~F.col("is_dup"), 1).otherwise(0)
+        ).alias("n_hu"),
+        F.sum(
+            F.when(~F.col("hi_q") & F.col("is_dup"), 1).otherwise(0)
+        ).alias("n_ld"),
+        F.sum(
+            F.when(~F.col("hi_q") & ~F.col("is_dup"), 1).otherwise(0)
+        ).alias("n_lu"),
+    )
+    lor = F.log(
+        (F.col("n_hd") + 0.5)
+        * (F.col("n_lu") + 0.5)
+        / ((F.col("n_hu") + 0.5) * (F.col("n_ld") + 0.5))
+    )
+    se = F.sqrt(
+        F.lit(1.0) / (F.col("n_hd") + 0.5)
+        + F.lit(1.0) / (F.col("n_hu") + 0.5)
+        + F.lit(1.0) / (F.col("n_ld") + 0.5)
+        + F.lit(1.0) / (F.col("n_lu") + 0.5)
+    )
+    return cells.select(
+        F.col("n_hd").cast("long").alias("hi_q_dup"),
+        F.col("n_hu").cast("long").alias("hi_q_uniq"),
+        F.col("n_ld").cast("long").alias("lo_q_dup"),
+        F.col("n_lu").cast("long").alias("lo_q_uniq"),
+        F.round(
+            F.when(
+                F.col("n_hd") + F.col("n_hu") > 0,
+                F.col("n_hd").cast("double")
+                / (F.col("n_hd") + F.col("n_hu")),
+            ),
+            6,
+        ).alias("dup_rate_hi_q"),
+        F.round(
+            F.when(
+                F.col("n_ld") + F.col("n_lu") > 0,
+                F.col("n_ld").cast("double")
+                / (F.col("n_ld") + F.col("n_lu")),
+            ),
+            6,
+        ).alias("dup_rate_lo_q"),
+        F.round(lor, 4).alias("log_odds_ratio"),
+        F.round(lor - 1.96 * se, 4).alias("ci95_lo"),
+        F.round(lor + 1.96 * se, 4).alias("ci95_hi"),
+        ((lor - 1.96 * se > 0) | (lor + 1.96 * se < 0)).alias(
+            "associated"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 147: adjacent-pair cosine calibration histogram
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "embedding_adjacent_cosine_histogram",
+    """
+    WITH e AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT label, v,
+                 lag(v) OVER (PARTITION BY label ORDER BY vec_id) AS pv
+          FROM e),
+    c AS (SELECT label,
+                 list_dot_product(v, pv)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(pv, pv))) AS cos
+          FROM p WHERE pv IS NOT NULL),
+    b AS (SELECT least(9, greatest(0,
+                   CAST(floor((cos + 1.0) / 0.2) AS BIGINT))) AS bin,
+                 cos
+          FROM c)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(cos), 6) AS min_cos,
+           round(max(cos), 6) AS max_cos,
+           round(avg(cos), 6) AS mean_cos
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def embedding_adjacent_cosine_histogram(spark, sf_dir):
+    """Similarity-threshold calibration: the distribution of cosine
+    similarities between ADJACENT vectors (vec_id order, within label)
+    binned into 10 buckets over [-1, 1] — the deterministic background-
+    similarity sample a curator reads before choosing the semantic-
+    dedup cutoff (where does the within-class similarity mass sit
+    relative to the candidate threshold?). Sorted-adjacency pairing
+    (one lag window per label partition) replaces any O(n^2) pair
+    enumeration — the same discipline as orders_nearest_price_neighbor
+    — and the dot products are the engine-wide left-to-right double
+    fold (operators/similarity.py:_dot) that matches DuckDB's
+    list_dot_product exactly."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    p = e.select(
+        "label", "v", F.lag("v").over(w).alias("pv")
+    ).filter(F.col("pv").isNotNull())
+    cos = _dot(F.col("v"), F.col("pv")) / (
+        _norm(F.col("v")) * _norm(F.col("pv"))
+    )
+    c = p.select(cos.alias("cos"))
+    b = c.select(
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("cos") + 1.0) / 0.2),
+            ),
+        ).alias("bin"),
+        "cos",
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+            F.round(F.avg("cos"), 6).alias("mean_cos"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "min_cos",
+            "max_cos",
+            "mean_cos",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -222,6 +222,10 @@ def test_gate_window_covers_every_family():
         "events_periodogram_probe",
         # wave 145: two-proportion z-test on the discount split
         "agg_two_proportion_ztest",
+        # wave 146: quality x near-duplication interaction (odds ratio)
+        "corpus_quality_dedup_interaction",
+        # wave 147: adjacent-pair cosine calibration histogram
+        "embedding_adjacent_cosine_histogram",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
