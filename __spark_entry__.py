@@ -17132,6 +17132,317 @@ def embedding_adjacent_cosine_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 148: mRMR greedy feature selection
+# ---------------------------------------------------------------------------
+
+_MRMR_PER = """
+    per AS (SELECT o.o_orderkey AS okey,
+                   CAST(l.cnt AS VARCHAR) AS f_nlines,
+                   CAST(CAST(floor(l.qty / 100.0) AS BIGINT)
+                        AS VARCHAR) AS f_qty,
+                   CAST(month(CAST(o.o_orderdate AS DATE)) AS VARCHAR)
+                     AS f_month,
+                   CAST(CAST(floor(c.c_acctbal / 2000) AS BIGINT)
+                        AS VARCHAR) AS f_bal,
+                   o.o_orderpriority AS f_pri,
+                   c.c_mktsegment AS f_seg,
+                   (o.o_totalprice >= 150000) AS hi
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN (SELECT l_orderkey, count(*) AS cnt,
+                         sum(l_quantity) AS qty
+                  FROM lineitem GROUP BY 1) l
+              ON l.l_orderkey = o.o_orderkey),
+    lng AS (
+      SELECT okey, 'nlines' AS feat, f_nlines AS bin, hi FROM per
+      UNION ALL SELECT okey, 'qty', f_qty, hi FROM per
+      UNION ALL SELECT okey, 'month', f_month, hi FROM per
+      UNION ALL SELECT okey, 'bal', f_bal, hi FROM per
+      UNION ALL SELECT okey, 'pri', f_pri, hi FROM per
+      UNION ALL SELECT okey, 'seg', f_seg, hi FROM per)
+"""
+
+
+@_q(
+    "feature_mrmr_selection",
+    f"""
+    WITH {_MRMR_PER},
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM per),
+    rc AS (SELECT feat, bin, hi, count(*) AS c FROM lng GROUP BY 1, 2, 3),
+    rb AS (SELECT feat, bin, sum(c) AS cb FROM rc GROUP BY 1, 2),
+    rl AS (SELECT feat, hi, sum(c) AS cl FROM rc GROUP BY 1, 2),
+    rel AS (SELECT rc.feat,
+                   round(sum((rc.c / n.n)
+                         * ln((rc.c * n.n)
+                              / (rb.cb * CAST(rl.cl AS DOUBLE)))), 6)
+                     AS rel
+            FROM rc JOIN rb USING (feat, bin)
+                 JOIN rl ON rc.feat = rl.feat AND rc.hi = rl.hi
+                 CROSS JOIN n
+            GROUP BY rc.feat),
+    pc AS (SELECT a.feat AS fa, b.feat AS fb, a.bin AS ba, b.bin AS bb,
+                  count(*) AS c
+           FROM lng a JOIN lng b
+             ON a.okey = b.okey AND a.feat < b.feat
+           GROUP BY 1, 2, 3, 4),
+    pa AS (SELECT fa, fb, ba, sum(c) AS ca FROM pc GROUP BY 1, 2, 3),
+    pb AS (SELECT fa, fb, bb, sum(c) AS cb FROM pc GROUP BY 1, 2, 3),
+    red AS (SELECT pc.fa, pc.fb,
+                   round(sum((pc.c / n.n)
+                         * ln((pc.c * n.n)
+                              / (pa.ca * CAST(pb.cb AS DOUBLE)))), 6)
+                     AS mi
+            FROM pc JOIN pa USING (fa, fb, ba)
+                 JOIN pb USING (fa, fb, bb)
+                 CROSS JOIN n
+            GROUP BY pc.fa, pc.fb),
+    redsym AS (SELECT fa AS f1, fb AS f2, mi FROM red
+               UNION ALL SELECT fb, fa, mi FROM red),
+    s1 AS (SELECT feat, rel AS score FROM rel
+           ORDER BY rel DESC, feat LIMIT 1),
+    c2 AS (SELECT r.feat, round(r.rel - rs.mi, 6) AS score
+           FROM rel r JOIN redsym rs
+             ON rs.f1 = r.feat AND rs.f2 = (SELECT feat FROM s1)
+           WHERE r.feat <> (SELECT feat FROM s1)),
+    s2 AS (SELECT feat, score FROM c2 ORDER BY score DESC, feat LIMIT 1),
+    c3 AS (SELECT r.feat, round(r.rel - avg(rs.mi), 6) AS score
+           FROM rel r JOIN redsym rs ON rs.f1 = r.feat
+           WHERE rs.f2 IN ((SELECT feat FROM s1), (SELECT feat FROM s2))
+             AND r.feat NOT IN ((SELECT feat FROM s1),
+                                (SELECT feat FROM s2))
+           GROUP BY r.feat, r.rel),
+    s3 AS (SELECT feat, score FROM c3 ORDER BY score DESC, feat LIMIT 1)
+    SELECT * FROM (
+      SELECT 1 AS pick, feat AS feature, score FROM s1
+      UNION ALL SELECT 2, feat, score FROM s2
+      UNION ALL SELECT 3, feat, score FROM s3)
+    ORDER BY pick
+    """,
+)
+def feature_mrmr_selection(spark, sf_dir):
+    """Greedy minimum-redundancy-maximum-relevance (mRMR, Peng et al.
+    2005) feature selection: from six categorical order/customer
+    features predicting the high-price label, pick three — round 1 by
+    relevance MI(f; y), rounds 2-3 by MI(f; y) minus the mean MI with
+    the already-selected set. The standard 'which columns earn their
+    storage' pass before any tabular model. ALL mutual informations
+    come from bounded contingency aggregates (the 6-feature long
+    format is a constant 6x explode; pairwise joints are a 15-pair
+    equi-join on the order key — never O(n^2)); the greedy then runs
+    over a 6+15-row ROUNDED score model (driver-side, bounded — the
+    GD/IVF model-collect discipline), and every score is rounded to 6
+    BEFORE each argmax so the selection path is ulp-stable and the
+    oracle's unrolled CTE greedy replays it exactly."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    l = _t(spark, sf_dir, "lineitem")
+    per_l = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("qty")
+    )
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(per_l, o.o_orderkey == per_l.l_orderkey)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("cnt").cast("string").alias("f_nlines"),
+            F.floor(F.col("qty") / 100).cast("long").cast("string").alias("f_qty"),
+            F.month(F.col("o_orderdate").cast("date"))
+            .cast("string")
+            .alias("f_month"),
+            F.floor(F.col("c_acctbal") / 2000)
+            .cast("long")
+            .cast("string")
+            .alias("f_bal"),
+            F.col("o_orderpriority").alias("f_pri"),
+            F.col("c_mktsegment").alias("f_seg"),
+            (F.col("o_totalprice") >= 150000).alias("hi"),
+        )
+    )
+    lng = per.selectExpr(
+        "okey",
+        "stack(6, 'nlines', f_nlines, 'qty', f_qty, 'month', f_month, "
+        "'bal', f_bal, 'pri', f_pri, 'seg', f_seg) AS (feat, bin)",
+        "hi",
+    )
+    nn = float(per.count())
+    rc = lng.groupBy("feat", "bin", "hi").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rb = rc.groupBy("feat", "bin").agg(F.sum("c").alias("cb"))
+    rl = rc.groupBy("feat", "hi").agg(F.sum("c").alias("cl"))
+    rel = (
+        rc.join(rb, ["feat", "bin"])
+        .join(rl, ["feat", "hi"])
+        .groupBy("feat")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("c") / nn)
+                    * F.log(
+                        (F.col("c") * nn)
+                        / (F.col("cb") * F.col("cl").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("rel")
+        )
+    )
+    a, b = lng.alias("a"), lng.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.feat") < F.col("b.feat")),
+        )
+        .groupBy(
+            F.col("a.feat").alias("fa"),
+            F.col("b.feat").alias("fb"),
+            F.col("a.bin").alias("ba"),
+            F.col("b.bin").alias("bb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pa = pc.groupBy("fa", "fb", "ba").agg(F.sum("c").alias("ca"))
+    pb = pc.groupBy("fa", "fb", "bb").agg(F.sum("c").alias("cb"))
+    red = (
+        pc.join(pa, ["fa", "fb", "ba"])
+        .join(pb, ["fa", "fb", "bb"])
+        .groupBy("fa", "fb")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("c") / nn)
+                    * F.log(
+                        (F.col("c") * nn)
+                        / (F.col("ca") * F.col("cb").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("mi")
+        )
+    )
+    # bounded model state: 6 relevances + 15 pairwise MIs
+    rel_m = {r.feat: r.rel for r in rel.collect()}
+    mi_m = {}
+    for r in red.collect():
+        mi_m[(r.fa, r.fb)] = r.mi
+        mi_m[(r.fb, r.fa)] = r.mi
+    picks = []
+    s1 = sorted(rel_m.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    picks.append((1, s1[0], s1[1]))
+    cand2 = [
+        (f, round(rel_m[f] - mi_m[(f, s1[0])], 6))
+        for f in rel_m
+        if f != s1[0]
+    ]
+    s2 = sorted(cand2, key=lambda kv: (-kv[1], kv[0]))[0]
+    picks.append((2, s2[0], s2[1]))
+    sel = {s1[0], s2[0]}
+    cand3 = [
+        (
+            f,
+            round(
+                rel_m[f]
+                - (mi_m[(f, s1[0])] + mi_m[(f, s2[0])]) / 2.0,
+                6,
+            ),
+        )
+        for f in rel_m
+        if f not in sel
+    ]
+    s3 = sorted(cand3, key=lambda kv: (-kv[1], kv[0]))[0]
+    picks.append((3, s3[0], s3[1]))
+    return spark.createDataFrame(
+        picks, "pick int, feature string, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 149: Lorenz curve decile points
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_lorenz_curve",
+    """
+    WITH r AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+               FROM orders GROUP BY 1),
+    rk AS (SELECT o_custkey, rev,
+                  row_number() OVER (ORDER BY rev, o_custkey) AS rn,
+                  count(*) OVER () AS nc,
+                  sum(rev) OVER () AS tot
+           FROM r),
+    d AS (SELECT least(9, ((rn - 1) * 10) // nc) AS decile,
+                 rev, nc, tot
+          FROM rk),
+    g AS (SELECT decile, count(*) AS n_customers,
+                 sum(rev) AS drev,
+                 any_value(nc) AS nc, any_value(tot) AS tot
+          FROM d GROUP BY decile)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(drev / tot, 6) AS revenue_share,
+           round(sum(drev) OVER (ORDER BY decile) / tot, 6)
+             AS cum_revenue_share,
+           round(CAST(sum(n_customers) OVER (ORDER BY decile)
+                      AS DOUBLE) / nc, 6) AS cum_pop_share
+    FROM g ORDER BY decile
+    """,
+)
+def orders_lorenz_curve(spark, sf_dir):
+    """Lorenz curve of customer revenue concentration at decile
+    resolution — the plot data behind the Gini coefficient
+    (agg_gini_coefficient gives the scalar; this gives the curve a
+    dashboard draws: cumulative revenue share vs cumulative customer
+    share, bottom decile first). Decile assignment is rank-based with
+    cents-rounded revenue and custkey tie-break, so the cut points are
+    ulp-stable across engines; the curve itself is a 10-row window over
+    the decile aggregate. One shuffle to per-customer revenue, one to
+    the rank window — the global sort is over customers, the bounded
+    entity domain, not order rows."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    tots = r.agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("rev").alias("tot")
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    rk = r.select(
+        "rev", F.row_number().over(w).alias("rn")
+    ).join(F.broadcast(tots))
+    d = rk.select(
+        F.least(
+            F.lit(9), F.expr("((rn - 1) * 10) div nc")
+        ).alias("decile"),
+        "rev",
+        "nc",
+        "tot",
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("drev"),
+        F.any_value("nc").alias("nc"),
+        F.any_value("tot").alias("tot"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.round(F.col("drev") / F.col("tot"), 6).alias("revenue_share"),
+        F.round(
+            F.sum("drev").over(wc) / F.col("tot"), 6
+        ).alias("cum_revenue_share"),
+        F.round(
+            F.sum("n_customers").over(wc).cast("double") / F.col("nc"),
+            6,
+        ).alias("cum_pop_share"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

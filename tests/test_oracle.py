@@ -226,6 +226,10 @@ def test_gate_window_covers_every_family():
         "corpus_quality_dedup_interaction",
         # wave 147: adjacent-pair cosine calibration histogram
         "embedding_adjacent_cosine_histogram",
+        # wave 148: mRMR greedy feature selection
+        "feature_mrmr_selection",
+        # wave 149: Lorenz curve decile points
+        "orders_lorenz_curve",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
