@@ -17443,6 +17443,353 @@ def orders_lorenz_curve(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 150: one-way ANOVA F-test (weekday seasonality)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_weekday_anova",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+               FROM events GROUP BY 1),
+    g AS (SELECT dayofweek(day) AS dow, CAST(cnt AS DOUBLE) AS x FROM d),
+    s AS (SELECT dow, count(*) AS n, avg(x) AS mu, var_samp(x) AS s2
+          FROM g GROUP BY dow),
+    tot AS (SELECT sum(n) AS n, sum(n * mu) / sum(n) AS gmu,
+                   count(*) AS k FROM s),
+    f AS (SELECT
+            (SELECT sum(n * (mu - tot.gmu) * (mu - tot.gmu)) FROM s)
+              / (k - 1) AS msb,
+            (SELECT sum((n - 1) * s2) FROM s) / (n - k) AS msw,
+            k, n
+          FROM tot)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_days,
+           round(msb, 4) AS ms_between,
+           round(msw, 4) AS ms_within,
+           round(msb / msw, 4) AS f_stat,
+           msb / msw > 2.099 AS reject_h0
+    FROM f
+    """,
+)
+def events_weekday_anova(spark, sf_dir):
+    """One-way ANOVA F-test of daily event counts by day of week — the
+    parametric omnibus 'does weekday matter' test (F = MS_between /
+    MS_within over the 7 weekday groups, rejected against the
+    F(6, inf) 0.05 critical value 2.099) that completes the omnibus
+    family next to Kruskal-Wallis (ranks) and Brown-Forsythe
+    (spreads). Weekday conventions normalized via the shared DATE cast
+    (both engines number the same days once the day is fixed — the
+    group F is label-invariant anyway). One scan to the bounded daily
+    domain, one 7-row moment aggregate, scalar arithmetic after."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    g = d.select(
+        F.dayofweek("day").alias("dow"),
+        F.col("cnt").cast("double").alias("x"),
+    )
+    s = g.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mu"),
+        F.var_samp("x").alias("s2"),
+    )
+    tot = s.agg(
+        F.sum("n").alias("n"),
+        (F.sum(F.col("n") * F.col("mu")) / F.sum("n")).alias("gmu"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            (F.col("n") - 1) * F.col("s2")
+        ).alias("ssw"),
+    )
+    ssb = s.join(F.broadcast(tot.select("gmu"))).agg(
+        F.sum(
+            F.col("n")
+            * (F.col("mu") - F.col("gmu"))
+            * (F.col("mu") - F.col("gmu"))
+        ).alias("ssb")
+    )
+    fin = ssb.join(F.broadcast(tot))
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("n") - F.col("k"))
+    return fin.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(msb, 4).alias("ms_between"),
+        F.round(msw, 4).alias("ms_within"),
+        F.round(msb / msw, 4).alias("f_stat"),
+        (msb / msw > 2.099).alias("reject_h0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 151: negative binomial moment fit per event type
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_negative_binomial_fit",
+    """
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, count(*) AS n_days,
+                 avg(cnt) AS m, var_samp(cnt) AS v
+          FROM d GROUP BY event_type)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(m, 4) AS mean_daily,
+           round(v, 4) AS var_daily,
+           round(CASE WHEN v > m THEN m * m / (v - m) END, 4)
+             AS nb_r,
+           round(CASE WHEN v > m THEN m / v END, 6) AS nb_p,
+           v > m AS nb_applicable
+    FROM s ORDER BY event_type
+    """,
+)
+def events_negative_binomial_fit(spark, sf_dir):
+    """Negative-binomial method-of-moments fit of daily counts per
+    event type: r = m^2/(v-m), p = m/v — the distribution you reach
+    for the moment events_poisson_dispersion flags overdispersion
+    (Poisson is the v=m edge; NB adds the clumping parameter a
+    capacity model needs for realistic tail quantiles). Types whose
+    variance does NOT exceed the mean get NULL parameters and an
+    explicit nb_applicable=false on both engines — fitting NB there
+    is undefined, and the guard is the point. Bounded (type, day)
+    collapse, then a per-type moment aggregate."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.avg("cnt").alias("m"),
+        F.var_samp("cnt").alias("v"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("m"), 4).alias("mean_daily"),
+        F.round(F.col("v"), 4).alias("var_daily"),
+        F.round(
+            F.when(
+                F.col("v") > F.col("m"),
+                F.col("m") * F.col("m") / (F.col("v") - F.col("m")),
+            ),
+            4,
+        ).alias("nb_r"),
+        F.round(
+            F.when(F.col("v") > F.col("m"), F.col("m") / F.col("v")), 6
+        ).alias("nb_p"),
+        (F.col("v") > F.col("m")).alias("nb_applicable"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 152: lognormal fit + decile-probe goodness of fit
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_lognormal_fit_gof",
+    """
+    WITH b AS (SELECT round(o_totalprice / 100.0) * 100.0 AS v,
+                      count(*) AS cnt
+               FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+    st AS (SELECT sum(cnt) AS n,
+                  sum(cnt * ln(v)) / sum(cnt) AS mu,
+                  sqrt((sum(cnt * ln(v) * ln(v))
+                        - sum(cnt * ln(v)) * sum(cnt * ln(v))
+                          / sum(cnt))
+                       / (sum(cnt) - 1)) AS sigma
+           FROM b),
+    qz AS (SELECT * FROM (VALUES
+             (0.1, -1.2815515655446004), (0.2, -0.8416212335729143),
+             (0.3, -0.5244005127080407), (0.4, -0.2533471031357997),
+             (0.5, 0.0), (0.6, 0.2533471031357997),
+             (0.7, 0.5244005127080407), (0.8, 0.8416212335729143),
+             (0.9, 1.2815515655446004)) AS t(q, z)),
+    probe AS (SELECT q, exp(mu + sigma * z) AS x, n
+              FROM qz CROSS JOIN st),
+    emp AS (SELECT p.q, p.x,
+                   sum(CASE WHEN b.v <= p.x THEN b.cnt ELSE 0 END)
+                     / CAST(any_value(p.n) AS DOUBLE) AS ecdf
+            FROM probe p CROSS JOIN b GROUP BY p.q, p.x)
+    SELECT q AS fitted_cdf, round(x, 2) AS probe_price,
+           round(ecdf, 6) AS empirical_cdf,
+           round(abs(ecdf - q), 6) AS abs_gap
+    FROM emp ORDER BY q
+    """,
+)
+def agg_lognormal_fit_gof(spark, sf_dir):
+    """Lognormal fit of the (binned) order-price distribution with a
+    decile-probe goodness of fit: fit mu/sigma as the weighted moments
+    of ln(price) over the $100-binned value domain, then evaluate the
+    EMPIRICAL CDF at the nine points where the FITTED CDF is exactly
+    0.1..0.9 (x_q = exp(mu + sigma*z_q), z_q the standard normal
+    decile constants) — |ecdf - q| per decile is the discrepancy
+    profile, no erf needed anywhere because the probes are chosen on
+    the fitted quantile scale. The is-it-lognormal question behind
+    every heavy-tail pricing/latency model choice. Scale discipline:
+    the fact collapses to the bounded binned domain FIRST (the KDE
+    entry's move), so the probe evaluation is a 9 x bounded-domain
+    conditional aggregate, never a 9x fact blow-up."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    b = o.groupBy(
+        (F.round(F.col("o_totalprice") / 100.0) * 100.0).alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lnv = F.log("v")
+    st = b.agg(
+        F.sum("cnt").alias("n"),
+        (F.sum(F.col("cnt") * lnv) / F.sum("cnt")).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("cnt") * lnv * lnv)
+                - F.sum(F.col("cnt") * lnv)
+                * F.sum(F.col("cnt") * lnv)
+                / F.sum("cnt")
+            )
+            / (F.sum("cnt") - 1)
+        ).alias("sigma"),
+    )
+    zs = [
+        (0.1, -1.2815515655446004),
+        (0.2, -0.8416212335729143),
+        (0.3, -0.5244005127080407),
+        (0.4, -0.2533471031357997),
+        (0.5, 0.0),
+        (0.6, 0.2533471031357997),
+        (0.7, 0.5244005127080407),
+        (0.8, 0.8416212335729143),
+        (0.9, 1.2815515655446004),
+    ]
+    qz = spark.createDataFrame(zs, "q double, z double")
+    probe = F.broadcast(qz).join(F.broadcast(st)).select(
+        "q",
+        F.exp(F.col("mu") + F.col("sigma") * F.col("z")).alias("x"),
+        "n",
+    )
+    emp = (
+        F.broadcast(probe)
+        .join(b)
+        .groupBy("q", "x")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("v") <= F.col("x"), F.col("cnt")).otherwise(
+                        0
+                    )
+                )
+                / F.any_value("n").cast("double")
+            ).alias("ecdf")
+        )
+    )
+    return emp.select(
+        F.col("q").alias("fitted_cdf"),
+        F.round(F.col("x"), 2).alias("probe_price"),
+        F.round(F.col("ecdf"), 6).alias("empirical_cdf"),
+        F.round(F.abs(F.col("ecdf") - F.col("q")), 6).alias("abs_gap"),
+    ).orderBy("fitted_cdf")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 153: ICO multi-image container round-trip
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_ico_roundtrip",
+    """
+    WITH e AS (SELECT doc_id, n_chars,
+                      CAST(doc_id % 3 + 1 AS BIGINT) AS cnt,
+                      unnest(range(CAST(doc_id % 3 + 1 AS BIGINT))) AS i
+               FROM documents),
+    w AS (SELECT doc_id, cnt,
+                 CASE WHEN (n_chars + i) % 256 = 0 THEN 256
+                      ELSE (n_chars + i) % 256 END AS wd,
+                 CASE WHEN (doc_id + i) % 256 = 0 THEN 256
+                      ELSE (doc_id + i) % 256 END AS hd,
+                 16 + 4 * i AS sz
+          FROM e)
+    SELECT doc_id, 'ico' AS format,
+           CAST(any_value(cnt) AS INT) AS n_images,
+           CAST(max(wd) AS INT) AS max_width,
+           CAST(max(hd) AS INT) AS max_height,
+           CAST(sum(sz) AS BIGINT) AS total_image_bytes,
+           TRUE AS offsets_ok, TRUE AS size_ok
+    FROM w GROUP BY doc_id
+    """,
+)
+def multimodal_ico_roundtrip(spark, sf_dir):
+    """Synthesize a VALID multi-image ICO per document in pure Column
+    expressions — ICONDIR header plus a VARIABLE number (1-3, data-
+    derived) of 16-byte ICONDIRENTRY records built with an array
+    transform + binary fold (the first container entry whose directory
+    length is itself data-dependent), widths exercising the ICO
+    0-means-256 byte convention, offsets laid out contiguously by
+    closed-form prefix arithmetic — then push it through the layout-
+    verifying parser (operators/multimodal.py:parse_ico_meta), which
+    must find every declared image contiguous and the buffer exactly
+    consumed. The oracle recomputes the expected directory arithmetic
+    relationally and both verification booleans must read TRUE on
+    every row: any drift in the variable-length fold, the offset
+    closed form, or the parser's struct walk breaks the hash.
+    Synthesis is row-local; parsing is the Arrow mapInPandas stage."""
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import (
+        parse_ico_meta,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("n_chars"),
+        (F.col("doc_id") % 3 + 1).cast("long").alias("cnt"),
+    )
+    byte = lambda c: F.unhex(F.lpad(F.hex(c), 2, "0"))  # noqa: E731
+    dir_end = F.lit(6) + 16 * F.col("cnt")
+
+    def entry(i):
+        w8 = (F.col("n_chars") + i) % 256
+        h8 = (F.col("media_id") + i) % 256
+        size = F.lit(16) + 4 * i
+        offset = dir_end + 16 * i + 2 * i * (i - 1)
+        return F.concat(
+            byte(w8),
+            byte(h8),
+            F.lit(bytes(2)),              # colorCount, reserved
+            _le_bytes(F.lit(1), 4),       # planes (LE16)
+            _le_bytes(F.lit(32), 4),      # bitCount (LE16)
+            _le_bytes(size, 8),           # bytesInRes (LE32)
+            _le_bytes(offset, 8),         # imageOffset (LE32)
+        )
+
+    entries = F.aggregate(
+        F.transform(F.sequence(F.lit(0), (F.col("cnt") - 1).cast("int")), entry),
+        F.unhex(F.lit("")),
+        lambda acc, x: F.concat(acc, x),
+    )
+    total_payload = 16 * F.col("cnt") + 2 * F.col("cnt") * (
+        F.col("cnt") - 1
+    )
+    ico = F.concat(
+        _le_bytes(F.lit(0), 4),           # reserved (LE16)
+        _le_bytes(F.lit(1), 4),           # type = icon (LE16)
+        _le_bytes(F.col("cnt"), 4),       # count (LE16)
+        entries,
+        F.unhex(F.repeat(F.lit("00"), total_payload.cast("int"))),
+    )
+    meta = parse_ico_meta(d.select("media_id", ico.alias("payload")))
+    return meta.select(
+        F.col("media_id").alias("doc_id"),
+        "format",
+        "n_images",
+        "max_width",
+        "max_height",
+        "total_image_bytes",
+        "offsets_ok",
+        "size_ok",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

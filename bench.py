@@ -151,6 +151,12 @@ HEADLINE = [
     "agg_cohens_d_effect_size",
     "events_dwell_time_histogram",
     "agg_brown_forsythe_test",
+    "agg_kruskal_wallis",
+    "graph_clustering_coefficient",
+    "agg_kendall_tau_binned",
+    "events_hurst_exponent",
+    "feature_mrmr_selection",
+    "corpus_quality_dedup_interaction",
 ]
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;

@@ -230,6 +230,14 @@ def test_gate_window_covers_every_family():
         "feature_mrmr_selection",
         # wave 149: Lorenz curve decile points
         "orders_lorenz_curve",
+        # wave 150: one-way ANOVA F-test on weekday groups
+        "events_weekday_anova",
+        # wave 151: negative binomial moment fit per event type
+        "events_negative_binomial_fit",
+        # wave 152: lognormal fit + decile-probe goodness of fit
+        "agg_lognormal_fit_gof",
+        # wave 153: ICO multi-image container round-trip
+        "multimodal_ico_roundtrip",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
