@@ -17790,6 +17790,149 @@ def multimodal_ico_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 154: near-dup cluster size histogram
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH sizes AS (
+      SELECT cluster_id, count(*) AS sz
+      FROM ({_clusters_oracle()}) cl GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz ORDER BY sz
+    """,
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Frequency-of-frequencies of near-duplicate cluster sizes — the
+    curation observability readout that tells a pipeline owner whether
+    duplication is pairwise noise (mass at size 2) or template blow-ups
+    (a long tail of big clusters), which decides between keep-one
+    dedup and aggressive template stripping. Composes the SAME LSH ->
+    connected-components pipeline dedup_clusters pins (auto-dispatched
+    min-label / large-star-small-star), then two bounded hash
+    aggregates over the (node, cluster_id) output; the oracle replays
+    it with the recursive-reachability CTE."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        cluster_pairs,
+        release_caches,
+    )
+
+    pairs = minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+    cl = cluster_pairs(pairs)
+    release_caches(pairs)
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 155: ABC class migration matrix (1995 -> 1996)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_abc_migration",
+    """
+    WITH r AS (SELECT o_custkey,
+                      year(CAST(o_orderdate AS DATE)) AS yr,
+                      sum(o_totalprice) AS rev
+               FROM orders
+               WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+               GROUP BY 1, 2),
+    k AS (SELECT o_custkey, yr, rev,
+                 sum(rev) OVER (PARTITION BY yr
+                   ORDER BY rev DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(rev) OVER (PARTITION BY yr) AS tot
+          FROM r),
+    c AS (SELECT o_custkey, yr,
+                 CASE WHEN (cum - rev) / tot < 0.8 THEN 'A'
+                      WHEN (cum - rev) / tot < 0.95 THEN 'B'
+                      ELSE 'C' END AS cls
+          FROM k),
+    m AS (SELECT coalesce(a.cls, '-') AS cls_1995,
+                 coalesce(b.cls, '-') AS cls_1996
+          FROM (SELECT o_custkey, cls FROM c WHERE yr = 1995) a
+          FULL OUTER JOIN
+               (SELECT o_custkey, cls FROM c WHERE yr = 1996) b
+            ON a.o_custkey = b.o_custkey)
+    SELECT cls_1995, cls_1996, CAST(count(*) AS BIGINT) AS n_customers
+    FROM m GROUP BY 1, 2 ORDER BY cls_1995, cls_1996
+    """,
+)
+def orders_abc_migration(spark, sf_dir):
+    """ABC revenue-class migration matrix between 1995 and 1996: each
+    customer's Pareto class per year (A = inside the first 80% of
+    cumulative revenue, B to 95%, C the tail — the agg_pareto_abc cut,
+    partitioned by year) full-outer-joined with itself, '-' for years
+    the customer didn't order — the churn/upsell flow a key-account
+    dashboard actually shows (how many A-customers slipped to C or
+    vanished?). Two window passes over the bounded per-(customer,
+    year) aggregate and one self-join keyed on the customer — order
+    rows are touched exactly once."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "yr", F.year(F.col("o_orderdate").cast("date"))
+    )
+    r = (
+        o.filter(F.col("yr").isin([1995, 1996]))
+        .groupBy("o_custkey", "yr")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wcum = (
+        Window.partitionBy("yr")
+        .orderBy(F.col("rev").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("yr")
+    share = (F.sum("rev").over(wcum) - F.col("rev")) / F.sum("rev").over(
+        wtot
+    )
+    c = r.select(
+        "o_custkey",
+        "yr",
+        F.when(share < 0.8, "A")
+        .when(share < 0.95, "B")
+        .otherwise("C")
+        .alias("cls"),
+    )
+    a = c.filter(F.col("yr") == 1995).select(
+        "o_custkey", F.col("cls").alias("cls_a")
+    )
+    b = c.filter(F.col("yr") == 1996).select(
+        F.col("o_custkey").alias("ck_b"), F.col("cls").alias("cls_b")
+    )
+    m = a.join(b, a.o_custkey == b.ck_b, "full_outer").select(
+        F.coalesce("cls_a", F.lit("-")).alias("cls_1995"),
+        F.coalesce("cls_b", F.lit("-")).alias("cls_1996"),
+    )
+    return (
+        m.groupBy("cls_1995", "cls_1996")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            "cls_1995",
+            "cls_1996",
+            F.col("n_customers").cast("long").alias("n_customers"),
+        )
+        .orderBy("cls_1995", "cls_1996")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -238,6 +238,10 @@ def test_gate_window_covers_every_family():
         "agg_lognormal_fit_gof",
         # wave 153: ICO multi-image container round-trip
         "multimodal_ico_roundtrip",
+        # wave 154: near-dup cluster size histogram
+        "dedup_cluster_size_histogram",
+        # wave 155: ABC revenue-class migration matrix
+        "orders_abc_migration",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
