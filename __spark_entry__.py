@@ -17933,6 +17933,232 @@ def orders_abc_migration(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 156: Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_burrows_delta",
+    f"""
+    WITH toks AS (SELECT source, unnest({_WORDS}) AS w FROM documents),
+    wc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    st AS (SELECT source, sum(c) AS tot FROM wc GROUP BY source),
+    top AS (SELECT w FROM (SELECT w, sum(c) AS g FROM wc GROUP BY w)
+            ORDER BY g DESC, w LIMIT 20),
+    f AS (SELECT st.source, top.w,
+                 coalesce(wc.c, 0) / CAST(st.tot AS DOUBLE) AS fr
+          FROM st CROSS JOIN top
+          LEFT JOIN wc ON wc.source = st.source AND wc.w = top.w),
+    z AS (SELECT source, w,
+                 (fr - avg(fr) OVER (PARTITION BY w))
+                 / stddev_samp(fr) OVER (PARTITION BY w) AS z
+          FROM f),
+    d AS (SELECT a.source AS source_a, b.source AS source_b,
+                 round(avg(abs(a.z - b.z)), 6) AS delta
+          FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2)
+    SELECT source_a, source_b, delta FROM d
+    ORDER BY source_a, source_b
+    """,
+)
+def text_burrows_delta(spark, sf_dir):
+    """Burrows' Delta between every pair of sources — the classic
+    stylometric distance (z-score each of the top-20 corpus-wide words
+    WITHIN its word across sources, then average |z_a - z_b| per pair):
+    function-word usage fingerprints a text's producer, so Delta
+    clusters sources by style/generator — the provenance probe a
+    mixed-crawl corpus audit runs next to vocabulary Jaccard (which
+    sees WHAT is said; Delta sees HOW). One tokenize+count pass
+    collapses the corpus to the bounded (source, word) domain; the
+    top-20 word list, z-scores, and the pairwise matrix are all
+    aggregates of that bounded frame (20 sources x 20 words)."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    wc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    st = wc.groupBy("source").agg(F.sum("c").alias("tot"))
+    top = (
+        wc.groupBy("w")
+        .agg(F.sum("c").alias("g"))
+        .orderBy(F.col("g").desc(), "w")
+        .limit(20)
+        .select("w")
+    )
+    f = (
+        st.join(F.broadcast(top))
+        .join(wc, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                / F.col("tot").cast("double")
+            ).alias("fr"),
+        )
+    )
+    ww = Window.partitionBy("w")
+    z = f.select(
+        "source",
+        "w",
+        (
+            (F.col("fr") - F.avg("fr").over(ww))
+            / F.stddev_samp("fr").over(ww)
+        ).alias("z"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.round(
+                F.avg(F.abs(F.col("a.z") - F.col("b.z"))), 6
+            ).alias("delta")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 157: ROC sweep + trapezoid AUC (quality as dup detector)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_quality_roc_auc",
+    f"""
+    WITH q AS ({_TQ_ORACLE}),
+    nd AS ({_minhash_oracle()}),
+    flags AS (SELECT q.doc_id, q.quality_score AS s,
+                     q.doc_id IN (SELECT id_a FROM nd
+                                  UNION SELECT id_b FROM nd) AS pos
+              FROM q),
+    tt AS (SELECT unnest([0.78, 0.80, 0.82, 0.84, 0.86]) AS t),
+    pts AS (SELECT t,
+              round(sum(CASE WHEN pos AND s < t THEN 1 ELSE 0 END)
+                / CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                       AS DOUBLE), 6) AS tpr,
+              round(sum(CASE WHEN NOT pos AND s < t THEN 1 ELSE 0 END)
+                / CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)
+                       AS DOUBLE), 6) AS fpr
+            FROM flags CROSS JOIN tt GROUP BY t),
+    seg AS (SELECT t, tpr, fpr,
+                   coalesce(lag(tpr) OVER (ORDER BY t), 0.0) AS ptpr,
+                   coalesce(lag(fpr) OVER (ORDER BY t), 0.0) AS pfpr
+            FROM pts),
+    auc AS (SELECT sum((fpr - pfpr) * (tpr + ptpr) / 2.0)
+                   + (1.0 - max(fpr)) * (1.0 + max(tpr)) / 2.0 AS auc
+            FROM seg)
+    SELECT round(t, 2) AS threshold, tpr, fpr,
+           round((SELECT auc FROM auc), 6) AS auc_5pt
+    FROM pts ORDER BY threshold
+    """,
+)
+def corpus_quality_roc_auc(spark, sf_dir):
+    """ROC curve of the quality score as a near-duplicate detector
+    (positive = participates in a MinHash near-dup pair; predict
+    positive when score < threshold), swept at five fixed thresholds
+    with the 5-point trapezoid AUC ((0,0) and (1,1) anchored) — the
+    classifier-eval primitive (TPR/FPR/AUC) the engine needs for ANY
+    scored-filter tuning, exercised on two pipelines it already pins
+    (text_quality x banded LSH). AUC ~ 0.5 says quality does NOT find
+    near-dups — a real measurement, not a toy: it tells the curator
+    the two filters are complementary, the same independence question
+    corpus_quality_dedup_interaction answers with an odds ratio. The
+    sweep is one conditional aggregate over the bounded flag frame
+    crossed with five literals; AUC is a 5-row window fold."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from boann_ocsf_security_data_platform_spark.operators.text import text_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    nd = minhash_near_dup_pairs(docs)
+    dup_ids = (
+        nd.select(F.col("id_a").alias("doc_id"))
+        .union(nd.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("pos_m", F.lit(True))
+    )
+    flags = (
+        text_quality(docs)
+        .select("doc_id", F.col("quality_score").alias("s"))
+        .join(F.broadcast(dup_ids), "doc_id", "left")
+        .select(
+            "s", F.coalesce("pos_m", F.lit(False)).alias("pos")
+        )
+    )
+    tt = spark.createDataFrame(
+        [(0.78,), (0.80,), (0.82,), (0.84,), (0.86,)], "t double"
+    )
+    pts = (
+        flags.join(F.broadcast(tt))
+        .groupBy("t")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("pos") & (F.col("s") < F.col("t")), 1)
+                    .otherwise(0)
+                )
+                / F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("tpr"),
+            F.round(
+                F.sum(
+                    F.when(
+                        (~F.col("pos")) & (F.col("s") < F.col("t")), 1
+                    ).otherwise(0)
+                )
+                / F.sum(F.when(~F.col("pos"), 1).otherwise(0)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("fpr"),
+        )
+    )
+    lagw = Window.orderBy("t")
+    seg = pts.select(
+        "t",
+        "tpr",
+        "fpr",
+        F.coalesce(F.lag("tpr").over(lagw), F.lit(0.0)).alias("ptpr"),
+        F.coalesce(F.lag("fpr").over(lagw), F.lit(0.0)).alias("pfpr"),
+    )
+    auc = seg.agg(
+        (
+            F.sum(
+                (F.col("fpr") - F.col("pfpr"))
+                * (F.col("tpr") + F.col("ptpr"))
+                / 2.0
+            )
+            + (F.lit(1.0) - F.max("fpr"))
+            * (F.lit(1.0) + F.max("tpr"))
+            / 2.0
+        ).alias("auc")
+    )
+    return (
+        pts.join(F.broadcast(auc))
+        .select(
+            F.round(F.col("t"), 2).alias("threshold"),
+            "tpr",
+            "fpr",
+            F.round(F.col("auc"), 6).alias("auc_5pt"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -242,6 +242,10 @@ def test_gate_window_covers_every_family():
         "dedup_cluster_size_histogram",
         # wave 155: ABC revenue-class migration matrix
         "orders_abc_migration",
+        # wave 156: Burrows' Delta stylometric distance
+        "text_burrows_delta",
+        # wave 157: ROC sweep + trapezoid AUC (quality vs near-dup)
+        "corpus_quality_roc_auc",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
