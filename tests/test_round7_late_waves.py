@@ -210,3 +210,132 @@ def test_two_proportion_ci_contains_diff(spark, sf_smoke):
         r.p_return_hi * r.n_hi_disc + r.p_return_lo * r.n_lo_disc
     ) / (r.n_hi_disc + r.n_lo_disc)
     assert lo - 1e-6 <= pooled <= hi + 1e-6
+
+
+def test_anova_f_nonnegative(spark, sf_smoke):
+    r = QS["events_weekday_anova"](spark, sf_smoke).collect()[0]
+    assert r.f_stat >= 0
+    assert r.ms_between >= 0 and r.ms_within > 0
+    assert r.k_groups == 7
+
+
+def test_negative_binomial_guard(spark, sf_smoke):
+    rows = QS["events_negative_binomial_fit"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.nb_applicable == (r.var_daily > r.mean_daily)
+        if r.nb_applicable:
+            assert r.nb_r > 0
+            assert 0.0 < r.nb_p <= 1.0
+        else:
+            assert r.nb_r is None and r.nb_p is None
+
+
+def test_lognormal_gof_bounds(spark, sf_smoke):
+    rows = QS["agg_lognormal_fit_gof"](spark, sf_smoke).collect()
+    assert len(rows) == 9
+    ecdfs = [r.empirical_cdf for r in rows]
+    assert ecdfs == sorted(ecdfs)  # CDF is monotone in the probes
+    for r in rows:
+        assert 0.0 <= r.empirical_cdf <= 1.0
+        assert abs(r.abs_gap - abs(r.empirical_cdf - r.fitted_cdf)) < 1e-6
+
+
+def test_ico_roundtrip_all_verified(spark, sf_smoke):
+    rows = QS["multimodal_ico_roundtrip"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.format == "ico"
+        assert 1 <= r.n_images <= 3
+        assert r.offsets_ok and r.size_ok
+        # sizes are 16 + 4i: total = 16n + 2n(n-1)
+        n = r.n_images
+        assert r.total_image_bytes == 16 * n + 2 * n * (n - 1)
+
+
+def test_ico_parser_rejects_garbage(spark):
+    from boann_ocsf_security_data_platform_spark.operators.multimodal import _parse_ico
+
+    assert _parse_ico(b"") is None
+    assert _parse_ico(b"\x00\x00\x02\x00\x01\x00") is None  # type=2
+    assert _parse_ico(b"\x01\x00\x01\x00\x01\x00") is None  # reserved!=0
+
+
+def test_cluster_size_histogram_consistency(spark, sf_smoke):
+    rows = QS["dedup_cluster_size_histogram"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.cluster_size >= 2  # every cluster has >= 2 members
+        assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_abc_migration_row_sums(spark, sf_smoke):
+    rows = QS["orders_abc_migration"](spark, sf_smoke).collect()
+    assert rows
+    classes = {"A", "B", "C", "-"}
+    assert all(
+        r.cls_1995 in classes and r.cls_1996 in classes for r in rows
+    )
+    # the '-','-' cell cannot exist: a customer absent both years is
+    # not in the join at all
+    assert not any(
+        r.cls_1995 == "-" and r.cls_1996 == "-" for r in rows
+    )
+
+
+def test_burrows_delta_positive(spark, sf_smoke):
+    rows = QS["text_burrows_delta"](spark, sf_smoke).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b  # canonical pair order
+        assert r.delta >= 0
+        seen.add((r.source_a, r.source_b))
+    assert len(seen) == len(rows)  # no duplicate pairs
+
+
+def test_roc_monotone_and_auc_bounds(spark, sf_smoke):
+    rows = QS["corpus_quality_roc_auc"](spark, sf_smoke).collect()
+    assert len(rows) == 5
+    tprs = [r.tpr for r in rows]
+    fprs = [r.fpr for r in rows]
+    assert tprs == sorted(tprs)  # higher threshold flags more
+    assert fprs == sorted(fprs)
+    assert all(0.0 <= v <= 1.0 for v in tprs + fprs)
+    assert 0.0 <= rows[0].auc_5pt <= 1.0
+
+
+def test_mrmr_picks_distinct(spark, sf_smoke):
+    rows = QS["feature_mrmr_selection"](spark, sf_smoke).collect()
+    assert [r.pick for r in rows] == [1, 2, 3]
+    feats = [r.feature for r in rows]
+    assert len(set(feats)) == 3
+    valid = {"nlines", "qty", "month", "bal", "pri", "seg"}
+    assert set(feats) <= valid
+
+
+def test_lorenz_curve_shape(spark, sf_smoke):
+    rows = QS["orders_lorenz_curve"](spark, sf_smoke).collect()
+    assert len(rows) == 10
+    cum = [r.cum_revenue_share for r in rows]
+    assert cum == sorted(cum)
+    assert abs(cum[-1] - 1.0) < 1e-4
+    # Lorenz curve lies under the diagonal: bottom deciles hold less
+    # than their population share
+    assert rows[0].cum_revenue_share <= rows[0].cum_pop_share + 1e-9
+
+
+def test_quality_dedup_interaction_cells(spark, sf_smoke):
+    r = QS["corpus_quality_dedup_interaction"](spark, sf_smoke).collect()[0]
+    total = r.hi_q_dup + r.hi_q_uniq + r.lo_q_dup + r.lo_q_uniq
+    assert total > 0
+    assert r.ci95_lo <= r.log_odds_ratio <= r.ci95_hi
+
+
+def test_adjacent_cosine_histogram_bounds(spark, sf_smoke):
+    rows = QS["embedding_adjacent_cosine_histogram"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert -1.0 - 1e-9 <= r.min_cos <= r.max_cos <= 1.0 + 1e-9
+        assert r.min_cos - 1e-9 <= r.mean_cos <= r.max_cos + 1e-9
