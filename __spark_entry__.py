@@ -18159,6 +18159,166 @@ def corpus_quality_roc_auc(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 158: partial autocorrelation (Durbin-Levinson, lags 1-3)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_pacf",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+               FROM events GROUP BY 1),
+    l AS (SELECT CAST(cnt AS DOUBLE) AS v,
+                 lag(cnt) OVER (ORDER BY day) AS v1,
+                 lag(cnt, 2) OVER (ORDER BY day) AS v2,
+                 lag(cnt, 3) OVER (ORDER BY day) AS v3
+          FROM d),
+    r AS (SELECT corr(v, v1) AS r1, corr(v, v2) AS r2,
+                 corr(v, v3) AS r3, count(*) AS n
+          FROM l),
+    dl AS (SELECT r1, r2, r3, n,
+                  (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+           FROM r),
+    dl2 AS (SELECT r1, r2, r3, n, p22,
+                   r1 * (1.0 - p22) AS p21
+            FROM dl),
+    dl3 AS (SELECT r1, r2, r3, n, p22,
+                   (r3 - p21 * r2 - p22 * r1)
+                   / (1.0 - p21 * r1 - p22 * r2) AS p33
+            FROM dl2)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(r1, 4) AS acf1, round(r2, 4) AS acf2,
+           round(r3, 4) AS acf3,
+           round(r1, 4) AS pacf1, round(p22, 4) AS pacf2,
+           round(p33, 4) AS pacf3,
+           abs(p22) > 1.96 / sqrt(n) AS ar2_plus_evidence
+    FROM dl3
+    """,
+)
+def events_pacf(spark, sf_dir):
+    """Partial autocorrelation of the daily event-count series at lags
+    1-3 via the closed-form Durbin-Levinson recursion (phi_11 = r1,
+    phi_22 = (r2-r1^2)/(1-r1^2), phi_33 from the level-2 coefficients)
+    — THE plot that picks an AR model order: ACF says 'correlated at
+    lag k', PACF says 'correlated at lag k AFTER the shorter lags are
+    regressed out', and |phi_22| above the 1.96/sqrt(n) band is
+    evidence the series needs more than AR(1). Complements
+    events_autocorrelation (raw ACF) and events_durbin_watson
+    (residual lag-1). One bounded daily collapse, three lag windows,
+    then scalar recursion on a one-row frame."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("day")
+    l = d.select(
+        F.col("cnt").cast("double").alias("v"),
+        F.lag("cnt").over(w).alias("v1"),
+        F.lag("cnt", 2).over(w).alias("v2"),
+        F.lag("cnt", 3).over(w).alias("v3"),
+    )
+    r = l.agg(
+        F.corr("v", "v1").alias("r1"),
+        F.corr("v", "v2").alias("r2"),
+        F.corr("v", "v3").alias("r3"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    p22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        F.lit(1.0) - F.col("r1") * F.col("r1")
+    )
+    dl = r.withColumn("p22", p22).withColumn(
+        "p21", F.col("r1") * (F.lit(1.0) - F.col("p22"))
+    )
+    p33 = (
+        F.col("r3") - F.col("p21") * F.col("r2") - F.col("p22") * F.col("r1")
+    ) / (
+        F.lit(1.0)
+        - F.col("p21") * F.col("r1")
+        - F.col("p22") * F.col("r2")
+    )
+    return dl.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("r1"), 4).alias("acf1"),
+        F.round(F.col("r2"), 4).alias("acf2"),
+        F.round(F.col("r3"), 4).alias("acf3"),
+        F.round(F.col("r1"), 4).alias("pacf1"),
+        F.round(F.col("p22"), 4).alias("pacf2"),
+        F.round(p33, 4).alias("pacf3"),
+        (
+            F.abs(F.col("p22"))
+            > F.lit(1.96) / F.sqrt(F.col("n").cast("double"))
+        ).alias("ar2_plus_evidence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 159: burstiness-memory plane (Goh-Barabasi)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_burstiness_memory",
+    """
+    WITH s AS (SELECT event_type, ts,
+                      lag(ts) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS pts
+               FROM events),
+    g AS (SELECT event_type,
+                 CAST(date_diff('microsecond', pts, ts) AS DOUBLE)
+                   / 1000000.0 AS gap
+          FROM s WHERE pts IS NOT NULL),
+    m AS (SELECT event_type, count(*) AS n,
+                 avg(gap) AS mu, stddev_samp(gap) AS sd
+          FROM g GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           round(mu, 2) AS mean_gap_s,
+           round((sd - mu) / (sd + mu), 4) AS burstiness,
+           CASE WHEN (sd - mu) / (sd + mu) > 0.1 THEN 'bursty'
+                WHEN (sd - mu) / (sd + mu) < -0.1 THEN 'regular'
+                ELSE 'poisson-like' END AS regime
+    FROM m ORDER BY event_type
+    """,
+)
+def events_burstiness_memory(spark, sf_dir):
+    """Goh-Barabasi burstiness coefficient per event type: B =
+    (sigma - mu)/(sigma + mu) of the inter-arrival gaps — B ~ 0 is a
+    Poisson process, B -> 1 extreme clumping, B < 0 pacemaker-regular
+    — with a three-way regime classification. The single normalized
+    number that lets two streams with different rates be compared for
+    burstiness directly (the CV from events_interarrival_expfit is
+    unbounded; B is bounded in (-1, 1)). Gaps come from one lag window
+    per type partition; the statistic is a per-type moment aggregate."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("pts")
+    ).filter(F.col("pts").isNotNull())
+    g = s.select(
+        "event_type",
+        (
+            F.expr("timestampdiff(MICROSECOND, pts, ts)").cast("double")
+            / 1e6
+        ).alias("gap"),
+    )
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("gap").alias("mu"),
+        F.stddev_samp("gap").alias("sd"),
+    )
+    b = (F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu"))
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(F.col("mu"), 2).alias("mean_gap_s"),
+        F.round(b, 4).alias("burstiness"),
+        F.when(b > 0.1, "bursty")
+        .when(b < -0.1, "regular")
+        .otherwise("poisson-like")
+        .alias("regime"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

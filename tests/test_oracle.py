@@ -246,6 +246,10 @@ def test_gate_window_covers_every_family():
         "text_burrows_delta",
         # wave 157: ROC sweep + trapezoid AUC (quality vs near-dup)
         "corpus_quality_roc_auc",
+        # wave 158: partial autocorrelation (Durbin-Levinson, lags 1-3)
+        "events_pacf",
+        # wave 159: Goh-Barabasi burstiness coefficient per event type
+        "events_burstiness_memory",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
