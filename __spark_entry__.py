@@ -18319,6 +18319,326 @@ def events_burstiness_memory(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 160: split-conformal prediction interval + coverage
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_conformal_interval",
+    """
+    WITH per AS (SELECT l_orderkey, sum(l_quantity) AS qty
+                 FROM lineitem GROUP BY 1),
+    j AS (SELECT o.o_orderkey AS okey,
+                 CAST(per.qty AS DOUBLE) AS x, o.o_totalprice AS y,
+                 o.o_orderkey % 2 = 0 AS is_cal
+          FROM per JOIN orders o ON per.l_orderkey = o.o_orderkey),
+    fit AS (SELECT regr_slope(y, x) AS b1, regr_intercept(y, x) AS b0
+            FROM j WHERE NOT is_cal),
+    cal AS (SELECT abs(j.y - (fit.b0 + fit.b1 * j.x)) AS score
+            FROM j CROSS JOIN fit WHERE is_cal),
+    qh AS (SELECT score AS qhat FROM (
+             SELECT score, row_number() OVER (ORDER BY score) AS rn,
+                    count(*) OVER () AS n
+             FROM cal) t
+           WHERE rn = CAST(ceil(0.9 * (n + 1)) AS BIGINT)),
+    test AS (SELECT count(*) AS n_test,
+                    sum(CASE WHEN abs(j.y - (fit.b0 + fit.b1 * j.x))
+                             <= qh.qhat THEN 1 ELSE 0 END) AS covered
+             FROM j CROSS JOIN fit CROSS JOIN qh WHERE NOT is_cal),
+    nc AS (SELECT count(*) AS n_cal FROM cal)
+    SELECT CAST(nc.n_cal AS BIGINT) AS n_cal,
+           CAST(test.n_test AS BIGINT) AS n_test,
+           round(qh.qhat, 2) AS qhat,
+           round(CAST(covered AS DOUBLE) / n_test, 6)
+             AS empirical_coverage,
+           CAST(covered AS DOUBLE) / n_test >= 0.88 AS coverage_ok
+    FROM test CROSS JOIN qh CROSS JOIN nc
+    """,
+)
+def agg_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval for the quantity -> price
+    OLS model: fit on the odd-key half, take the ceil(0.9(n+1))-th
+    order statistic of absolute residuals on the even-key calibration
+    half as the interval half-width q-hat, then measure EMPIRICAL
+    coverage back on the fit half — the distribution-free uncertainty
+    quantification (Vovk; popularized as conformal prediction) that
+    turns ANY point model into calibrated intervals, with the finite-
+    sample ~90% guarantee checked rather than assumed. The split is
+    deterministic key parity; the order statistic is a row_number cut
+    (exact, no percentile interpolation divergence); the model and
+    q-hat ride broadcast one-row frames. Evaluation on the fit half is
+    deliberate and labeled: it measures interval TIGHTNESS where the
+    model is optimistic (true held-out coverage would need a 3-way
+    split; the conformal guarantee itself needs only exchangeability
+    of the calibration scores)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per = l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+    j = per.join(o, per.l_orderkey == o.o_orderkey).select(
+        F.col("qty").cast("double").alias("x"),
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_cal"),
+    )
+    fit = j.filter(~F.col("is_cal")).agg(
+        F.regr_slope("y", "x").alias("b1"),
+        F.regr_intercept("y", "x").alias("b0"),
+    )
+    cal = (
+        j.filter(F.col("is_cal"))
+        .join(F.broadcast(fit))
+        .select(
+            F.abs(
+                F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))
+            ).alias("score")
+        )
+    )
+    wr = Window.orderBy("score")
+    ranked = cal.select(
+        "score",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qh = ranked.filter(
+        F.col("rn")
+        == F.ceil(0.9 * (F.col("n") + 1)).cast("long")
+    ).select(F.col("score").alias("qhat"))
+    nc = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    test = (
+        j.filter(~F.col("is_cal"))
+        .join(F.broadcast(fit))
+        .join(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("y")
+                        - (F.col("b0") + F.col("b1") * F.col("x"))
+                    )
+                    <= F.col("qhat"),
+                    1,
+                ).otherwise(0)
+            ).alias("covered"),
+            F.any_value("qhat").alias("qhat"),
+        )
+    )
+    cov = F.col("covered").cast("double") / F.col("n_test")
+    return test.join(F.broadcast(nc)).select(
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round(F.col("qhat"), 2).alias("qhat"),
+        F.round(cov, 6).alias("empirical_coverage"),
+        (cov >= 0.88).alias("coverage_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 161: Matryoshka truncation error profile
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "embedding_matryoshka_truncation",
+    """
+    WITH e AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT label, v,
+                 lag(v) OVER (PARTITION BY label ORDER BY vec_id) AS pv
+          FROM e),
+    pp AS (SELECT v, pv FROM p WHERE pv IS NOT NULL),
+    dims AS (SELECT unnest([64, 32, 16]) AS d),
+    c AS (SELECT dims.d,
+                 list_dot_product(v[1:64], pv[1:64])
+                 / (sqrt(list_dot_product(v[1:64], v[1:64]))
+                    * sqrt(list_dot_product(pv[1:64], pv[1:64])))
+                   AS cf,
+                 list_dot_product(v[1:dims.d], pv[1:dims.d])
+                 / (sqrt(list_dot_product(v[1:dims.d], v[1:dims.d]))
+                    * sqrt(list_dot_product(pv[1:dims.d], pv[1:dims.d])))
+                   AS ct
+          FROM pp CROSS JOIN dims)
+    SELECT CAST(d AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(ct), 6) AS mean_cos,
+           round(avg(abs(ct - cf)), 6) AS mean_abs_err,
+           round(max(abs(ct - cf)), 6) AS max_abs_err
+    FROM c GROUP BY d ORDER BY dim DESC
+    """,
+)
+def embedding_matryoshka_truncation(spark, sf_dir):
+    """Matryoshka truncation audit: how much does adjacent-pair cosine
+    similarity move when embeddings are truncated to their 32- and
+    16-dim prefixes (the MRL deployment question — can the ANN index
+    store d/4 and re-rank at full d)? Mean and max |cos_trunc -
+    cos_full| per truncation level, with the 64-dim row as the
+    zero-error control the hash pins. Same sorted-adjacency pairing as
+    embedding_adjacent_cosine_histogram (no O(n^2)); prefixes are
+    array slices, dot products the engine-wide left-to-right double
+    fold, and the 3x dims explode rides the bounded pair frame."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    pp = e.select(
+        "v", F.lag("v").over(w).alias("pv")
+    ).filter(F.col("pv").isNotNull())
+    dims = spark.createDataFrame([(64,), (32,), (16,)], "d int")
+
+    def cos_at(a, b, d):
+        sa, sb = F.slice(a, 1, d), F.slice(b, 1, d)
+        return _dot(sa, sb) / (_norm(sa) * _norm(sb))
+
+    c = pp.join(F.broadcast(dims)).select(
+        "d",
+        cos_at(F.col("v"), F.col("pv"), F.lit(64)).alias("cf"),
+        cos_at(F.col("v"), F.col("pv"), F.col("d")).alias("ct"),
+    )
+    return (
+        c.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("ct"), 6).alias("mean_cos"),
+            F.round(
+                F.avg(F.abs(F.col("ct") - F.col("cf"))), 6
+            ).alias("mean_abs_err"),
+            F.round(
+                F.max(F.abs(F.col("ct") - F.col("cf"))), 6
+            ).alias("max_abs_err"),
+        )
+        .select(
+            F.col("d").cast("long").alias("dim"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "mean_cos",
+            "mean_abs_err",
+            "max_abs_err",
+        )
+        .orderBy(F.col("dim").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 162: haversine nearest-warehouse assignment
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "scalar_haversine_assignment",
+    """
+    WITH c AS (SELECT c_custkey,
+                 radians((c_custkey * 37 % 18000) / 100.0 - 90.0) AS lat,
+                 radians((c_custkey * 73 % 36000) / 100.0 - 180.0) AS lon
+               FROM customer),
+    w AS (SELECT * FROM (VALUES
+            (1, radians(40.7128), radians(-74.0060)),
+            (2, radians(51.5074), radians(-0.1278)),
+            (3, radians(35.6762), radians(139.6503)),
+            (4, radians(-33.8688), radians(151.2093)),
+            (5, radians(1.3521), radians(103.8198)))
+          AS t(wh_id, wlat, wlon)),
+    d AS (SELECT c.c_custkey, w.wh_id,
+            round(2.0 * 6371.0088 * asin(sqrt(
+              pow(sin((w.wlat - c.lat) / 2), 2)
+              + cos(c.lat) * cos(w.wlat)
+                * pow(sin((w.wlon - c.lon) / 2), 2))), 6) AS km
+          FROM c CROSS JOIN w),
+    nearest AS (SELECT c_custkey, wh_id, km FROM (
+                  SELECT *, row_number() OVER (PARTITION BY c_custkey
+                           ORDER BY km, wh_id) AS rn
+                  FROM d) t WHERE rn = 1)
+    SELECT CAST(wh_id AS BIGINT) AS wh_id,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(km), 2) AS mean_km,
+           round(min(km), 2) AS min_km,
+           round(max(km), 2) AS max_km
+    FROM nearest GROUP BY wh_id ORDER BY wh_id
+    """,
+)
+def scalar_haversine_assignment(spark, sf_dir):
+    """Great-circle nearest-warehouse assignment: synthetic customer
+    coordinates (key-derived, global coverage), haversine distance to
+    five real-city warehouse sites, each customer assigned to its
+    nearest (distance ROUNDED to 6 before the argmin so the
+    assignment is ulp-stable across libm implementations), then a
+    per-warehouse catchment profile — the geo-partitioning primitive
+    (fulfillment routing, shard-by-region, GDPR data residency)
+    entirely in engine-native trigonometry. The warehouse frame is a
+    broadcast 5-row literal; the distance matrix is 5x the customer
+    scan, a bounded constant fan-out, and the argmin is one window
+    over it."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.radians(
+            (F.col("c_custkey") * 37 % 18000) / 100.0 - 90.0
+        ).alias("lat"),
+        F.radians(
+            (F.col("c_custkey") * 73 % 36000) / 100.0 - 180.0
+        ).alias("lon"),
+    )
+    wh = spark.createDataFrame(
+        [
+            (1, 40.7128, -74.0060),
+            (2, 51.5074, -0.1278),
+            (3, 35.6762, 139.6503),
+            (4, -33.8688, 151.2093),
+            (5, 1.3521, 103.8198),
+        ],
+        "wh_id int, wlat_deg double, wlon_deg double",
+    ).select(
+        "wh_id",
+        F.radians("wlat_deg").alias("wlat"),
+        F.radians("wlon_deg").alias("wlon"),
+    )
+    km = F.round(
+        F.lit(2.0)
+        * 6371.0088
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin((F.col("wlat") - F.col("lat")) / 2), 2)
+                + F.cos("lat")
+                * F.cos("wlat")
+                * F.pow(F.sin((F.col("wlon") - F.col("lon")) / 2), 2)
+            )
+        ),
+        6,
+    )
+    d = c.join(F.broadcast(wh)).select(
+        "c_custkey", "wh_id", km.alias("km")
+    )
+    wr = Window.partitionBy("c_custkey").orderBy("km", "wh_id")
+    nearest = (
+        d.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        nearest.groupBy("wh_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("km"), 2).alias("mean_km"),
+            F.round(F.min("km"), 2).alias("min_km"),
+            F.round(F.max("km"), 2).alias("max_km"),
+        )
+        .select(
+            F.col("wh_id").cast("long").alias("wh_id"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            "mean_km",
+            "min_km",
+            "max_km",
+        )
+        .orderBy("wh_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

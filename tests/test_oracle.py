@@ -250,6 +250,12 @@ def test_gate_window_covers_every_family():
         "events_pacf",
         # wave 159: Goh-Barabasi burstiness coefficient per event type
         "events_burstiness_memory",
+        # wave 160: split-conformal prediction interval + coverage
+        "agg_conformal_interval",
+        # wave 161: Matryoshka truncation error profile
+        "embedding_matryoshka_truncation",
+        # wave 162: haversine nearest-warehouse assignment
+        "scalar_haversine_assignment",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
