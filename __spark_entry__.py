@@ -18639,6 +18639,172 @@ def scalar_haversine_assignment(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 163: day-of-week x month revenue uplift matrix
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_dow_month_uplift",
+    """
+    WITH o AS (SELECT dayofweek(CAST(o_orderdate AS DATE)) AS dow0,
+                      month(CAST(o_orderdate AS DATE)) AS mon,
+                      o_totalprice AS rev
+               FROM orders),
+    cell AS (SELECT dow0, mon, sum(rev) AS r FROM o GROUP BY 1, 2),
+    rt AS (SELECT dow0, sum(r) AS rr FROM cell GROUP BY dow0),
+    ct AS (SELECT mon, sum(r) AS cc FROM cell GROUP BY mon),
+    t AS (SELECT sum(r) AS tot FROM cell)
+    SELECT CAST(cell.dow0 AS BIGINT) AS dow,
+           CAST(cell.mon AS BIGINT) AS mon,
+           round(cell.r, 2) AS revenue,
+           round(cell.r / (rt.rr * ct.cc / t.tot), 4) AS uplift
+    FROM cell JOIN rt USING (dow0) JOIN ct USING (mon) CROSS JOIN t
+    ORDER BY dow, mon
+    """,
+)
+def orders_dow_month_uplift(spark, sf_dir):
+    """Calendar heatmap with a statistical normalization: revenue per
+    (day-of-week, month) cell divided by its expectation under
+    independence (row_total*col_total/grand_total) — uplift > 1 marks
+    cells genuinely hotter than their weekday AND month explain alone,
+    the reading a raw heatmap can't give (a loud Monday in a loud
+    month is NOT a signal). The chi-square entry tests the whole
+    table; this returns the per-cell ratios a planner acts on.
+    Weekday numbering normalized via the shared DATE cast (DuckDB
+    Sun=0, Spark Sun=1 — aligned by subtracting 1 on the Spark side).
+    One conditional aggregate, broadcast marginals."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias(
+            "dow0"
+        ),
+        F.month(F.col("o_orderdate").cast("date")).alias("mon"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    cell = o.groupBy("dow0", "mon").agg(F.sum("rev").alias("r"))
+    rt = cell.groupBy("dow0").agg(F.sum("r").alias("rr"))
+    ct = cell.groupBy("mon").agg(F.sum("r").alias("cc"))
+    t = cell.agg(F.sum("r").alias("tot"))
+    return (
+        cell.join(F.broadcast(rt), "dow0")
+        .join(F.broadcast(ct), "mon")
+        .join(F.broadcast(t))
+        .select(
+            F.col("dow0").cast("long").alias("dow"),
+            F.col("mon").cast("long").alias("mon"),
+            F.round(F.col("r"), 2).alias("revenue"),
+            F.round(
+                F.col("r")
+                / (F.col("rr") * F.col("cc") / F.col("tot")),
+                4,
+            ).alias("uplift"),
+        )
+        .orderBy("dow", "mon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 164: importance-weight effective sample size
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_importance_ess",
+    f"""
+    WITH dsir AS (
+      WITH toks AS (SELECT doc_id, source, {_WORDS} AS w FROM documents),
+      grams AS (SELECT doc_id, source,
+                       list_transform(range(1, len(w)),
+                                      i -> concat(w[i], ' ', w[i + 1])) AS gs
+                FROM toks WHERE len(w) >= 2),
+      feats AS (SELECT doc_id, source,
+                       {_H64.format(expr="unnest(gs)")} % 1024 AS bucket
+                FROM grams),
+      raw_c AS (SELECT bucket, count(*) AS c_raw FROM feats
+                WHERE source <> '{_DECON_BENCH}' GROUP BY bucket),
+      tgt_c AS (SELECT bucket, count(*) AS c_tgt FROM feats
+                WHERE source = '{_DECON_BENCH}' GROUP BY bucket),
+      n_r AS (SELECT sum(c_raw) AS n_raw FROM raw_c),
+      n_t AS (SELECT sum(c_tgt) AS n_tgt FROM tgt_c),
+      model AS (
+        SELECT coalesce(raw_c.bucket, tgt_c.bucket) AS bucket,
+               ln(((coalesce(c_tgt, 0) + 1.0) / (n_tgt + 1.0 * 1024))
+                  / ((coalesce(c_raw, 0) + 1.0) / (n_raw + 1.0 * 1024)))
+                 AS lr
+        FROM raw_c FULL OUTER JOIN tgt_c
+          ON raw_c.bucket = tgt_c.bucket, n_r, n_t),
+      sc AS (SELECT f.doc_id, round(sum(lr), 6) AS lw
+             FROM feats f JOIN model USING (bucket)
+             WHERE f.source <> '{_DECON_BENCH}'
+             GROUP BY f.doc_id)
+      SELECT d.doc_id, d.source, coalesce(sc.lw, 0.0) AS lw
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      WHERE d.source <> '{_DECON_BENCH}'),
+    mx AS (SELECT source, max(lw) AS mlw FROM dsir GROUP BY source),
+    w AS (SELECT dsir.source, exp(lw - mlw) AS w
+          FROM dsir JOIN mx ON dsir.source = mx.source)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(pow(sum(w), 2) / sum(w * w), 4) AS ess,
+           round(pow(sum(w), 2) / sum(w * w) / count(*), 6) AS ess_frac,
+           round(max(w) / sum(w), 6) AS top_weight_share
+    FROM w GROUP BY source ORDER BY source
+    """,
+)
+def corpus_importance_ess(spark, sf_dir):
+    """Effective sample size of the DSIR importance weights, per
+    source: ESS = (sum w)^2 / sum w^2 with per-source max-log-shift
+    normalization (the softmax overflow discipline) — the diagnostic
+    that tells a curator whether importance resampling will actually
+    work (ESS/n near 1: weights are flat, reweighting is a no-op; ESS
+    tiny or one document holding most of the weight mass: the target
+    is matched by a handful of docs and resampling collapses onto
+    them). Composes the SAME hashed-bigram log-ratio model
+    corpus_dsir_weights pins; everything after the per-doc log-weight
+    is two bounded per-source aggregates."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        dsir_importance,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != _DECON_BENCH)
+    target = docs.filter(F.col("source") == _DECON_BENCH)
+    sc = dsir_importance(corpus, target).select(
+        "doc_id", F.coalesce("dsir_logweight", F.lit(0.0)).alias("lw")
+    )
+    d = corpus.select("doc_id", "source").join(sc, "doc_id")
+    mx = d.groupBy("source").agg(F.max("lw").alias("mlw"))
+    w = d.join(F.broadcast(mx), "source").select(
+        "source", F.exp(F.col("lw") - F.col("mlw")).alias("w")
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.pow(F.sum("w"), 2) / F.sum(F.col("w") * F.col("w")),
+                4,
+            ).alias("ess"),
+            F.round(
+                F.pow(F.sum("w"), 2)
+                / F.sum(F.col("w") * F.col("w"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("ess_frac"),
+            F.round(F.max("w") / F.sum("w"), 6).alias(
+                "top_weight_share"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "ess",
+            "ess_frac",
+            "top_weight_share",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -256,6 +256,10 @@ def test_gate_window_covers_every_family():
         "embedding_matryoshka_truncation",
         # wave 162: haversine nearest-warehouse assignment
         "scalar_haversine_assignment",
+        # wave 163: day-of-week x month revenue uplift matrix
+        "orders_dow_month_uplift",
+        # wave 164: DSIR importance-weight effective sample size
+        "corpus_importance_ess",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
