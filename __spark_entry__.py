@@ -18805,6 +18805,372 @@ def corpus_importance_ess(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 165: two-hop reach profile (friend-of-friend)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "graph_two_hop_reach",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem WHERE year(l_shipdate) = 1995),
+    e0 AS (SELECT a.pk AS u, b.pk AS v FROM li a
+           JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    two AS (SELECT e1.u AS node, e2.v AS w
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+            WHERE e2.v <> e1.u
+            GROUP BY e1.u, e2.v),
+    deg AS (SELECT u AS node, count(*) AS deg1 FROM e GROUP BY u),
+    reach AS (SELECT two.node,
+                     count(*) AS n2_incl,
+                     any_value(deg.deg1) AS deg1
+              FROM two JOIN deg USING (node) GROUP BY two.node),
+    prof AS (SELECT node, deg1,
+                    n2_incl - deg1 AS reach2
+             FROM reach),
+    b AS (SELECT least(9, CAST(floor(reach2 / 50.0) AS BIGINT)) AS bin,
+                 reach2, deg1
+          FROM prof)
+    SELECT CAST(bin AS BIGINT) AS reach_bin,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(reach2) AS BIGINT) AS min_reach2,
+           CAST(max(reach2) AS BIGINT) AS max_reach2,
+           round(avg(CAST(reach2 AS DOUBLE) / deg1), 4)
+             AS mean_expansion
+    FROM b GROUP BY bin ORDER BY reach_bin
+    """,
+)
+def graph_two_hop_reach(spark, sf_dir):
+    """Two-hop reach profile of the 1995 part-co-order graph: for each
+    node, the number of DISTINCT nodes exactly-or-within two hops
+    (minus its direct neighbors — the pure friend-of-friend frontier),
+    histogrammed, with the mean expansion ratio reach2/deg per bucket
+    — the growth-rate fingerprint that separates an expander-like
+    graph (ratio >> 1, gossip spreads fast) from a clustered one
+    (ratio ~ 1, triangles eat the frontier; cross-reads
+    graph_clustering_coefficient). The wedge join is the SAME bounded
+    e1.v = e2.u equi-join shape as the triangle machinery with
+    DISTINCT endpoints per node — never all-pairs; set semantics make
+    the count exact. Reach2 counts 2-hop-reachable nodes that may also
+    be direct neighbors (frontier overlap retained on both engines
+    identically)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.lit(1).alias("_one"))
+        .select("u", "v")
+    )
+    e = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    two = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .where(F.col("e2.v") != F.col("e1.u"))
+        .groupBy(F.col("e1.u").alias("node"), F.col("e2.v").alias("w"))
+        .agg(F.lit(1).alias("_one"))
+        .select("node", "w")
+    )
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg1")
+    )
+    reach = (
+        two.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n2_incl"))
+        .join(deg, "node")
+        .select(
+            "node",
+            "deg1",
+            (F.col("n2_incl") - F.col("deg1")).alias("reach2"),
+        )
+    )
+    bb = reach.select(
+        F.least(
+            F.lit(9), F.floor(F.col("reach2") / 50.0)
+        ).alias("bin"),
+        "reach2",
+        "deg1",
+    )
+    return (
+        bb.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("reach2").alias("min_reach2"),
+            F.max("reach2").alias("max_reach2"),
+            F.round(
+                F.avg(F.col("reach2").cast("double") / F.col("deg1")), 4
+            ).alias("mean_expansion"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("reach_bin"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("min_reach2").cast("long").alias("min_reach2"),
+            F.col("max_reach2").cast("long").alias("max_reach2"),
+            "mean_expansion",
+        )
+        .orderBy("reach_bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 166: two-proportion power analysis (MDE + required n)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_power_analysis",
+    """
+    WITH s AS (SELECT
+                 CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) AS p0,
+                 count(*) AS n
+               FROM lineitem),
+    mde AS (SELECT unnest([0.001, 0.002, 0.005, 0.01]) AS delta),
+    calc AS (SELECT delta, p0, n,
+               2.0 * pow(1.959964 + 0.841621, 2)
+                 * (p0 * (1 - p0) + (p0 + delta) * (1 - p0 - delta)) / 2.0
+                 / (delta * delta) AS n_required
+             FROM mde CROSS JOIN s)
+    SELECT round(delta, 3) AS mde_abs,
+           round(p0, 6) AS baseline_rate,
+           CAST(ceil(n_required) AS BIGINT) AS n_required_per_arm,
+           CAST(n AS BIGINT) AS n_available,
+           n >= 2 * n_required AS powered_today
+    FROM calc ORDER BY mde_abs
+    """,
+)
+def agg_power_analysis(spark, sf_dir):
+    """Two-proportion power analysis at 80% power / 5% two-sided
+    alpha: for a grid of minimum detectable effects on the observed
+    return rate, the required per-arm sample size n = 2(z_a + z_b)^2 *
+    p-bar(1-p-bar)/delta^2 and whether TODAY'S data volume could power
+    the test — the experiment-design primitive that belongs in front
+    of agg_two_proportion_ztest (run the test only when this row says
+    you can). The baseline rate is one conditional aggregate; the MDE
+    grid is a 4-literal broadcast; everything else is scalar closed
+    form (z constants inlined, same literals both engines)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = l.agg(
+        (
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("p0"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mde = spark.createDataFrame(
+        [(0.001,), (0.002,), (0.005,), (0.01,)], "delta double"
+    )
+    p0, delta = F.col("p0"), F.col("delta")
+    n_req = (
+        F.lit(2.0)
+        * F.pow(F.lit(1.959964 + 0.841621), 2)
+        * (p0 * (1 - p0) + (p0 + delta) * (1 - p0 - delta))
+        / 2.0
+        / (delta * delta)
+    )
+    return (
+        F.broadcast(mde)
+        .join(F.broadcast(s))
+        .select(
+            F.round(delta, 3).alias("mde_abs"),
+            F.round(p0, 6).alias("baseline_rate"),
+            F.ceil(n_req).cast("long").alias("n_required_per_arm"),
+            F.col("n").cast("long").alias("n_available"),
+            (F.col("n") >= 2 * n_req).alias("powered_today"),
+        )
+        .orderBy("mde_abs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 167: turning-points randomness test
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_turning_points_test",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+               FROM events GROUP BY 1),
+    l AS (SELECT CAST(cnt AS DOUBLE) AS x,
+                 lag(cnt) OVER (ORDER BY day) AS p,
+                 lead(cnt) OVER (ORDER BY day) AS nx
+          FROM d),
+    t AS (SELECT count(*) AS n,
+                 sum(CASE WHEN p IS NOT NULL AND nx IS NOT NULL
+                          AND (x - p) * (nx - x) < 0
+                          THEN 1 ELSE 0 END) AS tp
+          FROM l),
+    z AS (SELECT n, tp,
+                 2.0 * (n - 2) / 3.0 AS mu,
+                 sqrt((16.0 * n - 29.0) / 90.0) AS sigma
+          FROM t)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(tp AS BIGINT) AS n_turning_points,
+           round(mu, 2) AS expected,
+           round((tp - mu) / sigma, 4) AS zscore,
+           abs((tp - mu) / sigma) > 1.96 AS reject_randomness
+    FROM z
+    """,
+)
+def events_turning_points_test(spark, sf_dir):
+    """Turning-points test of the daily event-count series: count
+    strict local extrema ((x_t - x_(t-1))(x_(t+1) - x_t) < 0; an iid
+    series has E[T] = 2(n-2)/3 exactly, Var = (16n-29)/90), z-scored —
+    the randomness screen that catches SMOOTHNESS (too few turning
+    points = trend/autocorrelation) where the runs test catches
+    level-asymmetry; third member of the randomness family with
+    agg_runs_test_randomness and events_pacf. Equal-neighbor ties
+    yield a zero product and are non-turning on both engines. One
+    bounded daily collapse, one lag/lead window, scalar closed form."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("day")
+    l = d.select(
+        F.col("cnt").cast("double").alias("x"),
+        F.lag("cnt").over(w).alias("p"),
+        F.lead("cnt").over(w).alias("nx"),
+    )
+    t = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("p").isNotNull()
+                & F.col("nx").isNotNull()
+                & (
+                    (F.col("x") - F.col("p"))
+                    * (F.col("nx") - F.col("x"))
+                    < 0
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("tp"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.lit(2.0) * (n - 2) / 3.0
+    sigma = F.sqrt((F.lit(16.0) * n - 29.0) / 90.0)
+    z = (F.col("tp") - mu) / sigma
+    return t.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("tp").cast("long").alias("n_turning_points"),
+        F.round(mu, 2).alias("expected"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > 1.96).alias("reject_randomness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 168: month-over-month GMV growth decomposition
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_gmv_decomposition",
+    """
+    WITH m AS (SELECT year(CAST(o_orderdate AS DATE)) * 100
+                      + month(CAST(o_orderdate AS DATE)) AS yyyymm,
+                      CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)
+                        AS rev_c,
+                      count(*) AS n
+               FROM orders GROUP BY 1),
+    l AS (SELECT yyyymm, rev_c, n,
+                 rev_c / CAST(n AS DOUBLE) AS aov_c,
+                 lag(rev_c) OVER (ORDER BY yyyymm) AS prev_c,
+                 lag(n) OVER (ORDER BY yyyymm) AS pn,
+                 lag(rev_c / CAST(n AS DOUBLE))
+                   OVER (ORDER BY yyyymm) AS paov_c
+          FROM m)
+    SELECT CAST(yyyymm AS BIGINT) AS yyyymm,
+           rev_c / 100.0 AS revenue,
+           (rev_c - prev_c) / 100.0 AS delta_rev,
+           CAST(floor((n - pn) * paov_c + 0.5) AS BIGINT) / 100.0
+             AS volume_effect,
+           CAST(floor(pn * (aov_c - paov_c) + 0.5) AS BIGINT) / 100.0
+             AS aov_effect,
+           CAST(floor((n - pn) * (aov_c - paov_c) + 0.5) AS BIGINT)
+             / 100.0 AS mix_effect
+    FROM l WHERE prev_c IS NOT NULL
+    ORDER BY yyyymm
+    """,
+)
+def orders_gmv_decomposition(spark, sf_dir):
+    """Month-over-month GMV growth accounting: delta revenue split
+    EXACTLY into a volume effect (order-count change at last month's
+    AOV), an AOV effect (price change at last month's volume), and
+    the interaction term — delta = dN*AOV0 + N0*dAOV + dN*dAOV holds
+    as an identity, so the three columns always reconcile to
+    delta_rev (the property the invariant test pins). The 'did we
+    grow because of MORE orders or BIGGER orders' decomposition every
+    revenue review starts with. One scan to the bounded monthly
+    domain, one lag window, arithmetic after."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 100
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).alias("yyyymm")
+    ).agg(
+        F.round(F.sum("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("rev_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("yyyymm")
+    aov_c = F.col("rev_c") / F.col("n").cast("double")
+    l = m.select(
+        "yyyymm",
+        "rev_c",
+        "n",
+        aov_c.alias("aov_c"),
+        F.lag("rev_c").over(w).alias("prev_c"),
+        F.lag("n").over(w).alias("pn"),
+        F.lag(aov_c).over(w).alias("paov_c"),
+    ).filter(F.col("prev_c").isNotNull())
+    return l.select(
+        F.col("yyyymm").cast("long").alias("yyyymm"),
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        ((F.col("rev_c") - F.col("prev_c")) / 100.0).alias("delta_rev"),
+        (
+            F.floor(
+                (F.col("n") - F.col("pn")) * F.col("paov_c") + 0.5
+            ).cast("long")
+            / 100.0
+        ).alias("volume_effect"),
+        (
+            F.floor(
+                F.col("pn") * (F.col("aov_c") - F.col("paov_c")) + 0.5
+            ).cast("long")
+            / 100.0
+        ).alias("aov_effect"),
+        (
+            F.floor(
+                (F.col("n") - F.col("pn"))
+                * (F.col("aov_c") - F.col("paov_c"))
+                + 0.5
+            ).cast("long")
+            / 100.0
+        ).alias("mix_effect"),
+    ).orderBy("yyyymm")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

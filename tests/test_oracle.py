@@ -260,6 +260,14 @@ def test_gate_window_covers_every_family():
         "orders_dow_month_uplift",
         # wave 164: DSIR importance-weight effective sample size
         "corpus_importance_ess",
+        # wave 165: two-hop reach profile (friend-of-friend)
+        "graph_two_hop_reach",
+        # wave 166: two-proportion power analysis (MDE + required n)
+        "agg_power_analysis",
+        # wave 167: turning-points randomness test
+        "events_turning_points_test",
+        # wave 168: MoM GMV growth decomposition (integer cents)
+        "orders_gmv_decomposition",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
