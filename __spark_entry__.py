@@ -19171,6 +19171,246 @@ def orders_gmv_decomposition(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 169: Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_mann_kendall_trend",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+               FROM events GROUP BY 1),
+    p AS (SELECT CASE WHEN b.cnt > a.cnt THEN 1
+                      WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sg
+          FROM d a JOIN d b ON a.day < b.day),
+    s AS (SELECT sum(sg) AS s FROM p),
+    n AS (SELECT count(*) AS n FROM d),
+    ties AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+               AS tie_term
+             FROM (SELECT count(*) AS t FROM d GROUP BY cnt
+                   HAVING count(*) > 1)),
+    v AS (SELECT s, n,
+                 (n * (n - 1.0) * (2 * n + 5) - tie_term) / 18.0
+                   AS var_s
+          FROM s CROSS JOIN n CROSS JOIN ties),
+    z AS (SELECT s, n, var_s,
+                 CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                      WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                      ELSE 0.0 END AS z
+          FROM v)
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s_stat,
+           round(z, 4) AS zscore,
+           CASE WHEN z > 1.96 THEN 'increasing'
+                WHEN z < -1.96 THEN 'decreasing'
+                ELSE 'no-trend' END AS trend
+    FROM z
+    """,
+)
+def events_mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall monotone-trend test on the daily event-count
+    series: S = sum of sign(x_j - x_i) over all day pairs i<j, tie-
+    corrected variance (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18 and the
+    continuity-corrected z — the nonparametric is-the-load-trending
+    test that pairs with agg_theil_sen_trend (Theil-Sen gives the
+    slope; MK gives its significance, the standard combo in
+    environmental/capacity monitoring). The pair join is over the
+    BOUNDED daily domain (days^2/2 integer sign comparisons, all
+    map-side), never raw events; the statistic is exact integer
+    arithmetic until the final z."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .select(
+            F.when(F.col("b.cnt") > F.col("a.cnt"), 1)
+            .when(F.col("b.cnt") < F.col("a.cnt"), -1)
+            .otherwise(0)
+            .alias("sg")
+        )
+        .agg(F.sum("sg").alias("s"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        d.groupBy("cnt")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    v = s.join(F.broadcast(n)).join(F.broadcast(ties))
+    nn = F.col("n").cast("double")
+    var_s = (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.round(z, 4).alias("zscore"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("no-trend")
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 170: binary-segmentation changepoints (depth 2)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_binary_segmentation",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS DOUBLE) AS x
+               FROM events GROUP BY 1),
+    ix AS (SELECT day, x,
+                  row_number() OVER (ORDER BY day) - 1 AS t
+           FROM d),
+    st AS (SELECT count(*) AS n, avg(x) AS mu FROM ix),
+    c1 AS (SELECT t, day,
+                  abs(sum(x) OVER (ORDER BY t) - (t + 1) * st.mu) AS c,
+                  st.n
+           FROM ix CROSS JOIN st),
+    k1 AS (SELECT t AS kt, day AS kday, c FROM c1
+           WHERE t < n - 1
+           ORDER BY round(c, 6) DESC, t LIMIT 1),
+    seg AS (SELECT ix.day, ix.x, ix.t,
+                   CASE WHEN ix.t <= k1.kt THEN 'left'
+                        ELSE 'right' END AS seg
+            FROM ix CROSS JOIN k1),
+    sst AS (SELECT seg, count(*) AS sn, avg(x) AS smu
+            FROM seg GROUP BY seg),
+    sidx AS (SELECT seg.seg, seg.day, seg.x,
+                    row_number() OVER (PARTITION BY seg.seg
+                                       ORDER BY seg.t) - 1 AS u
+             FROM seg),
+    c2 AS (SELECT s.seg, s.day, s.u, sst.sn,
+                  abs(sum(s.x) OVER (PARTITION BY s.seg ORDER BY s.u)
+                      - (s.u + 1) * sst.smu) AS c
+           FROM sidx s JOIN sst ON s.seg = sst.seg),
+    k2 AS (SELECT seg, day, c FROM (
+             SELECT seg, day, c,
+                    row_number() OVER (PARTITION BY seg
+                      ORDER BY round(c, 6) DESC, u) AS rn
+             FROM c2 WHERE u < sn - 1) t
+           WHERE rn = 1)
+    SELECT * FROM (
+      SELECT 1 AS level, 'full' AS segment,
+             CAST(kday AS VARCHAR) AS split_day,
+             round(c, 4) AS cusum_stat
+      FROM k1
+      UNION ALL
+      SELECT 2, seg, CAST(day AS VARCHAR), round(c, 4) FROM k2)
+    ORDER BY level, segment
+    """,
+)
+def events_binary_segmentation(spark, sf_dir):
+    """Depth-2 binary segmentation of the daily event-count series:
+    the level-1 changepoint maximizes the CUSUM deviation
+    |prefix_sum - (t+1)*mean| over the whole series, then each half is
+    re-segmented against its OWN mean — the classic recursive
+    changepoint scheme (Scott & Knott) that finds a change HIERARCHY
+    where events_cusum_changepoint stops at one shift. Argmaxes
+    compare ROUNDED-to-6 statistics with index tie-break, so the
+    recursion path is ulp-stable across engines (the mRMR greedy
+    discipline). All three levels are windows over the bounded daily
+    domain; the level-1 cut rides a broadcast one-row frame into the
+    segment pass."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    wt = Window.orderBy("day")
+    ix = d.select(
+        "day", "x", (F.row_number().over(wt) - 1).alias("t")
+    )
+    st = ix.agg(F.count(F.lit(1)).alias("n"), F.avg("x").alias("mu"))
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c1 = ix.join(F.broadcast(st)).select(
+        "t",
+        "day",
+        F.abs(
+            F.sum("x").over(wcum) - (F.col("t") + 1) * F.col("mu")
+        ).alias("c"),
+        "n",
+    )
+    k1 = (
+        c1.filter(F.col("t") < F.col("n") - 1)
+        .orderBy(F.round(F.col("c"), 6).desc(), "t")
+        .limit(1)
+        .select(
+            F.col("t").alias("kt"),
+            F.col("day").alias("kday"),
+            F.col("c").alias("kc"),
+        )
+    )
+    seg = ix.join(F.broadcast(k1)).select(
+        "day",
+        "x",
+        "t",
+        F.when(F.col("t") <= F.col("kt"), "left")
+        .otherwise("right")
+        .alias("seg"),
+    )
+    sst = seg.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("sn"), F.avg("x").alias("smu")
+    )
+    wu = Window.partitionBy("seg").orderBy("t")
+    sidx = seg.select(
+        "seg", "day", "x", (F.row_number().over(wu) - 1).alias("u")
+    )
+    wcum2 = Window.partitionBy("seg").orderBy("u").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c2 = sidx.join(F.broadcast(sst), "seg").select(
+        "seg",
+        "day",
+        "u",
+        "sn",
+        F.abs(
+            F.sum("x").over(wcum2) - (F.col("u") + 1) * F.col("smu")
+        ).alias("c"),
+    )
+    wr = Window.partitionBy("seg").orderBy(
+        F.round(F.col("c"), 6).desc(), "u"
+    )
+    k2 = (
+        c2.filter(F.col("u") < F.col("sn") - 1)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("seg", "day", "c")
+    )
+    top = k1.select(
+        F.lit(1).alias("level"),
+        F.lit("full").alias("segment"),
+        F.col("kday").cast("string").alias("split_day"),
+        F.round(F.col("kc"), 4).alias("cusum_stat"),
+    )
+    lower = k2.select(
+        F.lit(2).alias("level"),
+        F.col("seg").alias("segment"),
+        F.col("day").cast("string").alias("split_day"),
+        F.round(F.col("c"), 4).alias("cusum_stat"),
+    )
+    return top.unionAll(lower).orderBy("level", "segment")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

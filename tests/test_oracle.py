@@ -268,6 +268,10 @@ def test_gate_window_covers_every_family():
         "events_turning_points_test",
         # wave 168: MoM GMV growth decomposition (integer cents)
         "orders_gmv_decomposition",
+        # wave 169: Mann-Kendall monotone trend test
+        "events_mann_kendall_trend",
+        # wave 170: depth-2 binary-segmentation changepoints
+        "events_binary_segmentation",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
