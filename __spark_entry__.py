@@ -19411,6 +19411,216 @@ def events_binary_segmentation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 171: rich-club coefficient
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "graph_rich_club",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem WHERE year(l_shipdate) = 1995),
+    e AS (SELECT a.pk AS u, b.pk AS v FROM li a
+          JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY a.pk, b.pk),
+    deg AS (SELECT node, count(*) AS deg FROM
+              (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node),
+    kk AS (SELECT unnest([10, 20, 40]) AS k),
+    club AS (SELECT kk.k, d.node FROM deg d CROSS JOIN kk
+             WHERE d.deg >= kk.k),
+    cn AS (SELECT k, count(*) AS nk FROM club GROUP BY k),
+    ce AS (SELECT c1.k, count(*) AS ek
+           FROM e JOIN club c1 ON e.u = c1.node
+                 JOIN club c2 ON e.v = c2.node AND c1.k = c2.k
+           GROUP BY c1.k),
+    tot AS (SELECT (SELECT count(*) FROM deg) AS n,
+                   (SELECT count(*) FROM e) AS m)
+    SELECT CAST(cn.k AS BIGINT) AS degree_min,
+           CAST(cn.nk AS BIGINT) AS club_size,
+           CAST(coalesce(ce.ek, 0) AS BIGINT) AS club_edges,
+           round(CASE WHEN cn.nk >= 2 THEN
+                   2.0 * coalesce(ce.ek, 0) / (cn.nk * (cn.nk - 1.0))
+                 END, 6) AS club_density,
+           round(2.0 * tot.m / (tot.n * (tot.n - 1.0)), 6)
+             AS graph_density,
+           round(CASE WHEN cn.nk >= 2 THEN
+                   (2.0 * coalesce(ce.ek, 0) / (cn.nk * (cn.nk - 1.0)))
+                   / (2.0 * tot.m / (tot.n * (tot.n - 1.0)))
+                 END, 4) AS rich_club_ratio
+    FROM cn LEFT JOIN ce ON cn.k = ce.k CROSS JOIN tot
+    ORDER BY degree_min
+    """,
+)
+def graph_rich_club(spark, sf_dir):
+    """Rich-club coefficient of the 1995 part-co-order graph at three
+    degree thresholds: the edge density among nodes of degree >= k,
+    normalized by the whole graph's density — ratio >> 1 means hubs
+    preferentially interconnect (a rich club), the structural property
+    behind 'popular parts co-sell with OTHER popular parts' and, in
+    infrastructure graphs, cascading-hub-failure risk. Clubs are
+    degree-table filters (bounded); club edges come from two equi-
+    joins of the edge list against the club membership — never a
+    pairwise enumeration."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.lit(1).alias("_one"))
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    kk = spark.createDataFrame([(10,), (20,), (40,)], "k int")
+    club = deg.join(F.broadcast(kk)).filter(
+        F.col("deg") >= F.col("k")
+    ).select("k", "node")
+    cn = club.groupBy("k").agg(F.count(F.lit(1)).alias("nk"))
+    c1, c2 = club.alias("c1"), club.alias("c2")
+    ce = (
+        e.join(c1, e.u == F.col("c1.node"))
+        .join(
+            c2,
+            (e.v == F.col("c2.node")) & (F.col("c1.k") == F.col("c2.k")),
+        )
+        .groupBy(F.col("c1.k").alias("k"))
+        .agg(F.count(F.lit(1)).alias("ek"))
+    )
+    tot = deg.agg(F.count(F.lit(1)).alias("n")).join(
+        e.agg(F.count(F.lit(1)).alias("m"))
+    )
+    club_density = F.when(
+        F.col("nk") >= 2,
+        F.lit(2.0)
+        * F.coalesce(F.col("ek"), F.lit(0))
+        / (F.col("nk") * (F.col("nk") - F.lit(1.0))),
+    )
+    graph_density = (
+        F.lit(2.0) * F.col("m") / (F.col("n") * (F.col("n") - F.lit(1.0)))
+    )
+    return (
+        cn.join(ce, "k", "left")
+        .join(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("degree_min"),
+            F.col("nk").cast("long").alias("club_size"),
+            F.coalesce(F.col("ek"), F.lit(0))
+            .cast("long")
+            .alias("club_edges"),
+            F.round(club_density, 6).alias("club_density"),
+            F.round(graph_density, 6).alias("graph_density"),
+            F.round(club_density / graph_density, 4).alias(
+                "rich_club_ratio"
+            ),
+        )
+        .orderBy("degree_min")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 172: item-item cosine similarity (co-purchase CF)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_item_item_cosine",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem WHERE year(l_shipdate) = 1995),
+    deg AS (SELECT pk, count(*) AS n_orders FROM li GROUP BY pk),
+    co AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS co_cnt
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2),
+    sim AS (SELECT pa, pb, co_cnt,
+                   round(co_cnt / sqrt(da.n_orders
+                                       * CAST(db.n_orders AS DOUBLE)),
+                         6) AS cosine
+            FROM co JOIN deg da ON co.pa = da.pk
+                    JOIN deg db ON co.pb = db.pk
+            WHERE co_cnt >= 2)
+    SELECT pa AS part_a, pb AS part_b,
+           CAST(co_cnt AS BIGINT) AS co_orders, cosine
+    FROM sim
+    ORDER BY cosine DESC, part_a, part_b LIMIT 25
+    """,
+)
+def join_item_item_cosine(spark, sf_dir):
+    """Item-item collaborative-filtering similarity: cosine over the
+    binary part-order incidence (co_count / sqrt(n_a * n_b)), top-25
+    strongest pairs with at least 2 co-orders — the normalized
+    'customers who bought X also bought Y' that corrects
+    join_market_basket_rules' raw-lift bias toward rare pairs. The
+    co-occurrence join is the order-key equi-join over the DISTINCT
+    incidence list (bounded per-order fan-out), degrees broadcast in;
+    the top-25 cut is a TakeOrdered on the ROUNDED cosine with full
+    key tie-break (ulp-stable)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1995)
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    deg = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_orders"))
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .filter(F.col("co_cnt") >= 2)
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    sim = (
+        co.join(da, co.pa == F.col("da.pk"))
+        .join(db, co.pb == F.col("db.pk"))
+        .select(
+            "pa",
+            "pb",
+            "co_cnt",
+            F.round(
+                F.col("co_cnt")
+                / F.sqrt(
+                    F.col("da.n_orders")
+                    * F.col("db.n_orders").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return (
+        sim.orderBy(F.col("cosine").desc(), "pa", "pb")
+        .limit(25)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("co_cnt").cast("long").alias("co_orders"),
+            "cosine",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

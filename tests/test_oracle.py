@@ -272,6 +272,10 @@ def test_gate_window_covers_every_family():
         "events_mann_kendall_trend",
         # wave 170: depth-2 binary-segmentation changepoints
         "events_binary_segmentation",
+        # wave 171: rich-club coefficient at three degree thresholds
+        "graph_rich_club",
+        # wave 172: item-item cosine co-purchase similarity
+        "join_item_item_cosine",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
