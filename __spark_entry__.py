@@ -19621,6 +19621,253 @@ def join_item_item_cosine(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 173: event-mix entropy trend
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_mix_entropy_trend",
+    """
+    WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT day, sum(n) AS tot FROM c GROUP BY day),
+    h AS (SELECT c.day,
+                 -sum((n / CAST(tot AS DOUBLE))
+                      * ln(n / CAST(tot AS DOUBLE))) AS ent
+          FROM c JOIN t USING (day) GROUP BY c.day),
+    ix AS (SELECT ent,
+                  CAST(day - (SELECT min(day) FROM h) AS DOUBLE) AS x
+           FROM h),
+    fit AS (SELECT count(*) AS n, avg(ent) AS mean_ent,
+                   regr_slope(ent, x) AS slope,
+                   corr(ent, x) AS r
+            FROM ix)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(mean_ent, 4) AS mean_entropy,
+           round(slope * 365.0, 6) AS slope_per_year,
+           round(r, 4) AS corr_with_time,
+           abs(r) * sqrt((n - 2) / (1.0 - r * r)) > 1.96
+             AS trend_significant
+    FROM fit
+    """,
+)
+def events_mix_entropy_trend(spark, sf_dir):
+    """Is the event-type mix diversifying or concentrating over time?
+    Shannon entropy of each day's type distribution, then the OLS
+    slope of entropy against time (annualized) with the t-test on the
+    correlation — the workload-diversity drift monitor (a falling
+    entropy says one event type is taking over; rising says the mix is
+    spreading — both change capacity and alerting assumptions before
+    any single volume threshold fires). Two bounded hash aggregates to
+    the per-day entropy table, one regression aggregate after."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("day").agg(F.sum("n").alias("tot"))
+    h = (
+        c.join(t, "day")
+        .groupBy("day")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("n") / F.col("tot").cast("double"))
+                    * F.log(F.col("n") / F.col("tot").cast("double"))
+                )
+            ).alias("ent")
+        )
+    )
+    m0 = h.agg(F.min("day").alias("d0"))
+    ix = h.join(F.broadcast(m0)).select(
+        "ent",
+        F.datediff(F.col("day"), F.col("d0")).cast("double").alias("x"),
+    )
+    fit = ix.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("ent").alias("mean_ent"),
+        F.regr_slope("ent", "x").alias("slope"),
+        F.corr("ent", "x").alias("r"),
+    )
+    r, n = F.col("r"), F.col("n").cast("double")
+    tstat = F.abs(r) * F.sqrt((n - 2) / (F.lit(1.0) - r * r))
+    return fit.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("mean_ent"), 4).alias("mean_entropy"),
+        F.round(F.col("slope") * 365.0, 6).alias("slope_per_year"),
+        F.round(r, 4).alias("corr_with_time"),
+        (tstat > 1.96).alias("trend_significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 174: Donchian channel breakout profile
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_donchian_breakouts",
+    """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)
+                        AS rev_c
+               FROM orders GROUP BY 1),
+    ch AS (SELECT day, rev_c,
+                  max(rev_c) OVER (ORDER BY day
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS hi20,
+                  min(rev_c) OVER (ORDER BY day
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS lo20,
+                  row_number() OVER (ORDER BY day) AS rn
+           FROM d),
+    f AS (SELECT year(day) AS yr,
+                 CASE WHEN rev_c > hi20 THEN 1 ELSE 0 END AS up,
+                 CASE WHEN rev_c < lo20 THEN 1 ELSE 0 END AS dn
+          FROM ch WHERE rn > 20)
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(up) AS BIGINT) AS upside_breakouts,
+           CAST(sum(dn) AS BIGINT) AS downside_breakouts,
+           round(CAST(sum(up) + sum(dn) AS DOUBLE) / count(*), 4)
+             AS breakout_rate
+    FROM f GROUP BY yr ORDER BY yr
+    """,
+)
+def window_donchian_breakouts(spark, sf_dir):
+    """Donchian channel breakout profile of daily revenue: days where
+    revenue exceeds the trailing 20-day high (or undercuts the low),
+    counted per year — the channel-breakout regime detector that
+    completes the technical family (Bollinger = variance envelope, RSI
+    = momentum, drawdown = path risk; Donchian = range expansion, the
+    volatility-regime trigger turtle systems used). Revenue is
+    integer cents (the money discipline) so channel comparisons are
+    exact integer predicates; the trailing extremes are one 20-row
+    window over the bounded daily domain, warm-up excluded
+    identically on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("day").rowsBetween(-20, -1)
+    wr = Window.orderBy("day")
+    ch = d.select(
+        "day",
+        "rev_c",
+        F.max("rev_c").over(w).alias("hi20"),
+        F.min("rev_c").over(w).alias("lo20"),
+        F.row_number().over(wr).alias("rn"),
+    ).filter(F.col("rn") > 20)
+    f = ch.select(
+        F.year("day").alias("yr"),
+        F.when(F.col("rev_c") > F.col("hi20"), 1).otherwise(0).alias("up"),
+        F.when(F.col("rev_c") < F.col("lo20"), 1).otherwise(0).alias("dn"),
+    )
+    return (
+        f.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("up").alias("upside_breakouts"),
+            F.sum("dn").alias("downside_breakouts"),
+            F.round(
+                (F.sum("up") + F.sum("dn")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("breakout_rate"),
+        )
+        .select(
+            F.col("yr").cast("long").alias("yr"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("upside_breakouts").cast("long").alias(
+                "upside_breakouts"
+            ),
+            F.col("downside_breakouts").cast("long").alias(
+                "downside_breakouts"
+            ),
+            "breakout_rate",
+        )
+        .orderBy("yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 175: Jarque-Bera normality test from explicit moments
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_jarque_bera",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+               FROM events GROUP BY 1),
+    x AS (SELECT CAST(cnt AS DOUBLE) AS v FROM d),
+    m AS (SELECT count(*) AS n, avg(v) AS mu,
+                 sum(v * v) / count(*) AS m2r
+          FROM x),
+    c AS (SELECT n,
+                 sum(pow(v - mu, 2)) / n AS m2,
+                 sum(pow(v - mu, 3)) / n AS m3,
+                 sum(pow(v - mu, 4)) / n AS m4
+          FROM x CROSS JOIN m GROUP BY n),
+    jb AS (SELECT n,
+                  m3 / pow(m2, 1.5) AS skew,
+                  m4 / (m2 * m2) - 3.0 AS exkurt
+           FROM c)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(skew, 4) AS skewness,
+           round(exkurt, 4) AS excess_kurtosis,
+           round(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0), 4)
+             AS jb_stat,
+           n / 6.0 * (skew * skew + exkurt * exkurt / 4.0) > 5.991
+             AS reject_normal
+    FROM jb
+    """,
+)
+def agg_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test on daily event counts: JB = n/6 *
+    (S^2 + K^2/4) from skewness and excess kurtosis, rejected against
+    the df=2 chi-square 0.05 critical value 5.991 — the
+    moments-based normality omnibus (cheap, asymptotic) next to
+    Anderson-Darling (tail-weighted, exact-CDF) in the normality
+    family; its decomposition TELLS you which moment failed. Built
+    from EXPLICIT central moments on both engines (never the built-in
+    skewness/kurtosis aggregates, whose sample-correction conventions
+    differ between engines) — one bounded daily collapse, one moment
+    aggregate against the broadcast mean."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    x = d.select(F.col("cnt").cast("double").alias("v"))
+    m = x.agg(F.count(F.lit(1)).alias("n"), F.avg("v").alias("mu"))
+    c = (
+        x.join(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            (F.sum(F.pow(F.col("v") - F.col("mu"), 2)) / F.col("n")).alias(
+                "m2"
+            ),
+            (F.sum(F.pow(F.col("v") - F.col("mu"), 3)) / F.col("n")).alias(
+                "m3"
+            ),
+            (F.sum(F.pow(F.col("v") - F.col("mu"), 4)) / F.col("n")).alias(
+                "m4"
+            ),
+        )
+    )
+    skew = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    exkurt = F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0
+    jb = F.col("n") / 6.0 * (skew * skew + exkurt * exkurt / 4.0)
+    return c.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(skew, 4).alias("skewness"),
+        F.round(exkurt, 4).alias("excess_kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        (jb > 5.991).alias("reject_normal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

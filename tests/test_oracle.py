@@ -276,6 +276,12 @@ def test_gate_window_covers_every_family():
         "graph_rich_club",
         # wave 172: item-item cosine co-purchase similarity
         "join_item_item_cosine",
+        # wave 173: event-mix entropy trend (diversity drift)
+        "events_mix_entropy_trend",
+        # wave 174: Donchian channel breakout profile
+        "window_donchian_breakouts",
+        # wave 175: Jarque-Bera normality from explicit moments
+        "agg_jarque_bera",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
