@@ -19426,7 +19426,7 @@ def events_binary_segmentation(spark, sf_dir):
     deg AS (SELECT node, count(*) AS deg FROM
               (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
             GROUP BY node),
-    kk AS (SELECT unnest([10, 20, 40]) AS k),
+    kk AS (SELECT unnest([2, 4, 8]) AS k),
     club AS (SELECT kk.k, d.node FROM deg d CROSS JOIN kk
              WHERE d.deg >= kk.k),
     cn AS (SELECT k, count(*) AS nk FROM club GROUP BY k),
@@ -19454,7 +19454,8 @@ def events_binary_segmentation(spark, sf_dir):
 )
 def graph_rich_club(spark, sf_dir):
     """Rich-club coefficient of the 1995 part-co-order graph at three
-    degree thresholds: the edge density among nodes of degree >= k,
+    degree thresholds (2/4/8 — chosen so every test SF has non-empty
+    clubs): the edge density among nodes of degree >= k,
     normalized by the whole graph's density — ratio >> 1 means hubs
     preferentially interconnect (a rich club), the structural property
     behind 'popular parts co-sell with OTHER popular parts' and, in
@@ -19487,7 +19488,7 @@ def graph_rich_club(spark, sf_dir):
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    kk = spark.createDataFrame([(10,), (20,), (40,)], "k int")
+    kk = spark.createDataFrame([(2,), (4,), (8,)], "k int")
     club = deg.join(F.broadcast(kk)).filter(
         F.col("deg") >= F.col("k")
     ).select("k", "node")
@@ -19553,7 +19554,7 @@ def graph_rich_club(spark, sf_dir):
                          6) AS cosine
             FROM co JOIN deg da ON co.pa = da.pk
                     JOIN deg db ON co.pb = db.pk
-            WHERE co_cnt >= 2)
+            WHERE co_cnt >= 1)
     SELECT pa AS part_a, pb AS part_b,
            CAST(co_cnt AS BIGINT) AS co_orders, cosine
     FROM sim
@@ -19588,7 +19589,7 @@ def join_item_item_cosine(spark, sf_dir):
         )
         .groupBy(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
         .agg(F.count(F.lit(1)).alias("co_cnt"))
-        .filter(F.col("co_cnt") >= 2)
+        .filter(F.col("co_cnt") >= 1)
     )
     da, db = deg.alias("da"), deg.alias("db")
     sim = (

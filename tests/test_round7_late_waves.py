@@ -339,3 +339,156 @@ def test_adjacent_cosine_histogram_bounds(spark, sf_smoke):
         assert 0 <= r.bin <= 9
         assert -1.0 - 1e-9 <= r.min_cos <= r.max_cos <= 1.0 + 1e-9
         assert r.min_cos - 1e-9 <= r.mean_cos <= r.max_cos + 1e-9
+
+
+def test_pacf_recursion_consistency(spark, sf_smoke):
+    r = QS["events_pacf"](spark, sf_smoke).collect()[0]
+    assert r.pacf1 == r.acf1  # phi_11 IS r1 by construction
+    for v in (r.acf1, r.acf2, r.acf3, r.pacf2, r.pacf3):
+        assert -1.0 - 1e-6 <= v <= 1.0 + 1e-6
+
+
+def test_burstiness_bounds(spark, sf_smoke):
+    rows = QS["events_burstiness_memory"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 < r.burstiness < 1.0
+        assert r.mean_gap_s > 0
+        if r.burstiness > 0.1:
+            assert r.regime == "bursty"
+        elif r.burstiness < -0.1:
+            assert r.regime == "regular"
+        else:
+            assert r.regime == "poisson-like"
+
+
+def test_conformal_coverage_near_nominal(spark, sf_smoke):
+    r = QS["agg_conformal_interval"](spark, sf_smoke).collect()[0]
+    assert r.qhat > 0
+    # finite-sample guarantee band (loose; evaluation is on fit half)
+    assert 0.80 <= r.empirical_coverage <= 1.0
+
+
+def test_matryoshka_full_dim_zero_error(spark, sf_smoke):
+    rows = QS["embedding_matryoshka_truncation"](spark, sf_smoke).collect()
+    byd = {r.dim: r for r in rows}
+    assert byd[64].mean_abs_err == 0.0  # 64-dim prefix IS the vector
+    assert byd[16].mean_abs_err >= byd[32].mean_abs_err - 1e-9
+
+
+def test_haversine_partition(spark, sf_smoke):
+    rows = QS["scalar_haversine_assignment"](spark, sf_smoke).collect()
+    total = sum(r.n_customers for r in rows)
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    n_cust = load_table(spark, sf_smoke, "customer").count()
+    assert total == n_cust  # every customer assigned exactly once
+    for r in rows:
+        assert 0 <= r.min_km <= r.mean_km <= r.max_km
+        # half Earth circumference bound
+        assert r.max_km <= 20038.0
+
+
+def test_uplift_weighted_mean_is_one(spark, sf_smoke):
+    rows = QS["orders_dow_month_uplift"](spark, sf_smoke).collect()
+    tot = sum(r.revenue for r in rows)
+    # sum of cell_rev equals sum of expected * uplift by construction;
+    # the revenue-weighted mean uplift is 1
+    wmean = sum(r.revenue / r.uplift for r in rows if r.uplift > 0)
+    assert abs(wmean - tot) / tot < 0.05
+
+
+def test_importance_ess_bounds(spark, sf_smoke):
+    rows = QS["corpus_importance_ess"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 <= r.ess <= r.n_docs + 1e-6
+        assert 0.0 < r.ess_frac <= 1.0 + 1e-6
+        assert 0.0 < r.top_weight_share <= 1.0
+
+
+def test_two_hop_reach_consistency(spark, sf_smoke):
+    rows = QS["graph_two_hop_reach"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.min_reach2 <= r.max_reach2
+        assert r.n_nodes > 0
+
+
+def test_power_analysis_monotone(spark, sf_smoke):
+    rows = QS["agg_power_analysis"](spark, sf_smoke).collect()
+    assert len(rows) == 4
+    ns = [r.n_required_per_arm for r in rows]
+    assert ns == sorted(ns, reverse=True)  # smaller MDE needs more n
+
+
+def test_turning_points_bounds(spark, sf_smoke):
+    r = QS["events_turning_points_test"](spark, sf_smoke).collect()[0]
+    assert 0 <= r.n_turning_points <= r.n_days - 2
+
+
+def test_gmv_decomposition_reconciles(spark, sf_smoke):
+    rows = QS["orders_gmv_decomposition"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        recon = r.volume_effect + r.aov_effect + r.mix_effect
+        assert abs(recon - r.delta_rev) < 0.05  # cents rounding only
+
+
+def test_mann_kendall_s_bounds(spark, sf_smoke):
+    r = QS["events_mann_kendall_trend"](spark, sf_smoke).collect()[0]
+    max_pairs = r.n_days * (r.n_days - 1) // 2
+    assert -max_pairs <= r.s_stat <= max_pairs
+
+
+def test_binary_segmentation_hierarchy(spark, sf_smoke):
+    rows = QS["events_binary_segmentation"](spark, sf_smoke).collect()
+    levels = sorted(r.level for r in rows)
+    assert levels[0] == 1
+    l1 = [r for r in rows if r.level == 1][0]
+    for r in rows:
+        if r.level == 2 and r.segment == "left":
+            assert r.split_day <= l1.split_day
+        if r.level == 2 and r.segment == "right":
+            assert r.split_day > l1.split_day
+
+
+def test_rich_club_ratio_sane(spark, sf_smoke):
+    rows = QS["graph_rich_club"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.club_size >= 0
+        if r.club_density is not None:
+            assert 0.0 <= r.club_density <= 1.0
+            max_edges = r.club_size * (r.club_size - 1) // 2
+            assert r.club_edges <= max_edges
+
+
+def test_item_item_cosine_bounds(spark, sf_smoke):
+    rows = QS["join_item_item_cosine"](spark, sf_smoke).collect()
+    assert rows
+    cs = [r.cosine for r in rows]
+    assert cs == sorted(cs, reverse=True)
+    for r in rows:
+        assert 0.0 < r.cosine <= 1.0
+        assert r.co_orders >= 1
+
+
+def test_mix_entropy_trend_bounds(spark, sf_smoke):
+    r = QS["events_mix_entropy_trend"](spark, sf_smoke).collect()[0]
+    assert r.mean_entropy >= 0
+    assert -1.0 <= r.corr_with_time <= 1.0
+
+
+def test_donchian_breakout_rate(spark, sf_smoke):
+    rows = QS["window_donchian_breakouts"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.upside_breakouts + r.downside_breakouts <= r.n_days
+        assert 0.0 <= r.breakout_rate <= 1.0
+
+
+def test_jarque_bera_nonnegative(spark, sf_smoke):
+    r = QS["agg_jarque_bera"](spark, sf_smoke).collect()[0]
+    assert r.jb_stat >= 0
+    assert r.excess_kurtosis >= -2.0  # kurtosis >= 1 for any dist
