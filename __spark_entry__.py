@@ -19869,6 +19869,274 @@ def agg_jarque_bera(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 176: Cohen's kappa between two tertile classifiers
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_cohens_kappa",
+    """
+    WITH per AS (SELECT l_orderkey, sum(l_quantity) AS qty
+                 FROM lineitem GROUP BY 1),
+    j AS (SELECT o.o_totalprice AS price, CAST(per.qty AS DOUBLE) AS qty
+          FROM per JOIN orders o ON per.l_orderkey = o.o_orderkey),
+    mm AS (SELECT min(price) AS p0, max(price) AS p1,
+                  min(qty) AS q0, max(qty) AS q1 FROM j),
+    cls AS (SELECT least(2, CAST(floor((price - p0) / (p1 - p0) * 3)
+                                 AS BIGINT)) AS a,
+                   least(2, CAST(floor((qty - q0) / (q1 - q0) * 3)
+                                 AS BIGINT)) AS b
+            FROM j CROSS JOIN mm),
+    cell AS (SELECT a, b, count(*) AS n FROM cls GROUP BY a, b),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cell),
+    po AS (SELECT sum(CASE WHEN a = b THEN n ELSE 0 END)
+                  / any_value(tot.nn) AS po
+           FROM cell CROSS JOIN tot),
+    marg AS (SELECT sum(ra.na * rb.nb)
+                    / (any_value(tot.nn) * any_value(tot.nn)) AS pe
+             FROM (SELECT a, sum(n) AS na FROM cell GROUP BY a) ra
+             JOIN (SELECT b, sum(n) AS nb FROM cell GROUP BY b) rb
+               ON ra.a = rb.b
+             CROSS JOIN tot)
+    SELECT CAST(tot.nn AS BIGINT) AS n,
+           round(po.po, 6) AS observed_agreement,
+           round(marg.pe, 6) AS expected_agreement,
+           round((po.po - marg.pe) / (1.0 - marg.pe), 4) AS kappa,
+           CASE WHEN (po.po - marg.pe) / (1.0 - marg.pe) > 0.6
+                THEN 'substantial'
+                WHEN (po.po - marg.pe) / (1.0 - marg.pe) > 0.2
+                THEN 'fair-to-moderate'
+                ELSE 'slight-or-less' END AS landis_koch
+    FROM po CROSS JOIN marg CROSS JOIN tot
+    """,
+)
+def agg_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa chance-corrected agreement between two tertile
+    'raters' of order size — the price-based class vs the quantity-
+    based class (kappa = (p_o - p_e)/(1 - p_e) with the Landis-Koch
+    verdict band) — the inter-annotator-agreement primitive every
+    labeling pipeline reports before trusting its labels, exercised
+    on two classifications the engine derives itself. Width-based
+    tertiles (broadcast min/max, the Kendall-tau binning discipline —
+    no ntile tie-splits); the agreement table is a bounded 3x3 hash
+    aggregate and everything after is scalar."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per = l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+    j = per.join(o, per.l_orderkey == o.o_orderkey).select(
+        F.col("o_totalprice").alias("price"),
+        F.col("qty").cast("double").alias("qty"),
+    )
+    mm = j.agg(
+        F.min("price").alias("p0"),
+        F.max("price").alias("p1"),
+        F.min("qty").alias("q0"),
+        F.max("qty").alias("q1"),
+    )
+    cls = j.join(F.broadcast(mm)).select(
+        F.least(
+            F.lit(2),
+            F.floor(
+                (F.col("price") - F.col("p0"))
+                / (F.col("p1") - F.col("p0"))
+                * 3
+            ),
+        ).alias("a"),
+        F.least(
+            F.lit(2),
+            F.floor(
+                (F.col("qty") - F.col("q0"))
+                / (F.col("q1") - F.col("q0"))
+                * 3
+            ),
+        ).alias("b"),
+    )
+    cell = cls.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    tot = cell.agg(F.sum("n").cast("double").alias("nn"))
+    po = cell.agg(
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(0))
+        .cast("double")
+        .alias("agree")
+    )
+    ra = cell.groupBy("a").agg(F.sum("n").alias("na"))
+    rb = cell.groupBy("b").agg(F.sum("n").alias("nb"))
+    pe = (
+        ra.join(rb, ra.a == rb.b)
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("cross"))
+    )
+    fin = (
+        po.join(F.broadcast(pe))
+        .join(F.broadcast(tot))
+    )
+    p_o = F.col("agree") / F.col("nn")
+    p_e = F.col("cross") / (F.col("nn") * F.col("nn"))
+    kappa = (p_o - p_e) / (F.lit(1.0) - p_e)
+    return fin.select(
+        F.col("nn").cast("long").alias("n"),
+        F.round(p_o, 6).alias("observed_agreement"),
+        F.round(p_e, 6).alias("expected_agreement"),
+        F.round(kappa, 4).alias("kappa"),
+        F.when(kappa > 0.6, "substantial")
+        .when(kappa > 0.2, "fair-to-moderate")
+        .otherwise("slight-or-less")
+        .alias("landis_koch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 177: weekday seasonal strength
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_seasonal_strength",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS DOUBLE) AS x
+               FROM events GROUP BY 1),
+    g AS (SELECT day, x, dayofweek(day) AS dow FROM d),
+    wm AS (SELECT dow, avg(x) AS dmu FROM g GROUP BY dow),
+    r AS (SELECT g.x, wm.dmu,
+                 g.x - wm.dmu AS resid
+          FROM g JOIN wm USING (dow)),
+    v AS (SELECT var_samp(x) AS v_total,
+                 var_samp(resid) AS v_resid,
+                 count(*) AS n
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(v_total, 4) AS var_total,
+           round(v_resid, 4) AS var_deseasonalized,
+           round(greatest(0.0, 1.0 - v_resid / v_total), 4)
+             AS seasonal_strength,
+           greatest(0.0, 1.0 - v_resid / v_total) > 0.3
+             AS strongly_seasonal
+    FROM v
+    """,
+)
+def events_seasonal_strength(spark, sf_dir):
+    """Weekday seasonal strength of daily event volume: F_s = max(0,
+    1 - Var(x - weekday_mean)/Var(x)) — the share of day-to-day
+    variance the weekly cycle explains (the Hyndman STL-strength
+    statistic specialized to the weekday component the ANOVA entry
+    tests for significance; this gives the EFFECT SIZE a capacity
+    planner budgets with: F_s = 0.6 means weekday-aware provisioning
+    removes 60% of the variance). One bounded daily collapse, a 7-row
+    weekday-mean broadcast, one variance aggregate."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    g = d.select("x", F.dayofweek("day").alias("dow"))
+    wm = g.groupBy("dow").agg(F.avg("x").alias("dmu"))
+    r = g.join(F.broadcast(wm), "dow").select(
+        "x", (F.col("x") - F.col("dmu")).alias("resid")
+    )
+    v = r.agg(
+        F.var_samp("x").alias("v_total"),
+        F.var_samp("resid").alias("v_resid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fs = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.col("v_resid") / F.col("v_total")
+    )
+    return v.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("v_total"), 4).alias("var_total"),
+        F.round(F.col("v_resid"), 4).alias("var_deseasonalized"),
+        F.round(fs, 4).alias("seasonal_strength"),
+        (fs > 0.3).alias("strongly_seasonal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 178: referential-integrity audit (FK health)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "profile_referential_integrity",
+    """
+    SELECT * FROM (
+      SELECT 'lineitem->orders' AS fk,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey))
+               AS n_childless_parents
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT count(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey))
+      UNION ALL
+      SELECT 'lineitem->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey)),
+             (SELECT count(*) FROM part p
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_partkey = p.p_partkey))
+      UNION ALL
+      SELECT 'lineitem->supplier',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey)),
+             (SELECT count(*) FROM supplier s
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_suppkey = s.s_suppkey)))
+    ORDER BY fk
+    """,
+)
+def profile_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit across the four fact->dimension
+    relationships: orphaned children (FK with no parent — broken
+    ingest) and childless parents (dimension rows no fact references —
+    candidates for pruning or a load gap) per relationship — the
+    data-contract health check the reference's dbt-style tests run on
+    its own tables (plans/quality.py runs them on staging; this is the
+    same discipline over the analytics schema). Each orphan count is
+    one LEFT ANTI join (broadcast where the dimension is small); no
+    EXISTS-per-row subquery execution anywhere."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+
+    def fk_row(name, child, ckey, parent, pkey):
+        n_child = child.count()
+        orphans = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).count()
+        childless = parent.join(
+            child, child[ckey] == parent[pkey], "left_anti"
+        ).count()
+        return (name, n_child, orphans, childless)
+
+    rows = [
+        fk_row("lineitem->orders", l, "l_orderkey", o, "o_orderkey"),
+        fk_row("orders->customer", o, "o_custkey", c, "c_custkey"),
+        fk_row("lineitem->part", l, "l_partkey", p, "p_partkey"),
+        fk_row("lineitem->supplier", l, "l_suppkey", s, "s_suppkey"),
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "fk string, n_child long, n_orphans long, "
+        "n_childless_parents long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -282,6 +282,12 @@ def test_gate_window_covers_every_family():
         "window_donchian_breakouts",
         # wave 175: Jarque-Bera normality from explicit moments
         "agg_jarque_bera",
+        # wave 176: Cohen's kappa between two tertile classifiers
+        "agg_cohens_kappa",
+        # wave 177: weekday seasonal strength (STL F_s)
+        "events_seasonal_strength",
+        # wave 178: referential-integrity audit (FK health)
+        "profile_referential_integrity",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
