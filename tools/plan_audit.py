@@ -652,6 +652,43 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         and "CartesianProduct" not in phu,
         "branches reuse the checkpointed daily frame; no raw re-scan",
     )
+
+    # Waves 142-178: late round-7 additions
+    pci = plan_of(qs["agg_conformal_interval"](spark, sf_dir))
+    check(
+        "conformal: model + qhat ride broadcast one-row frames",
+        pci.count("BroadcastNestedLoopJoin") >= 2
+        and "CartesianProduct" not in pci
+        and "SortMergeJoin" not in pci,
+        "no shuffle join anywhere in calibrate/test",
+    )
+    pii = plan_of(qs["join_item_item_cosine"](spark, sf_dir))
+    check(
+        "item-item cosine: top-25 is TakeOrdered over the co-count join",
+        "TakeOrderedAndProject" in pii
+        and "CartesianProduct" not in pii,
+        "no global sort materialization for the similarity cut",
+    )
+    pmk = plan_of(qs["events_mann_kendall_trend"](spark, sf_dir))
+    check(
+        "mann-kendall: pair join is over the bounded daily aggregate",
+        pmk.count("HashAggregate") >= 4
+        and "CartesianProduct" not in pmk,
+        "daily collapse precedes the day<day theta join",
+    )
+    pri = plan_of(qs["profile_referential_integrity"](spark, sf_dir))
+    check(
+        "referential integrity: orphan checks are anti joins",
+        "ExistenceJoin" not in pri,
+        "audit rows are precomputed from left-anti counts",
+    )
+    pbs = plan_of(qs["events_binary_segmentation"](spark, sf_dir))
+    check(
+        "binary segmentation: level-1 cut broadcasts into the segment pass",
+        "BroadcastNestedLoopJoin" in pbs
+        and "CartesianProduct" not in pbs,
+        "k1 one-row frame joins the bounded daily domain",
+    )
     return results
 
 
