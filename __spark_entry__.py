@@ -20225,14 +20225,17 @@ _GATE_ORDER = [
 # DURING round 7 are declared `next_window_pending` there and fill the
 # round-8 window.
 #
-# ROUND-8 ROTATION PLAN (for the next session): fill the window with the
-# round-7 `next_window_pending` entries (authoritative list AND counts in
-# tests/test_oracle.py — the counts below are derived at rotation time from
-# that list, never from this comment), then fill the remaining slots with
-# re-verifications of the oldest prior-green entries, continuing the
-# round-robin where round 7 stopped: the 2 remaining last-green-r2 entries
-# (dedup_filtered_corpus, text_quality_filtered) first, then the oldest
-# last-green-r3 entries in CORRECTNESS_r03 order.
+# ROUND-8 ROTATION PLAN (for the next session): the round-7
+# `next_window_pending` list (authoritative list AND counts in
+# tests/test_oracle.py; 98 entries as of round-7 close — MORE than the
+# 50-slot window) now spans multiple rounds: fill the round-8 window
+# with the FIRST 50 pending entries in list order (waves 81-117), keep
+# the remainder (waves 118-178) pending for round 9, and resume the
+# oldest-green drift-guard round-robin (dedup_filtered_corpus,
+# text_quality_filtered, then CORRECTNESS_r03 order) only once the
+# pending backlog fits inside a window again. Every pending entry is
+# re-verified EVERY round by tools/oracle_check.py and the parametrized
+# oracle tests regardless of window membership.
 
 
 def _gate_ordered(d: dict) -> dict:
