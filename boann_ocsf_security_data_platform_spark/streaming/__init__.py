@@ -9,6 +9,11 @@ from .decontam import (  # noqa: F401
     read_clean_docs,
     start_decontamination_stream,
 )
+from .exactdedup import (  # noqa: F401
+    prune_hash_store,
+    read_kept_docs,
+    start_exact_dedup_stream,
+)
 from .neardup import (  # noqa: F401
     prune_band_store,
     read_near_dup_pairs,

@@ -1162,3 +1162,111 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expect and len(got) == 5
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Stream/batch parity for exact dedup: duplicates split across
+    THREE micro-batches (cross-batch copies must be dropped by the
+    persisted hash store, within-batch copies by min-id survivorship);
+    the streamed keep-set equals the batch exact_dedup keep-set over
+    the same corpus — one shared normalize_text/md5 code path."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import exact_dedup
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        read_kept_docs,
+        start_exact_dedup_stream,
+    )
+
+    docs = [
+        {"doc_id": 1, "text": "alpha beta gamma"},
+        {"doc_id": 2, "text": "different content entirely"},
+        # whitespace/case variant of 1 -> same canonical hash, later batch
+        {"doc_id": 3, "text": "  Alpha   BETA gamma "},
+        {"doc_id": 4, "text": "unique four"},
+        # exact copy of 2 in the SAME batch as 4
+        {"doc_id": 5, "text": "different content entirely"},
+        # copy of 4 in the last batch
+        {"doc_id": 6, "text": "unique four"},
+        {"doc_id": 7, "text": "last unique"},
+    ]
+    batches = [docs[0:2], docs[2:5], docs[5:7]]
+    src = tmp_path / "ed_in"
+    src.mkdir()
+    for i, chunk in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(json.dumps(d) for d in chunk))
+        os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = start_exact_dedup_stream(
+        stream,
+        str(tmp_path / "ed_store"),
+        str(tmp_path / "ed_kept"),
+        str(tmp_path / "ed_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id
+        for r in read_kept_docs(spark, str(tmp_path / "ed_kept")).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
+    )
+    expected = {
+        r.keep_id for r in exact_dedup(batch_df).collect()
+    }
+    assert expected == {1, 2, 4, 7}  # canonicalization folds 3, 5, 6
+    assert streamed == expected
+
+
+def test_streaming_exact_dedup_replay_and_prune(spark, tmp_path):
+    """Replaying the same files duplicates nothing (batch-id dynamic
+    overwrite) and prune_hash_store retires old partitions so re-sent
+    old content is kept again — the dedup-within-horizon trade."""
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        prune_hash_store,
+        read_kept_docs,
+        start_exact_dedup_stream,
+    )
+
+    src = tmp_path / "ed2_in"
+    src.mkdir()
+    for i, rows in enumerate(
+        [[{"doc_id": 1, "text": "aa bb"}], [{"doc_id": 2, "text": "aa bb"}]]
+    ):
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(json.dumps(d) for d in rows))
+        os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    dirs = dict(
+        store=str(tmp_path / "ed2_store"),
+        kept=str(tmp_path / "ed2_kept"),
+    )
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+        q = start_exact_dedup_stream(
+            stream, dirs["store"], dirs["kept"],
+            str(tmp_path / ckpt), available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run("ed2_ckpt_a")
+    first = sorted(
+        r.doc_id for r in read_kept_docs(spark, dirs["kept"]).collect()
+    )
+    assert first == [1]  # doc 2 is a cross-batch duplicate
+    # replay from scratch (fresh checkpoint): partitions overwritten,
+    # not appended
+    run("ed2_ckpt_b")
+    again = sorted(
+        r.doc_id for r in read_kept_docs(spark, dirs["kept"]).collect()
+    )
+    assert again == [1]
+    # prune everything: re-sent old content is now kept again
+    prune_hash_store(spark, dirs["store"], keep_from_batch_id=99)
+    import glob
+
+    assert not glob.glob(f"{dirs['store']}/_batch_id=*")
