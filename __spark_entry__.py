@@ -20137,6 +20137,240 @@ def profile_referential_integrity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 179: base36 order-reference codec round-trip
+# ---------------------------------------------------------------------------
+
+_B36 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _b36_digit_sql(expr: str, pos: int) -> str:
+    """SQL fragment: the base36 character of digit position pos
+    (value // 36^pos % 36) via substr into the alphabet literal."""
+    p = 36 ** pos
+    return (
+        f"substr('{_B36}', CAST(({expr} // {p}) % 36 AS INT) + 1, 1)"
+    )
+
+
+@_q(
+    "scalar_base36_codec",
+    f"""
+    WITH r AS (SELECT o_orderkey AS k FROM orders),
+    enc AS (SELECT k,
+              concat({", ".join(_b36_digit_sql("k", p) for p in range(7, -1, -1))})
+                AS code
+            FROM r),
+    chk AS (SELECT k, code,
+              substr('{_B36}', CAST(k % 36 AS INT) + 1, 1) AS check_char
+            FROM enc),
+    dec AS (SELECT k, code, check_char,
+              {" + ".join(f"(strpos('{_B36}', substr(code, {8 - p}, 1)) - 1) * {36 ** p}" for p in range(7, -1, -1))}
+                AS decoded
+            FROM chk)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN decoded = k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_roundtrip_ok,
+           CAST(count(DISTINCT code) AS BIGINT) AS n_distinct_codes,
+           min(concat(code, check_char)) AS min_ref,
+           max(concat(code, check_char)) AS max_ref
+    FROM dec
+    """,
+)
+def scalar_base36_codec(spark, sf_dir):
+    """Human-readable order-reference codec: encode every order key as
+    a fixed-width 8-char base36 code (digit-by-digit via alphabet
+    substring — no format builtin needed on either engine), append a
+    mod-36 check character, decode back by positional radix
+    arithmetic, and verify every key round-trips and codes stay
+    distinct — the 'what the customer reads over the phone' ID
+    discipline (fixed width sorts lexicographically in key order, the
+    check char rejects single-keystroke typos). All row-local string/
+    integer expressions, shuffle-free until the final aggregate."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    # column-positioned substr into the alphabet literal per digit
+    enc = o.withColumn(
+        "code",
+        F.concat(
+            *[
+                F.expr(
+                    f"substr('{_B36}', CAST((k div {36 ** p}) % 36 AS INT)"
+                    " + 1, 1)"
+                )
+                for p in range(7, -1, -1)
+            ]
+        ),
+    ).withColumn(
+        "check_char",
+        F.expr(f"substr('{_B36}', CAST(k % 36 AS INT) + 1, 1)"),
+    )
+    dec = enc.withColumn(
+        "decoded",
+        sum(
+            [
+                (
+                    F.expr(f"instr('{_B36}', substr(code, {8 - p}, 1))")
+                    - 1
+                )
+                * F.lit(36 ** p)
+                for p in range(7, -1, -1)
+            ],
+            F.lit(0),
+        ),
+    )
+    return dec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("decoded") == F.col("k"), 1).otherwise(0)
+        ).alias("n_roundtrip_ok"),
+        F.countDistinct("code").alias("n_distinct_codes"),
+        F.min(F.concat("code", "check_char")).alias("min_ref"),
+        F.max(F.concat("code", "check_char")).alias("max_ref"),
+    ).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_roundtrip_ok").cast("long").alias("n_roundtrip_ok"),
+        F.col("n_distinct_codes").cast("long").alias("n_distinct_codes"),
+        "min_ref",
+        "max_ref",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 180: Grubbs outlier test
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_grubbs_outlier",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS DOUBLE) AS x
+               FROM events GROUP BY 1),
+    m AS (SELECT count(*) AS n, avg(x) AS mu, stddev_samp(x) AS sd
+          FROM d),
+    g AS (SELECT d.day, abs(d.x - m.mu) / m.sd AS gdev, m.n
+          FROM d CROSS JOIN m),
+    top AS (SELECT day, gdev, n FROM g
+            ORDER BY round(gdev, 6) DESC, day LIMIT 1),
+    crit AS (SELECT day, gdev, n,
+                    (n - 1) / sqrt(CAST(n AS DOUBLE))
+                    * sqrt(3.8414588 / (n - 2 + 3.8414588)) AS gcrit
+             FROM top)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(day AS VARCHAR) AS suspect_day,
+           round(gdev, 4) AS g_stat,
+           round(gcrit, 4) AS g_critical,
+           gdev > gcrit AS is_outlier
+    FROM crit
+    """,
+)
+def agg_grubbs_outlier(spark, sf_dir):
+    """Grubbs maximum-deviation outlier test on daily event counts:
+    G = max|x - mean|/sd against the critical value (n-1)/sqrt(n) *
+    sqrt(z^2/(n-2+z^2)) with z^2 = 3.8415 (the large-n normal
+    approximation of the t quantile) — the FORMAL single-outlier test
+    that turns 'that day looks weird' (the z-score/MAD heuristics
+    already in the family) into a decision with a stated error rate,
+    and names the suspect day. Argmax on the ROUNDED deviation with
+    day tie-break; everything after the bounded daily collapse is a
+    broadcast one-row computation."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mu"),
+        F.stddev_samp("x").alias("sd"),
+    )
+    g = d.join(F.broadcast(m)).select(
+        "day",
+        (F.abs(F.col("x") - F.col("mu")) / F.col("sd")).alias("gdev"),
+        "n",
+    )
+    top = g.orderBy(F.round(F.col("gdev"), 6).desc(), "day").limit(1)
+    n = F.col("n").cast("double")
+    gcrit = (
+        (n - 1)
+        / F.sqrt(n)
+        * F.sqrt(F.lit(3.8414588) / (n - 2 + 3.8414588))
+    )
+    return top.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("day").cast("string").alias("suspect_day"),
+        F.round(F.col("gdev"), 4).alias("g_stat"),
+        F.round(gcrit, 4).alias("g_critical"),
+        (F.col("gdev") > gcrit).alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 181: Chinchilla compute-optimal sizing report
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_chinchilla_sizing",
+    f"""
+    WITH t AS (SELECT CAST(sum(len({_WORDS})) AS DOUBLE) AS tokens
+               FROM documents),
+    models AS (SELECT unnest([1e6, 1e7, 1e8, 1e9]) AS params),
+    r AS (SELECT CAST(params AS BIGINT) AS params,
+                 tokens,
+                 tokens / 20.0 AS opt_params,
+                 params * 20.0 AS tokens_needed,
+                 6.0 * params * tokens AS flops,
+                 tokens / (params * 20.0) AS epochs_equiv
+          FROM models CROSS JOIN t)
+    SELECT params,
+           CAST(tokens AS BIGINT) AS corpus_tokens,
+           CAST(round(opt_params, 0) AS BIGINT) AS chinchilla_params,
+           CAST(tokens_needed AS BIGINT) AS tokens_for_params,
+           round(log10(flops), 4) AS log10_flops,
+           round(epochs_equiv, 4) AS data_ratio,
+           CASE WHEN epochs_equiv >= 1.0 THEN 'data-sufficient'
+                ELSE 'data-starved' END AS regime
+    FROM r ORDER BY params
+    """,
+)
+def corpus_chinchilla_sizing(spark, sf_dir):
+    """Compute-optimal training-size report (Hoffmann et al. 2022
+    'Chinchilla' heuristic, ~20 tokens per parameter): given THIS
+    corpus's token count, for a grid of model sizes report the
+    compute-optimal parameter count the corpus supports, the tokens
+    each model size wants, training FLOPs (6ND), and whether the
+    corpus over- or under-feeds the model — the one-page answer to
+    'is this corpus big enough for the model we plan to train'. One
+    tokenize+count pass; the model grid is a 4-literal broadcast and
+    every output column is scalar arithmetic."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    t = _t(spark, sf_dir, "documents").agg(
+        F.sum(F.size(tokens(F.col("text"))))
+        .cast("double")
+        .alias("tokens")
+    )
+    models = spark.createDataFrame(
+        [(1e6,), (1e7,), (1e8,), (1e9,)], "params double"
+    )
+    r = F.broadcast(models).join(F.broadcast(t))
+    params, toks = F.col("params"), F.col("tokens")
+    epochs = toks / (params * 20.0)
+    return r.select(
+        params.cast("long").alias("params"),
+        toks.cast("long").alias("corpus_tokens"),
+        F.round(toks / 20.0, 0).cast("long").alias("chinchilla_params"),
+        (params * 20.0).cast("long").alias("tokens_for_params"),
+        F.round(F.log10(F.lit(6.0) * params * toks), 4).alias(
+            "log10_flops"
+        ),
+        F.round(epochs, 4).alias("data_ratio"),
+        F.when(epochs >= 1.0, "data-sufficient")
+        .otherwise("data-starved")
+        .alias("regime"),
+    ).orderBy("params")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -288,6 +288,12 @@ def test_gate_window_covers_every_family():
         "events_seasonal_strength",
         # wave 178: referential-integrity audit (FK health)
         "profile_referential_integrity",
+        # wave 179: base36 order-reference codec round-trip
+        "scalar_base36_codec",
+        # wave 180: Grubbs maximum-deviation outlier test
+        "agg_grubbs_outlier",
+        # wave 181: Chinchilla compute-optimal sizing report
+        "corpus_chinchilla_sizing",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
