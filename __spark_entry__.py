@@ -20371,6 +20371,180 @@ def corpus_chinchilla_sizing(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 182: vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_vocab_coverage_curve",
+    f"""
+    WITH toks AS (SELECT unnest({_WORDS}) AS w FROM documents),
+    wc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn,
+                  sum(c) OVER () AS tot
+           FROM wc),
+    ks AS (SELECT unnest([100, 1000, 5000, 20000]) AS k),
+    cov AS (SELECT ks.k,
+                   sum(CASE WHEN rk.rn <= ks.k THEN rk.c ELSE 0 END)
+                     / CAST(any_value(rk.tot) AS DOUBLE) AS coverage,
+                   sum(CASE WHEN rk.rn <= ks.k THEN 1 ELSE 0 END)
+                     AS vocab_used
+            FROM rk CROSS JOIN ks GROUP BY ks.k)
+    SELECT CAST(k AS BIGINT) AS vocab_size,
+           CAST(vocab_used AS BIGINT) AS vocab_used,
+           round(coverage, 6) AS token_coverage,
+           round(1.0 - coverage, 6) AS oov_rate
+    FROM cov ORDER BY vocab_size
+    """,
+)
+def text_vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary-size vs token-coverage curve: the fraction of ALL
+    token occurrences covered by the top-k most frequent words at four
+    candidate vocabulary sizes (with the complementary OOV rate) —
+    the first plot every tokenizer/vocab design decision reads (where
+    does coverage saturate? what OOV rate does a 5k vocab buy?), and
+    the corpus-level duals of the Zipf and Heaps fits already in the
+    family. Ranking ties break by word (deterministic); one tokenize+
+    count pass collapses to the bounded vocabulary, and the curve is
+    one conditional aggregate over vocab x 4 literals."""
+    from boann_ocsf_security_data_platform_spark.operators.text import tokens
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("w")
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = wc.agg(F.sum("c").alias("tot"))
+    wr = Window.orderBy(F.col("c").desc(), "w")
+    rk = wc.select(
+        "c", F.row_number().over(wr).alias("rn")
+    ).join(F.broadcast(tot))
+    ks = spark.createDataFrame(
+        [(100,), (1000,), (5000,), (20000,)], "k int"
+    )
+    cov = (
+        rk.join(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("rn") <= F.col("k"), F.col("c")).otherwise(
+                        0
+                    )
+                )
+                / F.any_value("tot").cast("double")
+            ).alias("coverage"),
+            F.sum(
+                F.when(F.col("rn") <= F.col("k"), 1).otherwise(0)
+            ).alias("vocab_used"),
+        )
+    )
+    return cov.select(
+        F.col("k").cast("long").alias("vocab_size"),
+        F.col("vocab_used").cast("long").alias("vocab_used"),
+        F.round(F.col("coverage"), 6).alias("token_coverage"),
+        F.round(F.lit(1.0) - F.col("coverage"), 6).alias("oov_rate"),
+    ).orderBy("vocab_size")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 183: empirical-Bayes shrinkage of supplier late rates
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "supplier_eb_shrunk_late_rate",
+    """
+    WITH r AS (SELECT l_suppkey,
+                      count(*) AS n,
+                      sum(CASE WHEN l_shipdate > CAST('1996-01-01'
+                               AS DATE) THEN 1 ELSE 0 END) AS x
+               FROM lineitem GROUP BY 1),
+    rt AS (SELECT l_suppkey, n, x, CAST(x AS DOUBLE) / n AS p FROM r),
+    mom AS (SELECT avg(p) AS m, var_samp(p) AS v FROM rt),
+    ab AS (SELECT m, v,
+                  m * (m * (1 - m) / v - 1) AS alpha,
+                  (1 - m) * (m * (1 - m) / v - 1) AS beta
+           FROM mom),
+    sh AS (SELECT rt.l_suppkey, rt.n, rt.x, rt.p,
+                  (rt.x + ab.alpha) / (rt.n + ab.alpha + ab.beta)
+                    AS p_shrunk,
+                  ab.alpha, ab.beta
+           FROM rt CROSS JOIN ab)
+    SELECT l_suppkey, CAST(n AS BIGINT) AS n_lines,
+           round(p, 6) AS raw_rate,
+           round(p_shrunk, 6) AS shrunk_rate,
+           round(abs(p - p_shrunk), 6) AS shrinkage,
+           round(any_value(alpha) OVER (), 4) AS prior_alpha,
+           round(any_value(beta) OVER (), 4) AS prior_beta
+    FROM sh
+    ORDER BY round(abs(p - p_shrunk), 6) DESC, l_suppkey
+    LIMIT 15
+    """,
+)
+def supplier_eb_shrunk_late_rate(spark, sf_dir):
+    """Empirical-Bayes (beta-binomial) shrinkage of per-supplier
+    late-shipment rates: fit the beta prior by method of moments over
+    the raw rate distribution (alpha = m(m(1-m)/v - 1), beta the
+    complement), shrink each supplier toward it by its own evidence
+    ((x + a)/(n + a + b)), and surface the 15 suppliers the raw
+    leaderboard most misleads — the 'small suppliers with 2/3 late
+    look worse than big ones with 400/1000' correction every ranked
+    scorecard needs (supplier_latency_ranking reports raw; this is
+    the calibrated companion). The prior is a broadcast one-row
+    frame; the shrinkage is a shuffle-free projection; the cut is a
+    TakeOrdered on the ROUNDED shrinkage with key tie-break."""
+    l = _t(spark, sf_dir, "lineitem")
+    r = l.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("l_shipdate").cast("date")
+                > F.lit("1996-01-01").cast("date"),
+                1,
+            ).otherwise(0)
+        ).alias("x"),
+    )
+    rt = r.select(
+        "l_suppkey",
+        "n",
+        "x",
+        (F.col("x").cast("double") / F.col("n")).alias("p"),
+    )
+    mom = rt.agg(F.avg("p").alias("m"), F.var_samp("p").alias("v"))
+    m, v = F.col("m"), F.col("v")
+    ab = mom.select(
+        (m * (m * (1 - m) / v - 1)).alias("alpha"),
+        ((1 - m) * (m * (1 - m) / v - 1)).alias("beta"),
+    )
+    sh = rt.join(F.broadcast(ab)).select(
+        "l_suppkey",
+        "n",
+        "p",
+        (
+            (F.col("x") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta"))
+        ).alias("p_shrunk"),
+        "alpha",
+        "beta",
+    )
+    return (
+        sh.select(
+            "l_suppkey",
+            F.col("n").cast("long").alias("n_lines"),
+            F.round(F.col("p"), 6).alias("raw_rate"),
+            F.round(F.col("p_shrunk"), 6).alias("shrunk_rate"),
+            F.round(F.abs(F.col("p") - F.col("p_shrunk")), 6).alias(
+                "shrinkage"
+            ),
+            F.round(F.col("alpha"), 4).alias("prior_alpha"),
+            F.round(F.col("beta"), 4).alias("prior_beta"),
+        )
+        .orderBy(F.col("shrinkage").desc(), "l_suppkey")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

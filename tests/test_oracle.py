@@ -294,6 +294,10 @@ def test_gate_window_covers_every_family():
         "agg_grubbs_outlier",
         # wave 181: Chinchilla compute-optimal sizing report
         "corpus_chinchilla_sizing",
+        # wave 182: vocabulary-size vs token-coverage curve
+        "text_vocab_coverage_curve",
+        # wave 183: empirical-Bayes shrinkage of supplier late rates
+        "supplier_eb_shrunk_late_rate",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
