@@ -20545,6 +20545,215 @@ def supplier_eb_shrunk_late_rate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 184: Fleiss' kappa across three raters
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_fleiss_kappa",
+    """
+    WITH per AS (SELECT l_orderkey, count(*) AS nl,
+                        sum(l_quantity) AS qty
+                 FROM lineitem GROUP BY 1),
+    j AS (SELECT o.o_orderkey AS okey, o.o_totalprice AS price,
+                 CAST(per.qty AS DOUBLE) AS qty,
+                 CAST(per.nl AS DOUBLE) AS nl
+          FROM per JOIN orders o ON per.l_orderkey = o.o_orderkey),
+    mm AS (SELECT min(price) AS p0, max(price) AS p1,
+                  min(qty) AS q0, max(qty) AS q1,
+                  min(nl) AS l0, max(nl) AS l1 FROM j),
+    votes AS (
+      SELECT okey, least(2, CAST(floor((price - p0) / (p1 - p0) * 3)
+                                 AS BIGINT)) AS cat
+      FROM j CROSS JOIN mm
+      UNION ALL
+      SELECT okey, least(2, CAST(floor((qty - q0) / (q1 - q0) * 3)
+                                 AS BIGINT))
+      FROM j CROSS JOIN mm
+      UNION ALL
+      SELECT okey, least(2, CAST(floor((nl - l0) / (l1 - l0) * 3)
+                                 AS BIGINT))
+      FROM j CROSS JOIN mm),
+    vc AS (SELECT okey, cat, count(*) AS nij FROM votes GROUP BY 1, 2),
+    pi AS (SELECT okey,
+                  (sum(nij * nij) - 3.0) / (3.0 * 2.0) AS p_i
+           FROM vc GROUP BY okey),
+    pbar AS (SELECT avg(p_i) AS pbar, count(*) AS n FROM pi),
+    pj AS (SELECT sum(pj2) AS pe FROM (
+             SELECT pow(sum(nij) / (3.0 * (SELECT count(*) FROM pi)), 2)
+               AS pj2
+             FROM vc GROUP BY cat))
+    SELECT CAST(n AS BIGINT) AS n_items,
+           round(pbar, 6) AS observed_agreement,
+           round(pe, 6) AS expected_agreement,
+           round((pbar - pe) / (1.0 - pe), 4) AS fleiss_kappa
+    FROM pbar CROSS JOIN pj
+    """,
+)
+def agg_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa across THREE tertile raters of order size (price-,
+    quantity-, and line-count-based classifications): per-item
+    agreement P_i = (sum n_ij^2 - r)/(r(r-1)) with r=3 raters, chance
+    agreement from the pooled category shares — the multi-rater
+    generalization of agg_cohens_kappa that real annotation pipelines
+    (3+ labelers per example) report. Width-based tertiles keep
+    rating deterministic; the vote table is a constant 3x explode of
+    the bounded per-order frame and every later step is a hash
+    aggregate of it."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nl"), F.sum("l_quantity").alias("qty")
+    )
+    j = per.join(o, per.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+        F.col("qty").cast("double").alias("qty"),
+        F.col("nl").cast("double").alias("nl"),
+    )
+    mm = j.agg(
+        F.min("price").alias("p0"),
+        F.max("price").alias("p1"),
+        F.min("qty").alias("q0"),
+        F.max("qty").alias("q1"),
+        F.min("nl").alias("l0"),
+        F.max("nl").alias("l1"),
+    )
+
+    def tert(v, lo, hi):
+        return F.least(
+            F.lit(2),
+            F.floor(
+                (F.col(v) - F.col(lo)) / (F.col(hi) - F.col(lo)) * 3
+            ),
+        )
+
+    jm = j.join(F.broadcast(mm))
+    votes = (
+        jm.select("okey", tert("price", "p0", "p1").alias("cat"))
+        .unionAll(jm.select("okey", tert("qty", "q0", "q1").alias("cat")))
+        .unionAll(jm.select("okey", tert("nl", "l0", "l1").alias("cat")))
+    )
+    vc = votes.groupBy("okey", "cat").agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    pi = vc.groupBy("okey").agg(
+        (
+            (F.sum(F.col("nij") * F.col("nij")) - 3.0) / (3.0 * 2.0)
+        ).alias("p_i")
+    )
+    pbar = pi.agg(
+        F.avg("p_i").alias("pbar"), F.count(F.lit(1)).alias("n")
+    )
+    pj = (
+        vc.groupBy("cat")
+        .agg(F.sum("nij").alias("cn"))
+        .join(F.broadcast(pbar.select("n")))
+        .agg(
+            F.sum(
+                F.pow(
+                    F.col("cn") / (F.lit(3.0) * F.col("n")), 2
+                )
+            ).alias("pe")
+        )
+    )
+    fin = pbar.join(F.broadcast(pj))
+    kappa = (F.col("pbar") - F.col("pe")) / (F.lit(1.0) - F.col("pe"))
+    return fin.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.round(F.col("pbar"), 6).alias("observed_agreement"),
+        F.round(F.col("pe"), 6).alias("expected_agreement"),
+        F.round(kappa, 4).alias("fleiss_kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 185: records-theory test (running-maximum days)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_records_test",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+               FROM events GROUP BY 1),
+    r AS (SELECT day, cnt,
+                 max(cnt) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max,
+                 row_number() OVER (ORDER BY day) AS rn
+          FROM d),
+    obs AS (SELECT count(*) AS n,
+                   sum(CASE WHEN prev_max IS NULL OR cnt > prev_max
+                            THEN 1 ELSE 0 END) AS records
+            FROM r),
+    h AS (SELECT sum(1.0 / i) AS h1, sum(1.0 / (i * i)) AS h2
+          FROM (SELECT unnest(range(1, (SELECT n FROM obs) + 1)) AS i)),
+    z AS (SELECT n, records, h1, h1 - h2 AS var_r,
+                 (records - h1) / sqrt(h1 - h2) AS z
+          FROM obs CROSS JOIN h)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(records AS BIGINT) AS n_records,
+           round(h1, 4) AS expected_records,
+           round(z, 4) AS zscore,
+           z > 1.96 AS trending_up
+    FROM z
+    """,
+)
+def events_records_test(spark, sf_dir):
+    """Records-theory trend test: count record-breaking days (daily
+    volume exceeding every previous day). Under an iid series the
+    expected record count is EXACTLY the harmonic number H_n with
+    variance H_n - H_n^(2) — distribution-free, no moments assumed —
+    so a z-score far above it is trend evidence even when the level
+    distribution is wild (the third member of the distribution-free
+    trend family with Mann-Kendall and turning points; records react
+    FASTEST to new-regime highs). The running max is one ordered
+    window over the bounded daily domain; the harmonic sums ride a
+    bounded integer explode."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wprev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = d.select(
+        "cnt", F.max("cnt").over(wprev).alias("prev_max")
+    )
+    obs = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("cnt") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).alias("records"),
+    )
+    h = (
+        obs.select(
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i")
+        )
+        .agg(
+            F.sum(F.lit(1.0) / F.col("i")).alias("h1"),
+            F.sum(F.lit(1.0) / (F.col("i") * F.col("i"))).alias("h2"),
+        )
+    )
+    z = obs.join(F.broadcast(h))
+    zscore = (F.col("records") - F.col("h1")) / F.sqrt(
+        F.col("h1") - F.col("h2")
+    )
+    return z.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("records").cast("long").alias("n_records"),
+        F.round(F.col("h1"), 4).alias("expected_records"),
+        F.round(zscore, 4).alias("zscore"),
+        (zscore > 1.96).alias("trending_up"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -298,6 +298,10 @@ def test_gate_window_covers_every_family():
         "text_vocab_coverage_curve",
         # wave 183: empirical-Bayes shrinkage of supplier late rates
         "supplier_eb_shrunk_late_rate",
+        # wave 184: Fleiss' kappa across three tertile raters
+        "agg_fleiss_kappa",
+        # wave 185: records-theory trend test (running maxima)
+        "events_records_test",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
