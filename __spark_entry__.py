@@ -20754,6 +20754,122 @@ def events_records_test(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 186: k-occurrence hubness profile
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "embedding_hubness_profile",
+    """
+    WITH e AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT a.label, a.vec_id AS qid, b.vec_id AS nid,
+                 round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6)
+                   AS cos
+          FROM e a JOIN e b
+            ON a.label = b.label AND a.vec_id <> b.vec_id),
+    rk AS (SELECT qid, nid,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, nid) AS rn
+           FROM p),
+    occ AS (SELECT nid, count(*) AS k_occ FROM rk
+            WHERE rn <= 3 GROUP BY nid),
+    fullk AS (SELECT e.vec_id, coalesce(occ.k_occ, 0) AS k
+              FROM e LEFT JOIN occ ON e.vec_id = occ.nid),
+    m AS (SELECT count(*) AS n, avg(CAST(k AS DOUBLE)) AS mu FROM fullk),
+    c AS (SELECT n, mu,
+                 sum(pow(k - mu, 2)) / n AS m2,
+                 sum(pow(k - mu, 3)) / n AS m3,
+                 max(k) AS maxk,
+                 sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS n_anti
+          FROM fullk CROSS JOIN m GROUP BY n, mu)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round(mu, 4) AS mean_k_occurrence,
+           round(m3 / pow(m2, 1.5), 4) AS k_skewness,
+           CAST(maxk AS BIGINT) AS max_hub_k,
+           round(CAST(n_anti AS DOUBLE) / n, 6) AS antihub_frac
+    FROM c
+    """,
+)
+def embedding_hubness_profile(spark, sf_dir):
+    """k-occurrence hubness profile of the embedding space: how often
+    each vector appears in OTHER vectors' 3-nearest lists (within its
+    label block), summarized as the skewness of that k-occurrence
+    distribution, the biggest hub, and the anti-hub fraction (points
+    nobody retrieves) — THE high-dimensional ANN health diagnostic
+    (Radovanovic et al. 2010: high skewness means a few hubs dominate
+    retrieval and recall collapses off-hub; it decides between raw
+    cosine and hubness-corrected scoring before any index is built).
+    Neighbor lists are exact WITHIN label blocks (the blocked
+    discipline — never an unblocked n^2), ranked on ROUNDED cosine
+    with id tie-break; the profile is explicit central moments of
+    integer counts."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    p = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("qid"),
+        F.col("b.vec_id").alias("nid"),
+        F.round(cos, 6).alias("cos"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    occ = (
+        p.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).alias("k_occ"))
+    )
+    fullk = e.select("vec_id").join(
+        occ, e.vec_id == occ.nid, "left"
+    ).select(F.coalesce("k_occ", F.lit(0)).alias("k"))
+    m = fullk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("k").cast("double")).alias("mu"),
+    )
+    c = (
+        fullk.join(F.broadcast(m))
+        .groupBy("n", "mu")
+        .agg(
+            (F.sum(F.pow(F.col("k") - F.col("mu"), 2)) / F.col("n")).alias(
+                "m2"
+            ),
+            (F.sum(F.pow(F.col("k") - F.col("mu"), 3)) / F.col("n")).alias(
+                "m3"
+            ),
+            F.max("k").alias("maxk"),
+            F.sum(F.when(F.col("k") == 0, 1).otherwise(0)).alias("anti"),
+        )
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(F.col("mu"), 4).alias("mean_k_occurrence"),
+        F.round(
+            F.col("m3") / F.pow(F.col("m2"), 1.5), 4
+        ).alias("k_skewness"),
+        F.col("maxk").cast("long").alias("max_hub_k"),
+        F.round(
+            F.col("anti").cast("double") / F.col("n"), 6
+        ).alias("antihub_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

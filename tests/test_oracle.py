@@ -302,6 +302,8 @@ def test_gate_window_covers_every_family():
         "agg_fleiss_kappa",
         # wave 185: records-theory trend test (running maxima)
         "events_records_test",
+        # wave 186: k-occurrence hubness profile (label-blocked)
+        "embedding_hubness_profile",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
