@@ -20960,10 +20960,10 @@ _GATE_ORDER = [
 #
 # ROUND-8 ROTATION PLAN (for the next session): the round-7
 # `next_window_pending` list (authoritative list AND counts in
-# tests/test_oracle.py; 98 entries as of round-7 close — MORE than the
+# tests/test_oracle.py; 106 entries as of round-7 close — MORE than the
 # 50-slot window) now spans multiple rounds: fill the round-8 window
 # with the FIRST 50 pending entries in list order (waves 81-117), keep
-# the remainder (waves 118-178) pending for round 9, and resume the
+# the remainder (waves 118-186) pending for round 9, and resume the
 # oldest-green drift-guard round-robin (dedup_filtered_corpus,
 # text_quality_filtered, then CORRECTNESS_r03 order) only once the
 # pending backlog fits inside a window again. Every pending entry is
