@@ -20870,6 +20870,150 @@ def embedding_hubness_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 187: Parkinson range-based volatility
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_parkinson_volatility",
+    """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      max(o_totalprice) AS hi,
+                      min(o_totalprice) AS lo
+               FROM orders GROUP BY 1),
+    y AS (SELECT year(day) AS yr,
+                 pow(ln(hi / lo), 2) AS lnhl2
+          FROM d WHERE lo > 0),
+    s AS (SELECT yr, count(*) AS n,
+                 sqrt(sum(lnhl2) / (4.0 * ln(2.0) * count(*))) AS sigma
+          FROM y GROUP BY yr)
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(n AS BIGINT) AS n_days,
+           round(sigma, 6) AS parkinson_daily,
+           round(sigma * sqrt(252.0), 4) AS parkinson_annualized
+    FROM s ORDER BY yr
+    """,
+)
+def window_parkinson_volatility(spark, sf_dir):
+    """Parkinson range-based volatility of daily order prices, per
+    year: sigma_P = sqrt(sum ln(H/L)^2 / (4 ln2 n)) over each day's
+    high/low price — the range estimator that is ~5x more efficient
+    than close-to-close variance because it reads the WHOLE intraday
+    excursion, not two samples of it (the estimator OHLC consumers
+    reach for when ticks are expensive). Completes the volatility
+    family next to Sharpe (level risk), Bollinger (envelope), and
+    Donchian (range expansion). One scan to the bounded daily
+    high/low table; everything after is a per-year aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.max("o_totalprice").alias("hi"),
+        F.min("o_totalprice").alias("lo"),
+    )
+    y = d.filter(F.col("lo") > 0).select(
+        F.year("day").alias("yr"),
+        F.pow(F.log(F.col("hi") / F.col("lo")), 2).alias("lnhl2"),
+    )
+    s = y.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sqrt(
+            F.sum("lnhl2")
+            / (F.lit(4.0) * F.log(F.lit(2.0)) * F.count(F.lit(1)))
+        ).alias("sigma"),
+    )
+    return s.select(
+        F.col("yr").cast("long").alias("yr"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("sigma"), 6).alias("parkinson_daily"),
+        F.round(F.col("sigma") * F.sqrt(F.lit(252.0)), 4).alias(
+            "parkinson_annualized"
+        ),
+    ).orderBy("yr")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 188: Friedman test (within-month segment ranks)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_friedman_test",
+    """
+    WITH m AS (SELECT year(CAST(o_orderdate AS DATE)) * 100
+                      + month(CAST(o_orderdate AS DATE)) AS blk,
+                      c.c_mktsegment AS seg,
+                      round(avg(o_totalprice), 4) AS v
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY 1, 2),
+    full_b AS (SELECT blk FROM m GROUP BY blk HAVING count(*) = 5),
+    r AS (SELECT m.blk, m.seg,
+                 rank() OVER (PARTITION BY m.blk ORDER BY m.v) AS rk
+          FROM m JOIN full_b USING (blk)),
+    rs AS (SELECT seg, sum(rk) AS r_j FROM r GROUP BY seg),
+    b AS (SELECT count(*) AS nb FROM full_b),
+    f AS (SELECT
+            12.0 / (nb * 5.0 * 6.0)
+              * (SELECT sum(r_j * r_j) FROM rs)
+              - 3.0 * nb * 6.0 AS chi2,
+            nb
+          FROM b)
+    SELECT CAST(nb AS BIGINT) AS n_blocks,
+           CAST(5 AS BIGINT) AS k_treatments,
+           round(chi2, 4) AS friedman_chi2,
+           chi2 > 9.4877 AS reject_h0
+    FROM f
+    """,
+)
+def agg_friedman_test(spark, sf_dir):
+    """Friedman test — the within-blocks rank omnibus: do the five
+    market segments order differently in mean price MONTH AFTER MONTH
+    (each month is its own block, so month-level shocks cancel —
+    exactly what the independent-samples Kruskal-Wallis cannot do)?
+    chi2 = 12/(b*k*(k+1)) * sum R_j^2 - 3b(k+1), df = k-1 = 4,
+    rejected at the 0.05 chi-square critical. Per-block values are
+    ROUNDED-to-4 segment means before ranking so the rank order is
+    ulp-stable across engines (min-rank tie convention, identical both
+    sides); only complete 5-segment months enter. The fact collapses
+    to the bounded (month, segment) table once; ranks are per-block
+    windows over 5-row partitions."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            (
+                F.year(F.col("o_orderdate").cast("date")) * 100
+                + F.month(F.col("o_orderdate").cast("date"))
+            ).alias("blk"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.round(F.avg("o_totalprice"), 4).alias("v"))
+    )
+    full_b = (
+        m.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") == 5)
+        .select("blk")
+    )
+    wr = Window.partitionBy("blk").orderBy("v")
+    r = m.join(full_b, "blk").select(
+        "seg", F.rank().over(wr).alias("rk")
+    )
+    rs = r.groupBy("seg").agg(F.sum("rk").alias("r_j"))
+    b = full_b.agg(F.count(F.lit(1)).alias("nb"))
+    ssum = rs.agg(F.sum(F.col("r_j") * F.col("r_j")).alias("s2"))
+    f = b.join(F.broadcast(ssum))
+    chi2 = (
+        F.lit(12.0) / (F.col("nb") * 5.0 * 6.0) * F.col("s2")
+        - F.lit(3.0) * F.col("nb") * 6.0
+    )
+    return f.select(
+        F.col("nb").cast("long").alias("n_blocks"),
+        F.lit(5).cast("long").alias("k_treatments"),
+        F.round(chi2, 4).alias("friedman_chi2"),
+        (chi2 > 9.4877).alias("reject_h0"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -20960,10 +21104,10 @@ _GATE_ORDER = [
 #
 # ROUND-8 ROTATION PLAN (for the next session): the round-7
 # `next_window_pending` list (authoritative list AND counts in
-# tests/test_oracle.py; 106 entries as of round-7 close — MORE than the
+# tests/test_oracle.py; 108 entries as of round-7 close — MORE than the
 # 50-slot window) now spans multiple rounds: fill the round-8 window
 # with the FIRST 50 pending entries in list order (waves 81-117), keep
-# the remainder (waves 118-186) pending for round 9, and resume the
+# the remainder (waves 118-188) pending for round 9, and resume the
 # oldest-green drift-guard round-robin (dedup_filtered_corpus,
 # text_quality_filtered, then CORRECTNESS_r03 order) only once the
 # pending backlog fits inside a window again. Every pending entry is

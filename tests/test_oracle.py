@@ -304,6 +304,10 @@ def test_gate_window_covers_every_family():
         "events_records_test",
         # wave 186: k-occurrence hubness profile (label-blocked)
         "embedding_hubness_profile",
+        # wave 187: Parkinson range-based volatility per year
+        "window_parkinson_volatility",
+        # wave 188: Friedman within-blocks rank test
+        "agg_friedman_test",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
