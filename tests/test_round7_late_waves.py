@@ -584,3 +584,23 @@ def test_hubness_mean_k(spark, sf_smoke):
     assert 0.0 < r.mean_k_occurrence <= 3.0 + 1e-9
     assert r.max_hub_k >= 3 or r.n_points < 4
     assert 0.0 <= r.antihub_frac < 1.0
+
+
+def test_parkinson_volatility_positive(spark, sf_smoke):
+    rows = QS["window_parkinson_volatility"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.parkinson_daily > 0
+        assert abs(
+            r.parkinson_annualized
+            - round(r.parkinson_daily * 252 ** 0.5, 4)
+        ) < 0.02
+
+
+def test_friedman_chi2_bounds(spark, sf_smoke):
+    r = QS["agg_friedman_test"](spark, sf_smoke).collect()[0]
+    assert r.k_treatments == 5
+    assert r.friedman_chi2 >= 0
+    # chi2 max when one segment always ranks 1 and another always 5:
+    # 12/(b*k*(k+1)) * b^2 * (1+4+9+16+25) - 3b(k+1) = 4b... bounded
+    assert r.friedman_chi2 <= 4.0 * r.n_blocks + 1e-6
