@@ -21014,6 +21014,186 @@ def agg_friedman_test(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 189: Gray-code round-trip + adjacency property
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "scalar_gray_code_roundtrip",
+    """
+    WITH k AS (SELECT o_orderkey AS k FROM orders),
+    g AS (SELECT k, xor(k, k >> 1) AS gray FROM k),
+    dec AS (SELECT k, gray,
+              xor(xor(xor(xor(xor(xor(gray, gray >> 1),
+                xor(gray, gray >> 1) >> 2),
+                xor(xor(gray, gray >> 1), xor(gray, gray >> 1) >> 2) >> 4),
+                xor(xor(xor(gray, gray >> 1), xor(gray, gray >> 1) >> 2),
+                    xor(xor(gray, gray >> 1),
+                        xor(gray, gray >> 1) >> 2) >> 4) >> 8),
+                xor(xor(xor(xor(gray, gray >> 1),
+                            xor(gray, gray >> 1) >> 2),
+                        xor(xor(gray, gray >> 1),
+                            xor(gray, gray >> 1) >> 2) >> 4),
+                    xor(xor(xor(gray, gray >> 1),
+                            xor(gray, gray >> 1) >> 2),
+                        xor(xor(gray, gray >> 1),
+                            xor(gray, gray >> 1) >> 2) >> 4) >> 8) >> 16),
+                xor(xor(xor(xor(xor(gray, gray >> 1),
+                                xor(gray, gray >> 1) >> 2),
+                            xor(xor(gray, gray >> 1),
+                                xor(gray, gray >> 1) >> 2) >> 4),
+                        xor(xor(xor(gray, gray >> 1),
+                                xor(gray, gray >> 1) >> 2),
+                            xor(xor(gray, gray >> 1),
+                                xor(gray, gray >> 1) >> 2) >> 4) >> 8),
+                    xor(xor(xor(xor(gray, gray >> 1),
+                                xor(gray, gray >> 1) >> 2),
+                            xor(xor(gray, gray >> 1),
+                                xor(gray, gray >> 1) >> 2) >> 4),
+                        xor(xor(xor(gray, gray >> 1),
+                                xor(gray, gray >> 1) >> 2),
+                            xor(xor(gray, gray >> 1),
+                                xor(gray, gray >> 1) >> 2) >> 4) >> 8)
+                    >> 16) >> 32) AS decoded
+            FROM g),
+    adj AS (SELECT gray,
+                   lag(gray) OVER (ORDER BY k) AS pg,
+                   k, lag(k) OVER (ORDER BY k) AS pk
+            FROM g)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS n,
+           (SELECT CAST(sum(CASE WHEN decoded = k THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM dec) AS n_roundtrip_ok,
+           (SELECT round(avg(CAST(bit_count(CAST(xor(gray, pg) AS BIGINT))
+                              AS DOUBLE)), 4)
+            FROM adj WHERE pg IS NOT NULL AND k = pk + 1)
+             AS mean_hamming_consecutive
+    """,
+)
+def scalar_gray_code_roundtrip(spark, sf_dir):
+    """Gray-code codec over the order-key space: encode g = k XOR
+    (k >> 1), decode by the unrolled XOR-prefix fold (shifts 1, 2, 4,
+    8, 16, 32 — closed form, no loop), verify every key round-trips,
+    AND pin the property Gray codes exist for: consecutive integers
+    differ in EXACTLY one bit (mean Hamming distance over consecutive
+    key pairs = 1.0, asserted via bit_count on both engines) — the
+    encoding that makes rollover glitch-free in counters and minimizes
+    bit flips in sequential scan keys. All row-local bitwise
+    expressions; the adjacency check is one lag window over keys."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    g = o.select("k", F.expr("k ^ shiftright(k, 1)").alias("gray"))
+    dec = (
+        g.withColumn("x", F.expr("gray ^ shiftright(gray, 1)"))
+        .withColumn("x", F.expr("x ^ shiftright(x, 2)"))
+        .withColumn("x", F.expr("x ^ shiftright(x, 4)"))
+        .withColumn("x", F.expr("x ^ shiftright(x, 8)"))
+        .withColumn("x", F.expr("x ^ shiftright(x, 16)"))
+        .withColumn("decoded", F.expr("x ^ shiftright(x, 32)"))
+    )
+    w = Window.orderBy("k")
+    adj = g.select(
+        "k",
+        "gray",
+        F.lag("gray").over(w).alias("pg"),
+        F.lag("k").over(w).alias("pk"),
+    )
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    ok = dec.agg(
+        F.sum(
+            F.when(F.col("decoded") == F.col("k"), 1).otherwise(0)
+        ).alias("n_roundtrip_ok")
+    )
+    ham = adj.filter(
+        F.col("pg").isNotNull() & (F.col("k") == F.col("pk") + 1)
+    ).agg(
+        F.round(
+            F.avg(
+                F.bit_count(
+                    F.expr("gray ^ pg").cast("long")
+                ).cast("double")
+            ),
+            4,
+        ).alias("mean_hamming_consecutive")
+    )
+    return (
+        n.join(F.broadcast(ok))
+        .join(F.broadcast(ham))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_roundtrip_ok").cast("long").alias("n_roundtrip_ok"),
+            "mean_hamming_consecutive",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 190: Theil's U forecast skill (seasonal vs plain naive)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_theil_u_skill",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS DOUBLE) AS x
+               FROM events GROUP BY 1),
+    l AS (SELECT x,
+                 lag(x, 1) OVER (ORDER BY day) AS naive,
+                 lag(x, 7) OVER (ORDER BY day) AS snaive
+          FROM d),
+    e AS (SELECT x, naive, snaive FROM l
+          WHERE naive IS NOT NULL AND snaive IS NOT NULL),
+    s AS (SELECT count(*) AS n,
+                 sqrt(avg(pow(x - naive, 2))) AS rmse_naive,
+                 sqrt(avg(pow(x - snaive, 2))) AS rmse_snaive
+          FROM e)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(rmse_naive, 4) AS rmse_naive,
+           round(rmse_snaive, 4) AS rmse_seasonal_naive,
+           round(rmse_snaive / rmse_naive, 4) AS theil_u,
+           rmse_snaive / rmse_naive < 1.0 AS weekly_structure_helps
+    FROM s
+    """,
+)
+def events_theil_u_skill(spark, sf_dir):
+    """Theil's U forecast-skill ratio on daily event counts: RMSE of
+    the seasonal-naive forecast (same weekday last week) over RMSE of
+    the plain naive (yesterday) — U < 1 says weekly structure beats
+    pure persistence, the five-second test that decides whether ANY
+    seasonal model is worth fitting before events_forecast_backtest
+    spends real effort (and the canonical denominator every fancy
+    model must beat). Evaluated only where BOTH baselines exist, so
+    the comparison is apples-to-apples. One bounded daily collapse,
+    two lag windows, one aggregate."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.orderBy("day")
+    l = d.select(
+        "x",
+        F.lag("x", 1).over(w).alias("naive"),
+        F.lag("x", 7).over(w).alias("snaive"),
+    ).filter(F.col("naive").isNotNull() & F.col("snaive").isNotNull())
+    s = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sqrt(
+            F.avg(F.pow(F.col("x") - F.col("naive"), 2))
+        ).alias("rmse_naive"),
+        F.sqrt(
+            F.avg(F.pow(F.col("x") - F.col("snaive"), 2))
+        ).alias("rmse_snaive"),
+    )
+    u = F.col("rmse_snaive") / F.col("rmse_naive")
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("rmse_naive"), 4).alias("rmse_naive"),
+        F.round(F.col("rmse_snaive"), 4).alias("rmse_seasonal_naive"),
+        F.round(u, 4).alias("theil_u"),
+        (u < 1.0).alias("weekly_structure_helps"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -21104,10 +21284,10 @@ _GATE_ORDER = [
 #
 # ROUND-8 ROTATION PLAN (for the next session): the round-7
 # `next_window_pending` list (authoritative list AND counts in
-# tests/test_oracle.py; 108 entries as of round-7 close — MORE than the
+# tests/test_oracle.py; 110 entries as of round-7 close — MORE than the
 # 50-slot window) now spans multiple rounds: fill the round-8 window
 # with the FIRST 50 pending entries in list order (waves 81-117), keep
-# the remainder (waves 118-188) pending for round 9, and resume the
+# the remainder (waves 118-190) pending for round 9, and resume the
 # oldest-green drift-guard round-robin (dedup_filtered_corpus,
 # text_quality_filtered, then CORRECTNESS_r03 order) only once the
 # pending backlog fits inside a window again. Every pending entry is

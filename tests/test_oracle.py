@@ -308,6 +308,10 @@ def test_gate_window_covers_every_family():
         "window_parkinson_volatility",
         # wave 188: Friedman within-blocks rank test
         "agg_friedman_test",
+        # wave 189: Gray-code round-trip + one-bit-adjacency property
+        "scalar_gray_code_roundtrip",
+        # wave 190: Theil's U forecast-skill ratio
+        "events_theil_u_skill",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
