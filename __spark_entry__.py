@@ -21194,6 +21194,229 @@ def events_theil_u_skill(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 191: log-rank test between two conversion cohorts
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_logrank_test",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+    horizon AS (SELECT max(ts) AS tmax FROM events),
+    subj AS (SELECT s.user_id % 2 AS grp,
+               CASE WHEN p.t1 IS NOT NULL AND p.t1 >= s.t0 THEN
+                 date_diff('microsecond', s.t0, p.t1) / 1000000.0
+               ELSE date_diff('microsecond', s.t0, h.tmax) / 1000000.0
+               END AS dur,
+               (p.t1 IS NOT NULL AND p.t1 >= s.t0) AS conv
+             FROM s LEFT JOIN p ON s.user_id = p.user_id, horizon h),
+    pv AS (SELECT dur,
+                  count(*) AS n_all,
+                  sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN conv THEN 1 ELSE 0 END) AS d_all,
+                  sum(CASE WHEN conv AND grp = 1 THEN 1 ELSE 0 END)
+                    AS d1
+           FROM subj GROUP BY dur),
+    rk AS (SELECT dur, d_all, d1,
+                  sum(n_all) OVER (ORDER BY dur DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS n_risk,
+                  sum(n1) OVER (ORDER BY dur DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS n1_risk
+           FROM pv),
+    terms AS (SELECT d1,
+                     d_all * n1_risk / CAST(n_risk AS DOUBLE) AS e1,
+                     CASE WHEN n_risk > 1 THEN
+                       d_all * (n1_risk / CAST(n_risk AS DOUBLE))
+                       * (1.0 - n1_risk / CAST(n_risk AS DOUBLE))
+                       * (n_risk - d_all) / (n_risk - 1.0)
+                     ELSE 0.0 END AS v
+              FROM rk WHERE d_all > 0),
+    agg AS (SELECT sum(d1) AS o1, sum(e1) AS e1, sum(v) AS v,
+                   (SELECT count(*) FROM subj) AS n_subj,
+                   (SELECT sum(CASE WHEN conv THEN 1 ELSE 0 END)
+                    FROM subj) AS n_events
+            FROM terms)
+    SELECT CAST(n_subj AS BIGINT) AS n_subjects,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(o1 AS BIGINT) AS observed_grp1,
+           round(e1, 4) AS expected_grp1,
+           round(pow(o1 - e1, 2) / v, 4) AS logrank_chi2,
+           pow(o1 - e1, 2) / v > 3.8415 AS reject_h0
+    FROM agg
+    """,
+)
+def events_logrank_test(spark, sf_dir):
+    """Log-rank test between two signup cohorts (odd vs even user id):
+    at every distinct event time compare group-1's observed
+    conversions with its share of the risk set, accumulate O-E and
+    the hypergeometric variance, chi2 = (O-E)^2/V against df=1 —
+    THE survival-curve comparison test (the inferential companion to
+    events_kaplan_meier's descriptive curves and Nelson-Aalen's
+    hazard: 'do the two cohorts convert at the same rate, accounting
+    for censoring'). Risk sets come from ONE descending cumulative
+    window over the bounded distinct-duration table — no correlated
+    subqueries, no quadratic risk-set recount; durations are
+    microsecond-exact on both engines."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    h = e.agg(F.max("ts").alias("tmax"))
+    conv = F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
+    subj = (
+        s.join(p, "user_id", "left")
+        .join(F.broadcast(h))
+        .select(
+            (F.col("user_id") % 2).alias("grp"),
+            F.when(
+                conv,
+                F.expr("timestampdiff(MICROSECOND, t0, t1)").cast(
+                    "double"
+                )
+                / 1e6,
+            )
+            .otherwise(
+                F.expr("timestampdiff(MICROSECOND, t0, tmax)").cast(
+                    "double"
+                )
+                / 1e6
+            )
+            .alias("dur"),
+            conv.alias("conv"),
+        )
+    )
+    pv = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("conv"), 1).otherwise(0)).alias("d_all"),
+        F.sum(
+            F.when(F.col("conv") & (F.col("grp") == 1), 1).otherwise(0)
+        ).alias("d1"),
+    )
+    wdesc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rk = pv.select(
+        "d_all",
+        "d1",
+        F.sum("n_all").over(wdesc).alias("n_risk"),
+        F.sum("n1").over(wdesc).alias("n1_risk"),
+    ).filter(F.col("d_all") > 0)
+    share = F.col("n1_risk") / F.col("n_risk").cast("double")
+    terms = rk.select(
+        "d1",
+        (F.col("d_all") * share).alias("e1"),
+        F.when(
+            F.col("n_risk") > 1,
+            F.col("d_all")
+            * share
+            * (F.lit(1.0) - share)
+            * (F.col("n_risk") - F.col("d_all"))
+            / (F.col("n_risk") - F.lit(1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    tot = subj.agg(
+        F.count(F.lit(1)).alias("n_subj"),
+        F.sum(F.when(F.col("conv"), 1).otherwise(0)).alias("n_events"),
+    )
+    agg = terms.agg(
+        F.sum("d1").alias("o1"),
+        F.sum("e1").alias("e1"),
+        F.sum("v").alias("v"),
+    ).join(F.broadcast(tot))
+    chi2 = F.pow(F.col("o1") - F.col("e1"), 2) / F.col("v")
+    return agg.select(
+        F.col("n_subj").cast("long").alias("n_subjects"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("o1").cast("long").alias("observed_grp1"),
+        F.round(F.col("e1"), 4).alias("expected_grp1"),
+        F.round(chi2, 4).alias("logrank_chi2"),
+        (chi2 > 3.8415).alias("reject_h0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 192: Breusch-Pagan heteroskedasticity test
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_breusch_pagan",
+    """
+    WITH per AS (SELECT l_orderkey, sum(l_quantity) AS qty
+                 FROM lineitem GROUP BY 1),
+    j AS (SELECT CAST(per.qty AS DOUBLE) AS x, o.o_totalprice AS y
+          FROM per JOIN orders o ON per.l_orderkey = o.o_orderkey),
+    fit AS (SELECT regr_slope(y, x) AS b1, regr_intercept(y, x) AS b0
+            FROM j),
+    e AS (SELECT j.x,
+                 pow(j.y - (fit.b0 + fit.b1 * j.x), 2) AS e2
+          FROM j CROSS JOIN fit),
+    bp AS (SELECT count(*) AS n,
+                  pow(corr(e2, x), 2) AS r2
+           FROM e)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(r2, 6) AS r2_e2_on_x,
+           round(n * r2, 4) AS bp_stat,
+           n * r2 > 3.8415 AS heteroskedastic
+    FROM bp
+    """,
+)
+def agg_breusch_pagan(spark, sf_dir):
+    """Breusch-Pagan heteroskedasticity test on the quantity -> price
+    OLS fit: regress SQUARED residuals on the predictor (one-regressor
+    form: BP = n * corr(e^2, x)^2, chi-square df=1) — the check that
+    decides whether the fit's error bars (and the Cook's-distance and
+    conformal entries built on the same model) can use constant-
+    variance formulas or need robust ones. Heteroskedastic errors
+    don't bias the slope but silently break every naive interval. The
+    model rides a broadcast one-row frame; squared residuals are a
+    shuffle-free projection; the statistic is one corr aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per = l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+    j = per.join(o, per.l_orderkey == o.o_orderkey).select(
+        F.col("qty").cast("double").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    fit = j.agg(
+        F.regr_slope("y", "x").alias("b1"),
+        F.regr_intercept("y", "x").alias("b0"),
+    )
+    e2 = j.join(F.broadcast(fit)).select(
+        "x",
+        F.pow(
+            F.col("y") - (F.col("b0") + F.col("b1") * F.col("x")), 2
+        ).alias("e2"),
+    )
+    bp = e2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.pow(F.corr("e2", "x"), 2).alias("r2"),
+    )
+    stat = F.col("n") * F.col("r2")
+    return bp.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("r2"), 6).alias("r2_e2_on_x"),
+        F.round(stat, 4).alias("bp_stat"),
+        (stat > 3.8415).alias("heteroskedastic"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -21284,10 +21507,10 @@ _GATE_ORDER = [
 #
 # ROUND-8 ROTATION PLAN (for the next session): the round-7
 # `next_window_pending` list (authoritative list AND counts in
-# tests/test_oracle.py; 110 entries as of round-7 close — MORE than the
+# tests/test_oracle.py; 112 entries as of round-7 close — MORE than the
 # 50-slot window) now spans multiple rounds: fill the round-8 window
 # with the FIRST 50 pending entries in list order (waves 81-117), keep
-# the remainder (waves 118-190) pending for round 9, and resume the
+# the remainder (waves 118-192) pending for round 9, and resume the
 # oldest-green drift-guard round-robin (dedup_filtered_corpus,
 # text_quality_filtered, then CORRECTNESS_r03 order) only once the
 # pending backlog fits inside a window again. Every pending entry is

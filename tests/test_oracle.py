@@ -312,6 +312,10 @@ def test_gate_window_covers_every_family():
         "scalar_gray_code_roundtrip",
         # wave 190: Theil's U forecast-skill ratio
         "events_theil_u_skill",
+        # wave 191: log-rank test between two conversion cohorts
+        "events_logrank_test",
+        # wave 192: Breusch-Pagan heteroskedasticity test
+        "agg_breusch_pagan",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
