@@ -21417,6 +21417,177 @@ def agg_breusch_pagan(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 193: CCNet-style quality buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "corpus_ccnet_buckets",
+    f"""
+    WITH lm AS (SELECT * FROM ({{LM}}) q),
+    toks AS (SELECT doc_id, source,
+                    CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+             FROM documents),
+    sc AS (SELECT toks.source, toks.n_tokens,
+                  round(lm.lm_score, 6) AS s
+           FROM lm JOIN toks USING (doc_id)
+           WHERE lm.lm_score IS NOT NULL),
+    mm AS (SELECT min(s) AS s0, max(s) AS s1 FROM sc),
+    b AS (SELECT source, n_tokens,
+                 CASE least(2, CAST(floor((s - s0) / (s1 - s0) * 3)
+                                    AS BIGINT))
+                      WHEN 2 THEN 'head'
+                      WHEN 1 THEN 'middle'
+                      ELSE 'tail' END AS bucket,
+                 s
+          FROM sc CROSS JOIN mm)
+    SELECT source, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS token_mass,
+           round(avg(s), 4) AS mean_lm_score
+    FROM b GROUP BY source, bucket
+    ORDER BY source, bucket
+    """.replace("{LM}", "__LM_ORACLE__"),
+)
+def corpus_ccnet_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing: every document scored by the
+    corpus bigram LM (the text_bigram_lm_score pipeline, one code
+    path), then cut into head/middle/tail thirds of the score range
+    (width-based on the ROUNDED score — deterministic, no ntile
+    tie-split) and reported per source as document counts and TOKEN
+    mass — the table the CCNet curation recipe keeps (train on head,
+    sample middle, drop tail), with token mass because sampling
+    budgets are token-denominated, not document-denominated. The LM
+    model tables broadcast; the bucket cut is one conditional
+    aggregate."""
+    from boann_ocsf_security_data_platform_spark.operators.text import (
+        bigram_lm_score,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_score(docs).filter(
+        F.col("lm_score").isNotNull()
+    ).select("doc_id", F.round("lm_score", 6).alias("s"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    sc = lm.join(toks, "doc_id")
+    mm = sc.agg(F.min("s").alias("s0"), F.max("s").alias("s1"))
+    tier = F.least(
+        F.lit(2),
+        F.floor(
+            (F.col("s") - F.col("s0"))
+            / (F.col("s1") - F.col("s0"))
+            * 3
+        ),
+    )
+    b = sc.join(F.broadcast(mm)).select(
+        "source",
+        "n_tokens",
+        "s",
+        F.when(tier == 2, "head")
+        .when(tier == 1, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return (
+        b.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_mass"),
+            F.round(F.avg("s"), 4).alias("mean_lm_score"),
+        )
+        .select(
+            "source",
+            "bucket",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("token_mass").cast("long").alias("token_mass"),
+            "mean_lm_score",
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+# patch the LM oracle into the bucket oracle now that both are registered
+ORACLE["corpus_ccnet_buckets"] = ORACLE["corpus_ccnet_buckets"].replace(
+    "__LM_ORACLE__", ORACLE["text_bigram_lm_score"]
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 194: Bartlett test of equal variances
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_bartlett_test",
+    """
+    WITH j AS (SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    s AS (SELECT g, count(*) AS n, var_samp(v) AS s2 FROM j GROUP BY g),
+    t AS (SELECT sum(n) AS nn, count(*) AS k,
+                 sum((n - 1) * s2) / (sum(n) - count(*)) AS sp2,
+                 sum((n - 1) * ln(s2)) AS sum_ln,
+                 sum(1.0 / (n - 1)) AS inv_sum
+          FROM s),
+    m AS (SELECT nn, k,
+                 (nn - k) * ln(sp2) - sum_ln AS mstat,
+                 1.0 + (inv_sum - 1.0 / (nn - k))
+                     / (3.0 * (k - 1)) AS c
+          FROM t)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n,
+           round(mstat / c, 4) AS bartlett_chi2,
+           CAST(k - 1 AS BIGINT) AS dof,
+           mstat / c > 9.4877 AS reject_equal_variances
+    FROM m
+    """,
+)
+def agg_bartlett_test(spark, sf_dir):
+    """Bartlett test of equal price variances across the five market
+    segments: chi2 = [(N-k) ln Sp^2 - sum (n_i-1) ln s_i^2] / C with
+    the standard small-sample correction C — the PARAMETRIC member of
+    the variance-homogeneity family (Brown-Forsythe is its robust
+    sibling: Bartlett is more powerful under normality and famously
+    fragile without it, which is exactly why reporting both is the
+    textbook move). One 5-row group-moment aggregate, scalar
+    arithmetic after."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("g"),
+        F.col("o_totalprice").alias("v"),
+    )
+    s = j.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.var_samp("v").alias("s2")
+    )
+    t = s.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        (
+            F.sum((F.col("n") - 1) * F.col("s2"))
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("sp2"),
+        F.sum((F.col("n") - 1) * F.log("s2")).alias("sum_ln"),
+        F.sum(F.lit(1.0) / (F.col("n") - 1)).alias("inv_sum"),
+    )
+    nn, k = F.col("nn").cast("double"), F.col("k").cast("double")
+    mstat = (nn - k) * F.log("sp2") - F.col("sum_ln")
+    cc = F.lit(1.0) + (
+        F.col("inv_sum") - F.lit(1.0) / (nn - k)
+    ) / (F.lit(3.0) * (k - 1))
+    return t.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n"),
+        F.round(mstat / cc, 4).alias("bartlett_chi2"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        (mstat / cc > 9.4877).alias("reject_equal_variances"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -21507,10 +21678,10 @@ _GATE_ORDER = [
 #
 # ROUND-8 ROTATION PLAN (for the next session): the round-7
 # `next_window_pending` list (authoritative list AND counts in
-# tests/test_oracle.py; 112 entries as of round-7 close — MORE than the
+# tests/test_oracle.py; 114 entries as of round-7 close — MORE than the
 # 50-slot window) now spans multiple rounds: fill the round-8 window
 # with the FIRST 50 pending entries in list order (waves 81-117), keep
-# the remainder (waves 118-192) pending for round 9, and resume the
+# the remainder (waves 118-194) pending for round 9, and resume the
 # oldest-green drift-guard round-robin (dedup_filtered_corpus,
 # text_quality_filtered, then CORRECTNESS_r03 order) only once the
 # pending backlog fits inside a window again. Every pending entry is

@@ -316,6 +316,10 @@ def test_gate_window_covers_every_family():
         "events_logrank_test",
         # wave 192: Breusch-Pagan heteroskedasticity test
         "agg_breusch_pagan",
+        # wave 193: CCNet-style quality buckets (head/middle/tail)
+        "corpus_ccnet_buckets",
+        # wave 194: Bartlett parametric variance-homogeneity test
+        "agg_bartlett_test",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
