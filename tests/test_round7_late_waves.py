@@ -604,3 +604,53 @@ def test_friedman_chi2_bounds(spark, sf_smoke):
     # chi2 max when one segment always ranks 1 and another always 5:
     # 12/(b*k*(k+1)) * b^2 * (1+4+9+16+25) - 3b(k+1) = 4b... bounded
     assert r.friedman_chi2 <= 4.0 * r.n_blocks + 1e-6
+
+
+def test_gray_code_properties(spark, sf_smoke):
+    r = QS["scalar_gray_code_roundtrip"](spark, sf_smoke).collect()[0]
+    assert r.n_roundtrip_ok == r.n
+    # THE Gray-code property: consecutive ints differ in exactly 1 bit
+    assert r.mean_hamming_consecutive == 1.0
+
+
+def test_theil_u_positive(spark, sf_smoke):
+    r = QS["events_theil_u_skill"](spark, sf_smoke).collect()[0]
+    assert r.rmse_naive > 0 and r.rmse_seasonal_naive > 0
+    assert r.theil_u > 0
+    assert r.weekly_structure_helps == (r.theil_u < 1.0)
+
+
+def test_logrank_consistency(spark, sf_smoke):
+    r = QS["events_logrank_test"](spark, sf_smoke).collect()[0]
+    assert r.logrank_chi2 >= 0
+    assert 0 <= r.observed_grp1 <= r.n_events
+    assert 0 <= r.expected_grp1 <= r.n_events
+
+
+def test_breusch_pagan_bounds(spark, sf_smoke):
+    r = QS["agg_breusch_pagan"](spark, sf_smoke).collect()[0]
+    assert 0.0 <= r.r2_e2_on_x <= 1.0
+    assert r.bp_stat >= 0
+    assert r.heteroskedastic == (r.bp_stat > 3.8415)
+
+
+def test_ccnet_buckets_partition(spark, sf_smoke):
+    rows = QS["corpus_ccnet_buckets"](spark, sf_smoke).collect()
+    assert rows
+    buckets = {r.bucket for r in rows}
+    assert buckets <= {"head", "middle", "tail"}
+    # head outranks tail in mean LM score within every source that
+    # has both
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.bucket] = r.mean_lm_score
+    for src, d in by_src.items():
+        if "head" in d and "tail" in d:
+            assert d["head"] > d["tail"]
+    assert all(r.token_mass > 0 for r in rows)
+
+
+def test_bartlett_nonnegative(spark, sf_smoke):
+    r = QS["agg_bartlett_test"](spark, sf_smoke).collect()[0]
+    assert r.bartlett_chi2 >= 0
+    assert r.k_groups == 5 and r.dof == 4
