@@ -21588,6 +21588,279 @@ def agg_bartlett_test(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 195: Hodges-Lehmann two-sample shift estimator
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_hodges_lehmann_shift",
+    """
+    WITH j AS (SELECT round(o.o_totalprice / 100.0) * 100.0 AS v,
+                      c.c_mktsegment = 'BUILDING' AS is_a
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+    a AS (SELECT v, count(*) AS ca FROM j WHERE is_a GROUP BY v),
+    b AS (SELECT v, count(*) AS cb FROM j WHERE NOT is_a GROUP BY v),
+    d AS (SELECT a.v - b.v AS diff,
+                 CAST(a.ca AS BIGINT) * b.cb AS w
+          FROM a CROSS JOIN b),
+    dd AS (SELECT diff, sum(w) AS w FROM d GROUP BY diff),
+    c AS (SELECT diff, w,
+                 sum(w) OVER (ORDER BY diff
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+                 sum(w) OVER () AS tw
+          FROM dd),
+    med AS (SELECT diff FROM c
+            WHERE cw >= (tw + 1) / 2.0
+            ORDER BY diff LIMIT 1),
+    stats AS (SELECT (SELECT sum(ca) FROM a) AS n_a,
+                     (SELECT sum(cb) FROM b) AS n_b,
+                     (SELECT sum(w) FROM dd) AS n_pairs)
+    SELECT CAST(n_a AS BIGINT) AS n_building,
+           CAST(n_b AS BIGINT) AS n_automobile,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round((SELECT diff FROM med), 2) AS hl_shift
+    FROM stats
+    """,
+)
+def agg_hodges_lehmann_shift(spark, sf_dir):
+    """Hodges-Lehmann two-sample shift estimator: the median of ALL
+    pairwise differences between BUILDING and AUTOMOBILE order prices
+    — the robust 'how much higher' ESTIMATE that accompanies the
+    Mann-Whitney test already in the family (MW says the groups
+    differ; HL says by how many dollars, 50% breakdown point, no
+    normality). Scale discipline: both samples collapse to $100-binned
+    (value, count) tables first, so the pairwise-difference space is a
+    bounded weighted cross of two ~1e3-row domains — never raw-row
+    n_a x n_b — and the median is a cumulative-weight cut over the
+    distinct-difference table (lower weighted median, deterministic
+    on both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin(["BUILDING", "AUTOMOBILE"]))
+        .select(
+            (F.round(F.col("o_totalprice") / 100.0) * 100.0).alias("v"),
+            (F.col("c_mktsegment") == "BUILDING").alias("is_a"),
+        )
+    )
+    a = j.filter(F.col("is_a")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = j.filter(~F.col("is_a")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    d = (
+        a.crossJoin(b.select(F.col("v").alias("vb"), "cb"))
+        .select(
+            (F.col("v") - F.col("vb")).alias("diff"),
+            (F.col("ca").cast("long") * F.col("cb")).alias("w"),
+        )
+        .groupBy("diff")
+        .agg(F.sum("w").alias("w"))
+    )
+    wc = Window.orderBy("diff").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cmed = d.select(
+        "diff",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    med = (
+        cmed.filter(F.col("cw") >= (F.col("tw") + 1) / 2.0)
+        .orderBy("diff")
+        .limit(1)
+        .select(F.col("diff").alias("hl"))
+    )
+    stats = (
+        a.agg(F.sum("ca").alias("n_a"))
+        .join(b.agg(F.sum("cb").alias("n_b")))
+        .join(d.agg(F.sum("w").alias("n_pairs")))
+    )
+    return stats.join(F.broadcast(med)).select(
+        F.col("n_a").cast("long").alias("n_building"),
+        F.col("n_b").cast("long").alias("n_automobile"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(F.col("hl"), 2).alias("hl_shift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 196: np-chart statistical process control
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_np_chart",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      count(*) AS n,
+                      sum(CASE WHEN event_type = 'error' THEN 1
+                               ELSE 0 END) AS x
+               FROM events GROUP BY 1),
+    p AS (SELECT CAST(sum(x) AS DOUBLE) / sum(n) AS pbar,
+                 avg(CAST(n AS DOUBLE)) AS nbar,
+                 count(*) AS days
+          FROM d),
+    lim AS (SELECT pbar, nbar, days,
+                   nbar * pbar AS center,
+                   nbar * pbar
+                   + 3.0 * sqrt(nbar * pbar * (1 - pbar)) AS ucl,
+                   greatest(0.0, nbar * pbar
+                   - 3.0 * sqrt(nbar * pbar * (1 - pbar))) AS lcl
+            FROM p),
+    oc AS (SELECT sum(CASE WHEN d.x > lim.ucl THEN 1 ELSE 0 END)
+               AS n_above,
+                  sum(CASE WHEN d.x < lim.lcl THEN 1 ELSE 0 END)
+               AS n_below
+           FROM d CROSS JOIN lim)
+    SELECT CAST(days AS BIGINT) AS n_days,
+           round(pbar, 6) AS p_bar,
+           round(center, 4) AS center_line,
+           round(ucl, 4) AS ucl,
+           round(lcl, 4) AS lcl,
+           CAST(n_above AS BIGINT) AS days_above_ucl,
+           CAST(n_below AS BIGINT) AS days_below_lcl,
+           n_above + n_below = 0 AS in_control
+    FROM lim CROSS JOIN oc
+    """,
+)
+def events_np_chart(spark, sf_dir):
+    """np-chart statistical process control on daily error counts:
+    center line n-bar*p-bar with 3-sigma binomial limits, and the
+    count of out-of-control days on each side — the Shewhart chart
+    for 'defectives per fixed-ish sample' that complements CUSUM
+    (slow drifts) and the z-score alerts (point shocks) with the
+    classical sustained-fraction view a reliability review expects.
+    One bounded daily collapse; limits ride a broadcast one-row
+    frame; the verdict is one conditional aggregate."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("x"),
+    )
+    p = d.agg(
+        (F.sum("x").cast("double") / F.sum("n")).alias("pbar"),
+        F.avg(F.col("n").cast("double")).alias("nbar"),
+        F.count(F.lit(1)).alias("days"),
+    )
+    center = F.col("nbar") * F.col("pbar")
+    sig = F.sqrt(
+        F.col("nbar") * F.col("pbar") * (1 - F.col("pbar"))
+    )
+    lim = p.select(
+        "pbar",
+        "days",
+        center.alias("center"),
+        (center + 3.0 * sig).alias("ucl"),
+        F.greatest(F.lit(0.0), center - 3.0 * sig).alias("lcl"),
+    )
+    oc = d.join(F.broadcast(lim)).agg(
+        F.sum(
+            F.when(F.col("x") > F.col("ucl"), 1).otherwise(0)
+        ).alias("n_above"),
+        F.sum(
+            F.when(F.col("x") < F.col("lcl"), 1).otherwise(0)
+        ).alias("n_below"),
+    )
+    return lim.join(F.broadcast(oc)).select(
+        F.col("days").cast("long").alias("n_days"),
+        F.round(F.col("pbar"), 6).alias("p_bar"),
+        F.round(F.col("center"), 4).alias("center_line"),
+        F.round(F.col("ucl"), 4).alias("ucl"),
+        F.round(F.col("lcl"), 4).alias("lcl"),
+        F.col("n_above").cast("long").alias("days_above_ucl"),
+        F.col("n_below").cast("long").alias("days_below_lcl"),
+        ((F.col("n_above") + F.col("n_below")) == 0).alias("in_control"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 197: Laspeyres / Paasche / Fisher price indices
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "parts_price_index",
+    """
+    WITH py AS (SELECT year(CAST(l_shipdate AS DATE)) AS yr,
+                       l_partkey AS pk,
+                       sum(l_extendedprice) / sum(l_quantity) AS p,
+                       sum(l_quantity) AS q
+                FROM lineitem
+                WHERE l_quantity > 0 GROUP BY 1, 2),
+    base AS (SELECT pk, p AS p0, q AS q0 FROM py WHERE yr = 1995),
+    cur AS (SELECT yr, pk, p, q FROM py WHERE yr <> 1995),
+    j AS (SELECT cur.yr, cur.p, cur.q, base.p0, base.q0
+          FROM cur JOIN base USING (pk)),
+    ix AS (SELECT yr,
+                  sum(p * q0) / sum(p0 * q0) AS laspeyres,
+                  sum(p * q) / sum(p0 * q) AS paasche,
+                  count(*) AS n_parts
+           FROM j GROUP BY yr)
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           round(laspeyres, 6) AS laspeyres,
+           round(paasche, 6) AS paasche,
+           round(sqrt(laspeyres * paasche), 6) AS fisher
+    FROM ix ORDER BY yr
+    """,
+)
+def parts_price_index(spark, sf_dir):
+    """Laspeyres, Paasche, and Fisher price indices per year against
+    the 1995 base basket: unit prices per (year, part) from extended
+    price over quantity, Laspeyres weights by BASE-year quantities
+    (what did the old basket cost now), Paasche by CURRENT-year
+    (what does the new basket cost then), Fisher their geometric mean
+    — index-number theory, the inflation/price-drift measurement a
+    pricing team runs on its own catalog (parts_price_elasticity asks
+    how demand responds; this asks what actually happened to prices).
+    Two scans collapse to the bounded (year, part) domain; indices
+    are per-year weighted aggregates of the base join."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    py = l.groupBy(
+        F.year(F.col("l_shipdate").cast("date")).alias("yr"),
+        F.col("l_partkey").alias("pk"),
+    ).agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        F.sum("l_quantity").alias("q"),
+    )
+    base = py.filter(F.col("yr") == 1995).select(
+        "pk", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    cur = py.filter(F.col("yr") != 1995)
+    j = cur.join(base, "pk")
+    ix = j.groupBy("yr").agg(
+        (
+            F.sum(F.col("p") * F.col("q0"))
+            / F.sum(F.col("p0") * F.col("q0"))
+        ).alias("laspeyres"),
+        (
+            F.sum(F.col("p") * F.col("q"))
+            / F.sum(F.col("p0") * F.col("q"))
+        ).alias("paasche"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return ix.select(
+        F.col("yr").cast("long").alias("yr"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.round(F.col("laspeyres"), 6).alias("laspeyres"),
+        F.round(F.col("paasche"), 6).alias("paasche"),
+        F.round(
+            F.sqrt(F.col("laspeyres") * F.col("paasche")), 6
+        ).alias("fisher"),
+    ).orderBy("yr")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -21678,10 +21951,10 @@ _GATE_ORDER = [
 #
 # ROUND-8 ROTATION PLAN (for the next session): the round-7
 # `next_window_pending` list (authoritative list AND counts in
-# tests/test_oracle.py; 114 entries as of round-7 close — MORE than the
+# tests/test_oracle.py; 117 entries as of round-7 close — MORE than the
 # 50-slot window) now spans multiple rounds: fill the round-8 window
 # with the FIRST 50 pending entries in list order (waves 81-117), keep
-# the remainder (waves 118-194) pending for round 9, and resume the
+# the remainder (waves 118-197) pending for round 9, and resume the
 # oldest-green drift-guard round-robin (dedup_filtered_corpus,
 # text_quality_filtered, then CORRECTNESS_r03 order) only once the
 # pending backlog fits inside a window again. Every pending entry is

@@ -320,6 +320,12 @@ def test_gate_window_covers_every_family():
         "corpus_ccnet_buckets",
         # wave 194: Bartlett parametric variance-homogeneity test
         "agg_bartlett_test",
+        # wave 195: Hodges-Lehmann two-sample shift estimator
+        "agg_hodges_lehmann_shift",
+        # wave 196: np-chart SPC on daily error counts
+        "events_np_chart",
+        # wave 197: Laspeyres/Paasche/Fisher price indices
+        "parts_price_index",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
