@@ -654,3 +654,29 @@ def test_bartlett_nonnegative(spark, sf_smoke):
     r = QS["agg_bartlett_test"](spark, sf_smoke).collect()[0]
     assert r.bartlett_chi2 >= 0
     assert r.k_groups == 5 and r.dof == 4
+
+
+def test_hodges_lehmann_pairs(spark, sf_smoke):
+    r = QS["agg_hodges_lehmann_shift"](spark, sf_smoke).collect()[0]
+    # weighted pair count equals the product of group sizes
+    assert r.n_pairs == r.n_building * r.n_automobile
+    assert r.hl_shift is not None
+
+
+def test_np_chart_limits(spark, sf_smoke):
+    r = QS["events_np_chart"](spark, sf_smoke).collect()[0]
+    assert r.lcl <= r.center_line <= r.ucl
+    assert 0.0 <= r.p_bar <= 1.0
+    assert r.in_control == (
+        r.days_above_ucl + r.days_below_lcl == 0
+    )
+
+
+def test_price_index_fisher_between(spark, sf_smoke):
+    rows = QS["parts_price_index"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        lo, hi = sorted([r.laspeyres, r.paasche])
+        # Fisher is the geometric mean: always between L and P
+        assert lo - 1e-9 <= r.fisher <= hi + 1e-9
+        assert r.laspeyres > 0 and r.paasche > 0
