@@ -21861,6 +21861,228 @@ def parts_price_index(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 198: McNemar paired-classifier test
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_mcnemar_test",
+    """
+    WITH per AS (SELECT l_orderkey, count(*) AS nl,
+                        sum(l_quantity) AS qty
+                 FROM lineitem GROUP BY 1),
+    j AS (SELECT o.o_totalprice >= 150000 AS truth,
+                 per.qty >= 150 AS pred_qty,
+                 per.nl >= 5 AS pred_lines
+          FROM per JOIN orders o ON per.l_orderkey = o.o_orderkey),
+    cls AS (SELECT (pred_qty = truth) AS a_right,
+                   (pred_lines = truth) AS b_right
+            FROM j),
+    cell AS (SELECT
+               sum(CASE WHEN a_right AND NOT b_right THEN 1 ELSE 0 END)
+                 AS b,
+               sum(CASE WHEN NOT a_right AND b_right THEN 1 ELSE 0 END)
+                 AS c,
+               sum(CASE WHEN a_right AND b_right THEN 1 ELSE 0 END)
+                 AS both_right,
+               count(*) AS n
+             FROM cls)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(b AS BIGINT) AS only_qty_right,
+           CAST(c AS BIGINT) AS only_lines_right,
+           round(pow(abs(b - c) - 1.0, 2) / (b + c), 4)
+             AS mcnemar_chi2,
+           pow(abs(b - c) - 1.0, 2) / (b + c) > 3.8415 AS reject_h0
+    FROM cell
+    """,
+)
+def agg_mcnemar_test(spark, sf_dir):
+    """McNemar paired-classifier test: two rule classifiers for the
+    high-price label (quantity >= 150 vs line-count >= 5) evaluated on
+    the SAME orders, tested on their DISCORDANT cells only — chi2 =
+    (|b-c|-1)^2/(b+c) with continuity correction. The correct way to
+    compare two models on one eval set (a two-proportion z on the
+    marginal accuracies ignores the pairing and loses power —
+    agg_two_proportion_ztest is for independent samples; this is its
+    paired sibling, the A/B test every model-swap decision should
+    use). One conditional aggregate over the joined fact."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nl"), F.sum("l_quantity").alias("qty")
+    )
+    j = per.join(o, per.l_orderkey == o.o_orderkey).select(
+        (F.col("o_totalprice") >= 150000).alias("truth"),
+        (F.col("qty") >= 150).alias("pred_qty"),
+        (F.col("nl") >= 5).alias("pred_lines"),
+    )
+    cls = j.select(
+        (F.col("pred_qty") == F.col("truth")).alias("a_right"),
+        (F.col("pred_lines") == F.col("truth")).alias("b_right"),
+    )
+    cell = cls.agg(
+        F.sum(
+            F.when(F.col("a_right") & ~F.col("b_right"), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when(~F.col("a_right") & F.col("b_right"), 1).otherwise(0)
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    chi2 = F.pow(F.abs(F.col("b") - F.col("c")) - 1.0, 2) / (
+        F.col("b") + F.col("c")
+    )
+    return cell.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("b").cast("long").alias("only_qty_right"),
+        F.col("c").cast("long").alias("only_lines_right"),
+        F.round(chi2, 4).alias("mcnemar_chi2"),
+        (chi2 > 3.8415).alias("reject_h0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 199: newsvendor service-level stock targets
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "orders_newsvendor_levels",
+    """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS demand
+               FROM orders GROUP BY 1),
+    rk AS (SELECT demand,
+                  row_number() OVER (ORDER BY demand, day) AS rn,
+                  count(*) OVER () AS n
+           FROM d),
+    sl AS (SELECT unnest([0.80, 0.90, 0.95, 0.99]) AS service_level),
+    pick AS (SELECT sl.service_level, rk.demand
+             FROM sl JOIN rk
+               ON rk.rn = CAST(ceil(sl.service_level * rk.n) AS BIGINT)),
+    mean_d AS (SELECT avg(CAST(demand AS DOUBLE)) AS mu FROM d)
+    SELECT round(service_level, 2) AS service_level,
+           CAST(demand AS BIGINT) AS stock_level,
+           round(demand / mu, 4) AS safety_factor
+    FROM pick CROSS JOIN mean_d
+    ORDER BY service_level
+    """,
+)
+def orders_newsvendor_levels(spark, sf_dir):
+    """Newsvendor service-level stock targets: the daily order-count
+    demand level that covers 80/90/95/99% of days — the critical-
+    fractile answer to 'how much capacity/stock do I provision', read
+    straight off the EMPIRICAL demand distribution as an order
+    statistic (row_number cut with day tie-break — exact, no
+    percentile-interpolation divergence, the conformal entry's
+    discipline), with the safety factor over mean demand. One bounded
+    daily collapse, one rank window, a 4-literal join."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("demand")
+    )
+    w = Window.orderBy("demand", "day")
+    rk = d.select(
+        "demand",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    sl = spark.createDataFrame(
+        [(0.80,), (0.90,), (0.95,), (0.99,)], "service_level double"
+    )
+    pick = F.broadcast(sl).join(
+        rk,
+        rk.rn
+        == F.ceil(F.col("service_level") * F.col("n")).cast("long"),
+    )
+    mu = d.agg(F.avg(F.col("demand").cast("double")).alias("mu"))
+    return (
+        pick.join(F.broadcast(mu))
+        .select(
+            F.round(F.col("service_level"), 2).alias("service_level"),
+            F.col("demand").cast("long").alias("stock_level"),
+            F.round(F.col("demand") / F.col("mu"), 4).alias(
+                "safety_factor"
+            ),
+        )
+        .orderBy("service_level")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 200: dataset card (cross-table inventory)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "profile_dataset_card",
+    """
+    SELECT * FROM (
+      SELECT 'customer' AS tbl,
+             (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+             (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+              FROM customer) AS n_keys
+      UNION ALL SELECT 'orders', (SELECT count(*) FROM orders),
+             (SELECT count(DISTINCT o_orderkey) FROM orders)
+      UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+      UNION ALL SELECT 'part', (SELECT count(*) FROM part),
+             (SELECT count(DISTINCT p_partkey) FROM part)
+      UNION ALL SELECT 'supplier', (SELECT count(*) FROM supplier),
+             (SELECT count(DISTINCT s_suppkey) FROM supplier)
+      UNION ALL SELECT 'events', (SELECT count(*) FROM events),
+             (SELECT count(DISTINCT user_id) FROM events)
+      UNION ALL SELECT 'documents', (SELECT count(*) FROM documents),
+             (SELECT count(DISTINCT doc_id) FROM documents)
+      UNION ALL SELECT 'embeddings', (SELECT count(*) FROM embeddings),
+             (SELECT count(DISTINCT vec_id) FROM embeddings)
+      UNION ALL SELECT 'nation', (SELECT count(*) FROM nation),
+             (SELECT count(DISTINCT n_nationkey) FROM nation)
+      UNION ALL SELECT 'region', (SELECT count(*) FROM region),
+             (SELECT count(DISTINCT r_regionkey) FROM region))
+    ORDER BY tbl
+    """,
+)
+def profile_dataset_card(spark, sf_dir):
+    """Dataset card: one row per table with row count and
+    key/entity cardinality across all ten tables — the first page of
+    any data-platform handoff (and the sanity row the driver's own
+    scale factors can be read off directly). Each count is one
+    columnar aggregate; key cardinalities use the table's natural
+    entity key (fact tables report their parent-entity cardinality,
+    e.g. lineitem -> distinct orders, events -> distinct users)."""
+    specs = [
+        ("customer", "c_custkey"),
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+        ("part", "p_partkey"),
+        ("supplier", "s_suppkey"),
+        ("events", "user_id"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("nation", "n_nationkey"),
+        ("region", "r_regionkey"),
+    ]
+    rows = []
+    for tbl, key in specs:
+        df = _t(spark, sf_dir, tbl)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(key).alias("k"),
+        ).collect()[0]
+        rows.append((tbl, agg.n, agg.k))
+    return spark.createDataFrame(
+        sorted(rows), "tbl string, n_rows long, n_keys long"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -21951,10 +22173,10 @@ _GATE_ORDER = [
 #
 # ROUND-8 ROTATION PLAN (for the next session): the round-7
 # `next_window_pending` list (authoritative list AND counts in
-# tests/test_oracle.py; 117 entries as of round-7 close — MORE than the
+# tests/test_oracle.py; 120 entries as of round-7 close — MORE than the
 # 50-slot window) now spans multiple rounds: fill the round-8 window
 # with the FIRST 50 pending entries in list order (waves 81-117), keep
-# the remainder (waves 118-197) pending for round 9, and resume the
+# the remainder (waves 118-200) pending for round 9, and resume the
 # oldest-green drift-guard round-robin (dedup_filtered_corpus,
 # text_quality_filtered, then CORRECTNESS_r03 order) only once the
 # pending backlog fits inside a window again. Every pending entry is

@@ -326,6 +326,12 @@ def test_gate_window_covers_every_family():
         "events_np_chart",
         # wave 197: Laspeyres/Paasche/Fisher price indices
         "parts_price_index",
+        # wave 198: McNemar paired-classifier test
+        "agg_mcnemar_test",
+        # wave 199: newsvendor service-level stock targets
+        "orders_newsvendor_levels",
+        # wave 200: dataset card (cross-table inventory)
+        "profile_dataset_card",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
