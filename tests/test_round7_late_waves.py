@@ -680,3 +680,25 @@ def test_price_index_fisher_between(spark, sf_smoke):
         # Fisher is the geometric mean: always between L and P
         assert lo - 1e-9 <= r.fisher <= hi + 1e-9
         assert r.laspeyres > 0 and r.paasche > 0
+
+
+def test_mcnemar_discordant_only(spark, sf_smoke):
+    r = QS["agg_mcnemar_test"](spark, sf_smoke).collect()[0]
+    assert r.only_qty_right + r.only_lines_right <= r.n
+    assert r.mcnemar_chi2 >= 0
+
+
+def test_newsvendor_monotone(spark, sf_smoke):
+    rows = QS["orders_newsvendor_levels"](spark, sf_smoke).collect()
+    assert len(rows) == 4
+    levels = [r.stock_level for r in rows]
+    assert levels == sorted(levels)  # higher service needs more stock
+    assert all(r.safety_factor > 0 for r in rows)
+
+
+def test_dataset_card_complete(spark, sf_smoke):
+    rows = QS["profile_dataset_card"](spark, sf_smoke).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_rows > 0
+        assert 0 < r.n_keys <= r.n_rows
