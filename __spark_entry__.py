@@ -22083,6 +22083,273 @@ def profile_dataset_card(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-7 wave 201: Cochran's Q test across three classifiers
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_cochran_q_test",
+    """
+    WITH per AS (SELECT l_orderkey, count(*) AS nl,
+                        sum(l_quantity) AS qty,
+                        max(l_extendedprice) AS mx
+                 FROM lineitem GROUP BY 1),
+    j AS (SELECT o.o_totalprice >= 150000 AS truth,
+                 CASE WHEN (per.qty >= 150)
+                      = (o.o_totalprice >= 150000)
+                      THEN 1 ELSE 0 END AS r1,
+                 CASE WHEN (per.nl >= 5)
+                      = (o.o_totalprice >= 150000)
+                      THEN 1 ELSE 0 END AS r2,
+                 CASE WHEN (per.mx >= 40000)
+                      = (o.o_totalprice >= 150000)
+                      THEN 1 ELSE 0 END AS r3
+          FROM per JOIN orders o ON per.l_orderkey = o.o_orderkey),
+    s AS (SELECT sum(r1) AS g1, sum(r2) AS g2, sum(r3) AS g3,
+                 sum(r1 + r2 + r3) AS sum_l,
+                 sum((r1 + r2 + r3) * (r1 + r2 + r3)) AS sum_l2,
+                 count(*) AS n
+          FROM j),
+    q AS (SELECT n, g1, g2, g3,
+                 2.0 * (3.0 * (g1 * g1 + g2 * g2 + g3 * g3)
+                        - CAST(sum_l AS DOUBLE) * sum_l)
+                 / (3.0 * sum_l - sum_l2) AS qstat
+          FROM s)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(g1 AS BIGINT) AS correct_qty_rule,
+           CAST(g2 AS BIGINT) AS correct_lines_rule,
+           CAST(g3 AS BIGINT) AS correct_maxprice_rule,
+           round(qstat, 4) AS cochran_q,
+           qstat > 5.9915 AS reject_h0
+    FROM q
+    """,
+)
+def agg_cochran_q_test(spark, sf_dir):
+    """Cochran's Q test across THREE rule classifiers evaluated on the
+    same orders (quantity, line-count, and max-line-price rules for
+    the high-price label): Q = (k-1)[k*sum G_j^2 - (sum G_j)^2] /
+    [k*sum L_i - sum L_i^2] against chi-square df=k-1=2 — the
+    k-classifier generalization of McNemar (pairwise tests inflate the
+    family-wise error; Q is the omnibus you run FIRST, then McNemar
+    pairs only if it rejects — the same omnibus->posthoc discipline
+    as ANOVA->Tukey). One conditional aggregate computes every term."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nl"),
+        F.sum("l_quantity").alias("qty"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    truth = F.col("o_totalprice") >= 150000
+    j = per.join(o, per.l_orderkey == o.o_orderkey).select(
+        F.when((F.col("qty") >= 150) == truth, 1).otherwise(0).alias("r1"),
+        F.when((F.col("nl") >= 5) == truth, 1).otherwise(0).alias("r2"),
+        F.when((F.col("mx") >= 40000) == truth, 1)
+        .otherwise(0)
+        .alias("r3"),
+    )
+    li = F.col("r1") + F.col("r2") + F.col("r3")
+    s = j.agg(
+        F.sum("r1").alias("g1"),
+        F.sum("r2").alias("g2"),
+        F.sum("r3").alias("g3"),
+        F.sum(li).alias("sum_l"),
+        F.sum(li * li).alias("sum_l2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qstat = (
+        F.lit(2.0)
+        * (
+            F.lit(3.0)
+            * (
+                F.col("g1") * F.col("g1")
+                + F.col("g2") * F.col("g2")
+                + F.col("g3") * F.col("g3")
+            )
+            - F.col("sum_l").cast("double") * F.col("sum_l")
+        )
+        / (F.lit(3.0) * F.col("sum_l") - F.col("sum_l2"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("g1").cast("long").alias("correct_qty_rule"),
+        F.col("g2").cast("long").alias("correct_lines_rule"),
+        F.col("g3").cast("long").alias("correct_maxprice_rule"),
+        F.round(qstat, 4).alias("cochran_q"),
+        (qstat > 5.9915).alias("reject_h0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 202: economic order quantity analysis
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "parts_eoq_analysis",
+    """
+    WITH d AS (SELECT p.p_partkey AS pk,
+                      sum(l.l_quantity) AS annual_d,
+                      avg(l.l_extendedprice / l.l_quantity) AS unit_cost
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+               WHERE year(CAST(l.l_shipdate AS DATE)) = 1995
+                 AND l.l_quantity > 0
+               GROUP BY 1),
+    eoq AS (SELECT pk, annual_d, unit_cost,
+                   sqrt(2.0 * annual_d * 100.0
+                        / (0.2 * unit_cost)) AS eoq,
+                   annual_d / sqrt(2.0 * annual_d * 100.0
+                                   / (0.2 * unit_cost)) AS n_orders
+            FROM d WHERE annual_d > 0),
+    b AS (SELECT least(4, CAST(floor(n_orders) AS BIGINT)) AS ord_bin,
+                 eoq, annual_d
+          FROM eoq)
+    SELECT CAST(ord_bin AS BIGINT) AS orders_per_year_bin,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(avg(eoq), 2) AS mean_eoq_units,
+           round(avg(annual_d), 2) AS mean_annual_demand
+    FROM b GROUP BY ord_bin ORDER BY ord_bin
+    """,
+)
+def parts_eoq_analysis(spark, sf_dir):
+    """Economic order quantity per part (Wilson formula, $100 fixed
+    order cost, 20% annual holding rate on unit cost): EOQ =
+    sqrt(2*D*S/(h*c)) from 1995 demand, profiled by implied
+    reorder frequency — the lot-sizing primitive that pairs with
+    orders_newsvendor_levels (newsvendor: how much buffer; EOQ: how
+    often and how big to order). Cost parameters are engine-identical
+    literals; one scan to the per-part demand table, row-local
+    closed-form, one bounded histogram."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = _t(spark, sf_dir, "part")
+    d = (
+        l.filter(F.year(F.col("l_shipdate").cast("date")) == 1995)
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_partkey").alias("pk"))
+        .agg(
+            F.sum("l_quantity").alias("annual_d"),
+            F.avg(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("unit_cost"),
+        )
+        .filter(F.col("annual_d") > 0)
+    )
+    eoq = F.sqrt(
+        F.lit(2.0)
+        * F.col("annual_d")
+        * 100.0
+        / (F.lit(0.2) * F.col("unit_cost"))
+    )
+    e = d.select(
+        eoq.alias("eoq"),
+        (F.col("annual_d") / eoq).alias("n_orders"),
+        "annual_d",
+    )
+    b = e.select(
+        F.least(F.lit(4), F.floor(F.col("n_orders"))).alias("ord_bin"),
+        "eoq",
+        "annual_d",
+    )
+    return (
+        b.groupBy("ord_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("eoq"), 2).alias("mean_eoq_units"),
+            F.round(F.avg("annual_d"), 2).alias("mean_annual_demand"),
+        )
+        .select(
+            F.col("ord_bin").cast("long").alias("orders_per_year_bin"),
+            F.col("n_parts").cast("long").alias("n_parts"),
+            "mean_eoq_units",
+            "mean_annual_demand",
+        )
+        .orderBy("orders_per_year_bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave 203: Simpson's paradox probe
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_simpson_paradox_probe",
+    """
+    WITH per AS (SELECT l_orderkey, count(*) AS nl
+                 FROM lineitem GROUP BY 1),
+    j AS (SELECT c.c_mktsegment AS g,
+                 CAST(per.nl AS DOUBLE) AS x,
+                 o.o_totalprice / per.nl AS y
+          FROM per JOIN orders o ON per.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey),
+    pooled AS (SELECT corr(x, y) AS r FROM j),
+    grp AS (SELECT g, corr(x, y) AS r, count(*) AS n FROM j GROUP BY g),
+    agree AS (SELECT
+                sum(CASE WHEN sign(grp.r) = sign(pooled.r)
+                         THEN 1 ELSE 0 END) AS n_agree,
+                count(*) AS k,
+                min(grp.r) AS min_r, max(grp.r) AS max_r
+              FROM grp CROSS JOIN pooled)
+    SELECT round((SELECT r FROM pooled), 6) AS pooled_corr,
+           CAST(k AS BIGINT) AS n_groups,
+           CAST(n_agree AS BIGINT) AS groups_agreeing_with_pooled,
+           round(min_r, 6) AS min_group_corr,
+           round(max_r, 6) AS max_group_corr,
+           n_agree < k AS sign_reversal_somewhere,
+           n_agree = 0 AS full_simpson_reversal
+    FROM agree
+    """,
+)
+def agg_simpson_paradox_probe(spark, sf_dir):
+    """Simpson's-paradox probe: the pooled correlation between order
+    line count and PER-LINE price vs the same correlation WITHIN each
+    market segment — flagging any group whose sign disagrees with the
+    pooled sign, and the full reversal case (every group disagrees) —
+    the aggregation-pitfall detector every dashboard metric should
+    pass before a pooled trend is believed (the pooled line can slope
+    one way while every segment slopes the other). Two corr
+    aggregates (one pooled, one per bounded group) and a 5-row sign
+    comparison."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("nl"))
+    j = (
+        per.join(o, per.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("g"),
+            F.col("nl").cast("double").alias("x"),
+            (F.col("o_totalprice") / F.col("nl")).alias("y"),
+        )
+    )
+    pooled = j.agg(F.corr("x", "y").alias("rp"))
+    grp = j.groupBy("g").agg(F.corr("x", "y").alias("r"))
+    agree = grp.join(F.broadcast(pooled)).agg(
+        F.sum(
+            F.when(
+                F.signum(F.col("r")) == F.signum(F.col("rp")), 1
+            ).otherwise(0)
+        ).alias("n_agree"),
+        F.count(F.lit(1)).alias("k"),
+        F.min("r").alias("min_r"),
+        F.max("r").alias("max_r"),
+        F.any_value("rp").alias("rp"),
+    )
+    return agree.select(
+        F.round(F.col("rp"), 6).alias("pooled_corr"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n_agree").cast("long").alias(
+            "groups_agreeing_with_pooled"
+        ),
+        F.round(F.col("min_r"), 6).alias("min_group_corr"),
+        F.round(F.col("max_r"), 6).alias("max_group_corr"),
+        (F.col("n_agree") < F.col("k")).alias("sign_reversal_somewhere"),
+        (F.col("n_agree") == 0).alias("full_simpson_reversal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -22173,10 +22440,10 @@ _GATE_ORDER = [
 #
 # ROUND-8 ROTATION PLAN (for the next session): the round-7
 # `next_window_pending` list (authoritative list AND counts in
-# tests/test_oracle.py; 120 entries as of round-7 close — MORE than the
+# tests/test_oracle.py; 123 entries as of round-7 close — MORE than the
 # 50-slot window) now spans multiple rounds: fill the round-8 window
 # with the FIRST 50 pending entries in list order (waves 81-117), keep
-# the remainder (waves 118-200) pending for round 9, and resume the
+# the remainder (waves 118-203) pending for round 9, and resume the
 # oldest-green drift-guard round-robin (dedup_filtered_corpus,
 # text_quality_filtered, then CORRECTNESS_r03 order) only once the
 # pending backlog fits inside a window again. Every pending entry is

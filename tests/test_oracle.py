@@ -332,6 +332,12 @@ def test_gate_window_covers_every_family():
         "orders_newsvendor_levels",
         # wave 200: dataset card (cross-table inventory)
         "profile_dataset_card",
+        # wave 201: Cochran's Q omnibus across three classifiers
+        "agg_cochran_q_test",
+        # wave 202: economic order quantity analysis
+        "parts_eoq_analysis",
+        # wave 203: Simpson's paradox probe (pooled vs within-group)
+        "agg_simpson_paradox_probe",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending
