@@ -702,3 +702,30 @@ def test_dataset_card_complete(spark, sf_smoke):
     for r in rows:
         assert r.n_rows > 0
         assert 0 < r.n_keys <= r.n_rows
+
+
+def test_cochran_q_nonnegative(spark, sf_smoke):
+    r = QS["agg_cochran_q_test"](spark, sf_smoke).collect()[0]
+    assert r.cochran_q >= 0
+    for g in (r.correct_qty_rule, r.correct_lines_rule,
+              r.correct_maxprice_rule):
+        assert 0 <= g <= r.n
+
+
+def test_eoq_bins_bounded(spark, sf_smoke):
+    rows = QS["parts_eoq_analysis"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.orders_per_year_bin <= 4
+        assert r.mean_eoq_units > 0
+        assert r.mean_annual_demand > 0
+
+
+def test_simpson_probe_consistency(spark, sf_smoke):
+    r = QS["agg_simpson_paradox_probe"](spark, sf_smoke).collect()[0]
+    assert -1.0 <= r.pooled_corr <= 1.0
+    assert r.min_group_corr <= r.max_group_corr
+    assert 0 <= r.groups_agreeing_with_pooled <= r.n_groups
+    assert r.sign_reversal_somewhere == (
+        r.groups_agreeing_with_pooled < r.n_groups
+    )
