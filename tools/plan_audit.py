@@ -689,6 +689,25 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         and "CartesianProduct" not in pbs,
         "k1 one-row frame joins the bounded daily domain",
     )
+    plr = plan_of(qs["events_logrank_test"](spark, sf_dir))
+    check(
+        "logrank: risk sets are one window, not correlated recounts",
+        plr.count("Window") >= 1 and "CartesianProduct" not in plr,
+        "descending cumulative window over distinct durations",
+    )
+    phl = plan_of(qs["agg_hodges_lehmann_shift"](spark, sf_dir))
+    check(
+        "hodges-lehmann: pairwise differences cross BINNED domains only",
+        phl.count("HashAggregate") >= 4,
+        "both samples collapse to $100 bins before the weighted cross",
+    )
+    ppi = plan_of(qs["parts_price_index"](spark, sf_dir))
+    check(
+        "price index: base basket joins the bounded (year, part) table",
+        "CartesianProduct" not in ppi
+        and ppi.count("HashAggregate") >= 2,
+        "indices are weighted aggregates of the per-part join",
+    )
     return results
 
 
