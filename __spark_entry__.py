@@ -22368,67 +22368,65 @@ def agg_simpson_paradox_probe(spark, sf_dir):
 # tests/test_oracle.py and deliberately kept OUT of the window so no slot is
 # burned on a row that can never be green.
 _GATE_ORDER = [
-    # ROUND-7 ROTATION (executes the plan pinned in the round-6 comment,
-    # with the counts corrected per r6 ADVICE #1: 39 pending entries —
-    # not 40 — leaving ELEVEN drift-guard slots, so TWO of the 13
-    # last-green-r2 entries roll to round 8): the 39 round-6
-    # `next_window_pending` entries (waves 42-80, all oracle-verified at
-    # sf0.001+sf0.01 and --hostile at landing time) followed by 11
-    # round-robin drift-guard re-verifications of the oldest prior-green
-    # entries (last green r2, original registration order).
-    # --- r6 first-timers (waves 42-80) ---
-    "text_bm25_retrieval",
-    "graph_hits_hubs_authorities",
-    "events_rate_ratio_test",
-    "feature_quantile_binning",
-    "text_zipf_fit",
-    "join_fuzzy_entity_resolution",
-    "agg_bootstrap_subsample_ci",
-    "multimodal_png_ihdr_roundtrip",
-    "events_ewma_snapshot",
-    "text_pmi_collocations",
-    "embedding_pca_power_iteration",
-    "dedup_weighted_jaccard",
-    "multimodal_mp4_meta_roundtrip",
-    "corpus_sequence_packing",
-    "agg_mutual_information",
-    "parts_price_elasticity",
-    "agg_hill_tail_index",
-    "orders_mom_growth",
-    "text_kneser_ney_bigrams",
-    "graph_community_modularity",
-    "text_token_burstiness",
-    "parts_abc_xyz_classification",
-    "embedding_mmr_rerank",
-    "text_textrank_keywords",
-    "feature_woe_information_value",
-    "knn_hard_negatives",
-    "events_retention_triangle",
-    "events_nelson_aalen_hazard",
-    "join_price_band_pairs",
-    "events_bitmap_activity_rollup",
-    "agg_theil_sen_trend",
-    "window_max_drawdown",
-    "graph_degree_assortativity",
-    "text_heaps_law_fit",
-    "agg_runs_test_randomness",
-    "orders_littles_law_check",
-    "agg_bh_fdr_correction",
-    "orders_skyline_pareto_front",
-    "text_char_entropy_profile",
-    # --- drift guard: 11 oldest prior-green (last green r2; dedup_filtered_corpus
-    # and text_quality_filtered roll to round 8) ---
-    "events_tumbling_window",
-    "events_sessionize",
-    "events_json_extract",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "knn_bruteforce_cosine",
-    "variant_json_path",
-    "text_quality_metrics",
-    "dedup_clusters",
+    # ROUND-8 ROTATION (executes the plan pinned in the round-7 comment
+    # below): the round-7 `next_window_pending` backlog (123 entries)
+    # exceeds the 50-slot window, so this round's window is exactly the
+    # FIRST 50 pending entries in declaration order (waves 81-117); the
+    # remaining 73 (waves 118-203 area) stay pending for round 9, and
+    # the oldest-green drift-guard round-robin is SUSPENDED until the
+    # backlog fits inside one window again. Every prior-green entry
+    # keeps its CORRECTNESS_r01-r07 row and is re-verified each round by
+    # tools/oracle_check.py and the parametrized oracle tests.
+    "agg_spearman_rank_corr",
+    "join_market_basket_rules",
+    "orders_rfm_segmentation",
+    "events_interarrival_expfit",
+    "text_js_divergence_sources",
+    "events_markov_stationary",
+    "agg_cramers_v",
+    "corpus_temperature_mixture",
+    "embedding_label_silhouette",
+    "window_rsi_indicator",
+    "agg_jackknife_variance",
+    "text_vocab_jaccard_sources",
+    "agg_permutation_test",
+    "multimodal_bmp_roundtrip",
+    "window_bollinger_bands",
+    "graph_bellman_ford_sssp",
+    "orders_aging_buckets",
+    "events_capture_recapture",
+    "embedding_mahalanobis_outliers",
+    "text_code_detection",
+    "feature_rare_category_collapse",
+    "events_peak_detection",
+    "agg_extreme_value_gumbel",
+    "text_repetition_ratio",
+    "orders_weibull_moments_fit",
+    "embedding_int8_quant_error",
+    "events_missing_days",
+    "supplier_latency_ranking",
+    "agg_cohens_d_effect_size",
+    "events_dwell_time_histogram",
+    "agg_brown_forsythe_test",
+    "agg_partial_correlation",
+    "orders_seasonal_decomposition",
+    "graph_katz_centrality",
+    "text_good_turing_smoothing",
+    "text_bigram_entropy_rate",
+    "embedding_nearest_centroid_confusion",
+    "agg_anderson_darling_normality",
+    "feature_best_split_gini",
+    "graph_harmonic_closeness",
+    "events_cuped_variance_reduction",
+    "multimodal_gif_header_roundtrip",
+    "scalar_luhn_checksum",
+    "agg_mean_family",
+    "text_casing_profile",
+    "orders_nearest_price_neighbor",
+    "orders_basket_size_profile",
+    "agg_kruskal_wallis",
+    "agg_g_test_independence",
+    "events_durbin_watson",
 ]
 # Entries beyond the 50-row window all have driver-green rows in
 # CORRECTNESS_r01-r06 (after this round's rotation the ever-green union
@@ -22438,17 +22436,18 @@ _GATE_ORDER = [
 # DURING round 7 are declared `next_window_pending` there and fill the
 # round-8 window.
 #
-# ROUND-8 ROTATION PLAN (for the next session): the round-7
-# `next_window_pending` list (authoritative list AND counts in
-# tests/test_oracle.py; 123 entries as of round-7 close — MORE than the
-# 50-slot window) now spans multiple rounds: fill the round-8 window
-# with the FIRST 50 pending entries in list order (waves 81-117), keep
-# the remainder (waves 118-203) pending for round 9, and resume the
-# oldest-green drift-guard round-robin (dedup_filtered_corpus,
-# text_quality_filtered, then CORRECTNESS_r03 order) only once the
-# pending backlog fits inside a window again. Every pending entry is
-# re-verified EVERY round by tools/oracle_check.py and the parametrized
-# oracle tests regardless of window membership.
+# ROUND-9 ROTATION PLAN (for the next session): the remaining round-7
+# backlog (authoritative list AND counts in tests/test_oracle.py; 73
+# entries at round-8 close, plus any single-digit round-8 additions)
+# still exceeds the 50-slot window, so it drains across round 9 plus a
+# partial round 10: fill the round-9 window with the
+# FIRST 50 pending entries in list order, keep the remainder pending
+# for round 10, and resume the oldest-green drift-guard round-robin
+# (dedup_filtered_corpus, text_quality_filtered, then CORRECTNESS_r03
+# order) only once the pending backlog fits inside a window again.
+# Every pending entry is re-verified EVERY round by
+# tools/oracle_check.py and the parametrized oracle tests regardless
+# of window membership.
 
 
 def _gate_ordered(d: dict) -> dict:

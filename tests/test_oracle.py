@@ -87,111 +87,11 @@ def test_gate_window_covers_every_family():
         "agg_approx_percentiles",
     }
     next_window_pending = set({
-        # round-7 additions (declared here as they land; they fill the
-        # round-8 window — all oracle-checked every round by
-        # tools/oracle_check.py and the parametrized oracle tests above).
-        # The 39 round-6 entries formerly listed here moved INTO the
-        # round-7 gate window (_GATE_ORDER) at rotation time.
-        # wave 81: tie-aware Spearman rank correlation
-        "agg_spearman_rank_corr",
-        # wave 82: market-basket association rules (support/confidence/lift)
-        "join_market_basket_rules",
-        # wave 83: RFM quintile segmentation (integer-cents money)
-        "orders_rfm_segmentation",
-        # wave 84: inter-arrival exponential fit (MLE rate + CV burstiness)
-        "events_interarrival_expfit",
-        # wave 85: pairwise Jensen-Shannon divergence between source LMs
-        "text_js_divergence_sources",
-        # wave 86: Markov stationary distribution (pagerank damping 1.0)
-        "events_markov_stationary",
-        # wave 87: Cramér's V effect size
-        "agg_cramers_v",
-        # wave 88: temperature-scaled mixture weights (τ = 0.7)
-        "corpus_temperature_mixture",
-        # wave 89: centroid-based silhouette over label clusters
-        "embedding_label_silhouette",
-        # wave 90: RSI-14 momentum oscillator (integer-cents revenue)
-        "window_rsi_indicator",
-        # wave 91: delete-one-group jackknife SE of the mean
-        "agg_jackknife_variance",
-        # wave 92: pairwise source vocabulary Jaccard
-        "text_vocab_jaccard_sources",
-        # wave 93: deterministic Monte-Carlo permutation test
-        "agg_permutation_test",
-        # wave 94: BMP synthesis -> stride-verified parse round-trip
-        "multimodal_bmp_roundtrip",
-        # wave 95: Bollinger bands + %B (20-day envelope)
-        "window_bollinger_bands",
-        # wave 96: Bellman-Ford min-plus shortest paths (5 fixed rounds)
-        "graph_bellman_ford_sssp",
-        # wave 97: open-order aging buckets (integer-cents exposure)
-        "orders_aging_buckets",
-        # wave 98: Chapman capture-recapture population estimate
-        "events_capture_recapture",
-        # wave 99: diagonal-Mahalanobis embedding outliers (top-20)
-        "embedding_mahalanobis_outliers",
-        # wave 100: code-vs-prose detection (symbol density)
-        "text_code_detection",
-        # wave 101: rare-category collapse + frequency encoding
-        "feature_rare_category_collapse",
-        # wave 102: strict-local-max peak detection over the daily series
-        "events_peak_detection",
-        # wave 103: Gumbel EVT moments fit over monthly block maxima
-        "agg_extreme_value_gumbel",
-        # wave 104: intra-doc trigram repetition ratio
-        "text_repetition_ratio",
-        # wave 105: Weibull shape via method of moments (CV^-1.086)
-        "orders_weibull_moments_fit",
-        # wave 106: int8 quantize->dequantize reconstruction error
-        "embedding_int8_quant_error",
-        # wave 107: calendar-spine gap detection (missing days)
-        "events_missing_days",
-        # wave 108: supplier ship-latency worst-10 scorecard
-        "supplier_latency_ranking",
-        # wave 109: Cohen's d / Hedges' g effect size
-        "agg_cohens_d_effect_size",
-        # wave 110: dwell-time histogram (log-decade buckets)
-        "events_dwell_time_histogram",
-        # wave 111: Brown-Forsythe robust equal-variance test
-        "agg_brown_forsythe_test",
-        # wave 112: first-order partial correlation
-        "agg_partial_correlation",
-        # wave 113: classical additive seasonal decomposition (monthly)
-        "orders_seasonal_decomposition",
-        # wave 114: Katz centrality (attenuated path counting, 4 rounds)
-        "graph_katz_centrality",
-        # wave 115: Good-Turing frequency smoothing (r <= 10 table)
-        "text_good_turing_smoothing",
-        # wave 116: bigram conditional entropy rate per source
-        "text_bigram_entropy_rate",
-        # wave 117: nearest-centroid confusion matrix
-        "embedding_nearest_centroid_confusion",
-        # wave 118: Anderson-Darling tail-weighted normality test
-        "agg_anderson_darling_normality",
-        # wave 119: histogram best-split search by weighted Gini
-        "feature_best_split_gini",
-        # wave 120: harmonic closeness (multi-source BFS, one dataflow)
-        "graph_harmonic_closeness",
-        # wave 121: CUPED variance reduction (pre-period covariate)
-        "events_cuped_variance_reduction",
-        # wave 122: GIF bit-field synthesis -> parse round-trip
-        "multimodal_gif_header_roundtrip",
-        # wave 123: Luhn mod-10 check-digit distribution
-        "scalar_luhn_checksum",
-        # wave 124: Pythagorean mean family (AM >= GM >= HM)
-        "agg_mean_family",
-        # wave 125: casing profile over raw tokens
-        "text_casing_profile",
-        # wave 126: 1-D nearest price neighbor via sorted adjacency
-        "orders_nearest_price_neighbor",
-        # wave 127: basket-size profile (frequency-of-frequencies)
-        "orders_basket_size_profile",
-        # wave 128: Kruskal-Wallis k-sample rank test
-        "agg_kruskal_wallis",
-        # wave 129: G-test of independence with Williams correction
-        "agg_g_test_independence",
-        # wave 130: Durbin-Watson autocorrelation of trend residuals
-        "events_durbin_watson",
+        # Remaining round-7 backlog (waves 118-203 tail) after the round-8
+        # rotation moved the first 50 pending entries (waves 81-117) into
+        # the gate window; plus round-8 additions declared as they land.
+        # All oracle-checked every round by tools/oracle_check.py and the
+        # parametrized oracle tests above; they fill the round-9 window.
         # wave 131: closed-form two-predictor OLS (normal equations)
         "agg_ols_two_predictor",
         # wave 132: binned Epanechnikov KDE at a fixed 21-point grid
