@@ -20758,6 +20758,50 @@ def events_records_test(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+HUBNESS_EXACT_MAX_ROWS = 10_000
+# Size gate for embedding_hubness_profile: below this row count, neighbor
+# lists are exact within label blocks (with 10 labels that is <=1k rows and
+# <=1M pairs per block — fine, and it is the oracle-hashed path at
+# sf0.01/sf0.1); above it, exact within-label pairs grow QUADRATICALLY with
+# block size (fixed label cardinality -> ~100x more pairs per data decade),
+# so the query dispatches to LSH-bucketed blocks whose expected size is held
+# constant by auto_n_planes — pair work then scales ~linearly with rows.
+_HUBNESS_EMB_DIM = 64
+_HUBNESS_LSH_TARGET_BUCKET = 64
+# Expected (label, bucket) block size on the LSH arm. 64 candidates per
+# point is ample for a top-3 neighbor list, and it bounds pair work at
+# ~64 dot products per point — constant per point, linear total.
+# (Measured at sf1/20k rows: target 512 -> 10M pairs, 202 s; target 64 ->
+# ~1.2M pairs — same profile output on the key-offset-replicated data.)
+
+
+def _hubness_pairs(e, extra_block_cols=()):
+    """Within-block (qid, nid, cos) neighbor pairs: an EQUI-join on label
+    plus any extra blocking columns (the LSH bucket on the scale path) —
+    never an unblocked n^2. Shared by both dispatch arms so the moment
+    machinery downstream cannot diverge between them."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+
+    a, b = e.alias("a"), e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    cond = (F.col("a.label") == F.col("b.label")) & (
+        F.col("a.vec_id") != F.col("b.vec_id")
+    )
+    for c in extra_block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return a.join(b, cond).select(
+        F.col("a.vec_id").alias("qid"),
+        F.col("b.vec_id").alias("nid"),
+        F.round(cos, 6).alias("cos"),
+    )
+
+
+
 @_q(
     "embedding_hubness_profile",
     """
@@ -20803,31 +20847,42 @@ def embedding_hubness_profile(spark, sf_dir):
     (Radovanovic et al. 2010: high skewness means a few hubs dominate
     retrieval and recall collapses off-hub; it decides between raw
     cosine and hubness-corrected scoring before any index is built).
-    Neighbor lists are exact WITHIN label blocks (the blocked
-    discipline — never an unblocked n^2), ranked on ROUNDED cosine
-    with id tie-break; the profile is explicit central moments of
-    integer counts."""
+    SIZE-GATED DISPATCH (the r7-verdict fix): at or below
+    HUBNESS_EXACT_MAX_ROWS rows, neighbor lists are exact WITHIN label
+    blocks — the oracle-hashed path at sf0.01/sf0.1; above it, each
+    label block is further split by a random-hyperplane LSH bucket
+    (operators/similarity.lsh_bucket, plane count from auto_n_planes so
+    expected bucket size stays ~constant as the corpus grows), making
+    the pair join's per-block work bounded and total work ~linear in
+    rows — the same valve every other pairwise operator in the repo
+    uses. Neighbor ranks use ROUNDED cosine with id tie-break; the
+    profile is explicit central moments of integer counts."""
     from boann_ocsf_security_data_platform_spark.operators.similarity import (
-        _dot,
-        _norm,
+        auto_n_planes,
+        lsh_bucket,
     )
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        _norm(F.col("a.v")) * _norm(F.col("b.v"))
-    )
-    p = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("qid"),
-        F.col("b.vec_id").alias("nid"),
-        F.round(cos, 6).alias("cos"),
-    )
+    n_rows = e.count()  # bounded scalar: drives the dispatch only
+    if n_rows <= HUBNESS_EXACT_MAX_ROWS:
+        p = _hubness_pairs(e)
+    else:
+        # LSH splits WITHIN label blocks, so size the plane count from the
+        # per-label block (not total rows) — otherwise buckets over-split
+        # and recall collapses (measured: antihub_frac 0.047 -> 0.6 at sf1
+        # when planes were sized from total n).
+        n_labels = e.agg(
+            F.countDistinct("label").alias("nl")
+        ).collect()[0][0]
+        planes = auto_n_planes(
+            n_rows // max(1, n_labels), _HUBNESS_LSH_TARGET_BUCKET
+        )
+        e = e.withColumn(
+            "_hb", lsh_bucket(F.col("v"), planes, _HUBNESS_EMB_DIM)
+        )
+        p = _hubness_pairs(e, ("_hb",))
     wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
     occ = (
         p.withColumn("rn", F.row_number().over(wr))

@@ -586,6 +586,29 @@ def test_hubness_mean_k(spark, sf_smoke):
     assert 0.0 <= r.antihub_frac < 1.0
 
 
+def test_hubness_lsh_dispatch_above_threshold(spark, sf_smoke, monkeypatch):
+    """The r8 scale fix: above HUBNESS_EXACT_MAX_ROWS the query must
+    dispatch to LSH-bucketed blocks — the pair join gains an `_hb`
+    equi-key (bounded pairs per bucket, ~linear total work) and the
+    profile keeps its invariants. Forcing the threshold to 0 exercises
+    the scale arm on the small fixture."""
+    monkeypatch.setattr(entrymod, "HUBNESS_EXACT_MAX_ROWS", 0)
+    df = QS["embedding_hubness_profile"](spark, sf_smoke)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "_hb" in plan  # bucket key reached the join
+    assert "CartesianProduct" not in plan
+    r = df.collect()[0]
+    # same universe of points; votes still capped at 3 per query
+    exact = QS["embedding_hubness_profile"]  # threshold restored below
+    assert 0.0 <= r.mean_k_occurrence <= 3.0 + 1e-9
+    assert 0.0 <= r.antihub_frac <= 1.0
+    monkeypatch.undo()
+    n_exact = exact(spark, sf_smoke).collect()[0].n_points
+    assert r.n_points == n_exact  # blocking never drops points
+
+
 def test_parkinson_volatility_positive(spark, sf_smoke):
     rows = QS["window_parkinson_volatility"](spark, sf_smoke).collect()
     assert rows

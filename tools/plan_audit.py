@@ -708,6 +708,37 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         and ppi.count("HashAggregate") >= 2,
         "indices are weighted aggregates of the per-part join",
     )
+
+    # Round-8: hubness size-gated dispatch — the scale arm must bound
+    # pairs per block with the LSH bucket as an extra equi-join key
+    import __spark_entry__ as _em
+
+    _saved = _em.HUBNESS_EXACT_MAX_ROWS
+    try:
+        _em.HUBNESS_EXACT_MAX_ROWS = 0
+        phub = plan_of(qs["embedding_hubness_profile"](spark, sf_dir))
+    finally:
+        _em.HUBNESS_EXACT_MAX_ROWS = _saved
+    check(
+        "hubness scale arm: pair join keyed by (label, lsh bucket)",
+        "_hb" in phub
+        and "CartesianProduct" not in phub
+        and (phub.count("SortMergeJoin") + phub.count("BroadcastHashJoin"))
+        >= 1,
+        "pairs bounded per bucket via hash/merge equi-join; the only "
+        "BroadcastNestedLoopJoin sites are the one-row moment attaches",
+    )
+    phub_exact = plan_of(qs["embedding_hubness_profile"](spark, sf_dir))
+    check(
+        "hubness exact arm: label-blocked equi-join below the gate",
+        "CartesianProduct" not in phub_exact
+        and (
+            phub_exact.count("SortMergeJoin")
+            + phub_exact.count("BroadcastHashJoin")
+        )
+        >= 1,
+        "within-label pairs only at small n (the oracle-hashed path)",
+    )
     return results
 
 
