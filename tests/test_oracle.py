@@ -238,6 +238,11 @@ def test_gate_window_covers_every_family():
         "parts_eoq_analysis",
         # wave 203: Simpson's paradox probe (pooled vs within-group)
         "agg_simpson_paradox_probe",
+        # --- round-8 additions (held to single digits per the r7 verdict
+        # while the backlog drains) ---
+        # wave 204: Spearman via bounded contingency ranks (the scale
+        # recipe pinned in agg_spearman_rank_corr, implemented)
+        "agg_spearman_binned",
     })
     stragglers = (
         set(names[50:]) - prior_green - never_verified_ok - next_window_pending

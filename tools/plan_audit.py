@@ -739,6 +739,18 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         >= 1,
         "within-label pairs only at small n (the oracle-hashed path)",
     )
+    psb = plan_of(qs["agg_spearman_binned"](spark, sf_dir))
+    check(
+        "spearman binned: one fact scan, ranks ride broadcast joins",
+        psb.count("Scan parquet") == 0
+        and psb.count("Scan ExistingRDD") >= 1
+        and psb.count("BroadcastHashJoin") >= 3
+        and "SortMergeJoin" not in psb
+        and "CartesianProduct" not in psb
+        and psb.count("HashAggregate") >= 4,
+        "lineitem scanned once into the contingency; every rank/"
+        "marginal frame is bounded and broadcasts back",
+    )
     return results
 
 
