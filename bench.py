@@ -157,7 +157,18 @@ HEADLINE = [
     "events_hurst_exponent",
     "feature_mrmr_selection",
     "corpus_quality_dedup_interaction",
+    # round-8 additions (excluded from core15 as well)
+    "agg_spearman_binned",
 ]
+
+# HEADLINE GROWTH POLICY (declared round 8, r7 VERDICT item #7): the suite
+# stays at <= 125 entries so best-of-3 measurement wall-clock stays ~6 min
+# and the compact tail stays parseable. Each round may add its handful of
+# new-wave entries; once 125 would be exceeded, the cheapest non-core
+# entries rotate OUT of HEADLINE (they remain fully covered by the
+# per-round oracle sweeps and the sf0.1->sf1->sf10 scale curves in
+# COVERAGE.md — HEADLINE is the timing panel, not the correctness gate).
+# CORE15 never rotates: it is the only round-over-round comparable total.
 
 # the r1/r2 comparable subset is exactly the first 15 headline entries;
 # every later wave is additive and excluded from the round-over-round total
@@ -225,7 +236,15 @@ def isolated_rerun(
     co-tenancy (cache pressure, ContextCleaner churn, JVM state). This is
     the adjudication protocol the r5 judge used by hand for
     knn_bruteforce_cosine (in-suite 1.22 s vs isolated 0.792 s); running
-    it at every round close makes in-suite noise self-documenting."""
+    it at every round close makes in-suite noise self-documenting.
+
+    PROTOCOL NOTE (r7 VERDICT item #4): run 1 of each fresh session
+    carries JVM/codegen/page-cache warmup beyond the setop_union_all
+    warm-up query (measured r7: 12.3-14.9 s first run vs 3-7 s later
+    runs). The recorded statistic is min over n_runs, which discards the
+    warmup run by construction — read the per-run arrays in
+    BENCH_runs_verbose.json with that in mind; run 1 is not a
+    regression signal."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
