@@ -14,6 +14,17 @@ one equi-join against a two-narrow-column store; the store is bounded
 by distinct content hashes and retired with :func:`prune_hash_store`
 (the dedup-within-horizon trade, same semantics as Spark's
 ``dropDuplicatesWithinWatermark``).
+
+SURVIVORSHIP CONTRACT (r7 ADVICE #3): cross-batch survivorship is
+FIRST-SEEN-BATCH, min-id within that batch. This equals batch
+``exact_dedup``'s global min-id keep-set exactly when document ids are
+monotone with arrival order (later batches carry larger ids) — true for
+log/event/ingest ids, and the assumption the batch-parity test
+(tests/test_streaming.py::test_streaming_exact_dedup_matches_batch)
+encodes. A non-monotone source (e.g. backfill replays with old ids)
+keeps the first-ARRIVED copy instead of the globally-min id; that is a
+survivorship-policy difference, not a dedup bug — the set of distinct
+contents kept is identical either way.
 """
 
 from __future__ import annotations
@@ -85,7 +96,14 @@ def start_exact_dedup_stream(
             prev = _read_store(spark, store_dir, id_col, id_type).select(
                 "content_hash"
             )
-            kept = winners.join(prev, "content_hash", "left_anti")
+            # materialize the anti-join BEFORE any write: the second write
+            # below overwrites store_dir, and a lazy `kept` plan would
+            # re-scan store_dir (via `prev`) while it is being overwritten
+            # — works on Spark 4.1 dynamic overwrite but is fragile across
+            # engines (r7 ADVICE #1). localCheckpoint pins the rows.
+            kept = winners.join(
+                prev, "content_hash", "left_anti"
+            ).localCheckpoint()
             (
                 kept.withColumn("_batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
@@ -127,10 +145,25 @@ def prune_hash_store(
     """Bounded-state valve: drop store partitions older than
     ``keep_from_batch_id``. After pruning, re-sent copies of documents
     seen only in retired batches are kept again — the documented
-    dedup-within-horizon trade."""
-    import shutil
-    from pathlib import Path
+    dedup-within-horizon trade.
 
-    for p in Path(store_dir).glob("_batch_id=*"):
-        if int(p.name.split("=")[1]) < keep_from_batch_id:
-            shutil.rmtree(p)
+    Pruning goes through the Hadoop FileSystem API (r7 ADVICE #2), so it
+    honors the SAME path contract as the Spark writers that build the
+    store: any URI Spark can write (local, HDFS, object stores with the
+    right connector jars) can be pruned — no silent no-op on non-local
+    filesystems."""
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("_batch_id="):
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid < keep_from_batch_id:
+                fs.delete(status.getPath(), True)

@@ -1169,7 +1169,14 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     THREE micro-batches (cross-batch copies must be dropped by the
     persisted hash store, within-batch copies by min-id survivorship);
     the streamed keep-set equals the batch exact_dedup keep-set over
-    the same corpus — one shared normalize_text/md5 code path."""
+    the same corpus — one shared normalize_text/md5 code path.
+
+    ASSUMPTION this parity encodes (r7 ADVICE #3, stated in the module
+    docstring too): doc ids are MONOTONE with arrival order (each batch
+    carries larger ids than the last), so streaming's first-seen-batch
+    survivorship coincides with batch dedup's global min-id keep-set.
+    With non-monotone ids the kept CONTENT set is still identical; only
+    which copy's id survives differs."""
     from boann_ocsf_security_data_platform_spark.operators.dedup import exact_dedup
     from boann_ocsf_security_data_platform_spark.streaming import (
         read_kept_docs,
