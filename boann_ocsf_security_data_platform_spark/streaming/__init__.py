@@ -19,4 +19,9 @@ from .neardup import (  # noqa: F401
     read_near_dup_pairs,
     start_near_dup_stream,
 )
+from .funnel import (  # noqa: F401
+    read_funnel_report,
+    read_funnel_survivors,
+    start_curation_funnel_stream,
+)
 from .sessions import sessionize_stream  # noqa: F401

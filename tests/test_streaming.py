@@ -1277,3 +1277,170 @@ def test_streaming_exact_dedup_replay_and_prune(spark, tmp_path):
     import glob
 
     assert not glob.glob(f"{dirs['store']}/_batch_id=*")
+
+
+# ---------------------------------------------------------------------------
+# Round-8: the COMPOSED streaming curation funnel (r7 VERDICT item #6)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_DOCS = [
+    # batch 0
+    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog "
+                          "while it is still early in the morning"},
+    {"doc_id": 2, "text": "spark clusters shuffle data between executors "
+                          "and the optimizer prunes columns for every scan"},
+    # batch 1
+    {"doc_id": 3, "text": "  The QUICK brown fox jumps over the lazy dog "
+                          "while it is still early in the morning  "},  # exact dup of 1
+    {"doc_id": 4, "text": "spark clusters shuffle data between executors "
+                          "and the optimizer prunes columns for every scan "
+                          "today"},  # near dup of 2
+    {"doc_id": 5, "text": "aaa!!! 123 ??"},  # fails the quality gate
+    # batch 2
+    {"doc_id": 6, "text": "benchmark questions about ancient rome appear "
+                          "in this document so it must be quarantined from "
+                          "the training corpus"},  # contaminated
+    {"doc_id": 7, "text": "a completely fresh document with plenty of "
+                          "ordinary words that should sail through every "
+                          "single stage of the funnel"},
+]
+_FUNNEL_BENCH = "benchmark questions about ancient rome and other topics"
+
+
+def test_streaming_curation_funnel_matches_batch(spark, tmp_path):
+    """End-to-end parity for the COMPOSED funnel: exact dedup -> near-dup
+    -> quality gate -> decontamination chained in ONE foreachBatch, over
+    three micro-batches, equals the same four stages composed from the
+    batch operators over the full corpus (exact_dedup keep-set ->
+    drop-every-id_b of minhash_near_dup_pairs -> text_quality thresholds
+    -> decontaminate). Ids are monotone with arrival order — the same
+    contract the per-stage parity tests encode."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        decontaminate,
+        exact_dedup,
+        minhash_near_dup_pairs,
+    )
+    from boann_ocsf_security_data_platform_spark.operators.text import text_quality
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        read_funnel_report,
+        read_funnel_survivors,
+        start_curation_funnel_stream,
+    )
+
+    src = tmp_path / "fun_in"
+    src.mkdir()
+    batches = [_FUNNEL_DOCS[0:2], _FUNNEL_DOCS[2:5], _FUNNEL_DOCS[5:7]]
+    for i, chunk in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(json.dumps(d) for d in chunk))
+        os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    benchmark = spark.createDataFrame([(_FUNNEL_BENCH,)], "text string")
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    d = {k: str(tmp_path / f"fun_{k}") for k in
+         ("hash", "band", "out", "counts", "ckpt")}
+    q, release = start_curation_funnel_stream(
+        stream, benchmark, d["hash"], d["band"], d["out"], d["counts"],
+        d["ckpt"], available_now=True,
+    )
+    q.awaitTermination(180)
+    release()
+
+    streamed = {
+        r.doc_id
+        for r in read_funnel_survivors(spark, d["out"]).collect()
+    }
+    report = {
+        r.stage: r.n_docs
+        for r in read_funnel_report(spark, d["counts"]).collect()
+    }
+
+    # batch composition of the SAME four stages over the full corpus
+    docs = spark.createDataFrame(
+        [(x["doc_id"], x["text"]) for x in _FUNNEL_DOCS],
+        "doc_id long, text string",
+    )
+    s1 = docs.join(
+        exact_dedup(docs).select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+    pairs = minhash_near_dup_pairs(s1)
+    s2 = s1.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    s3 = (
+        text_quality(s2)
+        .where((F.col("quality_score") >= 0.75) & (F.col("n_tokens") >= 10))
+        .select("doc_id", "text")
+    )
+    s4 = decontaminate(s3, benchmark)
+    batch_ids = {r.doc_id for r in s4.collect()}
+
+    assert streamed == batch_ids
+    # the fixture exercises every stage: doc 3 exact-dup, doc 4 near-dup,
+    # doc 5 quality, doc 6 contamination
+    assert streamed == {1, 2, 7}
+    assert report["s0_raw"] == 7
+    assert report["s1_exact_dedup"] == {
+        r.doc_id for r in s1.collect()
+    }.__len__()
+    assert report["s2_near_dup"] == s2.count()
+    assert report["s3_quality"] == s3.count()
+    assert report["s4_decontaminated"] == len(batch_ids)
+
+
+def test_streaming_curation_funnel_replay_idempotent(spark, tmp_path):
+    """Re-running the funnel over the same source from a FRESH checkpoint
+    reproduces identical survivors and counts — the replay guard reads
+    only strictly-earlier store partitions, so a batch that finds its own
+    partition in the stores recomputes its original result instead of
+    anti-joining against itself."""
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        read_funnel_report,
+        read_funnel_survivors,
+        start_curation_funnel_stream,
+    )
+
+    src = tmp_path / "funr_in"
+    src.mkdir()
+    batches = [_FUNNEL_DOCS[0:2], _FUNNEL_DOCS[2:5], _FUNNEL_DOCS[5:7]]
+    for i, chunk in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(json.dumps(x) for x in chunk))
+        os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    benchmark = spark.createDataFrame([(_FUNNEL_BENCH,)], "text string")
+    d = {k: str(tmp_path / f"funr_{k}") for k in
+         ("hash", "band", "out", "counts")}
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+        q, release = start_curation_funnel_stream(
+            stream, benchmark, d["hash"], d["band"], d["out"], d["counts"],
+            str(tmp_path / ckpt), available_now=True,
+        )
+        q.awaitTermination(180)
+        release()
+
+    run("funr_ckpt_a")
+    first = sorted(
+        r.doc_id for r in read_funnel_survivors(spark, d["out"]).collect()
+    )
+    counts_a = {
+        (r.stage, r.n_docs)
+        for r in read_funnel_report(spark, d["counts"]).collect()
+    }
+    run("funr_ckpt_b")  # full replay against warm stores
+    again = sorted(
+        r.doc_id for r in read_funnel_survivors(spark, d["out"]).collect()
+    )
+    counts_b = {
+        (r.stage, r.n_docs)
+        for r in read_funnel_report(spark, d["counts"]).collect()
+    }
+    assert first == again == [1, 2, 7]
+    assert counts_a == counts_b
