@@ -20772,21 +20772,50 @@ _HUBNESS_LSH_TARGET_BUCKET = 64
 # ~64 dot products per point — constant per point, linear total.
 # (Measured at sf1/20k rows: target 512 -> 10M pairs, 202 s; target 64 ->
 # ~1.2M pairs — same profile output on the key-offset-replicated data.)
+_HUBNESS_MAX_BLOCK_CAND = 64
+# Hard candidate-side cap per (label, bucket) block — the skew valve the
+# dedup family calls max_bucket_size. LSH cannot split EXACT-replica
+# groups (identical vectors share every bucket), so a duplication-heavy
+# corpus grows block sizes with the copy count no matter the plane count
+# (measured on the key-offset-replicated sf10: blocks ~100 rows = one
+# 100-copy group, 20M pairs, 21.8x per decade — super-linear). Capping
+# the CANDIDATE side at 64 deterministically (xxhash64 order) bounds
+# pair work at n x 64 — strictly linear in rows; every point still
+# queries (k_occ votes just come from a bounded candidate panel).
 
 
 def _hubness_pairs(e, extra_block_cols=()):
     """Within-block (qid, nid, cos) neighbor pairs: an EQUI-join on label
     plus any extra blocking columns (the LSH bucket on the scale path) —
     never an unblocked n^2. Shared by both dispatch arms so the moment
-    machinery downstream cannot diverge between them."""
+    machinery downstream cannot diverge between them.
+
+    cos is computed as dot(a,b)/(|a||b|) with each norm evaluated ONCE
+    per side of the join (a pre-join projection), not once per pair —
+    at block size m that removes 2(m-1) of every row's 64-element
+    reductions; only the dot product remains per-pair."""
     from boann_ocsf_security_data_platform_spark.operators.similarity import (
         _dot,
         _norm,
     )
 
-    a, b = e.alias("a"), e.alias("b")
+    return _hubness_pairs_asym(e, e, extra_block_cols)
+
+
+def _hubness_pairs_asym(eq, ec, extra_block_cols=()):
+    """Asymmetric variant of :func:`_hubness_pairs`: query side ``eq``
+    (every point gets a neighbor list) against candidate side ``ec``
+    (possibly capped per block by the skew valve). ``eq is ec`` on the
+    exact arm."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+
+    a = eq.withColumn("_vn", _norm(F.col("v"))).alias("a")
+    b = ec.withColumn("_vn", _norm(F.col("v"))).alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+        F.col("a._vn") * F.col("b._vn")
     )
     cond = (F.col("a.label") == F.col("b.label")) & (
         F.col("a.vec_id") != F.col("b.vec_id")
@@ -20881,7 +20910,18 @@ def embedding_hubness_profile(spark, sf_dir):
         e = e.withColumn(
             "_hb", lsh_bucket(F.col("v"), planes, _HUBNESS_EMB_DIM)
         )
-        p = _hubness_pairs(e, ("_hb",))
+        # candidate-side skew valve (see _HUBNESS_MAX_BLOCK_CAND): exact
+        # replicas defeat any plane count, so bound each block's candidate
+        # panel deterministically — pair work becomes n x cap, linear
+        wb = Window.partitionBy("label", "_hb").orderBy(
+            F.xxhash64("vec_id"), "vec_id"
+        )
+        cand = (
+            e.withColumn("_crn", F.row_number().over(wb))
+            .filter(F.col("_crn") <= _HUBNESS_MAX_BLOCK_CAND)
+            .drop("_crn")
+        )
+        p = _hubness_pairs_asym(e, cand, ("_hb",))
     wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
     occ = (
         p.withColumn("rn", F.row_number().over(wr))
