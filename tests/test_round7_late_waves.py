@@ -609,6 +609,54 @@ def test_hubness_lsh_dispatch_above_threshold(spark, sf_smoke, monkeypatch):
     assert r.n_points == n_exact  # blocking never drops points
 
 
+def test_hubness_lsh_candidate_cap_bounds_blocks(spark, sf_smoke, monkeypatch):
+    """The r8 skew valve: on the LSH arm every (label, bucket) block
+    contributes at most _HUBNESS_MAX_BLOCK_CAND candidate rows — exact
+    replicas share every bucket, so without the cap pair work grows with
+    the square of the duplication factor. Rebuild the capped candidate
+    frame exactly as the query does and assert the bound."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        auto_n_planes,
+        lsh_bucket,
+    )
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    e = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    n = e.count()
+    n_labels = e.agg(F.countDistinct("label")).collect()[0][0]
+    planes = auto_n_planes(
+        n // max(1, n_labels), entrymod._HUBNESS_LSH_TARGET_BUCKET
+    )
+    eb = e.withColumn(
+        "_hb", lsh_bucket(F.col("v"), planes, entrymod._HUBNESS_EMB_DIM)
+    )
+    wb = W.partitionBy("label", "_hb").orderBy(F.xxhash64("vec_id"), "vec_id")
+    capped = (
+        eb.withColumn("_crn", F.row_number().over(wb))
+        .filter(F.col("_crn") <= entrymod._HUBNESS_MAX_BLOCK_CAND)
+    )
+    worst = (
+        capped.groupBy("label", "_hb")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.max("m"))
+        .collect()[0][0]
+    )
+    assert worst <= entrymod._HUBNESS_MAX_BLOCK_CAND
+    # the cap is deterministic: same hash order on every run
+    again = (
+        capped.groupBy("label", "_hb")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.max("m"))
+        .collect()[0][0]
+    )
+    assert worst == again
+
+
 def test_parkinson_volatility_positive(spark, sf_smoke):
     rows = QS["window_parkinson_volatility"](spark, sf_smoke).collect()
     assert rows

@@ -1444,3 +1444,61 @@ def test_streaming_curation_funnel_replay_idempotent(spark, tmp_path):
     }
     assert first == again == [1, 2, 7]
     assert counts_a == counts_b
+
+
+def test_streaming_curation_funnel_prune_horizon(spark, tmp_path):
+    """The funnel's state valves are the standalone prune functions
+    (re-exported from streaming.funnel): after pruning BOTH stores, a
+    re-sent copy of an old document is no longer recognized as a
+    duplicate — the documented dedup-within-horizon trade, now holding
+    for the composed pipeline too."""
+    from boann_ocsf_security_data_platform_spark.streaming.funnel import (
+        prune_band_store,
+        prune_hash_store,
+    )
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        read_funnel_survivors,
+        start_curation_funnel_stream,
+    )
+
+    good = ("a perfectly ordinary training document with many plain "
+            "words that passes every quality check easily")
+    src = tmp_path / "funp_in"
+    src.mkdir()
+    (src / "b0.json").write_text(json.dumps({"doc_id": 1, "text": good}))
+    benchmark = spark.createDataFrame(
+        [("totally unrelated benchmark text",)], "text string"
+    )
+    d = {k: str(tmp_path / f"funp_{k}") for k in
+         ("hash", "band", "out", "counts")}
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+        q, release = start_curation_funnel_stream(
+            stream, benchmark, d["hash"], d["band"], d["out"], d["counts"],
+            str(tmp_path / ckpt), available_now=True,
+        )
+        q.awaitTermination(120)
+        release()
+
+    run("funp_ckpt_a")
+    assert {
+        r.doc_id for r in read_funnel_survivors(spark, d["out"]).collect()
+    } == {1}
+    # second batch: an exact copy under a new id is deduped...
+    (src / "b1.json").write_text(json.dumps({"doc_id": 2, "text": good}))
+    run("funp_ckpt_a")
+    assert {
+        r.doc_id for r in read_funnel_survivors(spark, d["out"]).collect()
+    } == {1}
+    # ...but after the horizon retires all stored state, a third copy
+    # sails through (stores empty => nothing to collide with)
+    prune_hash_store(spark, d["hash"], keep_from_batch_id=99)
+    prune_band_store(spark, d["band"], keep_from_batch_id=99)
+    (src / "b2.json").write_text(json.dumps({"doc_id": 3, "text": good}))
+    run("funp_ckpt_a")
+    assert {
+        r.doc_id for r in read_funnel_survivors(spark, d["out"]).collect()
+    } == {1, 3}
