@@ -754,12 +754,39 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     return results
 
 
+def scan_all(spark, sf_dir: str) -> int:
+    """Bulk registry scan (--scan-all): build EVERY registered query's
+    physical plan and flag any CartesianProduct — the whole-registry
+    version of the per-representative pins above (round-8 result: 376
+    scanned, zero flagged, zero errors). Slower than the pin audit
+    (~minutes: some entries run bounded model jobs at plan-build time),
+    so it is opt-in rather than part of every round's default run."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    flagged, errors = [], []
+    for name, fn in qs.items():
+        try:
+            p = plan_of(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 - report, don't abort the scan
+            errors.append((name, str(e)[:80]))
+            continue
+        if "CartesianProduct" in p:
+            flagged.append(name)
+    print(f"scanned {len(qs)}: cartesian={flagged} errors={errors}")
+    return 1 if flagged or errors else 0
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--scan-all"]
+    do_scan = "--scan-all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from boann_ocsf_security_data_platform_spark import get_spark
 
     spark = get_spark(app_name="plan-audit", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
+    if do_scan:
+        return scan_all(spark, "/root/testdata/sf0.001")
     results = audit(spark, sf_dir)
     failed = 0
     for name, ok, detail in results:
