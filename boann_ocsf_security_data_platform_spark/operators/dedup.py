@@ -396,17 +396,25 @@ def minhash_near_dup_pairs(
     if jaccard_threshold is None:
         return _register_caches(pairs, [sh])
     sh_a = sh.select(
-        F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a")
+        F.col(id_col).alias("id_a"),
+        F.col("shingle_hashes").alias("sh_a"),
+        F.size("shingle_hashes").alias("_sz_a"),
     )
     sh_b = sh.select(
-        F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b")
+        F.col(id_col).alias("id_b"),
+        F.col("shingle_hashes").alias("sh_b"),
+        F.size("shingle_hashes").alias("_sz_b"),
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    # |A∪B| = |A|+|B|-|A∩B| with sizes hoisted per ROW (shingle sets are
+    # distinct, so this is exactly size(array_union)) — halves the
+    # per-PAIR array work vs materializing the union per pair
+    union = F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")
     verified = (
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
+        .withColumn("_inter", inter)
+        .withColumn("jaccard", F.round(F.col("_inter") / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
