@@ -773,6 +773,45 @@ def _assign_to_centroids(df, vec_col, cents, n_best):
     )
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors to the
+    already-trained centroids and APPEND them to the partitioned lists —
+    the missing third leg of the lifecycle next to :func:`build_ivf_index`
+    (train + full write) and :func:`query_ivf_index` (pruned read). An
+    ingest pipeline calls this per arriving batch instead of retraining;
+    centroids stay frozen, so existing list partitions stay valid and the
+    append only touches the partitions the new vectors land in.
+
+    Retrain cadence: appends degrade list balance as the corpus drifts
+    away from the frozen centroids — monitor with
+    ``embedding_dim_profile``/cluster quality and rebuild when skewed.
+    Idempotency is the CALLER's contract (dedup ids upstream, e.g. the
+    streaming funnel's exact-dedup stage, or wrap the call in a
+    batch_id-keyed foreachBatch): a blind re-send appends duplicate rows,
+    exactly like any other blind Parquet append."""
+    spark = new_vectors.sparkSession
+    cents = [
+        (r.cent_id, list(r.cent_vec))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]  # bounded model, not data
+    assigned = _assign_to_centroids(
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        ),
+        "vec",
+        cents,
+        n_best=1,
+    )
+    assigned.write.mode("append").partitionBy("cent_id").parquet(
+        f"{path}/lists"
+    )
+
+
 def query_ivf_index(
     spark,
     path: str,

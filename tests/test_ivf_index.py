@@ -5,6 +5,7 @@ the inverted-list seek."""
 from pyspark.sql import functions as F
 
 from boann_ocsf_security_data_platform_spark.operators.similarity import (
+    append_to_ivf_index,
     build_ivf_index,
     cosine_topk,
     cosine_topk_ivf,
@@ -86,3 +87,31 @@ def test_rebuild_overwrites_cleanly(spark, sf_smoke, tmp_path):
     lists = spark.read.parquet(f"{path}/lists")
     assert lists.count() == emb.count()
     assert lists.select("vec_id").distinct().count() == emb.count()
+
+
+def test_append_to_index_incremental(spark, sf_smoke, tmp_path):
+    """The lifecycle's third leg: build on half the corpus, APPEND the
+    other half — every vector ends up in exactly one list, appended rows
+    land under the frozen centroids' partitions (no centroid rewrite),
+    and a full-probe query over the appended index finds appended ids."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_append")
+    build_ivf_index(first, path, n_centroids=4, train_iters=1)
+    cents_before = sorted(
+        r.cent_id for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    append_to_ivf_index(rest, path)
+    cents_after = sorted(
+        r.cent_id for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    assert cents_before == cents_after  # centroids frozen
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.count() == emb.count()
+    assert lists.select("vec_id").distinct().count() == emb.count()
+    # a full-probe query surfaces appended (odd-id) neighbors
+    queries = emb.limit(3)
+    res = query_ivf_index(spark, path, queries, k=5, n_probe=4)
+    got = {r.neighbor_id for r in res.collect()}
+    assert any(int(i) % 2 == 1 for i in got)

@@ -27,6 +27,8 @@ def main() -> int:
          [sys.executable, "tools/run_oracle_parallel.py", "4", sf_dir,
           "--hostile"]),
         ("plan audit", [sys.executable, "tools/plan_audit.py"]),
+        ("plan scan (whole registry, no cartesian)",
+         [sys.executable, "tools/plan_audit.py", "--scan-all"]),
         ("pytest suite (6 shards)",
          [sys.executable, "tools/run_tests_parallel.py", "6"]),
         ("bench", [sys.executable, "bench.py"]),
