@@ -6891,14 +6891,42 @@ def embedding_threshold_sweep(spark, sf_dir):
     counts at cosine ≥ 0.3/0.5/0.7/0.9 in ONE pass over the pair stream
     — the sweep a curator reads before committing to a dedup threshold
     (each candidate pair is scored once; the four thresholds are a
-    4-row broadcast joined by inequality)."""
+    4-row broadcast joined by inequality).
+
+    SIZE-GATED DISPATCH (round 8, closing the documented 99x fixed-block
+    caveat): at or below HUBNESS_EXACT_MAX_ROWS rows the blocking is the
+    oracle-pinned 4 fixed hyperplanes (the hash-verified path at
+    sf0.01/sf0.1); above it, plane count comes from auto_n_planes (held
+    expected bucket size) AND each block's rows are capped
+    deterministically at _HUBNESS_MAX_BLOCK_CAND (xxhash64 order) — the
+    same replica-proof valve as the hubness profile, because exact
+    duplicates share every bucket at any plane count. Above the gate the
+    sweep is therefore a CALIBRATION SAMPLE (per-block bounded pair
+    counts, curve shape preserved), not a pair census — which is the
+    artifact a curator actually reads at 100 TB."""
     from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        auto_n_planes,
         lsh_bucket,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "_blk", lsh_bucket(F.col("embedding"), n_planes=4, dim=64)
+    base = _t(spark, sf_dir, "embeddings")
+    n_rows = base.count()  # bounded scalar: drives the dispatch only
+    if n_rows <= HUBNESS_EXACT_MAX_ROWS:
+        planes = 4
+    else:
+        planes = auto_n_planes(n_rows, _HUBNESS_LSH_TARGET_BUCKET)
+    emb = base.withColumn(
+        "_blk", lsh_bucket(F.col("embedding"), n_planes=planes, dim=64)
     )
+    if n_rows > HUBNESS_EXACT_MAX_ROWS:
+        wb = Window.partitionBy("_blk").orderBy(
+            F.xxhash64("vec_id"), "vec_id"
+        )
+        emb = (
+            emb.withColumn("_crn", F.row_number().over(wb))
+            .filter(F.col("_crn") <= _HUBNESS_MAX_BLOCK_CAND)
+            .drop("_crn")
+        )
     pairs = embedding_near_dup_pairs(emb, block_col="_blk", threshold=0.3)
     th = spark.createDataFrame(
         [(0.3,), (0.5,), (0.7,), (0.9,)], "threshold double"
