@@ -9297,6 +9297,31 @@ def text_zipf_fit(spark, sf_dir):
     )
 
 
+FUZZY_EXACT_MAX_ROWS = 50_000
+# Size gate for join_fuzzy_entity_resolution: the first-name-token
+# blocking key has FIXED cardinality (the synthetic generator uses only
+# ~8 color words; real TPC-H ~92), so blocks grow linearly with the
+# catalog and candidates (probes x block) grow QUADRATICALLY — the same
+# class of defect as the pre-r8 hubness plan (caught by the round-8
+# full-suite sf1 run: 74.8 s at sf1, ~60x per decade, never
+# scale-curved before). At or below this row count the blocking stays
+# the oracle-pinned single token; above it two valves engage:
+#   1. the block key widens to the first TWO tokens (multi-token
+#      blocking — helps in proportion to vocabulary size), and
+#   2. the catalog side of each block is CAPPED at
+#      FUZZY_MAX_BLOCK_CAND rows deterministically (xxhash64 order) —
+#      the max_bucket_size discipline, because on a SATURATED
+#      vocabulary (measured: 64 two-token blocks at sf1, avg 3125
+#      rows) no token scheme bounds block size; the cap turns pair
+#      work into probes x cap, strictly linear.
+# Above the gate the resolution is therefore a bounded-candidate
+# approximation (each probe ranks a deterministic ~cap-row panel per
+# block, top-3 of the panel); on realistic large-vocabulary name data
+# the cap rarely binds and results are complete.
+FUZZY_MAX_BLOCK_CAND = 256
+
+
+
 @_q(
     "join_fuzzy_entity_resolution",
     """
@@ -9326,20 +9351,42 @@ def join_fuzzy_entity_resolution(spark, sf_dir):
     engine-deterministic). The record-linkage primitive behind catalog
     dedup / supplier-master matching. 100 TB posture: the blocked
     equi-join touches candidate pairs only (never all-pairs), the probe
-    side is a pushed-down filter scan, Levenshtein runs JVM-side
-    (built-in, no UDF), and the top-3 plans as WindowGroupLimit."""
-    p = _t(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        F.split("p_name", " ").getItem(0).alias("blk"),
-    )
+    side is a pushed-down filter scan, a LENGTH-BAND prefilter
+    (dist ≤ 4 forces |len(a) − len(b)| ≤ 4 — a cheap int compare that
+    never changes results) prunes pairs before the O(len²) Levenshtein,
+    Levenshtein runs JVM-side (built-in, no UDF), the top-3 plans as
+    WindowGroupLimit, and above FUZZY_EXACT_MAX_ROWS the block key
+    widens to two tokens so block sizes stay flat as the catalog grows
+    (see the gate comment)."""
+    p = _t(spark, sf_dir, "part")
+    scale_arm = p.count() > FUZZY_EXACT_MAX_ROWS
+    if scale_arm:
+        toks = F.split("p_name", " ")
+        blk = F.concat_ws(" ", toks.getItem(0), toks.getItem(1))
+    else:
+        blk = F.split("p_name", " ").getItem(0)
+    p = p.select("p_partkey", "p_name", blk.alias("blk"))
     probes = p.filter(F.col("p_partkey") % 100 == 0).select(
         F.col("p_partkey").alias("probe_key"),
         F.col("p_name").alias("probe_name"),
         "blk",
     )
-    cand = probes.join(p, "blk").filter(
-        F.col("probe_key") != F.col("p_partkey")
+    catalog = p
+    if scale_arm:
+        wb = Window.partitionBy("blk").orderBy(
+            F.xxhash64("p_partkey"), "p_partkey"
+        )
+        catalog = (
+            p.withColumn("_crn", F.row_number().over(wb))
+            .filter(F.col("_crn") <= FUZZY_MAX_BLOCK_CAND)
+            .drop("_crn")
+        )
+    cand = (
+        probes.join(catalog, "blk")
+        .filter(F.col("probe_key") != F.col("p_partkey"))
+        .filter(
+            F.abs(F.length("probe_name") - F.length("p_name")) <= 4
+        )
     )
     ranked = (
         cand.select(

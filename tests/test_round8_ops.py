@@ -34,3 +34,21 @@ def test_spearman_binned_matches_exact(spark, sf_smoke):
             b.spearman_rho_binned,
             e.spearman_rho,
         )
+
+
+def test_fuzzy_er_scale_arm_caps_blocks(spark, sf_smoke, monkeypatch):
+    """r8 scale fix for join_fuzzy_entity_resolution: above the gate the
+    block key widens to two tokens and the catalog side is capped per
+    block. Forcing the gate to 0 exercises the scale arm on the small
+    fixture: results keep the schema/invariants (dist <= 4, rank <= 3,
+    per-probe ranks dense from 1) and every probe's match panel is
+    bounded."""
+    monkeypatch.setattr(entrymod, "FUZZY_EXACT_MAX_ROWS", 0)
+    rows = QS["join_fuzzy_entity_resolution"](spark, sf_smoke).collect()
+    by_probe = {}
+    for r in rows:
+        assert 0 <= r.dist <= 4
+        assert 1 <= r.rank <= 3
+        by_probe.setdefault(r.probe_key, []).append(r.rank)
+    for pk, ranks in by_probe.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), pk
