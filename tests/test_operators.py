@@ -140,15 +140,57 @@ def test_asof_join_pandas_matches_declarative(spark):
 
 
 def test_declared_asof_query_has_no_fanout_join(spark):
-    """The declared asof_join_events_orders must plan as the cogrouped
-    merge_asof (FlatMapCoGroupsInPandas) — per-left-row cost bounded by a
-    constant — with NO range-join + window fan-out in the plan."""
+    """The declared asof_join_events_orders must plan as the union +
+    carry-forward window (asof_join_union, round 8): ONE window over the
+    unioned sides, NO join of any kind — neither the range-join fan-out
+    (every earlier right row per left row before rank-1) nor the
+    per-group Python cogroup (100 s at sf1 on ~30k sparse groups)."""
     import __spark_entry__ as em
 
     df = em.queries()["asof_join_events_orders"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "FlatMapCoGroupsInPandas" in plan
-    assert "Window" not in plan  # the fan-out shape would rank-1 a window
+    assert "FlatMapCoGroupsInPandas" not in plan  # no Python round-trip
+    assert plan.count("Window") == 1  # one carry-forward window
+    assert "Join" not in plan  # no fan-out join anywhere
+    assert "Union" in plan
+
+
+def test_asof_join_union_matches_pandas_and_declarative(spark):
+    L = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, d)) for k in (1, 2) for d in (2, 6, 20)],
+        ["k", "t"],
+    )
+    R = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 5), 50.0),
+            (1, dt.datetime(2024, 1, 15), 150.0),
+            # equal-time boundary: a right row AT a left timestamp must be
+            # visible to backward (inclusive) and to forward (inclusive)
+            (2, dt.datetime(2024, 1, 6), 60.0),
+        ],
+        ["k", "rt", "price"],
+    )
+    from boann_ocsf_security_data_platform_spark.operators import asof_join_union
+
+    for direction in ("backward", "forward"):
+        a = {
+            (r.k, r.t): r.r_price
+            for r in asof_join(
+                L, R, "k", "t", "rt", direction=direction
+            ).collect()
+        }
+        u = {
+            (r.k, r.t): r.r_price
+            for r in asof_join_union(
+                L, R, "k", "t", "rt", direction=direction
+            ).collect()
+        }
+        assert a == u and len(u) == 6, direction
+    # direction guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="backward/forward"):
+        asof_join_union(L, R, "k", "t", "rt", direction="nearest")
 
 
 def test_topk_per_group(spark):
