@@ -52,3 +52,61 @@ def test_fuzzy_er_scale_arm_caps_blocks(spark, sf_smoke, monkeypatch):
         by_probe.setdefault(r.probe_key, []).append(r.rank)
     for pk, ranks in by_probe.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), pk
+
+
+def test_prefix_filter_scale_arm_subset(spark, sf_smoke, monkeypatch):
+    """Above the gate dedup_prefix_filter_jaccard collapses exact
+    duplicates first and emits pairs among DISTINCT texts only — so the
+    scale arm's pairs are a subset of the exact arm's, every pair still
+    clears the threshold, and no emitted pair joins two identical
+    texts."""
+    exact_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in QS["dedup_prefix_filter_jaccard"](spark, sf_smoke).collect()
+    }
+    monkeypatch.setattr(entrymod, "HUBNESS_EXACT_MAX_ROWS", 0)
+    scale_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in QS["dedup_prefix_filter_jaccard"](spark, sf_smoke).collect()
+    }
+    assert set(scale_pairs) <= set(exact_pairs)
+    for (a, b), j in scale_pairs.items():
+        assert a < b and j >= 0.9
+
+
+def test_semantic_dedup_scale_arm_survivors(spark, sf_smoke, monkeypatch):
+    """Above the gate semantic_dedup_survivors switches to auto-tuned
+    planes: survivors remain a valid dedup output — non-empty, unique
+    ids drawn from the corpus. (No monotonicity claim vs the 4-plane
+    arm: at the 500-row fixture auto_n_planes lands COARSER than 4
+    planes, so it co-buckets more candidates and keeps fewer survivors
+    — plane counts only grow past the exact arm's at real scale.)"""
+    monkeypatch.setattr(entrymod, "HUBNESS_EXACT_MAX_ROWS", 0)
+    rows = QS["semantic_dedup_survivors"](spark, sf_smoke).collect()
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids)) > 0
+    from boann_ocsf_security_data_platform_spark.sources import load_table
+
+    corpus_ids = {
+        r.vec_id
+        for r in load_table(spark, sf_smoke, "embeddings")
+        .select("vec_id")
+        .collect()
+    }
+    assert set(ids) <= corpus_ids
+
+
+def test_embedding_near_dup_scale_arm_pairs(spark, sf_smoke, monkeypatch):
+    """Above the gate embedding_near_dup auto-tunes planes: every pair
+    it emits still clears the cosine threshold with ordered ids, and
+    every emitted pair is a TRUE near-dup (cosine verified — bucketing
+    only decides which pairs are examined, never their scores). No
+    subset claim vs the 4-plane arm: at the 500-row fixture
+    auto_n_planes lands coarser than 4 planes and surfaces MORE
+    candidates; plane counts only exceed the exact arm's at scale."""
+    monkeypatch.setattr(entrymod, "HUBNESS_EXACT_MAX_ROWS", 0)
+    rows = QS["embedding_near_dup"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.cosine >= 0.3
