@@ -4148,12 +4148,26 @@ def dedup_containment_pairs(spark, sf_dir):
     catches documents EMBEDDED in larger ones (quote inclusion, benchmark
     question inside a crawl page), which symmetric Jaccard misses.
     Candidates come only from the shingle-key equi-join; the
-    max_shingle_df stop-gram valve is the 100 TB skew control."""
+    max_shingle_df stop-gram valve is the 100 TB skew control.
+
+    SIZE-GATED (round 8, the prefix-filter discipline): above
+    HUBNESS_EXACT_MAX_ROWS documents, exact duplicates collapse to one
+    representative per content hash BEFORE the shingle join — replica
+    pairs are containment-1.0 TRUE OUTPUT growing with copies² (the r4
+    note's 42 s uncapped at sf1; 94.6 s in the round-8 registry sweep)
+    and belong to exact dedup's linear report, while genuine
+    embedded-document pairs survive among the distinct texts. Below the
+    gate the full pair set is emitted (the oracle-hashed arm)."""
     from boann_ocsf_security_data_platform_spark.operators.dedup import (
         containment_pairs,
+        exact_dedup,
     )
 
-    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    d = _t(spark, sf_dir, "documents")
+    if d.count() > HUBNESS_EXACT_MAX_ROWS:
+        keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+        d = d.join(keep, "doc_id")
+    return containment_pairs(d, threshold=0.8)
 
 
 @_q(
