@@ -1446,7 +1446,13 @@ def embedding_near_dup(spark, sf_dir):
     HUBNESS_EXACT_MAX_ROWS rows; above it auto_n_planes holds the
     expected bucket at ~64 vectors (4 fixed planes = 16 buckets measured
     111.7 s at sf1 — exactly the fixed-plane degradation this entry's
-    own docstring describes)."""
+    own docstring describes) AND identical vectors collapse to one
+    representative first: replicas of a vector share EVERY bucket at any
+    plane count, so on duplication-heavy data their cosine-1.0 pairs are
+    quadratic TRUE OUTPUT in the copy count (223 s at sf10, 100
+    copies/vector) — those pairs belong to exact dedup's linear report
+    (the containment/prefix-filter pipeline-order discipline); pairs
+    here are emitted among DISTINCT vectors."""
     from boann_ocsf_security_data_platform_spark.operators.similarity import (
         auto_n_planes,
         lsh_bucket,
@@ -1454,11 +1460,14 @@ def embedding_near_dup(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     n_rows = emb.count()
-    planes = (
-        4
-        if n_rows <= HUBNESS_EXACT_MAX_ROWS
-        else auto_n_planes(n_rows, _HUBNESS_LSH_TARGET_BUCKET)
-    )
+    if n_rows <= HUBNESS_EXACT_MAX_ROWS:
+        planes = 4
+    else:
+        keep = emb.groupBy("embedding").agg(
+            F.min("vec_id").alias("vec_id")
+        ).select("vec_id")
+        emb = emb.join(keep, "vec_id")
+        planes = auto_n_planes(n_rows, _HUBNESS_LSH_TARGET_BUCKET)
     emb = emb.withColumn(
         "_blk", lsh_bucket(F.col("embedding"), n_planes=planes, dim=64)
     )
@@ -3130,8 +3139,19 @@ def semantic_dedup_survivors(spark, sf_dir):
         return semantic_dedup(
             emb, threshold=0.3, n_planes=4
         ).select("vec_id", "label")
+    # collapse identical vectors first — SEMANTICS-PRESERVING here:
+    # a replica group is fully connected (cosine 1.0 >= threshold) and
+    # identical vectors share every LSH bucket, so the group's min id is
+    # both the group survivor and its component's representative; CC over
+    # representatives yields exactly the ungated survivor set (replicas
+    # can never survive), while the edge count drops from copies^2 to
+    # distinct^2 (sf10: 100 copies/vector timed out ungated).
+    keep = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id")
+    ).select("vec_id")
+    reps = emb.join(keep, "vec_id")
     return semantic_dedup(
-        emb, threshold=0.3, target_bucket_size=_HUBNESS_LSH_TARGET_BUCKET
+        reps, threshold=0.3, target_bucket_size=_HUBNESS_LSH_TARGET_BUCKET
     ).select("vec_id", "label")
 
 
