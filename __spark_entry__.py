@@ -1458,15 +1458,16 @@ def embedding_near_dup(spark, sf_dir):
         lsh_bucket,
     )
 
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        exact_vector_dedup,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
     n_rows = emb.count()
     if n_rows <= HUBNESS_EXACT_MAX_ROWS:
         planes = 4
     else:
-        keep = emb.groupBy("embedding").agg(
-            F.min("vec_id").alias("vec_id")
-        ).select("vec_id")
-        emb = emb.join(keep, "vec_id")
+        emb = exact_vector_dedup(emb)
         planes = auto_n_planes(n_rows, _HUBNESS_LSH_TARGET_BUCKET)
     emb = emb.withColumn(
         "_blk", lsh_bucket(F.col("embedding"), n_planes=planes, dim=64)
@@ -3146,10 +3147,11 @@ def semantic_dedup_survivors(spark, sf_dir):
     # representatives yields exactly the ungated survivor set (replicas
     # can never survive), while the edge count drops from copies^2 to
     # distinct^2 (sf10: 100 copies/vector timed out ungated).
-    keep = emb.groupBy("embedding").agg(
-        F.min("vec_id").alias("vec_id")
-    ).select("vec_id")
-    reps = emb.join(keep, "vec_id")
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        exact_vector_dedup,
+    )
+
+    reps = exact_vector_dedup(emb)
     return semantic_dedup(
         reps, threshold=0.3, target_bucket_size=_HUBNESS_LSH_TARGET_BUCKET
     ).select("vec_id", "label")

