@@ -1467,8 +1467,15 @@ def embedding_near_dup(spark, sf_dir):
     if n_rows <= HUBNESS_EXACT_MAX_ROWS:
         planes = 4
     else:
+        # Plane count must be sized from the POST-collapse corpus: replicas
+        # are removed before blocking, so sizing from the raw row count
+        # over-splits (expected bucket ≈ target × distinct/n_rows — on
+        # 100-copy data nearly every distinct vector sits alone and
+        # near-dup recall collapses, the same failure the hubness fix
+        # documents). semantic_dedup sizes from reps.count() for the same
+        # reason; round-9 ADVICE item.
         emb = exact_vector_dedup(emb)
-        planes = auto_n_planes(n_rows, _HUBNESS_LSH_TARGET_BUCKET)
+        planes = auto_n_planes(emb.count(), _HUBNESS_LSH_TARGET_BUCKET)
     emb = emb.withColumn(
         "_blk", lsh_bucket(F.col("embedding"), n_planes=planes, dim=64)
     )
@@ -2188,17 +2195,21 @@ def scalar_try_functions(spark, sf_dir):
     with l_returnflag failing on EVERY row that measured 51 s at sf1 for
     a plain 5-column projection (8 µs/row of JVM exception machinery).
     rf_int therefore uses the regex-guarded cast — bit-identical output
-    (digits-only strings cast, everything else NULL; non-ANSI int cast
-    already nulls on overflow exactly like try_cast) with zero
-    exceptions. ln_int keeps the genuine try_cast (it succeeds per row,
-    where try eval is cheap) so the entry still exercises the real
-    function; the rule for 100 TB: try_cast where failure is RARE,
-    guarded cast where failure is common."""
+    (digits-only strings cast, everything else NULL) with zero
+    exceptions on the common all-fail path. The cast INSIDE the guard is
+    still try_cast (round-9 ADVICE): under non-ANSI mode a plain cast
+    would behave identically, but under ANSI an overflow-range digit
+    string ('99999999999') would throw where try_cast returns NULL — the
+    guard admits only digit strings, so the try machinery evaluates on
+    the rare matched rows only and costs nothing. ln_int keeps the bare
+    try_cast (it succeeds per row, where try eval is cheap) so the entry
+    still exercises the real function; the rule for 100 TB: try_cast
+    where failure is RARE, guarded try_cast where failure is common."""
     l = _t(spark, sf_dir, "lineitem")
     denom = F.col("l_linenumber") % 3
     rf_guarded = F.when(
         F.col("l_returnflag").rlike(r"^\s*[+-]?\d+\s*$"),
-        F.col("l_returnflag").cast("int"),
+        F.col("l_returnflag").try_cast("int"),
     )
     return l.select(
         "l_orderkey",
@@ -22752,100 +22763,90 @@ def agg_spearman_binned(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # The driver's correctness gate verifies the FIRST 50 entries of queries()
-# in iteration order (CORRECTNESS_r01-r03 each contain exactly the first 50
-# registrations). This list IS the gate window. Round-4 rotation: 50
-# first-timers (the 26 round-3 additions that landed outside the r3 window,
-# the 3 list-canon entries re-projected to array-free output, and the 21
-# round-4 operators across four waves); every prior-green entry keeps its
-# CORRECTNESS_r01-r03 row and is re-verified each round by
-# tools/oracle_check.py (incl. the NTZ-parametrized sessionize suite)
-# — guarding against silent drift in consolidated queries, which is exactly
-# what cost scalar_string_date_hash its green row in r3. Every window entry
-# is oracle-backed; the three approximate-by-design entries (knn_lsh_approx,
-# knn_ivf_approx, approx_count_distinct) are invariant-tested in
-# tests/test_oracle.py and deliberately kept OUT of the window so no slot is
-# burned on a row that can never be green.
-_GATE_ORDER = [
-    # ROUND-8 ROTATION (executes the plan pinned in the round-7 comment
-    # below): the round-7 `next_window_pending` backlog (123 entries)
-    # exceeds the 50-slot window, so this round's window is exactly the
-    # FIRST 50 pending entries in declaration order (waves 81-117); the
-    # remaining 73 (waves 118-203 area) stay pending for round 9, and
-    # the oldest-green drift-guard round-robin is SUSPENDED until the
-    # backlog fits inside one window again. Every prior-green entry
-    # keeps its CORRECTNESS_r01-r07 row and is re-verified each round by
-    # tools/oracle_check.py and the parametrized oracle tests.
-    "agg_spearman_rank_corr",
-    "join_market_basket_rules",
-    "orders_rfm_segmentation",
-    "events_interarrival_expfit",
-    "text_js_divergence_sources",
-    "events_markov_stationary",
-    "agg_cramers_v",
-    "corpus_temperature_mixture",
-    "embedding_label_silhouette",
-    "window_rsi_indicator",
-    "agg_jackknife_variance",
-    "text_vocab_jaccard_sources",
-    "agg_permutation_test",
-    "multimodal_bmp_roundtrip",
-    "window_bollinger_bands",
-    "graph_bellman_ford_sssp",
-    "orders_aging_buckets",
-    "events_capture_recapture",
-    "embedding_mahalanobis_outliers",
-    "text_code_detection",
-    "feature_rare_category_collapse",
-    "events_peak_detection",
-    "agg_extreme_value_gumbel",
-    "text_repetition_ratio",
-    "orders_weibull_moments_fit",
-    "embedding_int8_quant_error",
-    "events_missing_days",
-    "supplier_latency_ranking",
-    "agg_cohens_d_effect_size",
-    "events_dwell_time_histogram",
-    "agg_brown_forsythe_test",
-    "agg_partial_correlation",
-    "orders_seasonal_decomposition",
-    "graph_katz_centrality",
-    "text_good_turing_smoothing",
-    "text_bigram_entropy_rate",
-    "embedding_nearest_centroid_confusion",
-    "agg_anderson_darling_normality",
-    "feature_best_split_gini",
-    "graph_harmonic_closeness",
-    "events_cuped_variance_reduction",
-    "multimodal_gif_header_roundtrip",
-    "scalar_luhn_checksum",
-    "agg_mean_family",
-    "text_casing_profile",
-    "orders_nearest_price_neighbor",
-    "orders_basket_size_profile",
-    "agg_kruskal_wallis",
-    "agg_g_test_independence",
-    "events_durbin_watson",
-]
-# Entries beyond the 50-row window all have driver-green rows in
-# CORRECTNESS_r01-r06 (after this round's rotation the ever-green union
-# covers every oracle-backed entry registered through round 6) or are
-# approximate by design; all are re-verified by tools/oracle_check.py every
-# round — the pinned accounting lives in tests/test_oracle.py. Entries added
-# DURING round 7 are declared `next_window_pending` there and fill the
-# round-8 window.
+# in iteration order (each CORRECTNESS_r*.json contains exactly one 50-row
+# window). Through round 8 that window was a hand-edited 50-name literal,
+# re-pinned at the start of every session; the round-8 verdict flagged the
+# hand-edit hazard (a forgotten or mis-ordered re-pin burns an entire
+# driver window re-checking already-green entries). Since round 9 the
+# window is DERIVED at import time from the repo's own driver artifacts:
 #
-# ROUND-9 ROTATION PLAN (for the next session): the remaining round-7
-# backlog (authoritative list AND counts in tests/test_oracle.py; 73
-# entries at round-8 close, plus any single-digit round-8 additions)
-# still exceeds the 50-slot window, so it drains across round 9 plus a
-# partial round 10: fill the round-9 window with the
-# FIRST 50 pending entries in list order, keep the remainder pending
-# for round 10, and resume the oldest-green drift-guard round-robin
-# (dedup_filtered_corpus, text_quality_filtered, then CORRECTNESS_r03
-# order) only once the pending backlog fits inside a window again.
-# Every pending entry is re-verified EVERY round by
-# tools/oracle_check.py and the parametrized oracle tests regardless
-# of window membership.
+#   1. green(name): the entry has a fully-matching row (rows_match +
+#      schema_match + hash_match, hash None allowed for rows-only checks)
+#      in ANY CORRECTNESS_r*.json — the same predicate
+#      tests/test_oracle.py uses for prior-green accounting.
+#   2. pending: oracle-backed registry entries with NO green row, in
+#      declaration order. The window is the first 50 of these — exactly
+#      the rotation plan the round-8 session pinned for round 9.
+#   3. drift-guard round-robin: if fewer than 50 entries are pending, the
+#      spare slots are filled with the entries whose LATEST green row is
+#      oldest (declaration-order tie-break). Re-checking refreshes their
+#      latest-green round, so the round-robin rotates automatically in
+#      later rounds with no hand edits.
+#
+# Approximate-by-design entries (knn_lsh_approx, knn_ivf_approx,
+# approx_count_distinct, agg_approx_percentiles) carry no ORACLE entry and
+# are structurally excluded by step 2, so no slot is ever burned on a row
+# that can never be hash-green. tests/test_oracle.py pins the mechanism:
+# window == first 50 of queries(), every window entry oracle-backed, zero
+# overlap with prior greens while a backlog exists, and operator-family
+# coverage across window + prior greens. Every entry — pending, green, or
+# approximate — is additionally re-verified every round by
+# tools/oracle_check.py and the parametrized oracle tests regardless of
+# window membership.
+
+
+def _correctness_history() -> "dict[str, tuple[int, int]]":
+    """name -> (earliest, latest) green round, read from the driver's
+    CORRECTNESS_r*.json artifacts next to this file."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, tuple[int, int]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("rows_match") and row.get("schema_match") and (
+                row.get("hash_match") or row.get("hash_match") is None
+            ):
+                earliest, _ = hist.get(name, (rnd, rnd))
+                hist[name] = (earliest, rnd)
+    return hist
+
+
+def _derive_gate_order() -> "tuple[list[str], list[str]]":
+    """(window, backlog): the first 50 never-driver-green oracle-backed
+    entries in declaration order, plus the rest of the pending backlog;
+    oldest-green round-robin fills spare slots once the backlog fits."""
+    hist = _correctness_history()
+    names = [n for n in QUERIES if n in ORACLE]
+    pos = {n: i for i, n in enumerate(names)}
+    pending = [n for n in names if n not in hist]
+    window, backlog = pending[:50], pending[50:]
+    if len(window) < 50:
+        greens = sorted(
+            (n for n in names if n in hist),
+            key=lambda n: (hist[n][1], pos[n]),
+        )
+        window += greens[: 50 - len(window)]
+    return window, backlog
+
+
+_GATE_ORDER, _PENDING_BACKLOG = _derive_gate_order()
 
 
 def _gate_ordered(d: dict) -> dict:

@@ -418,6 +418,20 @@ def asof_join_union(
     from pyspark.sql.types import StructField, StructType
 
     rcols = [c for c in right.columns if c != on]
+    if not rcols:
+        # F.struct() over zero fields is invalid, and a payload-less as-of
+        # join has nothing to carry — an existence probe is a plain join.
+        raise ValueError(
+            "asof_join_union: right side has no payload columns besides the"
+            f" join key {on!r}; use a semi/equi join for existence checks"
+        )
+    reserved = {"_asof_t", "_asof_side", "_asof_pl", "_asof_tb", "_asof_c"}
+    clash = (reserved | {f"r_{c}" for c in rcols}) & set(left.columns)
+    if clash:
+        raise ValueError(
+            "asof_join_union: left columns collide with helper/output names"
+            f" {sorted(clash)}; rename them before joining"
+        )
     pl_type = StructType(
         [
             StructField(f"r_{c}", right.schema[c].dataType, True)

@@ -152,6 +152,9 @@ def start_curation_funnel_stream(
         s2 = s1.join(dropped, id_col, "left_anti").localCheckpoint()
 
         # -- s3: quality gate (corpus_curation_funnel thresholds) --------
+        # pinned like s1_ids/s2/s4: s3 feeds both the s4 chain and the
+        # stage-counts sink, so without the checkpoint text_quality would
+        # score every document twice per micro-batch
         s3 = (
             text_quality(s2, text_col)
             .where(
@@ -159,6 +162,7 @@ def start_curation_funnel_stream(
                 & (F.col("n_tokens") >= F.lit(min_tokens))
             )
             .select(*s2.columns)
+            .localCheckpoint()
         )
 
         # -- s4: decontamination (streaming/decontam.py probe) -----------

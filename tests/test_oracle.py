@@ -75,193 +75,68 @@ def test_gate_window_covers_every_family():
         "profile_", "feature_", "graph_",
     ):
         assert any(n.startswith(family) for n in covered), family
-    # everything outside the window is driver-verified in a prior round,
-    # approximate by design (invariant-tested below), or a declared
-    # candidate for the NEXT round's window (added after this round's 50
-    # first-timer slots filled; oracle-checked every round by
-    # tools/oracle_check.py and by the parametrized oracle tests above)
+    # Everything outside the window is driver-verified in a prior round,
+    # approximate by design (invariant-tested below), or part of the derived
+    # pending backlog that fills the NEXT round's window (oracle-checked
+    # every round by tools/oracle_check.py and the parametrized oracle tests
+    # above regardless of window membership).
     never_verified_ok = {
         "knn_lsh_approx", "knn_ivf_approx", "approx_count_distinct",
         # GK-sketch quantiles: DuckDB's approx_quantile is a different
         # sketch; rank-error invariant pinned in test_round5_ops
         "agg_approx_percentiles",
     }
-    next_window_pending = set({
-        # Remaining round-7 backlog (waves 118-203 tail) after the round-8
-        # rotation moved the first 50 pending entries (waves 81-117) into
-        # the gate window; plus round-8 additions declared as they land.
-        # All oracle-checked every round by tools/oracle_check.py and the
-        # parametrized oracle tests above; they fill the round-9 window.
-        # wave 131: closed-form two-predictor OLS (normal equations)
-        "agg_ols_two_predictor",
-        # wave 132: binned Epanechnikov KDE at a fixed 21-point grid
-        "agg_kde_grid",
-        # wave 133: Cook's distance top-10 influence diagnostics
-        "agg_cooks_distance_topk",
-        # wave 134: Poisson overdispersion index per event type
-        "events_poisson_dispersion",
-        # wave 135: Wilcoxon signed-rank test on paired customer spend
-        "agg_wilcoxon_signed_rank",
-        # wave 136: epoch allocation under a token budget
-        "corpus_epoch_allocation",
-        # wave 137: per-node local clustering coefficient
-        "graph_clustering_coefficient",
-        # wave 138: annualized Sharpe/Sortino of daily revenue returns
-        "window_sharpe_sortino",
-        # wave 139: IPv4 derive -> format -> parse round-trip profile
-        "scalar_ipv4_roundtrip",
-        # wave 140: Kendall tau-b from a bounded binned contingency
-        "agg_kendall_tau_binned",
-        # wave 141: Hurst exponent via rescaled-range analysis
-        "events_hurst_exponent",
-        # wave 142: Tukey HSD post-hoc pairwise comparisons
-        "agg_tukey_hsd",
-        # wave 143: circular statistics + Rayleigh uniformity test
-        "agg_circular_stats",
-        # wave 144: fixed-period periodogram probe
-        "events_periodogram_probe",
-        # wave 145: two-proportion z-test on the discount split
-        "agg_two_proportion_ztest",
-        # wave 146: quality x near-duplication interaction (odds ratio)
-        "corpus_quality_dedup_interaction",
-        # wave 147: adjacent-pair cosine calibration histogram
-        "embedding_adjacent_cosine_histogram",
-        # wave 148: mRMR greedy feature selection
-        "feature_mrmr_selection",
-        # wave 149: Lorenz curve decile points
-        "orders_lorenz_curve",
-        # wave 150: one-way ANOVA F-test on weekday groups
-        "events_weekday_anova",
-        # wave 151: negative binomial moment fit per event type
-        "events_negative_binomial_fit",
-        # wave 152: lognormal fit + decile-probe goodness of fit
-        "agg_lognormal_fit_gof",
-        # wave 153: ICO multi-image container round-trip
-        "multimodal_ico_roundtrip",
-        # wave 154: near-dup cluster size histogram
-        "dedup_cluster_size_histogram",
-        # wave 155: ABC revenue-class migration matrix
-        "orders_abc_migration",
-        # wave 156: Burrows' Delta stylometric distance
-        "text_burrows_delta",
-        # wave 157: ROC sweep + trapezoid AUC (quality vs near-dup)
-        "corpus_quality_roc_auc",
-        # wave 158: partial autocorrelation (Durbin-Levinson, lags 1-3)
-        "events_pacf",
-        # wave 159: Goh-Barabasi burstiness coefficient per event type
-        "events_burstiness_memory",
-        # wave 160: split-conformal prediction interval + coverage
-        "agg_conformal_interval",
-        # wave 161: Matryoshka truncation error profile
-        "embedding_matryoshka_truncation",
-        # wave 162: haversine nearest-warehouse assignment
-        "scalar_haversine_assignment",
-        # wave 163: day-of-week x month revenue uplift matrix
-        "orders_dow_month_uplift",
-        # wave 164: DSIR importance-weight effective sample size
-        "corpus_importance_ess",
-        # wave 165: two-hop reach profile (friend-of-friend)
-        "graph_two_hop_reach",
-        # wave 166: two-proportion power analysis (MDE + required n)
-        "agg_power_analysis",
-        # wave 167: turning-points randomness test
-        "events_turning_points_test",
-        # wave 168: MoM GMV growth decomposition (integer cents)
-        "orders_gmv_decomposition",
-        # wave 169: Mann-Kendall monotone trend test
-        "events_mann_kendall_trend",
-        # wave 170: depth-2 binary-segmentation changepoints
-        "events_binary_segmentation",
-        # wave 171: rich-club coefficient at three degree thresholds
-        "graph_rich_club",
-        # wave 172: item-item cosine co-purchase similarity
-        "join_item_item_cosine",
-        # wave 173: event-mix entropy trend (diversity drift)
-        "events_mix_entropy_trend",
-        # wave 174: Donchian channel breakout profile
-        "window_donchian_breakouts",
-        # wave 175: Jarque-Bera normality from explicit moments
-        "agg_jarque_bera",
-        # wave 176: Cohen's kappa between two tertile classifiers
-        "agg_cohens_kappa",
-        # wave 177: weekday seasonal strength (STL F_s)
-        "events_seasonal_strength",
-        # wave 178: referential-integrity audit (FK health)
-        "profile_referential_integrity",
-        # wave 179: base36 order-reference codec round-trip
-        "scalar_base36_codec",
-        # wave 180: Grubbs maximum-deviation outlier test
-        "agg_grubbs_outlier",
-        # wave 181: Chinchilla compute-optimal sizing report
-        "corpus_chinchilla_sizing",
-        # wave 182: vocabulary-size vs token-coverage curve
-        "text_vocab_coverage_curve",
-        # wave 183: empirical-Bayes shrinkage of supplier late rates
-        "supplier_eb_shrunk_late_rate",
-        # wave 184: Fleiss' kappa across three tertile raters
-        "agg_fleiss_kappa",
-        # wave 185: records-theory trend test (running maxima)
-        "events_records_test",
-        # wave 186: k-occurrence hubness profile (label-blocked)
-        "embedding_hubness_profile",
-        # wave 187: Parkinson range-based volatility per year
-        "window_parkinson_volatility",
-        # wave 188: Friedman within-blocks rank test
-        "agg_friedman_test",
-        # wave 189: Gray-code round-trip + one-bit-adjacency property
-        "scalar_gray_code_roundtrip",
-        # wave 190: Theil's U forecast-skill ratio
-        "events_theil_u_skill",
-        # wave 191: log-rank test between two conversion cohorts
-        "events_logrank_test",
-        # wave 192: Breusch-Pagan heteroskedasticity test
-        "agg_breusch_pagan",
-        # wave 193: CCNet-style quality buckets (head/middle/tail)
-        "corpus_ccnet_buckets",
-        # wave 194: Bartlett parametric variance-homogeneity test
-        "agg_bartlett_test",
-        # wave 195: Hodges-Lehmann two-sample shift estimator
-        "agg_hodges_lehmann_shift",
-        # wave 196: np-chart SPC on daily error counts
-        "events_np_chart",
-        # wave 197: Laspeyres/Paasche/Fisher price indices
-        "parts_price_index",
-        # wave 198: McNemar paired-classifier test
-        "agg_mcnemar_test",
-        # wave 199: newsvendor service-level stock targets
-        "orders_newsvendor_levels",
-        # wave 200: dataset card (cross-table inventory)
-        "profile_dataset_card",
-        # wave 201: Cochran's Q omnibus across three classifiers
-        "agg_cochran_q_test",
-        # wave 202: economic order quantity analysis
-        "parts_eoq_analysis",
-        # wave 203: Simpson's paradox probe (pooled vs within-group)
-        "agg_simpson_paradox_probe",
-        # --- round-8 additions (held to single digits per the r7 verdict
-        # while the backlog drains) ---
-        # wave 204: Spearman via bounded contingency ranks (the scale
-        # recipe pinned in agg_spearman_rank_corr, implemented)
-        "agg_spearman_binned",
-    })
     stragglers = (
-        set(names[50:]) - prior_green - never_verified_ok - next_window_pending
+        set(names[50:])
+        - prior_green
+        - never_verified_ok
+        - set(entrymod._PENDING_BACKLOG)
     )
     assert not stragglers, stragglers
 
 
+def test_gate_window_derivation_is_hand_edit_proof():
+    """Round-8 verdict item #1: the gate window is DERIVED from the
+    CORRECTNESS_r*.json history, not hand-pinned. Pin the derivation's
+    contract so a future refactor cannot silently re-check greens:
+
+    - while a pending backlog exists, the window contains ONLY
+      never-driver-green entries (zero slots burned re-checking greens);
+    - the window is the FIRST pending entries in declaration order (the
+      rotation plan every verdict since round 7 prescribes);
+    - window + backlog together are exactly the never-green oracle-backed
+      registry entries, each appearing once;
+    - once the backlog fits inside a window, spare slots are filled by the
+      oldest-green drift-guard round-robin (latest green round ascending,
+      declaration-order tie-break)."""
+    prior_green = _driver_green_prior_rounds()
+    window = entrymod._GATE_ORDER
+    backlog = entrymod._PENDING_BACKLOG
+    names = [n for n in QS if n in ORACLES]
+    pending = [n for n in names if n not in prior_green]
+    assert window[: min(50, len(pending))] == pending[:50]
+    assert backlog == pending[50:]
+    if len(pending) >= 50:
+        assert not set(window) & prior_green
+    else:
+        # drift-guard fill: greens ordered by latest green round, oldest
+        # first — recompute independently and compare
+        hist = entrymod._correctness_history()
+        pos = {n: i for i, n in enumerate(names)}
+        greens = sorted(
+            (n for n in names if n in hist),
+            key=lambda n: (hist[n][1], pos[n]),
+        )
+        assert window[len(pending):] == greens[: 50 - len(pending)]
+    assert len(window) == len(set(window)) == 50
+    assert not set(window) & set(backlog)
+
+
 def _next_window_pending_names():
-    """The declared round-6 gate candidates (kept in
-    test_gate_window_covers_every_family) — sortable-schema-checked NOW so
-    the next rotation cannot repeat the r3 list-canon incident."""
-    import inspect
-
-    src = inspect.getsource(test_gate_window_covers_every_family)
-    import re
-
-    m = re.search(r"next_window_pending = set\(\{(.*?)\}\)", src, re.S)
-    names = re.findall(r'"([a-z0-9_]+)"', m.group(1)) if m else []
-    return [n for n in names if n in QS]
+    """The derived pending backlog — the entries that fill the NEXT round's
+    window. Sortable-schema-checked NOW so the next rotation cannot repeat
+    the r3 list-canon incident."""
+    return list(entrymod._PENDING_BACKLOG)
 
 
 def test_gate_window_output_is_driver_sortable(spark, sf_smoke):

@@ -1,0 +1,89 @@
+"""Round-9 fixes: ADVICE items (near-dup plane sizing from the collapsed
+corpus, asof_join_union guards, ANSI-safe guarded cast) + gate mechanics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+QS = entrymod.queries()
+
+
+def test_near_dup_planes_sized_from_collapsed_count(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """Round-9 ADVICE (medium): above the gate, embedding_near_dup must size
+    its LSH planes from the POST-exact_vector_dedup count, not the raw row
+    count. Behavioral pin: replicate every vector 40x (ids offset so the
+    original row keeps the min id) — the distinct-vector pair set the scale
+    arm emits must be IDENTICAL to running on the unreplicated corpus,
+    because after collapse both corpora are the same 500 vectors and must
+    get the same plane count. Pre-fix, planes sized from 20k raw rows
+    (9 planes vs 3) over-split the 500 distinct vectors and lose pairs."""
+    monkeypatch.setattr(entrymod, "HUBNESS_EXACT_MAX_ROWS", 0)
+
+    base = QS["embedding_near_dup"](spark, sf_smoke)
+    base_pairs = {(r.id_a, r.id_b) for r in base.collect()}
+    assert base_pairs, "fixture must produce near-dup pairs"
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    n = emb.count()
+    copies = emb
+    for i in range(1, 40):
+        copies = copies.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+        )
+    heavy_dir = tmp_path / "heavy"
+    copies.write.parquet(str(heavy_dir / "embeddings.parquet"))
+
+    heavy = QS["embedding_near_dup"](spark, str(heavy_dir))
+    heavy_pairs = {(r.id_a, r.id_b) for r in heavy.collect()}
+    assert heavy_pairs == base_pairs
+
+
+def test_asof_join_union_rejects_payloadless_right(spark):
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        asof_join_union,
+    )
+
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="no payload columns"):
+        asof_join_union(left, right, on="k", left_time="t", right_time="k")
+
+
+def test_asof_join_union_rejects_name_collisions(spark):
+    from boann_ocsf_security_data_platform_spark.operators.relational import (
+        asof_join_union,
+    )
+
+    right = spark.createDataFrame([(1, 5, 2.0)], "k int, rt int, px double")
+    # left already owns the r_-prefixed output name
+    left_rpx = spark.createDataFrame([(1, 10, 0.0)], "k int, t int, r_px double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_union(left_rpx, right, on="k", left_time="t", right_time="rt")
+    # left owns a reserved helper name
+    left_helper = spark.createDataFrame(
+        [(1, 10, 0)], "k int, t int, _asof_side int"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_union(left_helper, right, on="k", left_time="t", right_time="rt")
+
+
+def test_guarded_try_cast_safe_under_ansi(spark):
+    """Round-9 ADVICE: the regex-guarded cast in scalar_try_functions uses
+    try_cast INSIDE the guard, so an overflow-range digit string returns
+    NULL under ANSI mode instead of throwing from a plain cast."""
+    df = spark.createDataFrame(
+        [("99999999999999999999",), ("42",), ("x",)], "s string"
+    )
+    guarded = F.when(
+        F.col("s").rlike(r"^\s*[+-]?\d+\s*$"), F.col("s").try_cast("int")
+    )
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {r.s: r.v for r in df.select("s", guarded.alias("v")).collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert got == {"99999999999999999999": None, "42": 42, "x": None}

@@ -786,7 +786,9 @@ def main():
     spark = get_spark(app_name="plan-audit", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
     if do_scan:
-        return scan_all(spark, "/root/testdata/sf0.001")
+        # scan-all honors the sf_dir CLI arg (round-9 ADVICE); default stays
+        # the cheapest dataset — the scan only builds plans, never executes.
+        return scan_all(spark, args[0] if args else "/root/testdata/sf0.001")
     results = audit(spark, sf_dir)
     failed = 0
     for name, ok, detail in results:
