@@ -24,6 +24,8 @@ from boann_ocsf_security_data_platform_spark.operators import (
     simhash16,
     text_quality,
 )
+from boann_ocsf_security_data_platform_spark.operators import gates as _gates
+from boann_ocsf_security_data_platform_spark.operators.gates import size_gated
 from boann_ocsf_security_data_platform_spark.operators.dedup import (
     _xor_constant,
     minhash_near_dup_pairs,
@@ -64,6 +66,17 @@ def _q(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _collapse_exact_docs(dd: DataFrame, n: int) -> DataFrame:
+    """size_gated scale arm shared by the documents pairwise entries
+    (prefix-filter, containment): collapse exact duplicates to one
+    representative per content hash BEFORE the similarity join. Replica
+    pairs are similarity-1.0 TRUE OUTPUT growing with copies² and belong
+    to exact dedup's linear report (pipeline-order discipline); genuine
+    near-dup pairs survive among the distinct texts."""
+    keep = exact_dedup(dd).select(F.col("keep_id").alias("doc_id"))
+    return dd.join(keep, "doc_id")
 
 
 def _artifact_scope() -> str:
@@ -871,7 +884,7 @@ def text_levenshtein_fuzzy(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs)
+    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.MAX_LSH_BUCKET)
     p = docs.select(
         "doc_id", F.substring(normalize_text(F.col("text")), 1, 30).alias("prefix")
     )
@@ -1256,7 +1269,9 @@ def dedup_exact_q(spark, sf_dir):
 
 @_q("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
-    return minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+    return minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_bucket_size=_gates.MAX_LSH_BUCKET
+    )
 
 
 def _clusters_oracle() -> str:
@@ -1284,7 +1299,9 @@ def dedup_clusters(spark, sf_dir):
         release_caches,
     )
 
-    pairs = minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+    pairs = minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_bucket_size=_gates.MAX_LSH_BUCKET
+    )
     # auto: iterative min-label under the pair threshold, large-star/
     # small-star O(log n) above it — same (node, cluster_id) contract
     out = cluster_pairs(pairs)  # eager: result is checkpointed
@@ -1320,7 +1337,7 @@ def dedup_filtered_corpus(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs)
+    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.MAX_LSH_BUCKET)
     clusters = cluster_pairs(pairs)
     release_caches(pairs)
     losers = clusters.filter(F.col("node") != F.col("cluster_id"))
@@ -1462,11 +1479,10 @@ def embedding_near_dup(spark, sf_dir):
         exact_vector_dedup,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    n_rows = emb.count()
-    if n_rows <= HUBNESS_EXACT_MAX_ROWS:
-        planes = 4
-    else:
+    def _exact(e, n):
+        return e, 4
+
+    def _scale(e, n):
         # Plane count must be sized from the POST-collapse corpus: replicas
         # are removed before blocking, so sizing from the raw row count
         # over-splits (expected bucket ≈ target × distinct/n_rows — on
@@ -1474,8 +1490,12 @@ def embedding_near_dup(spark, sf_dir):
         # near-dup recall collapses, the same failure the hubness fix
         # documents). semantic_dedup sizes from reps.count() for the same
         # reason; round-9 ADVICE item.
-        emb = exact_vector_dedup(emb)
-        planes = auto_n_planes(emb.count(), _HUBNESS_LSH_TARGET_BUCKET)
+        e = exact_vector_dedup(e)
+        return e, auto_n_planes(e.count(), _HUBNESS_LSH_TARGET_BUCKET)
+
+    emb, planes = size_gated(
+        _t(spark, sf_dir, "embeddings"), _exact, _scale, HUBNESS_EXACT_MAX_ROWS
+    )
     emb = emb.withColumn(
         "_blk", lsh_bucket(F.col("embedding"), n_planes=planes, dim=64)
     )
@@ -3146,26 +3166,30 @@ def semantic_dedup_survivors(spark, sf_dir):
         semantic_dedup,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    if emb.count() <= HUBNESS_EXACT_MAX_ROWS:
-        return semantic_dedup(
-            emb, threshold=0.3, n_planes=4
-        ).select("vec_id", "label")
-    # collapse identical vectors first — SEMANTICS-PRESERVING here:
-    # a replica group is fully connected (cosine 1.0 >= threshold) and
-    # identical vectors share every LSH bucket, so the group's min id is
-    # both the group survivor and its component's representative; CC over
-    # representatives yields exactly the ungated survivor set (replicas
-    # can never survive), while the edge count drops from copies^2 to
-    # distinct^2 (sf10: 100 copies/vector timed out ungated).
-    from boann_ocsf_security_data_platform_spark.operators.similarity import (
-        exact_vector_dedup,
-    )
+    def _exact(e, n):
+        return semantic_dedup(e, threshold=0.3, n_planes=4)
 
-    reps = exact_vector_dedup(emb)
-    return semantic_dedup(
-        reps, threshold=0.3, target_bucket_size=_HUBNESS_LSH_TARGET_BUCKET
-    ).select("vec_id", "label")
+    def _scale(e, n):
+        # collapse identical vectors first — SEMANTICS-PRESERVING here:
+        # a replica group is fully connected (cosine 1.0 >= threshold) and
+        # identical vectors share every LSH bucket, so the group's min id is
+        # both the group survivor and its component's representative; CC over
+        # representatives yields exactly the ungated survivor set (replicas
+        # can never survive), while the edge count drops from copies^2 to
+        # distinct^2 (sf10: 100 copies/vector timed out ungated).
+        from boann_ocsf_security_data_platform_spark.operators.similarity import (
+            exact_vector_dedup,
+        )
+
+        reps = exact_vector_dedup(e)
+        return semantic_dedup(
+            reps, threshold=0.3, target_bucket_size=_HUBNESS_LSH_TARGET_BUCKET
+        )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return size_gated(emb, _exact, _scale, HUBNESS_EXACT_MAX_ROWS).select(
+        "vec_id", "label"
+    )
 
 
 @_q(
@@ -3826,10 +3850,12 @@ def dedup_prefix_filter_jaccard(spark, sf_dir):
         prefix_filter_jaccard_pairs,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    if d.count() > HUBNESS_EXACT_MAX_ROWS:
-        keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
-        d = d.join(keep, "doc_id")
+    d = size_gated(
+        _t(spark, sf_dir, "documents"),
+        lambda dd, n: dd,
+        _collapse_exact_docs,
+        HUBNESS_EXACT_MAX_ROWS,
+    )
     return prefix_filter_jaccard_pairs(d, threshold=0.9)
 
 
@@ -4196,11 +4222,15 @@ def dedup_containment_pairs(spark, sf_dir):
         exact_dedup,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    if d.count() > HUBNESS_EXACT_MAX_ROWS:
-        keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
-        d = d.join(keep, "doc_id")
-    return containment_pairs(d, threshold=0.8)
+    d = size_gated(
+        _t(spark, sf_dir, "documents"),
+        lambda dd, n: dd,
+        _collapse_exact_docs,
+        HUBNESS_EXACT_MAX_ROWS,
+    )
+    return containment_pairs(
+        d, threshold=0.8, max_shingle_df=_gates.MAX_SHINGLE_DF
+    )
 
 
 @_q(
@@ -4331,6 +4361,7 @@ def dedup_cross_corpus(spark, sf_dir):
         docs.filter(F.col("doc_id") % 5 == 0),
         docs.filter(F.col("doc_id") % 5 != 0),
         threshold=0.5,
+        max_shingle_df=_gates.MAX_SHINGLE_DF,
     )
 
 
@@ -5821,7 +5852,9 @@ def dedup_minhash_eval(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    cand = minhash_near_dup_pairs(docs).select("id_a", "id_b")
+    cand = minhash_near_dup_pairs(
+        docs, max_bucket_size=_gates.MAX_LSH_BUCKET
+    ).select("id_a", "id_b")
     truth = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
     src = docs.select("doc_id", "source")
     cand_ss = (
@@ -7017,24 +7050,28 @@ def embedding_threshold_sweep(spark, sf_dir):
         lsh_bucket,
     )
 
-    base = _t(spark, sf_dir, "embeddings")
-    n_rows = base.count()  # bounded scalar: drives the dispatch only
-    if n_rows <= HUBNESS_EXACT_MAX_ROWS:
-        planes = 4
-    else:
-        planes = auto_n_planes(n_rows, _HUBNESS_LSH_TARGET_BUCKET)
-    emb = base.withColumn(
-        "_blk", lsh_bucket(F.col("embedding"), n_planes=planes, dim=64)
-    )
-    if n_rows > HUBNESS_EXACT_MAX_ROWS:
+    def _exact(e, n):
+        return e.withColumn(
+            "_blk", lsh_bucket(F.col("embedding"), n_planes=4, dim=64)
+        )
+
+    def _scale(e, n):
+        planes = auto_n_planes(n, _HUBNESS_LSH_TARGET_BUCKET)
+        e = e.withColumn(
+            "_blk", lsh_bucket(F.col("embedding"), n_planes=planes, dim=64)
+        )
         wb = Window.partitionBy("_blk").orderBy(
             F.xxhash64("vec_id"), "vec_id"
         )
-        emb = (
-            emb.withColumn("_crn", F.row_number().over(wb))
+        return (
+            e.withColumn("_crn", F.row_number().over(wb))
             .filter(F.col("_crn") <= _HUBNESS_MAX_BLOCK_CAND)
             .drop("_crn")
         )
+
+    emb = size_gated(
+        _t(spark, sf_dir, "embeddings"), _exact, _scale, HUBNESS_EXACT_MAX_ROWS
+    )
     pairs = embedding_near_dup_pairs(emb, block_col="_blk", threshold=0.3)
     th = spark.createDataFrame(
         [(0.3,), (0.5,), (0.7,), (0.9,)], "threshold double"
@@ -8973,7 +9010,7 @@ def corpus_dedup_report(spark, sf_dir):
         F.count(F.lit(1)).alias("g"),
         F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("l"),
     ).collect()[0]
-    pairs = minhash_near_dup_pairs(docs)
+    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.MAX_LSH_BUCKET)
     n_pairs = pairs.count()  # while the shingle caches are still live
     clusters = cluster_pairs(pairs)  # eager, checkpointed
     release_caches(pairs)
@@ -9405,7 +9442,7 @@ def text_zipf_fit(spark, sf_dir):
     )
 
 
-FUZZY_EXACT_MAX_ROWS = 50_000
+FUZZY_EXACT_MAX_ROWS = _gates.FUZZY_EXACT_MAX_ROWS
 # Size gate for join_fuzzy_entity_resolution: the first-name-token
 # blocking key has FIXED cardinality (the synthetic generator uses only
 # ~8 color words; real TPC-H ~92), so blocks grow linearly with the
@@ -9426,7 +9463,7 @@ FUZZY_EXACT_MAX_ROWS = 50_000
 # approximation (each probe ranks a deterministic ~cap-row panel per
 # block, top-3 of the panel); on realistic large-vocabulary name data
 # the cap rarely binds and results are complete.
-FUZZY_MAX_BLOCK_CAND = 256
+FUZZY_MAX_BLOCK_CAND = _gates.MAX_FUZZY_BLOCK_CANDIDATES
 
 
 
@@ -9466,29 +9503,33 @@ def join_fuzzy_entity_resolution(spark, sf_dir):
     WindowGroupLimit, and above FUZZY_EXACT_MAX_ROWS the block key
     widens to two tokens so block sizes stay flat as the catalog grows
     (see the gate comment)."""
-    p = _t(spark, sf_dir, "part")
-    scale_arm = p.count() > FUZZY_EXACT_MAX_ROWS
-    if scale_arm:
+    def _exact(pp, n):
+        blk = F.split("p_name", " ").getItem(0)
+        pp = pp.select("p_partkey", "p_name", blk.alias("blk"))
+        return pp, pp
+
+    def _scale(pp, n):
         toks = F.split("p_name", " ")
         blk = F.concat_ws(" ", toks.getItem(0), toks.getItem(1))
-    else:
-        blk = F.split("p_name", " ").getItem(0)
-    p = p.select("p_partkey", "p_name", blk.alias("blk"))
+        pp = pp.select("p_partkey", "p_name", blk.alias("blk"))
+        wb = Window.partitionBy("blk").orderBy(
+            F.xxhash64("p_partkey"), "p_partkey"
+        )
+        capped = (
+            pp.withColumn("_crn", F.row_number().over(wb))
+            .filter(F.col("_crn") <= FUZZY_MAX_BLOCK_CAND)
+            .drop("_crn")
+        )
+        return pp, capped
+
+    p, catalog = size_gated(
+        _t(spark, sf_dir, "part"), _exact, _scale, FUZZY_EXACT_MAX_ROWS
+    )
     probes = p.filter(F.col("p_partkey") % 100 == 0).select(
         F.col("p_partkey").alias("probe_key"),
         F.col("p_name").alias("probe_name"),
         "blk",
     )
-    catalog = p
-    if scale_arm:
-        wb = Window.partitionBy("blk").orderBy(
-            F.xxhash64("p_partkey"), "p_partkey"
-        )
-        catalog = (
-            p.withColumn("_crn", F.row_number().over(wb))
-            .filter(F.col("_crn") <= FUZZY_MAX_BLOCK_CAND)
-            .drop("_crn")
-        )
     cand = (
         probes.join(catalog, "blk")
         .filter(F.col("probe_key") != F.col("p_partkey"))
@@ -17154,7 +17195,7 @@ def corpus_quality_dedup_interaction(spark, sf_dir):
     from boann_ocsf_security_data_platform_spark.operators.text import text_quality
 
     docs = _t(spark, sf_dir, "documents")
-    nd = minhash_near_dup_pairs(docs)
+    nd = minhash_near_dup_pairs(docs, max_bucket_size=_gates.MAX_LSH_BUCKET)
     dup_ids = (
         nd.select(F.col("id_a").alias("doc_id"))
         .union(nd.select(F.col("id_b").alias("doc_id")))
@@ -18003,7 +18044,9 @@ def dedup_cluster_size_histogram(spark, sf_dir):
         release_caches,
     )
 
-    pairs = minhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+    pairs = minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_bucket_size=_gates.MAX_LSH_BUCKET
+    )
     cl = cluster_pairs(pairs)
     release_caches(pairs)
     sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -18263,7 +18306,7 @@ def corpus_quality_roc_auc(spark, sf_dir):
     from boann_ocsf_security_data_platform_spark.operators.text import text_quality
 
     docs = _t(spark, sf_dir, "documents")
-    nd = minhash_near_dup_pairs(docs)
+    nd = minhash_near_dup_pairs(docs, max_bucket_size=_gates.MAX_LSH_BUCKET)
     dup_ids = (
         nd.select(F.col("id_a").alias("doc_id"))
         .union(nd.select(F.col("id_b").alias("doc_id")))
@@ -20940,7 +20983,7 @@ def events_records_test(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-HUBNESS_EXACT_MAX_ROWS = 10_000
+HUBNESS_EXACT_MAX_ROWS = _gates.PAIRWISE_EXACT_MAX_ROWS
 # Size gate for embedding_hubness_profile: below this row count, neighbor
 # lists are exact within label blocks (with 10 labels that is <=1k rows and
 # <=1M pairs per block — fine, and it is the oracle-hashed path at
@@ -20949,13 +20992,13 @@ HUBNESS_EXACT_MAX_ROWS = 10_000
 # so the query dispatches to LSH-bucketed blocks whose expected size is held
 # constant by auto_n_planes — pair work then scales ~linearly with rows.
 _HUBNESS_EMB_DIM = 64
-_HUBNESS_LSH_TARGET_BUCKET = 64
+_HUBNESS_LSH_TARGET_BUCKET = _gates.LSH_TARGET_BUCKET
 # Expected (label, bucket) block size on the LSH arm. 64 candidates per
 # point is ample for a top-3 neighbor list, and it bounds pair work at
 # ~64 dot products per point — constant per point, linear total.
 # (Measured at sf1/20k rows: target 512 -> 10M pairs, 202 s; target 64 ->
 # ~1.2M pairs — same profile output on the key-offset-replicated data.)
-_HUBNESS_MAX_BLOCK_CAND = 64
+_HUBNESS_MAX_BLOCK_CAND = _gates.MAX_BLOCK_CANDIDATES
 # Hard candidate-side cap per (label, bucket) block — the skew valve the
 # dedup family calls max_bucket_size. LSH cannot split EXACT-replica
 # groups (identical vectors share every bucket), so a duplication-heavy
@@ -21076,21 +21119,18 @@ def embedding_hubness_profile(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
-    n_rows = e.count()  # bounded scalar: drives the dispatch only
-    if n_rows <= HUBNESS_EXACT_MAX_ROWS:
-        p = _hubness_pairs(e)
-    else:
+    def _scale(eb, n):
         # LSH splits WITHIN label blocks, so size the plane count from the
         # per-label block (not total rows) — otherwise buckets over-split
         # and recall collapses (measured: antihub_frac 0.047 -> 0.6 at sf1
         # when planes were sized from total n).
-        n_labels = e.agg(
+        n_labels = eb.agg(
             F.countDistinct("label").alias("nl")
         ).collect()[0][0]
         planes = auto_n_planes(
-            n_rows // max(1, n_labels), _HUBNESS_LSH_TARGET_BUCKET
+            n // max(1, n_labels), _HUBNESS_LSH_TARGET_BUCKET
         )
-        e = e.withColumn(
+        eb = eb.withColumn(
             "_hb", lsh_bucket(F.col("v"), planes, _HUBNESS_EMB_DIM)
         )
         # candidate-side skew valve (see _HUBNESS_MAX_BLOCK_CAND): exact
@@ -21100,11 +21140,15 @@ def embedding_hubness_profile(spark, sf_dir):
             F.xxhash64("vec_id"), "vec_id"
         )
         cand = (
-            e.withColumn("_crn", F.row_number().over(wb))
+            eb.withColumn("_crn", F.row_number().over(wb))
             .filter(F.col("_crn") <= _HUBNESS_MAX_BLOCK_CAND)
             .drop("_crn")
         )
-        p = _hubness_pairs_asym(e, cand, ("_hb",))
+        return _hubness_pairs_asym(eb, cand, ("_hb",))
+
+    p = size_gated(
+        e, lambda eb, n: _hubness_pairs(eb), _scale, HUBNESS_EXACT_MAX_ROWS
+    )
     wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
     occ = (
         p.withColumn("rn", F.row_number().over(wr))

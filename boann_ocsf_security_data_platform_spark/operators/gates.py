@@ -1,0 +1,86 @@
+"""Size-gated exact/scale dispatch — the shared discipline for pairwise
+operators (round-8 verdict item: consolidate the gate pattern).
+
+Every pairwise operator in the engine (near-dup pair enumeration, fuzzy
+entity resolution, hubness profiling, threshold sweeps) has two arms:
+
+- an EXACT arm whose output the DuckDB oracle pins at sf0.01/sf0.1 — often
+  quadratic within blocks, fine at gate scale, fatal at 100 TB;
+- a bounded SCALE arm (LSH blocking sized by ``auto_n_planes``,
+  deterministic per-block candidate caps, exact-dedup-first collapse)
+  whose super-linear terms are all capped, at the documented cost of being
+  an approximation with pinned invariants.
+
+The round-8 sf1 sweep found seven operators whose scale arm was missing or
+mis-sized, each with its own ad-hoc ``if df.count() <= N`` dispatch and its
+own threshold constant. This module is the single seam that replaces them:
+one dispatch function, one set of named thresholds, and a plan-audit pin
+(``tools/plan_audit.py`` ``pairwise gate discipline``) that fails when a
+query source touches a pairwise primitive without routing through
+``size_gated``/a primitive skew valve or carrying a documented
+inherent-output rationale — so the next pairwise wave cannot reintroduce
+the defect class the sweep flushed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, TypeVar
+
+from pyspark.sql import DataFrame
+
+T = TypeVar("T")
+
+# Gate thresholds. Dispatch counts are bounded scalars (one count() whose
+# result drives plan CHOICE only — no data is collected).
+#
+# Default gate for the embeddings/documents pairwise families: below this,
+# within-block exact pair enumeration is oracle-pinnable and cheap; above
+# it, LSH re-blocking / candidate caps / exact-dedup-first collapse engage.
+PAIRWISE_EXACT_MAX_ROWS = 10_000
+# Fuzzy entity resolution gates later (its exact arm is a blocked
+# equi-join + banded Levenshtein, not all-pairs, so it stays cheap longer);
+# above it the block key widens and the candidate panel is capped.
+FUZZY_EXACT_MAX_ROWS = 50_000
+# Expected LSH bucket size the scale arms hold via auto_n_planes: pair work
+# per bucket stays ~TARGET² regardless of corpus size.
+LSH_TARGET_BUCKET = 64
+# Deterministic per-block candidate-panel cap (ordered by xxhash64(id), so
+# the cut is engine-independent): pair work becomes n × cap even when exact
+# replicas defeat any plane count.
+MAX_BLOCK_CANDIDATES = 64
+# Fuzzy-ER keeps a larger panel: its downstream filter (Levenshtein ≤ 4 +
+# top-3 per probe) is far more selective than a cosine threshold, so the
+# panel must stay wide enough that true matches survive the cut.
+MAX_FUZZY_BLOCK_CANDIDATES = 256
+# Skew valve for banded-LSH candidate generation (minhash family): a
+# degenerate band bucket of b members contributes b² candidate pairs, so a
+# saturated bucket (mass exact-duplication that belongs to exact dedup
+# upstream) is dropped rather than enumerated. 1000 members = ≤0.5M pairs
+# per bucket worst-case; no test-scale bucket comes within an order of
+# magnitude of it, so engaging the valve never changes oracle output at
+# the gate scales.
+MAX_LSH_BUCKET = 1_000
+# Stop-gram valve for shingle-inverted-index joins (containment /
+# cross-corpus): shingles whose document frequency exceeds this are
+# boilerplate that pairs everything with everything; dropping them bounds
+# index fan-out. Mirrors the df valve the containment operator documents.
+MAX_SHINGLE_DF = 1_000
+
+
+def size_gated(
+    df: DataFrame,
+    exact_arm: Callable[[DataFrame, int], T],
+    scale_arm: Callable[[DataFrame, int], T],
+    threshold: int,
+    n_rows: int | None = None,
+) -> T:
+    """Dispatch between the oracle-pinned exact arm and the bounded scale
+    arm on corpus size. Both arms receive ``(df, n_rows)`` and may return
+    anything (a DataFrame, a (df, planes) tuple, …).
+
+    ``n_rows`` short-circuits the count when the caller already has it.
+    The count is a bounded scalar: it drives which PLAN is built, never
+    what data is moved — the 100 TB cost is one metadata-cheap aggregate.
+    """
+    n = df.count() if n_rows is None else n_rows
+    return exact_arm(df, n) if n <= threshold else scale_arm(df, n)

@@ -751,6 +751,63 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         "lineitem scanned once into the contingency; every rank/"
         "marginal frame is bounded and broadcasts back",
     )
+
+    # ---- pairwise gate discipline (round-9 consolidation) ---------------
+    # Every query whose source touches a pair-enumerating primitive must
+    # either route through operators.gates.size_gated, pass a primitive
+    # skew valve (max_bucket_size / max_shingle_df), or carry a documented
+    # inherent-output rationale below — so the next pairwise wave cannot
+    # reintroduce the quadratic-arm defect class the round-8 sf1 sweep
+    # flushed. Source inspection only; the check is coarse by design (one
+    # marker anywhere in the entry's source) — the per-entry docstrings
+    # carry the precise contract.
+    import inspect
+
+    PAIRWISE_PRIMITIVES = (
+        "embedding_near_dup_pairs(",
+        "containment_pairs(",
+        "prefix_filter_jaccard_pairs(",
+        "semantic_dedup(",
+        "cosine_topk(",
+        "cosine_topk_lsh(",
+        "minhash_near_dup_pairs(",
+        "ngram_jaccard_pairs(",
+        "cross_corpus_jaccard_pairs(",
+        "weighted_jaccard_pairs(",
+        "lsh_candidate_pairs(",
+        "_hubness_pairs(",
+    )
+    GATE_MARKERS = ("size_gated(", "max_bucket_size=", "max_shingle_df=")
+    INHERENT_OK = {
+        # exact brute-force cosine is the pinned accuracy baseline; the
+        # documented scale path is the IVF/LSH entries (docstring)
+        "knn_bruteforce_cosine",
+        # LSH-bucketed by construction; approximate by design (rows-only)
+        "knn_lsh_approx",
+        # probe side is a fixed bounded panel -> corpus-linear pair work
+        "knn_truncated_recall",
+        # blocked on `source`; docstring prescribes swapping the natural
+        # key for an LSH band at scale — pairs ride a shingle equi-join,
+        # never all-pairs; sf1/sf10 sweeps measured linear growth
+        "dedup_ngram_jaccard",
+        "dedup_weighted_jaccard",
+    }
+    unguarded = []
+    for qname, qfn in qs.items():
+        try:
+            src = inspect.getsource(qfn)
+        except (OSError, TypeError):
+            continue
+        if any(prim in src for prim in PAIRWISE_PRIMITIVES):
+            if qname in INHERENT_OK:
+                continue
+            if not any(mk in src for mk in GATE_MARKERS):
+                unguarded.append(qname)
+    check(
+        "pairwise gate discipline: size-gated/valved or documented-inherent",
+        not unguarded,
+        f"unguarded pairwise entries: {unguarded}",
+    )
     return results
 
 
