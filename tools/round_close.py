@@ -6,6 +6,13 @@ Runs the pinned close sequence in order and stops at the first failure:
   3. physical-plan audit (every pinned plan property)
   4. full pytest suite, 6 hash-sharded processes
   5. bench.py (headline suite + isolated top-5 protocol)
+  6. registry-wide sf1 timing sweep with per-entry budget (round-8
+     verdict item #4: anything over time_sweep.SF1_BUDGET_SECONDS
+     without a LINEAR_BY_DESIGN rationale fails the round — the gate
+     that catches quadratic arms the round they land). The sf1 dataset
+     is synthesized from sf0.1 on first use (tools/scale_up.py,
+     key-offset replication) and reused afterwards. Skip with
+     --no-sweep when iterating on an unrelated stage.
 
 Exit code 0 iff every stage passed. Usage: python3 tools/round_close.py
 [sf_dir] (default /root/testdata/sf0.01 for the sweeps).
@@ -13,13 +20,27 @@ Exit code 0 iff every stage passed. Usage: python3 tools/round_close.py
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
 
+SF1_DIR = "/tmp/sf1"
+
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--no-sweep"]
+    do_sweep = "--no-sweep" not in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if do_sweep and not os.path.isdir(SF1_DIR):
+        print(f"=== synthesizing {SF1_DIR} (scale_up 10x of sf0.1) ===")
+        rc = subprocess.run(
+            [sys.executable, "tools/scale_up.py",
+             "/root/testdata/sf0.1", SF1_DIR, "10"]
+        ).returncode
+        if rc != 0:
+            print("FAILED synthesizing sf1 dataset")
+            return rc
     stages = [
         ("oracle sweep (default)",
          [sys.executable, "tools/run_oracle_parallel.py", "4", sf_dir]),
@@ -33,6 +54,12 @@ def main() -> int:
          [sys.executable, "tools/run_tests_parallel.py", "6"]),
         ("bench", [sys.executable, "bench.py"]),
     ]
+    if do_sweep:
+        stages.append(
+            ("sf1 time sweep (per-entry budget gate)",
+             [sys.executable, "tools/time_sweep.py", SF1_DIR,
+              "--launch", "4"]),
+        )
     t0 = time.time()
     for name, cmd in stages:
         print(f"=== {name} ===", flush=True)

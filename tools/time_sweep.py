@@ -16,6 +16,10 @@ Usage:
   python tools/time_sweep.py /tmp/sf1 0 4 &    # shard 0 of 4
   python tools/time_sweep.py /tmp/sf1 1 4 &    # ... etc
   # results land in /tmp/time_sweep_<sfdirname>_<shard>.json
+  python tools/time_sweep.py /tmp/sf1 --launch 4   # run all 4 shards +
+  #   aggregate + enforce the per-entry budget (the round-close gate:
+  #   anything > SF1_BUDGET_SECONDS without a LINEAR_BY_DESIGN rationale
+  #   fails the round) — wired as a stage in tools/round_close.py
 
 Single-run by design (a ranking instrument, not a benchmark — co-tenant
 noise of 1.5-2x cannot hide a 10-100x defect); re-measure suspects
@@ -33,8 +37,87 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+# Round-close budget envelope (round-8 verdict item #4): at sf1 every
+# entry must finish under this bound or carry a documented
+# linear-by-design rationale below. The bound is deliberately loose —
+# co-tenant noise is 1.5-2x and the instrument is single-run — but the
+# defect class it gates (the 50-1000 s quadratic arms the round-8 sweep
+# caught) clears it by 1-2 orders of magnitude.
+SF1_BUDGET_SECONDS = 30.0
+
+# Entries allowed over budget, each with the docstring-documented
+# rationale for why their growth is linear (the budget flags super-linear
+# SHAPE, not honest linear cost on a big input).
+LINEAR_BY_DESIGN = {
+    # exact brute-force baseline by contract; the scale path is the IVF /
+    # LSH entries (15.5 s at sf10, linear per decade)
+    "knn_bruteforce_cosine",
+    # fixed probe set x growing corpus: linear, probe-side brute scan
+    # (30.8 s at sf10; IVF-routed above the gate since round 9)
+    "knn_hard_negatives",
+    # exact tie-aware ranks are a semantics pin; agg_spearman_binned is
+    # the documented cluster path (60.4 s at sf10, linear per decade)
+    "agg_spearman_rank_corr",
+}
+
+
+def aggregate_and_check(sf_dir: str, shard_n: int) -> int:
+    """Merge the per-shard JSONs and enforce the sf1 budget. Exit 1 when
+    an entry over SF1_BUDGET_SECONDS lacks a LINEAR_BY_DESIGN rationale
+    or any entry errored."""
+    tag = Path(sf_dir).name
+    merged: dict[str, object] = {}
+    for i in range(shard_n):
+        with open(f"/tmp/time_sweep_{tag}_{i}.json") as f:
+            merged.update(json.load(f))
+    with open(f"/tmp/time_sweep_{tag}_all.json", "w") as f:
+        json.dump(merged, f)
+    errs = {k: v for k, v in merged.items() if isinstance(v, str)}
+    over = {
+        k: v
+        for k, v in merged.items()
+        if isinstance(v, (int, float))
+        and v > SF1_BUDGET_SECONDS
+        and k not in LINEAR_BY_DESIGN
+    }
+    waived = {
+        k: merged[k]
+        for k in LINEAR_BY_DESIGN
+        if isinstance(merged.get(k), (int, float))
+        and merged[k] > SF1_BUDGET_SECONDS
+    }
+    print(
+        f"budget check: {len(merged)} entries, budget "
+        f"{SF1_BUDGET_SECONDS:.0f}s, over={over or '{}'} "
+        f"waived={waived or '{}'} errors={errs or '{}'}"
+    )
+    return 1 if over or errs else 0
+
+
+def launch(sf_dir: str, shard_n: int) -> int:
+    """Run all shards as parallel subprocesses, then aggregate + check."""
+    import subprocess
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, __file__, sf_dir, str(i), str(shard_n)]
+        )
+        for i in range(shard_n)
+    ]
+    rc = max(p.wait() for p in procs)
+    if rc != 0:
+        return rc
+    return aggregate_and_check(sf_dir, shard_n)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    if "--launch" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--launch") + 1])
+        return launch(sf_dir, n)
+    if "--check" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--check") + 1])
+        return aggregate_and_check(sf_dir, n)
     shard_i = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     shard_n = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
