@@ -756,9 +756,14 @@ def build_ivf_index(
         cents,
         n_best=1,
     )
-    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(
-        f"{path}/lists"
-    )
+    # _batch_id=-1 marks the base build; incremental appends land under
+    # their own batch id so a foreachBatch replay can overwrite exactly
+    # its own partitions (append_to_ivf_index(batch_id=...)). One extra
+    # partition level costs nothing at query time — probes prune on
+    # cent_id and read every batch under it.
+    assigned.withColumn("_batch_id", F.lit(-1)).write.mode(
+        "overwrite"
+    ).partitionBy("cent_id", "_batch_id").parquet(f"{path}/lists")
 
 
 def _assign_to_centroids(df, vec_col, cents, n_best):
@@ -800,6 +805,7 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> None:
     """Incremental index maintenance: assign NEW vectors to the
     already-trained centroids and APPEND them to the partitioned lists —
@@ -812,10 +818,16 @@ def append_to_ivf_index(
     Retrain cadence: appends degrade list balance as the corpus drifts
     away from the frozen centroids — monitor with
     ``embedding_dim_profile``/cluster quality and rebuild when skewed.
-    Idempotency is the CALLER's contract (dedup ids upstream, e.g. the
-    streaming funnel's exact-dedup stage, or wrap the call in a
-    batch_id-keyed foreachBatch): a blind re-send appends duplicate rows,
-    exactly like any other blind Parquet append."""
+
+    Idempotency: with ``batch_id=None`` it is the CALLER's contract
+    (dedup ids upstream; a blind re-send appends duplicate rows, exactly
+    like any other blind Parquet append). Pass the ``foreachBatch``
+    ``batch_id`` instead and the append becomes REPLAY-SAFE: rows land
+    under ``(cent_id, _batch_id)`` partitions via dynamic overwrite, so
+    a replayed batch overwrites exactly its own partitions with the
+    identical rows (assignment to frozen centroids is deterministic) —
+    the landing-sink exactly-once recipe, used by the streaming funnel's
+    index stage (``streaming/funnel.py``)."""
     spark = new_vectors.sparkSession
     cents = [
         (r.cent_id, list(r.cent_vec))
@@ -829,9 +841,18 @@ def append_to_ivf_index(
         cents,
         n_best=1,
     )
-    assigned.write.mode("append").partitionBy("cent_id").parquet(
-        f"{path}/lists"
-    )
+    if batch_id is None:
+        assigned.withColumn("_batch_id", F.lit(-1)).write.mode(
+            "append"
+        ).partitionBy("cent_id", "_batch_id").parquet(f"{path}/lists")
+    else:
+        (
+            assigned.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cent_id", "_batch_id")
+            .parquet(f"{path}/lists")
+        )
 
 
 def query_ivf_index(

@@ -1502,3 +1502,109 @@ def test_streaming_curation_funnel_prune_horizon(spark, tmp_path):
     assert {
         r.doc_id for r in read_funnel_survivors(spark, d["out"]).collect()
     } == {1, 3}
+
+
+def test_streaming_funnel_ivf_index_stage(spark, tmp_path):
+    """Round-9 (r8 VERDICT item #5): the optional fifth funnel stage
+    appends each batch's survivors' embeddings to a persisted IVF index,
+    batch-id idempotent like the landing sink. Pins:
+
+    - counts gain an s5_indexed row summing to the survivor count;
+    - with full probing (n_probe = n_centroids, where IVF == exact brute
+      force) the appended index answers queries EXACTLY like a fresh
+      build_ivf_index over base ∪ survivors — the recall-parity contract;
+    - a replay from a fresh checkpoint leaves the index byte-identical
+      (dynamic overwrite of the batch's own (cent_id, _batch_id)
+      partitions with deterministic frozen-centroid assignment)."""
+    import random
+
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        read_funnel_report,
+        start_curation_funnel_stream,
+    )
+
+    def vec(i):
+        rng = random.Random(i)
+        return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(64)]
+
+    base = spark.createDataFrame(
+        [(100 + j, vec(100 + j)) for j in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, n_centroids=4, train_iters=2)
+
+    src = tmp_path / "fun_in"
+    src.mkdir()
+    docs = [dict(d, embedding=vec(d["doc_id"])) for d in _FUNNEL_DOCS]
+    batches = [docs[0:2], docs[2:5], docs[5:7]]
+    for i, chunk in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(json.dumps(d) for d in chunk))
+        os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    benchmark = spark.createDataFrame([(_FUNNEL_BENCH,)], "text string")
+
+    def run(ck):
+        stream = spark.readStream.schema(
+            "doc_id long, text string, embedding array<double>"
+        ).option("maxFilesPerTrigger", 1).json(str(src))
+        d = {k: str(tmp_path / f"fun_{k}") for k in
+             ("hash", "band", "out", "counts")}
+        q, release = start_curation_funnel_stream(
+            stream, benchmark, d["hash"], d["band"], d["out"], d["counts"],
+            str(tmp_path / ck), available_now=True, ivf_index_dir=idx,
+        )
+        q.awaitTermination(180)
+        release()
+        return d
+
+    d = run("ckpt1")
+    report = {
+        r.stage: r.n_docs
+        for r in read_funnel_report(spark, d["counts"]).collect()
+    }
+    assert report["s5_indexed"] == report["s4_decontaminated"] == 3
+
+    # recall parity: full probing == exact, so appended must match fresh
+    union = base.unionByName(
+        spark.createDataFrame(
+            [(i, vec(i)) for i in (1, 2, 7)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    fresh = str(tmp_path / "ivf_fresh")
+    build_ivf_index(union, fresh, n_centroids=4, train_iters=2)
+    probes = spark.createDataFrame(
+        [(900, vec(900)), (901, vec(901))],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        tuple(r) for r in query_ivf_index(
+            spark, idx, probes, k=3, n_probe=4
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in query_ivf_index(
+            spark, fresh, probes, k=3, n_probe=4
+        ).collect()
+    )
+    assert got == want and len(got) == 6
+    # streamed survivors are reachable through the appended index
+    assert {n for _, n, _, _ in got} & {1, 2, 7}
+
+    # replay: fresh checkpoint over the same source rewrites the same
+    # (cent_id, _batch_id) partitions with identical rows
+    before = sorted(
+        (r.vec_id, r.cent_id, r._batch_id)
+        for r in spark.read.parquet(f"{idx}/lists").collect()
+    )
+    run("ckpt2")
+    after = sorted(
+        (r.vec_id, r.cent_id, r._batch_id)
+        for r in spark.read.parquet(f"{idx}/lists").collect()
+    )
+    assert before == after
