@@ -216,6 +216,7 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids: list[tuple[int, list[float]]] | None = None,
+    max_cosine: float | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-Flat: partition the corpus into inverted
     lists by nearest centroid, probe only the query's ``n_probe`` closest
@@ -288,6 +289,10 @@ def cosine_topk_ivf(
         .select("query_id", "neighbor_id", sim.alias("cosine"))
         .distinct()  # a neighbor can surface via several probed lists
     )
+    if max_cosine is not None:
+        # hard-negative cap, applied BEFORE ranking (same contract as
+        # hard_negatives: the cut is on the filtered candidate set)
+        scored = scored.filter(F.col("cosine") < max_cosine)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -456,6 +461,24 @@ def auto_n_planes(n: int, target_bucket_size: int = 4096) -> int:
     if n <= 0 or target_bucket_size <= 0:
         return 1
     return max(1, min(24, math.ceil(math.log2(max(2.0, n / target_bucket_size)))))
+
+
+def auto_n_centroids(
+    n: int, target_list_size: int = 4096, cap: int = 256
+) -> int:
+    """IVF centroid count that holds the EXPECTED inverted-list size near
+    ``target_list_size`` as the corpus grows, capped at ``cap``: centroid
+    assignment inlines the model as Catalyst literals
+    (:func:`_centroid_score_array`), so the model must stay kilobytes —
+    256 × 64 doubles compiles fine, thousands would not. Past the cap,
+    probed-candidate work grows as n_probe × n/cap (still a 64× cut vs
+    brute force at cap=256, n_probe=4); a corpus that outgrows that wants
+    the persisted index (:func:`build_ivf_index`), where assignment is
+    paid once at build time and maintained incrementally
+    (:func:`append_to_ivf_index`, the streaming funnel's index stage)."""
+    if n <= 0:
+        return 16
+    return max(16, min(cap, n // target_list_size))
 
 
 def semantic_dedup(
@@ -720,6 +743,7 @@ def build_ivf_index(
     n_centroids: int = 16,
     train_iters: int = 3,
     dim: int = 64,
+    train_sample_size: int | None = None,
 ) -> None:
     """Persist an IVF-Flat index for build-once / query-many serving:
     trained centroids land in ``{path}/centroids`` and the corpus,
@@ -735,8 +759,20 @@ def build_ivf_index(
     = however often the corpus drifts (monitor with
     ``embedding_dim_profile`` / ``embedding_cluster_quality``).
     """
+    train_df = corpus
+    if train_sample_size is not None:
+        # Lloyd training cost is iters x |train| x n_centroids cosines, so
+        # at large n and large n_centroids train on a bounded deterministic
+        # hash-sample (standard IVF practice: a few dozen points per
+        # centroid suffice to place lists) — the full corpus still gets
+        # ONE exact assignment pass below. The xxhash64 filter is a plain
+        # scan predicate: no sort, no shuffle, engine-deterministic.
+        n = corpus.count()
+        if n > train_sample_size:
+            m = max(1, n // train_sample_size)
+            train_df = corpus.filter(F.xxhash64(F.col(id_col)) % m == 0)
     cents = train_ivf_centroids(
-        corpus, k=n_centroids, iters=train_iters,
+        train_df, k=n_centroids, iters=train_iters,
         id_col=id_col, vec_col=vec_col, dim=dim,
     )
     spark = corpus.sparkSession
@@ -863,6 +899,7 @@ def query_ivf_index(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 4,
+    max_cosine: float | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index: assign each query to its ``n_probe``
     nearest lists (model arithmetic on the kilobyte centroid table),
@@ -902,6 +939,10 @@ def query_ivf_index(
         )
         .distinct()
     )
+    if max_cosine is not None:
+        # hard-negative mining straight off the serving index (see
+        # hard_negatives for the cap's training rationale)
+        scored = scored.filter(F.col("cosine") < max_cosine)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
