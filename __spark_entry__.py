@@ -22916,12 +22916,19 @@ def _correctness_history() -> "dict[str, tuple[int, int]]":
     return hist
 
 
-def _derive_gate_order() -> "tuple[list[str], list[str]]":
+def _derive_gate_order(
+    names: "list[str] | None" = None,
+    hist: "dict[str, tuple[int, int]] | None" = None,
+) -> "tuple[list[str], list[str]]":
     """(window, backlog): the first 50 never-driver-green oracle-backed
     entries in declaration order, plus the rest of the pending backlog;
-    oldest-green round-robin fills spare slots once the backlog fits."""
-    hist = _correctness_history()
-    names = [n for n in QUERIES if n in ORACLE]
+    oldest-green round-robin fills spare slots once the backlog fits.
+    ``names``/``hist`` exist for unit tests (the drift-guard fill branch
+    must be exercisable before the round whose backlog first fits)."""
+    if hist is None:
+        hist = _correctness_history()
+    if names is None:
+        names = [n for n in QUERIES if n in ORACLE]
     pos = {n: i for i, n in enumerate(names)}
     pending = [n for n in names if n not in hist]
     window, backlog = pending[:50], pending[50:]

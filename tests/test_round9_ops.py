@@ -149,3 +149,40 @@ def test_query_ivf_index_max_cosine_cap(spark, tmp_path):
         for r in hard_negatives(corpus, probes, k=5, max_cosine=0.5).collect()
     )
     assert got == want and got
+
+
+def test_gate_derivation_drift_guard_fill_unit():
+    """Exercise the drift-guard branch BEFORE the round whose backlog
+    first fits a window (round 10): with fewer than 50 pending entries,
+    spare slots fill with greens ordered by LATEST green round ascending
+    (least recently driver-verified first), declaration-order tie-break —
+    and a re-checked green rotates to the back next time."""
+    names = [f"q{i:03d}" for i in range(60)]
+    # 10 pending (q000..q009 never green); 50 greens with varied rounds
+    hist = {n: (1, 1) for n in names[10:]}
+    hist["q015"] = (1, 5)  # recently re-checked -> goes to the back
+    hist["q020"] = (2, 2)
+    window, backlog = entrymod._derive_gate_order(names=names, hist=hist)
+    assert backlog == []
+    assert window[:10] == names[:10]
+    fill = window[10:]
+    assert len(window) == 50 and len(set(window)) == 50
+    # the 40 fill slots are the first 40 latest-round-1 greens in
+    # declaration order; the round-2 and round-5 greens sort after ALL
+    # 48 round-1 greens and miss this window
+    r1_greens = [n for n in names[10:] if n not in ("q015", "q020")]
+    assert fill == r1_greens[:40]
+    assert "q015" not in window and "q020" not in window
+    # simulate the driver re-checking this window: those greens move to
+    # round 9, so the NEXT derivation rotates the stale greens in —
+    # remaining r1 greens first, then round-2, then round-5, and only
+    # then the just-refreshed round-9 ones
+    hist2 = dict(hist)
+    for n in fill:
+        hist2[n] = (hist2[n][0], 9)
+    window2, _ = entrymod._derive_gate_order(names=names, hist=hist2)
+    fill2 = window2[10:]
+    assert fill2[:8] == r1_greens[40:]
+    assert fill2[8] == "q020"
+    assert fill2[9] == "q015"
+    assert fill2[10:] == fill[:30]  # refreshed greens, declaration order
