@@ -7478,7 +7478,15 @@ def knn_ivf_index_persisted(spark, sf_dir):
         tempfile.gettempdir(), f"boann_ivf_index_{tag}_{_artifact_scope()}"
     )
     n_centroids = 8
-    build_ivf_index(emb, path, n_centroids=n_centroids)
+    # sample-trained centroids (round 9): with n_probe == n_centroids the
+    # query is EXACT for ANY centroid placement (the invariant this entry
+    # pins), so paying full-corpus Lloyd iterations buys nothing — train
+    # on a bounded hash-sample and spend the scan budget on the one real
+    # assignment pass (sf1: 21.7 s -> the build is assignment-bound)
+    build_ivf_index(
+        emb, path, n_centroids=n_centroids,
+        train_sample_size=64 * n_centroids,
+    )
     return query_ivf_index(
         spark,
         path,
