@@ -17562,19 +17562,25 @@ def feature_mrmr_selection(spark, sf_dir):
             ).alias("rel")
         )
     )
-    a, b = lng.alias("a"), lng.alias("b")
+    # pairwise joint contingencies straight off the WIDE frame: one
+    # 15-pair stack projection + a map-side-combined aggregate. Replaces
+    # the original 6x-explode self-join on the order key (round 9 — the
+    # join shuffled 6n rows against themselves to produce the same 15n
+    # pair instances this projection emits for free); row set identical,
+    # fa < fb lexicographic exactly like the old a.feat < b.feat.
+    feat_cols = {
+        "nlines": "f_nlines", "qty": "f_qty", "month": "f_month",
+        "bal": "f_bal", "pri": "f_pri", "seg": "f_seg",
+    }
+    ordered = sorted(feat_cols)
+    stack_args = ", ".join(
+        f"'{fa}', '{fb}', {feat_cols[fa]}, {feat_cols[fb]}"
+        for i, fa in enumerate(ordered)
+        for fb in ordered[i + 1:]
+    )
     pc = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.feat") < F.col("b.feat")),
-        )
-        .groupBy(
-            F.col("a.feat").alias("fa"),
-            F.col("b.feat").alias("fb"),
-            F.col("a.bin").alias("ba"),
-            F.col("b.bin").alias("bb"),
-        )
+        per.selectExpr(f"stack(15, {stack_args}) AS (fa, fb, ba, bb)")
+        .groupBy("fa", "fb", "ba", "bb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     pa = pc.groupBy("fa", "fb", "ba").agg(F.sum("c").alias("ca"))
