@@ -884,7 +884,7 @@ def text_levenshtein_fuzzy(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.MAX_LSH_BUCKET)
+    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
     p = docs.select(
         "doc_id", F.substring(normalize_text(F.col("text")), 1, 30).alias("prefix")
     )
@@ -1269,9 +1269,8 @@ def dedup_exact_q(spark, sf_dir):
 
 @_q("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
-    return minhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), max_bucket_size=_gates.MAX_LSH_BUCKET
-    )
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
 
 
 def _clusters_oracle() -> str:
@@ -1299,9 +1298,8 @@ def dedup_clusters(spark, sf_dir):
         release_caches,
     )
 
-    pairs = minhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), max_bucket_size=_gates.MAX_LSH_BUCKET
-    )
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
     # auto: iterative min-label under the pair threshold, large-star/
     # small-star O(log n) above it — same (node, cluster_id) contract
     out = cluster_pairs(pairs)  # eager: result is checkpointed
@@ -1337,7 +1335,7 @@ def dedup_filtered_corpus(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.MAX_LSH_BUCKET)
+    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
     clusters = cluster_pairs(pairs)
     release_caches(pairs)
     losers = clusters.filter(F.col("node") != F.col("cluster_id"))
@@ -5853,7 +5851,7 @@ def dedup_minhash_eval(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     cand = minhash_near_dup_pairs(
-        docs, max_bucket_size=_gates.MAX_LSH_BUCKET
+        docs, max_bucket_size=_gates.lsh_valve(docs)
     ).select("id_a", "id_b")
     truth = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
     src = docs.select("doc_id", "source")
@@ -9018,7 +9016,7 @@ def corpus_dedup_report(spark, sf_dir):
         F.count(F.lit(1)).alias("g"),
         F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("l"),
     ).collect()[0]
-    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.MAX_LSH_BUCKET)
+    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
     n_pairs = pairs.count()  # while the shingle caches are still live
     clusters = cluster_pairs(pairs)  # eager, checkpointed
     release_caches(pairs)
@@ -17247,7 +17245,7 @@ def corpus_quality_dedup_interaction(spark, sf_dir):
     from boann_ocsf_security_data_platform_spark.operators.text import text_quality
 
     docs = _t(spark, sf_dir, "documents")
-    nd = minhash_near_dup_pairs(docs, max_bucket_size=_gates.MAX_LSH_BUCKET)
+    nd = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
     dup_ids = (
         nd.select(F.col("id_a").alias("doc_id"))
         .union(nd.select(F.col("id_b").alias("doc_id")))
@@ -18102,9 +18100,8 @@ def dedup_cluster_size_histogram(spark, sf_dir):
         release_caches,
     )
 
-    pairs = minhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), max_bucket_size=_gates.MAX_LSH_BUCKET
-    )
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
     cl = cluster_pairs(pairs)
     release_caches(pairs)
     sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -18364,7 +18361,7 @@ def corpus_quality_roc_auc(spark, sf_dir):
     from boann_ocsf_security_data_platform_spark.operators.text import text_quality
 
     docs = _t(spark, sf_dir, "documents")
-    nd = minhash_near_dup_pairs(docs, max_bucket_size=_gates.MAX_LSH_BUCKET)
+    nd = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
     dup_ids = (
         nd.select(F.col("id_a").alias("doc_id"))
         .union(nd.select(F.col("id_b").alias("doc_id")))

@@ -312,8 +312,12 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` is the 100 TB safety valve: a degenerate bucket
     (boilerplate text, empty documents) produces |bucket|² candidate pairs
     and stalls the join. Buckets larger than the cap are dropped from
-    candidate generation (a window count, one extra shuffle) — their
-    members are near-identical boilerplate that exact dedup (one
+    candidate generation via a broadcast anti-join against the oversized
+    bucket list — the list is tiny by construction (oversized buckets are
+    the anomaly), and the map-side-combined count shuffles only distinct
+    bucket keys, never the exploded rows (round 9: replaces a window
+    count that shuffled the full band frame, +19% on the minhash entry).
+    Their members are near-identical boilerplate that exact dedup (one
     hash-aggregate) already collapses. Recall loss: a pair is missed only
     when EVERY band it matches on is degenerate (typically both documents
     are the boilerplate itself). Default None keeps exact LSH semantics
@@ -328,13 +332,18 @@ def lsh_candidate_pairs(
     )
 
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_idx", "band_hash")
-        exploded = (
-            exploded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bucket_n") <= max_bucket_size)
-            .drop("_bucket_n")
+        # the count recomputes the (map-only) band projection rather than
+        # caching pre-valve rows: the partial-agg shuffle carries only
+        # distinct bucket keys, and the persisted frame below is already
+        # valve-filtered so both self-join sides read it verbatim
+        big = (
+            exploded.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band_idx", "band_hash")
+        )
+        exploded = exploded.join(
+            F.broadcast(big), ["band_idx", "band_hash"], "left_anti"
         )
     # both sides of the self-join; caller releases via release_caches()
     exploded = exploded.persist()

@@ -65,6 +65,20 @@ MAX_LSH_BUCKET = 1_000
 # boilerplate that pairs everything with everything; dropping them bounds
 # index fan-out. Mirrors the df valve the containment operator documents.
 MAX_SHINGLE_DF = 1_000
+# Corpus size below which the LSH bucket valve stays OFF: the valve's
+# bucket-count pass costs a fixed extra stage, and a corpus this small
+# cannot populate a bucket big enough to stall the candidate join even
+# fully degenerate (worst case |corpus|² pairs ≈ 4·10¹⁰ at the bound —
+# survivable; the valve protects against the million-member buckets only
+# replication at scale produces). Same exact-below/protected-above shape
+# as size_gated, decided by one metadata-cheap parquet count.
+LSH_VALVE_MIN_ROWS = 200_000
+
+
+def lsh_valve(df: DataFrame) -> "int | None":
+    """``max_bucket_size`` for the minhash family: MAX_LSH_BUCKET above
+    LSH_VALVE_MIN_ROWS rows, None (exact LSH semantics) below."""
+    return MAX_LSH_BUCKET if df.count() > LSH_VALVE_MIN_ROWS else None
 
 
 def size_gated(
