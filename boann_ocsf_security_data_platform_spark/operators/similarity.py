@@ -891,6 +891,46 @@ def append_to_ivf_index(
         )
 
 
+def compact_ivf_index(spark, path: str) -> int:
+    """Fold appended ``(cent_id, _batch_id >= 0)`` list partitions into the
+    base ``_batch_id=-1`` generation and return the row count folded.
+
+    Every ``append_to_ivf_index(batch_id=...)`` call adds one directory per
+    touched (cent_id, batch); thousands of micro-batches mean thousands of
+    directories per inverted list, and file-listing cost eventually eats
+    the partition-pruning advantage the layout exists for — the same
+    pressure ``streaming.prune_band_store`` and ``relational.compact_table``
+    relieve for their stores. One full read, one rewrite partitioned by
+    ``cent_id``, then a two-rename directory swap.
+
+    Contracts (same class as compact_table): quiesce writers AND queries
+    for the duration (the swap window is not atomic for readers); only
+    compact once the streaming checkpoint has committed past the folded
+    batches — a batch that later replays would recreate its partition
+    NEXT TO the folded copy and double its rows (exactly the blind
+    double-append the batch-id layout exists to prevent)."""
+    lists_dir = f"{path}/lists"
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    lists_path = jvm.org.apache.hadoop.fs.Path(lists_dir)
+    fs = lists_path.getFileSystem(conf)
+    if not fs.exists(lists_path):
+        return 0
+    df = spark.read.parquet(lists_dir)
+    folded = df.drop("_batch_id").withColumn("_batch_id", F.lit(-1))
+    tmp_dir = lists_dir + "__compacting"
+    folded.write.mode("overwrite").partitionBy(
+        "cent_id", "_batch_id"
+    ).parquet(tmp_dir)
+    n = spark.read.parquet(tmp_dir).count()
+    backup = jvm.org.apache.hadoop.fs.Path(lists_dir + "__old")
+    fs.delete(backup, True)
+    fs.rename(lists_path, backup)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_dir), lists_path)
+    fs.delete(backup, True)
+    return n
+
+
 def query_ivf_index(
     spark,
     path: str,

@@ -115,3 +115,66 @@ def test_append_to_index_incremental(spark, sf_smoke, tmp_path):
     res = query_ivf_index(spark, path, queries, k=5, n_probe=4)
     got = {r.neighbor_id for r in res.collect()}
     assert any(int(i) % 2 == 1 for i in got)
+
+
+def test_compact_ivf_index_folds_batches(spark, tmp_path):
+    """Round-9 lifecycle completion: compaction folds the per-batch append
+    partitions into the base generation — row multiset identical, every
+    row under _batch_id=-1, query results unchanged (full probe = exact,
+    so any divergence would surface as a result diff)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        query_ivf_index,
+    )
+
+    def vec(i):
+        rng = random.Random(i)
+        return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(64)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf_compact")
+    build_ivf_index(base, path, n_centroids=4, train_iters=2)
+    for bid, ids in ((0, range(20, 30)), (1, range(30, 40))):
+        append_to_ivf_index(
+            spark.createDataFrame(
+                [(i, vec(i)) for i in ids],
+                "vec_id long, embedding array<double>",
+            ),
+            path,
+            batch_id=bid,
+        )
+    probes = spark.createDataFrame(
+        [(900, vec(900))], "vec_id long, embedding array<double>"
+    )
+    before_rows = sorted(
+        (r.vec_id, r.cent_id)
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    )
+    before_q = sorted(
+        tuple(r)
+        for r in query_ivf_index(spark, path, probes, k=5, n_probe=4).collect()
+    )
+
+    n = compact_ivf_index(spark, path)
+    assert n == 40
+
+    lists = spark.read.parquet(f"{path}/lists")
+    assert sorted(
+        (r.vec_id, r.cent_id) for r in lists.collect()
+    ) == before_rows
+    assert lists.filter(F.col("_batch_id") != -1).count() == 0
+    after_q = sorted(
+        tuple(r)
+        for r in query_ivf_index(spark, path, probes, k=5, n_probe=4).collect()
+    )
+    assert after_q == before_q
+    # idempotent: compacting an already-compacted index is a no-op fold
+    assert compact_ivf_index(spark, path) == 40
