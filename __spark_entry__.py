@@ -15218,35 +15218,23 @@ def scalar_luhn_checksum(spark, sf_dir):
     the self-validating-identifier primitive behind card numbers, IMEIs
     and national-id hygiene checks (a skewed digit distribution over a
     healthy key space flags a broken generator or transposed-digit
-    corruption upstream). Pure row-local digit arithmetic: positions
-    explode inside a transform lambda (doubling every second digit from
-    the right, folding > 9 by subtracting 9 — integer math end-to-end,
-    the 60-bit-hash digit discipline), one bounded 10-row rollup."""
+    corruption upstream). Pure row-local digit arithmetic, UNROLLED to
+    12 plain substring/arithmetic expressions (round 9 — the positions
+    are a compile-time constant, so the original transform/aggregate
+    lambdas bought nothing and cost the interpreted higher-order-
+    function path on every row: 12.0 s → scan-bound at sf1; same math,
+    same distribution), one bounded 10-row rollup."""
     o = _t(spark, sf_dir, "orders")
     s = F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
     d = o.select("o_orderkey", s.alias("s"))
-    ds = F.transform(
-        F.sequence(F.lit(1), F.lit(12)),
-        lambda i: F.substring(F.col("s"), 1, 12)
-        .substr(i, F.lit(1))
-        .cast("long"),
-    )
-    dig = d.select("o_orderkey", "s", ds.alias("ds"))
-    lsum = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(12)),
-            lambda i: F.when(
-                (13 - i) % 2 == 1,
-                F.when(
-                    F.element_at("ds", i) * 2 > 9,
-                    F.element_at("ds", i) * 2 - 9,
-                ).otherwise(F.element_at("ds", i) * 2),
-            ).otherwise(F.element_at("ds", i)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    fin = dig.select(
+    lsum = F.lit(0).cast("long")
+    for i in range(1, 13):
+        di = F.substring(F.col("s"), i, 1).cast("long")
+        if (13 - i) % 2 == 1:
+            lsum = lsum + F.when(di * 2 > 9, di * 2 - 9).otherwise(di * 2)
+        else:
+            lsum = lsum + di
+    fin = d.select(
         (((10 - lsum % 10) % 10)).cast("long").alias("check_digit")
     )
     return fin.groupBy("check_digit").agg(
