@@ -865,6 +865,7 @@ def append_to_ivf_index(
     the landing-sink exactly-once recipe, used by the streaming funnel's
     index stage (``streaming/funnel.py``)."""
     spark = new_vectors.sparkSession
+    recover_ivf_compaction(spark, path)  # heal an interrupted compaction
     cents = [
         (r.cent_id, list(r.cent_vec))
         for r in spark.read.parquet(f"{path}/centroids").collect()
@@ -908,7 +909,12 @@ def compact_ivf_index(spark, path: str) -> int:
     compact once the streaming checkpoint has committed past the folded
     batches — a batch that later replays would recreate its partition
     NEXT TO the folded copy and double its rows (exactly the blind
-    double-append the batch-id layout exists to prevent)."""
+    double-append the batch-id layout exists to prevent). Crash-safe via
+    :func:`recover_ivf_compaction` (the compact_table recipe): the
+    folded output's ``_SUCCESS`` marker gates roll-forward vs roll-back,
+    and this entry point runs recovery first, so a crash at any point
+    heals on the next call."""
+    recover_ivf_compaction(spark, path)
     lists_dir = f"{path}/lists"
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -929,6 +935,42 @@ def compact_ivf_index(spark, path: str) -> int:
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_dir), lists_path)
     fs.delete(backup, True)
     return n
+
+
+def recover_ivf_compaction(spark, path: str) -> str:
+    """Finish or roll back an IVF list compaction interrupted between
+    renames — same ``_SUCCESS``-gated state machine as
+    ``relational.recover_compaction``: lists intact → clear debris
+    ("clean"); lists missing + completed ``__compacting`` output → roll
+    forward ("completed"); lists missing + backup → roll back
+    ("rolled_back"). Run automatically by :func:`compact_ivf_index` and
+    :func:`append_to_ivf_index`, so the first writer after a crash heals
+    the index."""
+    lists_dir = f"{path}/lists"
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    lists_path = P(lists_dir)
+    fs = lists_path.getFileSystem(conf)
+    tmp = P(lists_dir + "__compacting")
+    backup = P(lists_dir + "__old")
+    if fs.exists(lists_path):
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        if fs.exists(backup):
+            fs.delete(backup, True)
+        return "clean"
+    if fs.exists(tmp) and fs.exists(P(tmp.toString() + "/_SUCCESS")):
+        fs.rename(tmp, lists_path)
+        if fs.exists(backup):
+            fs.delete(backup, True)
+        return "completed"
+    if fs.exists(backup):
+        fs.rename(backup, lists_path)
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        return "rolled_back"
+    return "clean"  # nothing at this path yet (fresh index dir)
 
 
 def query_ivf_index(

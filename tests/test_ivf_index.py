@@ -178,3 +178,61 @@ def test_compact_ivf_index_folds_batches(spark, tmp_path):
     assert after_q == before_q
     # idempotent: compacting an already-compacted index is a no-op fold
     assert compact_ivf_index(spark, path) == 40
+
+
+def test_recover_ivf_compaction_heals_crashes(spark, tmp_path):
+    """Crash between the compaction renames must heal on the next writer:
+    roll FORWARD when the folded output carries _SUCCESS, roll BACK to
+    the backup when it does not."""
+    import random
+
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        recover_ivf_compaction,
+    )
+
+    def vec(i):
+        rng = random.Random(i)
+        return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(64)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf_crash")
+    build_ivf_index(base, path, n_centroids=4, train_iters=2)
+    rows = sorted(
+        (r.vec_id, r.cent_id)
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    )
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(conf)
+
+    # crash AFTER the rewrite (with _SUCCESS), between renames: lists
+    # moved to backup, folded output never swapped in -> roll forward
+    spark.read.parquet(f"{path}/lists").write.mode("overwrite").partitionBy(
+        "cent_id", "_batch_id"
+    ).parquet(f"{path}/lists__compacting")
+    fs.rename(P(f"{path}/lists"), P(f"{path}/lists__old"))
+    assert recover_ivf_compaction(spark, path) == "completed"
+    assert sorted(
+        (r.vec_id, r.cent_id)
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    ) == rows
+
+    # crash DURING the rewrite (no _SUCCESS): incomplete output, backup
+    # intact -> roll back
+    spark.read.parquet(f"{path}/lists").write.mode("overwrite").partitionBy(
+        "cent_id", "_batch_id"
+    ).parquet(f"{path}/lists__compacting")
+    fs.delete(P(f"{path}/lists__compacting/_SUCCESS"), False)
+    fs.rename(P(f"{path}/lists"), P(f"{path}/lists__old"))
+    assert recover_ivf_compaction(spark, path) == "rolled_back"
+    assert sorted(
+        (r.vec_id, r.cent_id)
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    ) == rows
+    # and a subsequent compaction over the healed index still works
+    assert compact_ivf_index(spark, path) == 20
