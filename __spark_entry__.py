@@ -17518,6 +17518,12 @@ def feature_mrmr_selection(spark, sf_dir):
             F.col("c_mktsegment").alias("f_seg"),
             (F.col("o_totalprice") >= 150000).alias("hi"),
         )
+        # the (okey, 6 features, label) frame is consumed THREE times —
+        # count, relevance collect, redundancy collect — and its lineage
+        # is the one expensive scan here (orders ⋈ customer ⋈ a full
+        # lineitem rollup). Pin it so the fact tables are read once;
+        # everything downstream is bounded contingency arithmetic.
+        .localCheckpoint(eager=True)
     )
     lng = per.selectExpr(
         "okey",

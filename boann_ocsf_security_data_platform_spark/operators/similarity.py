@@ -892,9 +892,12 @@ def append_to_ivf_index(
         )
 
 
-def compact_ivf_index(spark, path: str) -> int:
+def compact_ivf_index(
+    spark, path: str, up_to_batch: int | None = None
+) -> int:
     """Fold appended ``(cent_id, _batch_id >= 0)`` list partitions into the
-    base ``_batch_id=-1`` generation and return the row count folded.
+    base ``_batch_id=-1`` generation and return the base-generation row
+    count after the fold.
 
     Every ``append_to_ivf_index(batch_id=...)`` call adds one directory per
     touched (cent_id, batch); thousands of micro-batches mean thousands of
@@ -904,12 +907,22 @@ def compact_ivf_index(spark, path: str) -> int:
     relieve for their stores. One full read, one rewrite partitioned by
     ``cent_id``, then a two-rename directory swap.
 
+    ``up_to_batch`` bounds the fold: only partitions with
+    ``_batch_id <= up_to_batch`` collapse into the base generation; later
+    batches keep their own partitions (rewritten in place by the swap,
+    rows untouched). This is the REPLAY-SAFE maintenance form — fold only
+    batches the streaming checkpoint has committed (a committed batch
+    never replays; an uncommitted one may, and folding it would let the
+    replay recreate its partition NEXT TO the folded copy and double its
+    rows — exactly the blind double-append the batch-id layout exists to
+    prevent). ``streaming.funnel.compact_funnel_index`` derives the bound
+    from the checkpoint's commit log. When nothing in ``(0, up_to_batch]``
+    exists the call is a no-op (no swap window at all).
+
     Contracts (same class as compact_table): quiesce writers AND queries
-    for the duration (the swap window is not atomic for readers); only
-    compact once the streaming checkpoint has committed past the folded
-    batches — a batch that later replays would recreate its partition
-    NEXT TO the folded copy and double its rows (exactly the blind
-    double-append the batch-id layout exists to prevent). Crash-safe via
+    for the duration (the swap window is not atomic for readers — the
+    checkpoint gate protects against replay double-count, not against a
+    concurrent in-flight append). Crash-safe via
     :func:`recover_ivf_compaction` (the compact_table recipe): the
     folded output's ``_SUCCESS`` marker gates roll-forward vs roll-back,
     and this entry point runs recovery first, so a crash at any point
@@ -923,12 +936,32 @@ def compact_ivf_index(spark, path: str) -> int:
     if not fs.exists(lists_path):
         return 0
     df = spark.read.parquet(lists_dir)
-    folded = df.drop("_batch_id").withColumn("_batch_id", F.lit(-1))
+    if up_to_batch is None:
+        folded = df.drop("_batch_id").withColumn("_batch_id", F.lit(-1))
+    else:
+        # directory-listing-sized model: the distinct batch ids ARE the
+        # partition directories, never the vectors
+        present = {
+            r._batch_id
+            for r in df.select("_batch_id").distinct().collect()
+        }
+        if not any(0 <= b <= up_to_batch for b in present):
+            return df.filter(F.col("_batch_id") == -1).count()
+        folded = df.withColumn(
+            "_batch_id",
+            F.when(
+                F.col("_batch_id") <= F.lit(int(up_to_batch)), F.lit(-1)
+            ).otherwise(F.col("_batch_id")),
+        )
     tmp_dir = lists_dir + "__compacting"
     folded.write.mode("overwrite").partitionBy(
         "cent_id", "_batch_id"
     ).parquet(tmp_dir)
-    n = spark.read.parquet(tmp_dir).count()
+    n = (
+        spark.read.parquet(tmp_dir)
+        .filter(F.col("_batch_id") == -1)
+        .count()
+    )
     backup = jvm.org.apache.hadoop.fs.Path(lists_dir + "__old")
     fs.delete(backup, True)
     fs.rename(lists_path, backup)

@@ -20,6 +20,8 @@ from .neardup import (  # noqa: F401
     start_near_dup_stream,
 )
 from .funnel import (  # noqa: F401
+    compact_funnel_index,
+    last_committed_batch,
     read_funnel_report,
     read_funnel_survivors,
     start_curation_funnel_stream,

@@ -267,6 +267,56 @@ def start_curation_funnel_stream(
     return writer.start(), b_sh.unpersist
 
 
+def last_committed_batch(spark: SparkSession, checkpoint_dir: str):
+    """Highest batch id the streaming checkpoint has COMMITTED, or None
+    before the first commit. Read straight from the checkpoint's commit
+    log (``<checkpoint>/commits/<batchId>`` markers — Structured
+    Streaming writes one per fully-committed micro-batch) via the Hadoop
+    FS API, so any checkpoint scheme works. A committed batch is the one
+    kind of batch ``foreachBatch`` never replays — which makes this the
+    safe fold bound for :func:`compact_funnel_index`."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    commits = jvm.org.apache.hadoop.fs.Path(
+        checkpoint_dir.rstrip("/") + "/commits"
+    )
+    fs = commits.getFileSystem(conf)
+    if not fs.exists(commits):
+        return None
+    best = None
+    for st in fs.listStatus(commits):
+        name = st.getPath().getName()
+        if name.isdigit():
+            b = int(name)
+            if best is None or b > best:
+                best = b
+    return best
+
+
+def compact_funnel_index(
+    spark: SparkSession, ivf_index_dir: str, checkpoint_dir: str
+) -> int:
+    """Checkpoint-gated maintenance for the funnel's index stage: fold
+    the per-batch ``(cent_id, _batch_id)`` append partitions that the
+    funnel's OWN checkpoint has committed into the index's base
+    generation, and return the base-generation row count. Batches at or
+    past the replay frontier (no commit marker yet) keep their own
+    partitions, so a crash-replay still lands as a dynamic overwrite of
+    its original partition — never next to a folded copy of itself.
+
+    Run it between stream runs (or with the query stopped): the
+    checkpoint gate makes the fold REPLAY-safe, but the underlying
+    directory swap is still not atomic for a concurrent writer or
+    reader (``operators.similarity.compact_ivf_index`` contract). A
+    no-op when nothing has committed or nothing is foldable."""
+    from ..operators.similarity import compact_ivf_index
+
+    last = last_committed_batch(spark, checkpoint_dir)
+    if last is None:
+        return 0
+    return compact_ivf_index(spark, ivf_index_dir, up_to_batch=last)
+
+
 def read_funnel_survivors(spark: SparkSession, survivors_dir: str) -> DataFrame:
     """All documents that survived the full funnel so far."""
     return spark.read.parquet(survivors_dir).drop("_batch_id")

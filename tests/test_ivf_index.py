@@ -236,3 +236,140 @@ def test_recover_ivf_compaction_heals_crashes(spark, tmp_path):
     ) == rows
     # and a subsequent compaction over the healed index still works
     assert compact_ivf_index(spark, path) == 20
+
+
+def test_compact_ivf_index_up_to_batch_selective(spark, tmp_path):
+    """Checkpoint-gated fold bound: compact(up_to_batch=0) folds ONLY
+    batch 0 into the base generation, leaves batch 1's partition its own
+    (so a later replay of batch 1 still dynamic-overwrites its original
+    partition, never doubling against a folded copy), keeps the row
+    multiset and query results identical, and a later unbounded compact
+    folds the remainder."""
+    import random
+
+    from boann_ocsf_security_data_platform_spark.operators.similarity import (
+        compact_ivf_index,
+    )
+
+    def vec(i):
+        rng = random.Random(i)
+        return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(64)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf_upto")
+    build_ivf_index(base, path, n_centroids=4, train_iters=2)
+    for bid, ids in ((0, range(20, 30)), (1, range(30, 40))):
+        append_to_ivf_index(
+            spark.createDataFrame(
+                [(i, vec(i)) for i in ids],
+                "vec_id long, embedding array<double>",
+            ),
+            path,
+            batch_id=bid,
+        )
+    probes = spark.createDataFrame(
+        [(900, vec(900))], "vec_id long, embedding array<double>"
+    )
+    before_rows = sorted(
+        (r.vec_id, r.cent_id)
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    )
+    before_q = sorted(
+        tuple(r)
+        for r in query_ivf_index(spark, path, probes, k=5, n_probe=4).collect()
+    )
+
+    assert compact_ivf_index(spark, path, up_to_batch=0) == 30
+    lists = spark.read.parquet(f"{path}/lists")
+    by_bid = {
+        r._batch_id: r.n
+        for r in lists.groupBy("_batch_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert by_bid == {-1: 30, 1: 10}  # batch 0 folded, batch 1 intact
+    assert sorted(
+        (r.vec_id, r.cent_id) for r in lists.collect()
+    ) == before_rows
+    assert sorted(
+        tuple(r)
+        for r in query_ivf_index(spark, path, probes, k=5, n_probe=4).collect()
+    ) == before_q
+
+    # a replay of the NOT-yet-folded batch 1 overwrites its own partition
+    # with identical rows — no double-count
+    append_to_ivf_index(
+        spark.createDataFrame(
+            [(i, vec(i)) for i in range(30, 40)],
+            "vec_id long, embedding array<double>",
+        ),
+        path,
+        batch_id=1,
+    )
+    assert sorted(
+        (r.vec_id, r.cent_id)
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    ) == before_rows
+
+    # no-op fast path: nothing foldable at or below the bound
+    assert compact_ivf_index(spark, path, up_to_batch=0) == 30
+    assert {
+        r._batch_id
+        for r in spark.read.parquet(f"{path}/lists")
+        .select("_batch_id").distinct().collect()
+    } == {-1, 1}
+
+    # the unbounded compact folds the remainder
+    assert compact_ivf_index(spark, path) == 40
+
+
+def test_compact_funnel_index_checkpoint_gate(spark, tmp_path):
+    """compact_funnel_index folds exactly the batches the checkpoint's
+    commit log covers: with commits {0, 1} and appended batches {0, 1, 2},
+    batches 0-1 fold and batch 2 (the replay frontier) survives as its own
+    partition; before any commit the call is a no-op."""
+    import random
+
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        compact_funnel_index,
+        last_committed_batch,
+    )
+
+    def vec(i):
+        rng = random.Random(i)
+        return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(64)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf_gate")
+    build_ivf_index(base, path, n_centroids=2, train_iters=2)
+    for bid in (0, 1, 2):
+        append_to_ivf_index(
+            spark.createDataFrame(
+                [(100 + 10 * bid + j, vec(100 + 10 * bid + j)) for j in range(5)],
+                "vec_id long, embedding array<double>",
+            ),
+            path,
+            batch_id=bid,
+        )
+
+    ckpt = tmp_path / "gate_ckpt"
+    assert last_committed_batch(spark, str(ckpt)) is None
+    assert compact_funnel_index(spark, path, str(ckpt)) == 0  # no commits yet
+
+    commits = ckpt / "commits"
+    commits.mkdir(parents=True)
+    for b in (0, 1):
+        (commits / str(b)).write_text("v1\n{}")
+    assert last_committed_batch(spark, str(ckpt)) == 1
+
+    assert compact_funnel_index(spark, path, str(ckpt)) == 20  # 10 base + 2x5
+    by_bid = {
+        r._batch_id: r.n
+        for r in spark.read.parquet(f"{path}/lists")
+        .groupBy("_batch_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_bid == {-1: 20, 2: 5}
