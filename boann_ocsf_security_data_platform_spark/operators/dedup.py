@@ -147,6 +147,23 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def _corpus_sized(df: DataFrame) -> DataFrame:
+    """Mark a join input that scales WITH the corpus (exploded shingles,
+    banded signatures, per-doc shingle-set/size tables) so the planner
+    can never broadcast it: ``hint("merge")`` pins the join to sort-merge.
+
+    Why a pin and not trust in the optimizer: Catalyst's size estimate for
+    these frames propagates through explode/aggregate and lands far BELOW
+    ``autoBroadcastJoinThreshold`` even when the true size is gigabytes —
+    at a 10x test scale the planner chose BroadcastHashJoin with the
+    50M-row exploded shingle frame as the build side and died in
+    BroadcastExchange ("Not enough memory to build and broadcast"); at
+    100 TB the same misestimate is guaranteed. The deliberate broadcasts
+    in this module (stop-gram lists, oversized-bucket lists) are bounded
+    by construction and stay explicit ``F.broadcast`` calls."""
+    return df.hint("merge")
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -349,7 +366,7 @@ def lsh_candidate_pairs(
     exploded = exploded.persist()
 
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    b = _corpus_sized(exploded.alias("b"))
     pairs = (
         a.join(
             b,
@@ -404,15 +421,19 @@ def minhash_near_dup_pairs(
     )
     if jaccard_threshold is None:
         return _register_caches(pairs, [sh])
-    sh_a = sh.select(
-        F.col(id_col).alias("id_a"),
-        F.col("shingle_hashes").alias("sh_a"),
-        F.size("shingle_hashes").alias("_sz_a"),
+    sh_a = _corpus_sized(
+        sh.select(
+            F.col(id_col).alias("id_a"),
+            F.col("shingle_hashes").alias("sh_a"),
+            F.size("shingle_hashes").alias("_sz_a"),
+        )
     )
-    sh_b = sh.select(
-        F.col(id_col).alias("id_b"),
-        F.col("shingle_hashes").alias("sh_b"),
-        F.size("shingle_hashes").alias("_sz_b"),
+    sh_b = _corpus_sized(
+        sh.select(
+            F.col(id_col).alias("id_b"),
+            F.col("shingle_hashes").alias("sh_b"),
+            F.size("shingle_hashes").alias("_sz_b"),
+        )
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     # |A∪B| = |A|+|B|-|A∩B| with sizes hoisted per ROW (shingle sets are
@@ -727,7 +748,7 @@ def containment_pairs(
         sh = sh.join(F.broadcast(hot), "_sh", "left_anti").persist()
         cached.append(sh)
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "_sh")
+    b = _corpus_sized(sh.select(F.col(id_col).alias("id_b"), "_sh"))
     inter = (
         a.join(b, "_sh")
         .filter(F.col("id_a") != F.col("id_b"))
@@ -736,7 +757,11 @@ def containment_pairs(
     )
     out = (
         inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a")),
+            _corpus_sized(
+                sizes.select(
+                    F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a")
+                )
+            ),
             "id_a",
         )
         .withColumn(
@@ -810,7 +835,7 @@ def ngram_jaccard_pairs(
         block_col, id_col, F.explode("shingle_hashes").alias("shingle")
     )
     a = tokensr.alias("a")
-    b = tokensr.alias("b")
+    b = _corpus_sized(tokensr.alias("b"))
     inter = (
         a.join(
             b,
@@ -823,8 +848,12 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = _corpus_sized(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    )
+    sb = _corpus_sized(
+        sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    )
     out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -907,7 +936,7 @@ def prefix_filter_jaccard_pairs(
         "id", "sz", F.explode("prefix").alias("token")
     )
     pa = prefixes.alias("pa")
-    pb = prefixes.alias("pb")
+    pb = _corpus_sized(prefixes.alias("pb"))
     candidates = (
         pa.join(
             pb,
@@ -929,11 +958,15 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    ta = sorted_docs.select(
-        F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a")
+    ta = _corpus_sized(
+        sorted_docs.select(
+            F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a")
+        )
     )
-    tb = sorted_docs.select(
-        F.col("id").alias("id_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b")
+    tb = _corpus_sized(
+        sorted_docs.select(
+            F.col("id").alias("id_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b")
+        )
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     out = (
@@ -1002,12 +1035,16 @@ def cross_corpus_jaccard_pairs(
         new_tok = new_tok.join(F.broadcast(hot), "_sh", "left_anti")
         idx_tok = idx_tok.join(F.broadcast(hot), "_sh", "left_anti")
     inter = (
-        new_tok.join(idx_tok, "_sh")
+        new_tok.join(_corpus_sized(idx_tok), "_sh")
         .groupBy("new_id", "index_id")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    n_sz = new_sh.select("new_id", F.size("shingle_hashes").alias("_n_a"))
-    i_sz = idx_sh.select("index_id", F.size("shingle_hashes").alias("_n_b"))
+    n_sz = _corpus_sized(
+        new_sh.select("new_id", F.size("shingle_hashes").alias("_n_a"))
+    )
+    i_sz = _corpus_sized(
+        idx_sh.select("index_id", F.size("shingle_hashes").alias("_n_b"))
+    )
     out = (
         inter.join(n_sz, "new_id")
         .join(i_sz, "index_id")
@@ -1046,9 +1083,11 @@ def weighted_jaccard_pairs(
     distinct shingles, self-join on (block, shingle), one weighted-sum
     aggregate per pair, per-doc total weights joined back — plus one
     extra corpus pass for document frequencies (vocabulary-sized frame,
-    broadcast into the weighting). |A∪B| weight = W_A + W_B − I, so no
-    union materializes. The blocking column bounds join fan-out exactly
-    as in the unweighted operator."""
+    shuffle-joined on the shingle key: the vocabulary grows with the
+    corpus, so it is pinned non-broadcast like every other corpus-sized
+    input here). |A∪B| weight = W_A + W_B − I, so no union materializes.
+    The blocking column bounds join fan-out exactly as in the unweighted
+    operator."""
     sh = (
         with_hashed_shingles(
             _ensure_parallelism(df), text_col, k, hash_fn=hash_fn
@@ -1065,9 +1104,9 @@ def weighted_jaccard_pairs(
         dft.join(F.broadcast(n_docs))
         .select("shingle", F.log(F.col("_n") / F.col("df_t")).alias("idf"))
     )
-    exw = ex.join(idf, "shingle")
+    exw = ex.join(_corpus_sized(idf), "shingle")
     wd = exw.groupBy(id_col).agg(F.sum("idf").alias("w"))
-    a, b = exw.alias("a"), exw.alias("b")
+    a, b = exw.alias("a"), _corpus_sized(exw.alias("b"))
     inter = (
         a.join(
             b,
@@ -1081,8 +1120,12 @@ def weighted_jaccard_pairs(
         )
         .agg(F.sum("a.idf").alias("i_w"))
     )
-    wa = wd.select(F.col(id_col).alias("id_a"), F.col("w").alias("w_a"))
-    wb = wd.select(F.col(id_col).alias("id_b"), F.col("w").alias("w_b"))
+    wa = _corpus_sized(
+        wd.select(F.col(id_col).alias("id_a"), F.col("w").alias("w_a"))
+    )
+    wb = _corpus_sized(
+        wd.select(F.col(id_col).alias("id_b"), F.col("w").alias("w_b"))
+    )
     out = (
         inter.join(wa, "id_a")
         .join(wb, "id_b")
