@@ -694,7 +694,9 @@ def decontaminate(
     contaminated = (
         c_sh.join(F.broadcast(b_sh), "_sh", "left_semi").select(id_col).distinct()
     )
-    return corpus.join(contaminated, id_col, "left_anti")
+    # the contaminated-id set scales with the corpus (worst case: all of
+    # it) — never let the planner broadcast it into the anti-join
+    return corpus.join(_corpus_sized(contaminated), id_col, "left_anti")
 
 
 def containment_pairs(
@@ -909,7 +911,7 @@ def prefix_filter_jaccard_pairs(
     # re-aggregate each doc's tokens sorted by (global freq, token): struct
     # ordering makes array_sort give the canonical rarest-first order
     sorted_docs = (
-        tok.join(freq, "token")
+        tok.join(_corpus_sized(freq), "token")  # freq is vocabulary-sized
         .groupBy("id")
         .agg(
             F.transform(

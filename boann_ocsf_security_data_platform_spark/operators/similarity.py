@@ -19,6 +19,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _corpus_sized(df: DataFrame) -> DataFrame:
+    """Pin a corpus-scaling join input (blocked vector frames, dedup
+    survivor/loser id sets) to sort-merge — Catalyst's size estimate for
+    these frames underestimates through explode/aggregate and can pick a
+    broadcast build that OOMs at scale (see operators.dedup._corpus_sized,
+    where the 10x sweep caught exactly that). Bounded model tables
+    (centroids, query panels, codebooks) stay explicit ``F.broadcast``."""
+    return df.hint("merge")
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, left-to-right accumulation (matches
     DuckDB's list_dot_product over DOUBLE[] for oracle comparability)."""
@@ -521,7 +531,9 @@ def semantic_dedup(
         threshold=threshold,
     )
     clusters = cluster_pairs(pairs)
-    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select("node")
+    losers = _corpus_sized(
+        clusters.filter(F.col("node") != F.col("cluster_id")).select("node")
+    )
     return df.join(losers, df[id_col] == losers.node, "left_anti")
 
 
@@ -561,7 +573,7 @@ def embedding_near_dup_pairs(
         _dot(F.col("v_a"), F.col("v_b")) / (F.col("_na") * F.col("_nb")), 6
     )
     return (
-        a.join(b, "blk")
+        a.join(_corpus_sized(b), "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
@@ -833,7 +845,7 @@ def exact_vector_dedup(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    return df.join(keep, id_col)
+    return df.join(_corpus_sized(keep), id_col)
 
 
 def append_to_ivf_index(
