@@ -808,6 +808,58 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         not unguarded,
         f"unguarded pairwise entries: {unguarded}",
     )
+
+    # ---- pair-entry broadcast budget (round-9 sf10-sweep fix) ----------
+    # The 10x sweep caught Catalyst broadcasting corpus-sized frames
+    # (banded signatures, exploded shingles, per-doc size tables) into the
+    # dedup family's joins — the size estimate propagates through
+    # explode/aggregate and lands under autoBroadcastJoinThreshold while
+    # the true size is gigabytes, so BroadcastExchange OOMs at scale.
+    # Those joins are now pinned sort-merge (operators.dedup._corpus_sized
+    # / operators.similarity._corpus_sized); the ONLY broadcasts allowed
+    # in these plans are the explicit bounded ones — stop-gram / oversized
+    # -bucket lists (hash, appears twice when the valved frame feeds both
+    # self-join sides), the benchmark shingle set, and one-row/k-row
+    # scalar attaches (nested-loop). A count above budget means a
+    # corpus-sized frame lost its pin.
+    # Budgets are counts over the FORMATTED explain string, where every
+    # node appears in the tree AND once more in the numbered detail
+    # section (so "one broadcast" ~ 2 hits, minus reused-exchange
+    # collapses).
+    PAIR_BCAST_BUDGET = {
+        # entry: (max BroadcastHashJoin, max BroadcastNestedLoopJoin)
+        "dedup_minhash_lsh": (0, 0),
+        "dedup_ngram_jaccard": (0, 0),
+        "dedup_minhash_eval": (0, 0),
+        "dedup_prefix_filter_jaccard": (0, 0),
+        "embedding_near_dup": (0, 0),
+        "semantic_dedup_survivors": (0, 0),
+        "dedup_clusters": (0, 0),
+        "dedup_containment_pairs": (3, 0),  # stop-gram anti-join x2 sides
+        "dedup_cross_corpus": (4, 0),  # stop-gram anti-join x2 sides
+        "text_decontaminate": (2, 0),  # benchmark shingle set
+        "dedup_filtered_corpus": (2, 0),  # valve list
+        "dedup_weighted_jaccard": (0, 8),  # one-row n_docs scalar x4 uses
+        "embedding_threshold_sweep": (0, 2),  # 4-row threshold frame
+    }
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        release_all_caches as _rel2,
+    )
+
+    over_budget = []
+    for qname, (max_bhj, max_bnlj) in PAIR_BCAST_BUDGET.items():
+        _rel2()
+        p = plan_of(qs[qname](spark, sf_dir))
+        bhj = p.count("BroadcastHashJoin")
+        bnlj = p.count("BroadcastNestedLoopJoin")
+        if bhj > max_bhj or bnlj > max_bnlj:
+            over_budget.append(f"{qname}: BHJ {bhj}>{max_bhj} or BNLJ {bnlj}>{max_bnlj}")
+    _rel2()
+    check(
+        "pair-entry broadcast budget: only explicit bounded broadcasts",
+        not over_budget,
+        "; ".join(over_budget),
+    )
     return results
 
 
