@@ -1608,3 +1608,21 @@ def test_streaming_funnel_ivf_index_stage(spark, tmp_path):
         for r in spark.read.parquet(f"{idx}/lists").collect()
     )
     assert before == after
+
+    # maintenance: compact from the stream's REAL checkpoint commit log —
+    # availableNow committed all three batches, so every append partition
+    # folds into the base generation and queries are unchanged
+    from boann_ocsf_security_data_platform_spark.streaming import (
+        compact_funnel_index,
+    )
+    from pyspark.sql import functions as F
+
+    n = compact_funnel_index(spark, idx, str(tmp_path / "ckpt2"))
+    lists = spark.read.parquet(f"{idx}/lists")
+    assert n == lists.count() == 11  # 8 base + 3 streamed survivors
+    assert lists.filter(F.col("_batch_id") != -1).count() == 0
+    assert sorted(
+        tuple(r) for r in query_ivf_index(
+            spark, idx, probes, k=3, n_probe=4
+        ).collect()
+    ) == want
