@@ -6926,7 +6926,10 @@ def text_ngram_novelty(spark, sf_dir):
     m = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
     return (
-        g.join(m, "gram")
+        # first-occurrence table is gram-count-sized (corpus-scaling) —
+        # pin sort-merge so a low estimate can't broadcast it (the
+        # dedup._corpus_sized discipline)
+        g.join(m.hint("merge"), "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_distinct_grams"),
@@ -9569,7 +9572,10 @@ def join_fuzzy_entity_resolution(spark, sf_dir):
         "blk",
     )
     cand = (
-        probes.join(catalog, "blk")
+        # the catalog side is the full (or block-capped) part table —
+        # catalog-scaling; pin sort-merge so a low estimate can't
+        # broadcast it (the dedup._corpus_sized discipline)
+        probes.join(catalog.hint("merge"), "blk")
         .filter(F.col("probe_key") != F.col("p_partkey"))
         .filter(
             F.abs(F.length("probe_name") - F.length("p_name")) <= 4
@@ -11972,7 +11978,9 @@ def text_char_entropy_profile(spark, sf_dir):
     )
     tot = cnt.groupBy("doc_id").agg(F.sum("n").cast("double").alias("t"))
     ent = (
-        cnt.join(tot, "doc_id")
+        # per-doc totals are doc-grain (corpus-scaling) — pin sort-merge
+        # so a low estimate can't broadcast them into the char-count join
+        cnt.join(tot.hint("merge"), "doc_id")
         .groupBy("source", "doc_id")
         .agg(
             (-F.sum((F.col("n") / F.col("t")) * F.log(F.col("n") / F.col("t"))))
@@ -21876,7 +21884,10 @@ def corpus_ccnet_buckets(spark, sf_dir):
         "source",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    sc = lm.join(toks, "doc_id")
+    # both sides are doc-grain (corpus-scaling) — pin sort-merge so a low
+    # estimate can't broadcast either (the dedup._corpus_sized discipline;
+    # this entry's scored frame OOM'd a co-tenant sweep at 10x)
+    sc = lm.join(toks.hint("merge"), "doc_id")
     mm = sc.agg(F.min("s").alias("s0"), F.max("s").alias("s1"))
     tier = F.least(
         F.lit(2),

@@ -24,6 +24,17 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 STOPWORDS_EN = LANG_STOPWORDS["en"] + ("this", "with", "as", "on", "be", "are")
 
 
+def _corpus_sized(df: DataFrame) -> DataFrame:
+    """Pin a corpus/vocabulary-scaling join input (per-doc rollups,
+    bigram/segment/gram aggregates) to sort-merge — Catalyst's size
+    estimate underestimates through explode/aggregate and can pick a
+    broadcast build that OOMs at scale (operators.dedup._corpus_sized
+    documents the sweep that caught this). Bounded frames (one-row vocab
+    scalars, MG candidate lists, ≤1024-bucket models) keep their explicit
+    ``F.broadcast`` calls."""
+    return df.hint("merge")
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the normalized text (empty tokens dropped)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -468,9 +479,9 @@ def bigram_lm_score(
         F.count_distinct("tok").alias("v")
     )
     scored = (
-        dg.join(cbi, "bigram")
+        dg.join(_corpus_sized(cbi), "bigram")
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .join(ctx, "w1")
+        .join(_corpus_sized(ctx), "w1")
         .join(F.broadcast(vocab))
         .withColumn(
             "_logp",
@@ -489,7 +500,7 @@ def bigram_lm_score(
     )
     return (
         df.select(id_col)
-        .join(scored, id_col, "left")
+        .join(_corpus_sized(scored), id_col, "left")
         .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
     )
 
@@ -823,7 +834,7 @@ def segment_dedup(
         F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("_w")
     )
     kept = (
-        segs.join(winners, "seg")
+        segs.join(_corpus_sized(winners), "seg")
         .filter(
             (F.col(id_col) == F.col("_w")[id_col])
             & (F.col("seg_idx") == F.col("_w.seg_idx"))
@@ -842,7 +853,7 @@ def segment_dedup(
     )
     return (
         toked.select(F.col(id_col), n_total.alias("n_seg_total"))
-        .join(reassembled, id_col, "left")
+        .join(_corpus_sized(reassembled), id_col, "left")
         .select(
             id_col,
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
