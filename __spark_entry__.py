@@ -76,7 +76,9 @@ def _collapse_exact_docs(dd: DataFrame, n: int) -> DataFrame:
     to exact dedup's linear report (pipeline-order discipline); genuine
     near-dup pairs survive among the distinct texts."""
     keep = exact_dedup(dd).select(F.col("keep_id").alias("doc_id"))
-    return dd.join(keep, "doc_id")
+    # the survivor-id set is corpus-scaling (derived aggregate — estimate
+    # unreliable): pin sort-merge so it can never become a broadcast build
+    return dd.join(keep.hint("merge"), "doc_id")
 
 
 def _artifact_scope() -> str:
@@ -6587,7 +6589,12 @@ def orders_basket_lift(spark, sf_dir):
     )
     n = li.select("ok").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
     item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_pk"))
-    a, b = li.alias("a"), li.alias("b")
+    # all three join inputs below are DERIVED fact-scaling frames (the
+    # distinct basket stream and the per-item support table) — pin
+    # sort-merge so a low estimate can't broadcast them (the
+    # dedup._corpus_sized discipline); the one-row n_orders scalar keeps
+    # its explicit broadcast
+    a, b = li.alias("a"), li.alias("b").hint("merge")
     pair = (
         a.join(b, "ok")
         .where(F.col("a.pk") < F.col("b.pk"))
@@ -6598,8 +6605,8 @@ def orders_basket_lift(spark, sf_dir):
     ia = item.select(F.col("pk").alias("pk_a"), F.col("n_pk").alias("n_a"))
     ib = item.select(F.col("pk").alias("pk_b"), F.col("n_pk").alias("n_b"))
     return (
-        pair.join(ia, "pk_a")
-        .join(ib, "pk_b")
+        pair.join(ia.hint("merge"), "pk_a")
+        .join(ib.hint("merge"), "pk_b")
         .crossJoin(F.broadcast(n))
         .select(
             "pk_a",
@@ -7356,7 +7363,11 @@ def text_jsd_divergence(spark, sf_dir):
         F.col("token").alias("token"),
         F.col("p").alias("pb"),
     )
-    both = a.join(b, "token").where(F.col("src_a") < F.col("src_b"))
+    # per-source token distributions are vocabulary-scaling (derived
+    # aggregates) — pin sort-merge, never broadcast
+    both = a.join(b.hint("merge"), "token").where(
+        F.col("src_a") < F.col("src_b")
+    )
     shared = both.groupBy("src_a", "src_b").agg(
         F.sum("pa").alias("ma"),
         F.sum("pb").alias("mb"),
@@ -10399,8 +10410,11 @@ def text_kneser_ney_bigrams(spark, sf_dir):
         6,
     )
     return (
-        bc.join(F.broadcast(uc), "w1")
-        .join(F.broadcast(cont), "w2")
+        # unigram-context and continuation-count tables are VOCABULARY-
+        # scaling (derived aggregates over the bigram table) — sort-merge,
+        # never broadcast; only the one-row total keeps its broadcast
+        bc.join(uc.hint("merge"), "w1")
+        .join(cont.hint("merge"), "w2")
         .join(F.broadcast(tot))
         .select(
             "w1",
@@ -12914,7 +12928,8 @@ def text_vocab_jaccard_sources(spark, sf_dir):
     )
     sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
     a = v.alias("a")
-    b = v.alias("b")
+    # per-source vocabularies are vocabulary-scaling — pin sort-merge
+    b = v.alias("b").hint("merge")
     inter = (
         a.join(
             b,
@@ -14689,7 +14704,9 @@ def text_bigram_entropy_rate(spark, sf_dir):
         (F.col("c12") / F.col("n")) * F.log(F.col("c12") / F.col("c1"))
     )
     return (
-        pair.join(uni, ["source", "w1"])
+        # the (source, w1) context table is vocabulary-scaling — pin
+        # sort-merge, never broadcast
+        pair.join(uni.hint("merge"), ["source", "w1"])
         .join(F.broadcast(tot), "source")
         .groupBy("source")
         .agg(
@@ -18405,7 +18422,9 @@ def corpus_quality_roc_auc(spark, sf_dir):
     flags = (
         text_quality(docs)
         .select("doc_id", F.col("quality_score").alias("s"))
-        .join(F.broadcast(dup_ids), "doc_id", "left")
+        # dup_ids is corpus-scaling (on duplication-heavy data it is MOST
+        # of the corpus) — sort-merge, never broadcast
+        .join(dup_ids.hint("merge"), "doc_id", "left")
         .select(
             "s", F.coalesce("pos_m", F.lit(False)).alias("pos")
         )
@@ -19084,7 +19103,8 @@ def corpus_importance_ess(spark, sf_dir):
     sc = dsir_importance(corpus, target).select(
         "doc_id", F.coalesce("dsir_logweight", F.lit(0.0)).alias("lw")
     )
-    d = corpus.select("doc_id", "source").join(sc, "doc_id")
+    # per-doc log-weights are doc-grain (corpus-scaling) — pin sort-merge
+    d = corpus.select("doc_id", "source").join(sc.hint("merge"), "doc_id")
     mx = d.groupBy("source").agg(F.max("lw").alias("mlw"))
     w = d.join(F.broadcast(mx), "source").select(
         "source", F.exp(F.col("lw") - F.col("mlw")).alias("w")

@@ -18,6 +18,17 @@ from pyspark.sql import functions as F
 from .dedup import _register_caches
 
 
+def _graph_sized(df: DataFrame) -> DataFrame:
+    """Pin a graph-scaling join input (edge lists, degree tables, wedge
+    frames — all DERIVED via union/distinct/aggregate, whose Catalyst
+    size estimate can land under the broadcast threshold while the true
+    size is edge-count-sized) to sort-merge. Leaf-table joins keep
+    planner freedom: their parquet-stat estimates are accurate, so the
+    planner only broadcasts them when they really are small (see
+    operators.dedup._corpus_sized for the sweep that motivated this)."""
+    return df.hint("merge")
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -142,8 +153,8 @@ def triangle_count(
     )
     du, dv = deg.alias("du"), deg.alias("dv")
     ranked = (
-        canon.join(du, F.col("u") == F.col("du.node"))
-        .join(dv, F.col("v") == F.col("dv.node"))
+        canon.join(_graph_sized(du), F.col("u") == F.col("du.node"))
+        .join(_graph_sized(dv), F.col("v") == F.col("dv.node"))
         .select(
             "u",
             "v",
@@ -163,7 +174,7 @@ def triangle_count(
         F.when(F.col("ru") < F.col("rv"), F.col("rv")).otherwise(F.col("ru")).alias("rb"),
     ).persist()
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(e2, F.col("e1.a") == F.col("e2.a")).where(
+    wedges = e1.join(_graph_sized(e2), F.col("e1.a") == F.col("e2.a")).where(
         F.col("e1.rb") < F.col("e2.rb")
     )
     # the closing edge {b1,b2} is oriented b1->b2 because rank(b1)<rank(b2)
@@ -171,7 +182,7 @@ def triangle_count(
         F.col("a").alias("cb1"), F.col("b").alias("cb2")
     )
     tri = wedges.join(
-        closing,
+        _graph_sized(closing),
         (F.col("e1.b") == F.col("cb1")) & (F.col("e2.b") == F.col("cb2")),
     ).count()
     n_nodes = deg.count()
@@ -219,8 +230,8 @@ def local_clustering_coefficient(
     )
     du, dv = deg.alias("du"), deg.alias("dv")
     ranked = (
-        canon.join(du, F.col("u") == F.col("du.node"))
-        .join(dv, F.col("v") == F.col("dv.node"))
+        canon.join(_graph_sized(du), F.col("u") == F.col("du.node"))
+        .join(_graph_sized(dv), F.col("v") == F.col("dv.node"))
         .select(
             "u",
             "v",
@@ -238,14 +249,14 @@ def local_clustering_coefficient(
         F.when(F.col("ru") < F.col("rv"), F.col("rv")).otherwise(F.col("ru")).alias("rb"),
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(e2, F.col("e1.a") == F.col("e2.a")).where(
+    wedges = e1.join(_graph_sized(e2), F.col("e1.a") == F.col("e2.a")).where(
         F.col("e1.rb") < F.col("e2.rb")
     )
     closing = oriented.select(
         F.col("a").alias("cb1"), F.col("b").alias("cb2")
     )
     tris = wedges.join(
-        closing,
+        _graph_sized(closing),
         (F.col("e1.b") == F.col("cb1")) & (F.col("e2.b") == F.col("cb2")),
     ).select(
         F.col("e1.a").alias("c0"),
@@ -258,7 +269,7 @@ def local_clustering_coefficient(
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
     out = (
-        deg.join(per_node, "node", "left")
+        deg.join(_graph_sized(per_node), "node", "left")
         .select(
             "node",
             "deg",
@@ -416,20 +427,30 @@ def jaccard_link_prediction(
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     wedges = (
         sym.alias("x")
-        .join(sym.alias("y"), F.col("x.v") == F.col("y.v"))
+        .join(_graph_sized(sym.alias("y")), F.col("x.v") == F.col("y.v"))
         .filter(F.col("x.u") < F.col("y.u"))
         .groupBy(F.col("x.u").alias("ua"), F.col("y.u").alias("ub"))
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
     non_adj = wedges.join(
-        sym.select(F.col("u").alias("ua"), F.col("v").alias("ub")),
+        _graph_sized(sym.select(F.col("u").alias("ua"), F.col("v").alias("ub"))),
         ["ua", "ub"],
         "left_anti",
     )
     scored = (
-        non_adj.join(deg.select(F.col("u").alias("ua"), F.col("deg").alias("da")), "ua")
-        .join(deg.select(F.col("u").alias("ub"), F.col("deg").alias("db")), "ub")
+        non_adj.join(
+            _graph_sized(
+                deg.select(F.col("u").alias("ua"), F.col("deg").alias("da"))
+            ),
+            "ua",
+        )
+        .join(
+            _graph_sized(
+                deg.select(F.col("u").alias("ub"), F.col("deg").alias("db"))
+            ),
+            "ub",
+        )
         .select(
             "ua",
             "ub",

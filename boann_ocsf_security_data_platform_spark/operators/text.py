@@ -383,7 +383,7 @@ def tfidf_top_terms(
     n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
     idf = F.log((F.col("_n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0))) + 1.0
     scored = (
-        tf.join(dft, "term")
+        tf.join(_corpus_sized(dft), "term")  # df table is vocabulary-sized
         .join(F.broadcast(n_docs))
         .withColumn("score", F.round(F.col("tf") * idf, 6))
     )
@@ -579,7 +579,7 @@ def dsir_importance(
     )
     return (
         corpus.select(id_col)
-        .join(scored, id_col, "left")
+        .join(_corpus_sized(scored), id_col, "left")  # doc-grain scores
         .withColumn("n_feats", F.coalesce("n_feats", F.lit(0)))
     )
 
