@@ -20939,7 +20939,10 @@ def agg_fleiss_kappa(spark, sf_dir):
     per = l.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("nl"), F.sum("l_quantity").alias("qty")
     )
-    j = per.join(o, per.l_orderkey == o.o_orderkey).select(
+    # fact-grain rollup x fact leaf: sort-merge — the unfiltered orders
+    # build inflated past driver memory at the 10x sweep (compressed-leaf
+    # estimate under the 64MB threshold, in-memory hash relation ~1GB)
+    j = per.join(o.hint("merge"), per.l_orderkey == o.o_orderkey).select(
         F.col("o_orderkey").alias("okey"),
         F.col("o_totalprice").alias("price"),
         F.col("qty").cast("double").alias("qty"),
@@ -22748,7 +22751,9 @@ def agg_simpson_paradox_probe(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     per = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("nl"))
     j = (
-        per.join(o, per.l_orderkey == o.o_orderkey)
+        # fact-grain rollup x fact leaf: sort-merge (see agg_fleiss_kappa —
+        # same 10x-sweep driver-memory OOM on the broadcast orders build)
+        per.join(o.hint("merge"), per.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             F.col("c_mktsegment").alias("g"),
