@@ -876,7 +876,13 @@ def text_levenshtein_fuzzy(spark, sf_dir):
     ``levenshtein`` verification on normalized 30-char prefixes of the
     candidates ONLY. Replaces the former all-pairs-within-``source`` join,
     whose per-block pair count grew quadratically with data because the
-    blocking key had fixed cardinality."""
+    blocking key had fixed cardinality.
+
+    SIZE-GATED (the containment discipline): above HUBNESS_EXACT_MAX_ROWS
+    documents, exact duplicates collapse to one representative first —
+    replica candidate pairs are edit-distance-0 TRUE OUTPUT growing with
+    copies² and belong to exact dedup's report; fuzzy matches among
+    distinct texts are unaffected. Oracle arm below the gate unchanged."""
     from boann_ocsf_security_data_platform_spark.functions.hash_fns import (
         normalize_text,
     )
@@ -885,7 +891,12 @@ def text_levenshtein_fuzzy(spark, sf_dir):
         release_caches,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = size_gated(
+        _t(spark, sf_dir, "documents"),
+        lambda dd, n: dd,
+        _collapse_exact_docs,
+        HUBNESS_EXACT_MAX_ROWS,
+    )
     pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
     p = docs.select(
         "doc_id", F.substring(normalize_text(F.col("text")), 1, 30).alias("prefix")
@@ -1389,7 +1400,23 @@ _HS_EXPR, _WH_EXPR = _duck_hashed_shingles(3)
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    """Exact source-blocked n-gram Jaccard pairs ≥ 0.5.
+
+    SIZE-GATED (the containment discipline, round 9): above
+    HUBNESS_EXACT_MAX_ROWS documents, exact duplicates collapse to one
+    representative per content hash before the shingle self-join —
+    replica pairs are jaccard-1.0 TRUE OUTPUT growing with copies² (the
+    sf10 sweep measured 85x wall on the 100-copy corpus) and belong to
+    exact dedup's linear report; genuine near-dup pairs among distinct
+    texts are unaffected. Below the gate the full pair set is the
+    oracle-hashed arm."""
+    d = size_gated(
+        _t(spark, sf_dir, "documents"),
+        lambda dd, n: dd,
+        _collapse_exact_docs,
+        HUBNESS_EXACT_MAX_ROWS,
+    )
+    return ngram_jaccard_pairs(d, threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -10080,14 +10107,24 @@ def dedup_weighted_jaccard(spark, sf_dir):
     upgrade plain dedup_ngram_jaccard dilutes on template-heavy corpora.
     Same blocked self-join plan plus one vocabulary-sized df pass;
     |A∪B| weight as W_A + W_B − I so no union materializes.
-    operators/dedup.py:weighted_jaccard_pairs."""
+    operators/dedup.py:weighted_jaccard_pairs.
+
+    SIZE-GATED like dedup_ngram_jaccard: above HUBNESS_EXACT_MAX_ROWS,
+    exact duplicates collapse first — replica pairs (weighted jaccard
+    1.0 by definition) grow with copies² (81x wall in the sf10 sweep)
+    and belong to exact dedup's report; the oracle arm below the gate is
+    unchanged."""
     from boann_ocsf_security_data_platform_spark.operators.dedup import (
         weighted_jaccard_pairs,
     )
 
-    return weighted_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.4
+    d = size_gated(
+        _t(spark, sf_dir, "documents"),
+        lambda dd, n: dd,
+        _collapse_exact_docs,
+        HUBNESS_EXACT_MAX_ROWS,
     )
+    return weighted_jaccard_pairs(d, threshold=0.4)
 
 
 @_q(

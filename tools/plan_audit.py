@@ -786,11 +786,10 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         "knn_lsh_approx",
         # probe side is a fixed bounded panel -> corpus-linear pair work
         "knn_truncated_recall",
-        # blocked on `source`; docstring prescribes swapping the natural
-        # key for an LSH band at scale — pairs ride a shingle equi-join,
-        # never all-pairs; sf1/sf10 sweeps measured linear growth
-        "dedup_ngram_jaccard",
-        "dedup_weighted_jaccard",
+        # (dedup_ngram_jaccard / dedup_weighted_jaccard left this list in
+        # round 9: the sf10 sweep measured 85x/81x wall on the 100-copy
+        # corpus — replica pairs are inherent OUTPUT growing copies² —
+        # so both now carry the exact-dedup-first size gate instead.)
     }
     unguarded = []
     for qname, qfn in qs.items():
