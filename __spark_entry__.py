@@ -81,6 +81,63 @@ def _collapse_exact_docs(dd: DataFrame, n: int) -> DataFrame:
     return dd.join(keep.hint("merge"), "doc_id")
 
 
+def _near_dup_clusters_gated(docs: DataFrame) -> DataFrame:
+    """(node, cluster_id) near-dup clusters with the round-9 collapse-and-
+    expand dispatch shared by the clusters family (dedup_clusters /
+    dedup_filtered_corpus / dedup_cluster_size_histogram): below the
+    pairwise gate the pipeline runs on the full corpus (the oracle-hashed
+    arm); above it, it runs on exact-dedup REPRESENTATIVES and expands
+    over replicas — output PROVABLY IDENTICAL (identical text -> identical
+    signatures -> identical band membership; see
+    operators.dedup.near_dup_clusters_collapsed and the identity tests in
+    tests/test_round9_ops.py) while replica candidate pairs, which grow
+    with copies², are never enumerated."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        cluster_pairs,
+        near_dup_clusters_collapsed,
+        release_caches,
+    )
+
+    n = docs.count()
+    valve = (
+        _gates.MAX_LSH_BUCKET if n > _gates.LSH_VALVE_MIN_ROWS else None
+    )
+    if n <= HUBNESS_EXACT_MAX_ROWS:
+        pairs = minhash_near_dup_pairs(docs, max_bucket_size=valve)
+        out = cluster_pairs(pairs)  # eager: result is checkpointed
+        release_caches(pairs)
+        return out
+    return near_dup_clusters_collapsed(docs, max_bucket_size=valve)
+
+
+def _near_dup_participants_gated(docs: DataFrame) -> DataFrame:
+    """Distinct doc_ids participating in >= 1 near-dup candidate pair,
+    with the same collapse-and-expand dispatch (used by the dup-flag
+    entries: quality x dedup interaction, quality ROC). Identity above
+    the gate: a doc participates iff its text has >= 2 copies or its
+    representative participates at the representative level."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        near_dup_participants_collapsed,
+        release_caches,
+    )
+
+    n = docs.count()
+    valve = (
+        _gates.MAX_LSH_BUCKET if n > _gates.LSH_VALVE_MIN_ROWS else None
+    )
+    if n <= HUBNESS_EXACT_MAX_ROWS:
+        pairs = minhash_near_dup_pairs(docs, max_bucket_size=valve)
+        out = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .union(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        release_caches(pairs)
+        return out
+    return near_dup_participants_collapsed(docs, max_bucket_size=valve)
+
+
 def _artifact_scope() -> str:
     """Deterministic scope tag for on-disk artifacts (bucketed tables, the
     persisted IVF index, tar shards). Per-(sf, shard) instead of per-PID so
@@ -1306,18 +1363,13 @@ def _clusters_oracle() -> str:
 
 @_q("dedup_clusters", _clusters_oracle())
 def dedup_clusters(spark, sf_dir):
-    from boann_ocsf_security_data_platform_spark.operators.dedup import (
-        cluster_pairs,
-        release_caches,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
-    # auto: iterative min-label under the pair threshold, large-star/
-    # small-star O(log n) above it — same (node, cluster_id) contract
-    out = cluster_pairs(pairs)  # eager: result is checkpointed
-    release_caches(pairs)
-    return out
+    """Near-dup pairs → transitive dedup clusters (auto-dispatched
+    min-label / large-star-small-star). Round 9: routes through
+    _near_dup_clusters_gated — above the pairwise gate the clusters are
+    computed on exact-dedup representatives and expanded over replicas,
+    output provably identical, replica pairs (copies² growth) never
+    enumerated; size_gated-equivalent dispatch, oracle arm below."""
+    return _near_dup_clusters_gated(_t(spark, sf_dir, "documents"))
 
 
 @_q(
@@ -1341,19 +1393,15 @@ def dedup_filtered_corpus(spark, sf_dir):
     """The full training-data dedup flow: near-dup pairs → transitive
     clusters → keep one representative (the min id) per cluster, drop the
     rest. Anti-join of the corpus against cluster losers — the shape a
-    100 TB dedup job materializes."""
-    from boann_ocsf_security_data_platform_spark.operators.dedup import (
-        cluster_pairs,
-        release_caches,
-    )
-
+    100 TB dedup job materializes. Round 9: clusters come from
+    _near_dup_clusters_gated (collapse-and-expand above the pairwise
+    gate, provably identical survivors, replica pairs never
+    enumerated)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
-    clusters = cluster_pairs(pairs)
-    release_caches(pairs)
+    clusters = _near_dup_clusters_gated(docs)
     losers = clusters.filter(F.col("node") != F.col("cluster_id"))
     return docs.join(
-        losers, docs.doc_id == losers.node, "left_anti"
+        losers.hint("merge"), docs.doc_id == losers.node, "left_anti"
     ).select("doc_id", "n_chars")
 
 
@@ -9080,6 +9128,7 @@ def corpus_dedup_report(spark, sf_dir):
         exact_dedup,
         minhash_near_dup_pairs,
         release_caches,
+        replica_map,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -9089,10 +9138,77 @@ def corpus_dedup_report(spark, sf_dir):
         F.count(F.lit(1)).alias("g"),
         F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("l"),
     ).collect()[0]
-    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
-    n_pairs = pairs.count()  # while the shingle caches are still live
-    clusters = cluster_pairs(pairs)  # eager, checkpointed
-    release_caches(pairs)
+    valve = (
+        _gates.MAX_LSH_BUCKET
+        if n_docs > _gates.LSH_VALVE_MIN_ROWS
+        else None
+    )
+    if n_docs <= HUBNESS_EXACT_MAX_ROWS:
+        pairs = minhash_near_dup_pairs(docs, max_bucket_size=valve)
+        n_pairs = pairs.count()  # while the shingle caches are live
+        clusters = cluster_pairs(pairs)  # eager, checkpointed
+        release_caches(pairs)
+    else:
+        # round 9, collapse-and-expand (see _near_dup_clusters_gated):
+        # the FULL-corpus pair count expands exactly from representative
+        # pairs and copy counts — a candidate pair exists between any
+        # copies of adjacent texts, plus every within-text copy pair:
+        #   n_pairs = Σ_(a,b)∈rep_pairs n_a·n_b + Σ_t C(n_t, 2)
+        m = replica_map(docs).persist()
+        reps = docs.join(
+            m.filter(F.col("doc_id") == F.col("rep_id"))
+            .select("doc_id")
+            .hint("merge"),
+            "doc_id",
+        )
+        rep_pairs = minhash_near_dup_pairs(reps, max_bucket_size=valve)
+        cnt = (
+            m.groupBy("rep_id")
+            .agg(F.first("n_copies").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        cross = (
+            rep_pairs.join(
+                cnt.select(
+                    F.col("rep_id").alias("id_a"), F.col("n").alias("n_a")
+                ).hint("merge"),
+                "id_a",
+            )
+            .join(
+                cnt.select(
+                    F.col("rep_id").alias("id_b"), F.col("n").alias("n_b")
+                ).hint("merge"),
+                "id_b",
+            )
+            .agg(F.coalesce(F.sum(F.col("n_a") * F.col("n_b")), F.lit(0)))
+            .collect()[0][0]
+        )
+        within = (
+            cnt.agg(
+                F.coalesce(
+                    F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0)
+                )
+            ).collect()[0][0]
+        )
+        n_pairs = int(cross) + int(within)
+        repcl = cluster_pairs(rep_pairs)
+        release_caches(rep_pairs)
+        clusters = (
+            m.join(
+                repcl.hint("merge"), m.rep_id == repcl.node, "left"
+            )
+            .where(
+                (F.col("n_copies") > 1) | F.col("cluster_id").isNotNull()
+            )
+            .select(
+                F.col("doc_id").alias("node"),
+                F.coalesce("cluster_id", F.col("rep_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        m.unpersist()
     cl_row = clusters.agg(
         F.count_distinct("cluster_id").alias("c"),
         F.sum(
@@ -17321,21 +17437,17 @@ def corpus_quality_dedup_interaction(spark, sf_dir):
     collapse is one conditional aggregate and the inference is scalar
     arithmetic on that row. Division guards keep degenerate cells NULL
     on both engines (ANSI-safe)."""
-    from boann_ocsf_security_data_platform_spark.operators.dedup import (
-        minhash_near_dup_pairs,
-    )
     from boann_ocsf_security_data_platform_spark.operators.text import text_quality
 
     docs = _t(spark, sf_dir, "documents")
-    nd = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
-    dup_ids = (
-        nd.select(F.col("id_a").alias("doc_id"))
-        .union(nd.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-        .withColumn("is_dup_m", F.lit(True))
+    # round 9: participation flags via the gated collapse-and-expand
+    # helper (identical flags, replica pairs never enumerated) and a
+    # sort-merge join — the flag set is corpus-scaling, never broadcast
+    dup_ids = _near_dup_participants_gated(docs).withColumn(
+        "is_dup_m", F.lit(True)
     )
     flags = docs.select("doc_id").join(
-        F.broadcast(dup_ids), "doc_id", "left"
+        dup_ids.hint("merge"), "doc_id", "left"
     ).select(
         "doc_id", F.coalesce("is_dup_m", F.lit(False)).alias("is_dup")
     )
@@ -18182,16 +18294,10 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     connected-components pipeline dedup_clusters pins (auto-dispatched
     min-label / large-star-small-star), then two bounded hash
     aggregates over the (node, cluster_id) output; the oracle replays
-    it with the recursive-reachability CTE."""
-    from boann_ocsf_security_data_platform_spark.operators.dedup import (
-        cluster_pairs,
-        release_caches,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
-    cl = cluster_pairs(pairs)
-    release_caches(pairs)
+    it with the recursive-reachability CTE. Round 9: clusters come from
+    _near_dup_clusters_gated (collapse-and-expand above the pairwise
+    gate — identical clusters, replica pairs never enumerated)."""
+    cl = _near_dup_clusters_gated(_t(spark, sf_dir, "documents"))
     sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     return (
         sizes.groupBy("sz")
@@ -18443,18 +18549,13 @@ def corpus_quality_roc_auc(spark, sf_dir):
     corpus_quality_dedup_interaction answers with an odds ratio. The
     sweep is one conditional aggregate over the bounded flag frame
     crossed with five literals; AUC is a 5-row window fold."""
-    from boann_ocsf_security_data_platform_spark.operators.dedup import (
-        minhash_near_dup_pairs,
-    )
     from boann_ocsf_security_data_platform_spark.operators.text import text_quality
 
     docs = _t(spark, sf_dir, "documents")
-    nd = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
-    dup_ids = (
-        nd.select(F.col("id_a").alias("doc_id"))
-        .union(nd.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-        .withColumn("pos_m", F.lit(True))
+    # round 9: positive flags via the gated collapse-and-expand helper —
+    # identical flags, replica pairs (copies² growth) never enumerated
+    dup_ids = _near_dup_participants_gated(docs).withColumn(
+        "pos_m", F.lit(True)
     )
     flags = (
         text_quality(docs)

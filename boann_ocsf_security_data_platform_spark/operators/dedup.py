@@ -1143,3 +1143,147 @@ def weighted_jaccard_pairs(
         .select("id_a", "id_b", "wjaccard")
     )
     return _register_caches(out, [sh])
+
+
+# ---------------------------------------------------------------------------
+# Collapse-and-expand: replica-exact near-dup pipelines (round 9)
+# ---------------------------------------------------------------------------
+#
+# On duplication-heavy corpora the minhash candidate graph's replica pairs
+# grow with copies² and dominate every pairs-consuming pipeline (clusters,
+# survivor corpus, histograms, participation flags) even though those
+# pipelines REDUCE the pairs to linear-sized artifacts. The helpers below
+# compute the same artifacts on exact-dedup representatives and expand the
+# answer back over the replicas — PROVABLY identical to the full (unvalved)
+# computation, because exact replicas have identical normalized text ->
+# identical shingles -> identical MinHash signatures -> identical band
+# membership:
+#
+#   * every replica set of size >= 2 is a clique in the full candidate
+#     graph (all copies share every bucket);
+#   * a cross-text candidate edge exists between ANY copies of texts t, u
+#     iff it exists between their representatives;
+#   * therefore full-graph components = representative-graph components
+#     expanded with each member text's replica set, plus one component per
+#     multi-copy text whose representative is isolated;
+#   * and each component's min id = min over its representatives (each
+#     representative IS the min of its replica set), so cluster ids match
+#     the full computation exactly.
+#
+# Cost: one content-hash aggregate + doc-grain joins (linear) + the whole
+# near-dup pipeline on DISTINCT texts only.
+
+
+def replica_map(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc replica mapping ``(id_col, rep_id, n_copies)``:
+    ``rep_id`` = min id among docs with identical normalized text,
+    ``n_copies`` = that text's copy count. One hash aggregate + one
+    doc-grain join (both corpus-sized sides pinned sort-merge)."""
+    keyed = df.select(
+        F.md5(normalize_text(F.col(text_col))).alias("_ch"), F.col(id_col)
+    )
+    groups = keyed.groupBy("_ch").agg(
+        F.min(id_col).alias("rep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return keyed.join(_corpus_sized(groups), "_ch").select(
+        id_col, "rep_id", "n_copies"
+    )
+
+
+def near_dup_clusters_collapsed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """``(node, cluster_id)`` over the FULL corpus, computed on exact-dedup
+    representatives and expanded over replicas — identical output to
+    ``cluster_pairs(minhash_near_dup_pairs(df))`` (see the module-level
+    proof above) at linear cost in the corpus. ``max_bucket_size`` valves
+    the REPRESENTATIVE-level banding (distinct texts), where a hot bucket
+    is genuine boilerplate rather than replication."""
+    m = replica_map(df, text_col, id_col).persist()
+    reps = df.join(
+        _corpus_sized(
+            m.filter(F.col(id_col) == F.col("rep_id")).select(id_col)
+        ),
+        id_col,
+    )
+    pairs = minhash_near_dup_pairs(
+        reps,
+        text_col,
+        id_col,
+        k=k,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        max_bucket_size=max_bucket_size,
+    )
+    repcl = cluster_pairs(pairs)  # eager (localCheckpoint'd)
+    release_caches(pairs)
+    out = (
+        m.join(
+            _corpus_sized(repcl), m.rep_id == repcl.node, "left"
+        )
+        .where((F.col("n_copies") > 1) | F.col("cluster_id").isNotNull())
+        .select(
+            F.col(id_col).alias("node"),
+            F.coalesce("cluster_id", F.col("rep_id")).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)  # pin so the mapping cache can go
+    )
+    m.unpersist()
+    return out
+
+
+def near_dup_participants_collapsed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Distinct ids of documents that participate in at least one full-
+    corpus MinHash candidate pair — identical to unioning both sides of
+    ``minhash_near_dup_pairs(df)`` without enumerating replica pairs:
+    a doc participates iff its text has >= 2 copies (replica clique) OR
+    its representative participates at the representative level."""
+    m = replica_map(df, text_col, id_col).persist()
+    reps = df.join(
+        _corpus_sized(
+            m.filter(F.col(id_col) == F.col("rep_id")).select(id_col)
+        ),
+        id_col,
+    )
+    pairs = minhash_near_dup_pairs(
+        reps,
+        text_col,
+        id_col,
+        k=k,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        max_bucket_size=max_bucket_size,
+    )
+    part = (
+        pairs.select(F.col("id_a").alias("rep_id"))
+        .union(pairs.select(F.col("id_b").alias("rep_id")))
+        .distinct()
+        .localCheckpoint(eager=True)  # pin before releasing shingle caches
+    )
+    release_caches(pairs)
+    out = (
+        m.join(_corpus_sized(part), "rep_id", "left_semi")
+        .select(id_col)
+        .union(m.filter(F.col("n_copies") > 1).select(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)  # pin so the mapping cache can go
+    )
+    m.unpersist()
+    return out

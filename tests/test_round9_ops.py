@@ -186,3 +186,128 @@ def test_gate_derivation_drift_guard_fill_unit():
     assert fill2[8] == "q020"
     assert fill2[9] == "q015"
     assert fill2[10:] == fill[:30]  # refreshed greens, declaration order
+
+
+# ---------------------------------------------------------------------------
+# Collapse-and-expand identity: replica-exact near-dup pipelines
+# ---------------------------------------------------------------------------
+
+
+def _replicated_corpus(spark):
+    """Distinct texts with controlled near-dup structure, replicated with
+    varying copy counts and non-contiguous ids. Texts 0/1 and 2/3 are
+    near-dups of each other (one-word edits on long shared runs); texts
+    4..7 are mutually dissimilar; copy counts mix 1 and >1 so every
+    branch of the expansion (clustered single-copy, clustered multi-copy,
+    isolated multi-copy, isolated single-copy) is exercised."""
+    base = [
+        "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+        "the quick brown fox jumps over the lazy cat near the quiet river bank today",
+        "pack my box with five dozen liquor jugs before the long winter delivery run",
+        "pack my box with five dozen liquor jugs before the long summer delivery run",
+        "completely unrelated text about spark partitions and shuffle boundaries here",
+        "another standalone document discussing parquet footers and column pruning",
+        "a third isolated text on broadcast joins and adaptive query execution",
+        "final solitary passage covering watermarks and stateful stream operators",
+    ]
+    copies = [3, 1, 2, 1, 4, 1, 2, 1]
+    rows, nid = [], 0
+    for t, (txt, n) in enumerate(zip(base, copies)):
+        for _ in range(n):
+            rows.append((nid * 7 + t, txt))  # non-contiguous, text-skewed ids
+            nid += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dup_clusters_collapsed_identity(spark):
+    """near_dup_clusters_collapsed == cluster_pairs(minhash pairs on the
+    FULL corpus), row for row — the proof obligation for running the
+    clusters family on exact-dedup representatives."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        cluster_pairs,
+        minhash_near_dup_pairs,
+        near_dup_clusters_collapsed,
+        release_caches,
+    )
+
+    df = _replicated_corpus(spark)
+    pairs = minhash_near_dup_pairs(df)
+    full = sorted(
+        (r.node, r.cluster_id) for r in cluster_pairs(pairs).collect()
+    )
+    release_caches(pairs)
+    fast = sorted(
+        (r.node, r.cluster_id)
+        for r in near_dup_clusters_collapsed(df).collect()
+    )
+    assert fast == full and len(full) > 0
+
+
+def test_near_dup_participants_collapsed_identity(spark):
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_participants_collapsed,
+        release_caches,
+    )
+    from pyspark.sql import functions as F
+
+    df = _replicated_corpus(spark)
+    pairs = minhash_near_dup_pairs(df)
+    full = sorted(
+        r.doc_id
+        for r in pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .collect()
+    )
+    release_caches(pairs)
+    fast = sorted(
+        r.doc_id for r in near_dup_participants_collapsed(df).collect()
+    )
+    assert fast == full and len(full) > 0
+
+
+def test_replica_map_shape(spark):
+    from boann_ocsf_security_data_platform_spark.operators.dedup import replica_map
+
+    df = _replicated_corpus(spark)
+    m = {r.doc_id: (r.rep_id, r.n_copies) for r in replica_map(df).collect()}
+    assert len(m) == df.count()
+    # every rep maps to itself; every doc's rep is the min id of its text
+    for doc, (rep, n) in m.items():
+        assert m[rep][0] == rep and rep <= doc and n >= 1
+
+
+def test_clusters_family_gate_is_output_identical(spark):
+    """Entry-level identity: with the pairwise gate forced LOW, the five
+    clusters-family entries run the collapse-and-expand arm at sf0.001 and
+    must produce byte-identical rows to the full-corpus (oracle) arm —
+    the gate is a plan choice, never a semantics choice."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "dedup_clusters",
+        "dedup_filtered_corpus",
+        "dedup_cluster_size_histogram",
+        "corpus_dedup_report",
+        "corpus_quality_dedup_interaction",
+        "corpus_quality_roc_auc",
+    ]
+    qs = em.queries()
+    want = {
+        n: sorted(tuple(r) for r in qs[n](spark, sf).collect())
+        for n in names
+    }
+    old = em.HUBNESS_EXACT_MAX_ROWS
+    em.HUBNESS_EXACT_MAX_ROWS = 1  # force the collapse-and-expand arm
+    try:
+        got = {
+            n: sorted(tuple(r) for r in qs[n](spark, sf).collect())
+            for n in names
+        }
+    finally:
+        em.HUBNESS_EXACT_MAX_ROWS = old
+    for n in names:
+        assert got[n] == want[n], n
+        assert len(want[n]) > 0, n
