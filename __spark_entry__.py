@@ -81,6 +81,24 @@ def _collapse_exact_docs(dd: DataFrame, n: int) -> DataFrame:
     return dd.join(keep.hint("merge"), "doc_id")
 
 
+def _docs_gated_with_pin(spark, sf_dir):
+    """(docs', lsh_valve, pin_shuffle_join) for the minhash-family
+    entries: ONE corpus count drives all three size-based plan choices —
+    the exact-dedup-first collapse (above HUBNESS_EXACT_MAX_ROWS), the
+    LSH bucket valve, and whether the pair operators pin their
+    corpus-scaling join inputs to sort-merge (above LSH_VALVE_MIN_ROWS;
+    below it the frames provably fit a broadcast build and the static
+    broadcast is ~2x on the bench-scale path)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    if n > HUBNESS_EXACT_MAX_ROWS:
+        docs = _collapse_exact_docs(docs, n)
+    valve = (
+        _gates.MAX_LSH_BUCKET if n > _gates.LSH_VALVE_MIN_ROWS else None
+    )
+    return docs, valve, _gates.pin_shuffle_join(n)
+
+
 def _near_dup_clusters_gated(docs: DataFrame) -> DataFrame:
     """(node, cluster_id) near-dup clusters with the round-9 collapse-and-
     expand dispatch shared by the clusters family (dedup_clusters /
@@ -103,7 +121,11 @@ def _near_dup_clusters_gated(docs: DataFrame) -> DataFrame:
         _gates.MAX_LSH_BUCKET if n > _gates.LSH_VALVE_MIN_ROWS else None
     )
     if n <= HUBNESS_EXACT_MAX_ROWS:
-        pairs = minhash_near_dup_pairs(docs, max_bucket_size=valve)
+        pairs = minhash_near_dup_pairs(
+            docs,
+            max_bucket_size=valve,
+            pin_shuffle_join=_gates.pin_shuffle_join(n),
+        )
         out = cluster_pairs(pairs)  # eager: result is checkpointed
         release_caches(pairs)
         return out
@@ -126,7 +148,11 @@ def _near_dup_participants_gated(docs: DataFrame) -> DataFrame:
         _gates.MAX_LSH_BUCKET if n > _gates.LSH_VALVE_MIN_ROWS else None
     )
     if n <= HUBNESS_EXACT_MAX_ROWS:
-        pairs = minhash_near_dup_pairs(docs, max_bucket_size=valve)
+        pairs = minhash_near_dup_pairs(
+            docs,
+            max_bucket_size=valve,
+            pin_shuffle_join=_gates.pin_shuffle_join(n),
+        )
         out = (
             pairs.select(F.col("id_a").alias("doc_id"))
             .union(pairs.select(F.col("id_b").alias("doc_id")))
@@ -948,13 +974,10 @@ def text_levenshtein_fuzzy(spark, sf_dir):
         release_caches,
     )
 
-    docs = size_gated(
-        _t(spark, sf_dir, "documents"),
-        lambda dd, n: dd,
-        _collapse_exact_docs,
-        HUBNESS_EXACT_MAX_ROWS,
+    docs, valve, pin = _docs_gated_with_pin(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(
+        docs, max_bucket_size=valve, pin_shuffle_join=pin
     )
-    pairs = minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
     p = docs.select(
         "doc_id", F.substring(normalize_text(F.col("text")), 1, 30).alias("prefix")
     )
@@ -1340,7 +1363,14 @@ def dedup_exact_q(spark, sf_dir):
 @_q("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, max_bucket_size=_gates.lsh_valve(docs))
+    n = docs.count()
+    return minhash_near_dup_pairs(
+        docs,
+        max_bucket_size=(
+            _gates.MAX_LSH_BUCKET if n > _gates.LSH_VALVE_MIN_ROWS else None
+        ),
+        pin_shuffle_join=_gates.pin_shuffle_join(n),
+    )
 
 
 def _clusters_oracle() -> str:
@@ -1458,13 +1488,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     exact dedup's linear report; genuine near-dup pairs among distinct
     texts are unaffected. Below the gate the full pair set is the
     oracle-hashed arm."""
-    d = size_gated(
-        _t(spark, sf_dir, "documents"),
-        lambda dd, n: dd,
-        _collapse_exact_docs,
-        HUBNESS_EXACT_MAX_ROWS,
-    )
-    return ngram_jaccard_pairs(d, threshold=0.5)
+    d, _, pin = _docs_gated_with_pin(spark, sf_dir)
+    return ngram_jaccard_pairs(d, threshold=0.5, pin_shuffle_join=pin)
 
 
 # ---------------------------------------------------------------------------
@@ -3921,17 +3946,13 @@ def dedup_prefix_filter_jaccard(spark, sf_dir):
     containment pipeline-order note). Below the gate (sf0.01/sf0.1) the
     full pair set is emitted, provably identical to the O(n²) oracle."""
     from boann_ocsf_security_data_platform_spark.operators.dedup import (
-        exact_dedup,
         prefix_filter_jaccard_pairs,
     )
 
-    d = size_gated(
-        _t(spark, sf_dir, "documents"),
-        lambda dd, n: dd,
-        _collapse_exact_docs,
-        HUBNESS_EXACT_MAX_ROWS,
+    d, _, pin = _docs_gated_with_pin(spark, sf_dir)
+    return prefix_filter_jaccard_pairs(
+        d, threshold=0.9, pin_shuffle_join=pin
     )
-    return prefix_filter_jaccard_pairs(d, threshold=0.9)
 
 
 @_q(
@@ -4297,14 +4318,12 @@ def dedup_containment_pairs(spark, sf_dir):
         exact_dedup,
     )
 
-    d = size_gated(
-        _t(spark, sf_dir, "documents"),
-        lambda dd, n: dd,
-        _collapse_exact_docs,
-        HUBNESS_EXACT_MAX_ROWS,
-    )
+    d, _, pin = _docs_gated_with_pin(spark, sf_dir)
     return containment_pairs(
-        d, threshold=0.8, max_shingle_df=_gates.MAX_SHINGLE_DF
+        d,
+        threshold=0.8,
+        max_shingle_df=_gates.MAX_SHINGLE_DF,
+        pin_shuffle_join=pin,
     )
 
 
@@ -4445,7 +4464,8 @@ def dedup_cross_corpus(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     new_df = docs.filter(F.col("doc_id") % 5 == 0)
     idx_df = docs.filter(F.col("doc_id") % 5 != 0)
-    if docs.count() > HUBNESS_EXACT_MAX_ROWS:
+    n = docs.count()
+    if n > HUBNESS_EXACT_MAX_ROWS:
         new_df = _collapse_exact_docs(new_df, 0)
         idx_df = _collapse_exact_docs(idx_df, 0)
     return cross_corpus_jaccard_pairs(
@@ -4453,6 +4473,7 @@ def dedup_cross_corpus(spark, sf_dir):
         idx_df,
         threshold=0.5,
         max_shingle_df=_gates.MAX_SHINGLE_DF,
+        pin_shuffle_join=_gates.pin_shuffle_join(n),
     )
 
 
@@ -5953,16 +5974,13 @@ def dedup_minhash_eval(spark, sf_dir):
         release_caches,
     )
 
-    docs = size_gated(
-        _t(spark, sf_dir, "documents"),
-        lambda dd, n: dd,
-        _collapse_exact_docs,
-        HUBNESS_EXACT_MAX_ROWS,
-    )
+    docs, valve, pin = _docs_gated_with_pin(spark, sf_dir)
     cand = minhash_near_dup_pairs(
-        docs, max_bucket_size=_gates.lsh_valve(docs)
+        docs, max_bucket_size=valve, pin_shuffle_join=pin
     ).select("id_a", "id_b")
-    truth = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    truth = ngram_jaccard_pairs(
+        docs, threshold=0.5, pin_shuffle_join=pin
+    ).select("id_a", "id_b")
     src = docs.select("doc_id", "source")
     cand_ss = (
         cand.join(src.withColumnRenamed("doc_id", "id_a"), "id_a")
@@ -10234,13 +10252,8 @@ def dedup_weighted_jaccard(spark, sf_dir):
         weighted_jaccard_pairs,
     )
 
-    d = size_gated(
-        _t(spark, sf_dir, "documents"),
-        lambda dd, n: dd,
-        _collapse_exact_docs,
-        HUBNESS_EXACT_MAX_ROWS,
-    )
-    return weighted_jaccard_pairs(d, threshold=0.4)
+    d, _, pin = _docs_gated_with_pin(spark, sf_dir)
+    return weighted_jaccard_pairs(d, threshold=0.4, pin_shuffle_join=pin)
 
 
 @_q(

@@ -147,7 +147,7 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def _corpus_sized(df: DataFrame) -> DataFrame:
+def _corpus_sized(df: DataFrame, pin: bool = True) -> DataFrame:
     """Mark a join input that scales WITH the corpus (exploded shingles,
     banded signatures, per-doc shingle-set/size tables) so the planner
     can never broadcast it: ``hint("merge")`` pins the join to sort-merge.
@@ -160,8 +160,16 @@ def _corpus_sized(df: DataFrame) -> DataFrame:
     BroadcastExchange ("Not enough memory to build and broadcast"); at
     100 TB the same misestimate is guaranteed. The deliberate broadcasts
     in this module (stop-gram lists, oversized-bucket lists) are bounded
-    by construction and stay explicit ``F.broadcast`` calls."""
-    return df.hint("merge")
+    by construction and stay explicit ``F.broadcast`` calls.
+
+    ``pin=False`` keeps planner freedom — the pair operators thread it
+    from a MEASURED corpus count (``gates.pin_shuffle_join``): below
+    LSH_VALVE_MIN_ROWS documents every frame here provably fits a
+    broadcast build, and the static broadcast saves two shuffles on the
+    bench-scale path (measured 2x on the minhash/ngram core entries). A
+    plan choice made from a known bounded count is the size-gate
+    discipline; only estimate-driven broadcasts are the hazard."""
+    return df.hint("merge") if pin else df
 
 
 def exact_dedup(
@@ -320,6 +328,7 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """LSH banding: documents sharing ANY band hash become a candidate pair.
 
@@ -366,7 +375,7 @@ def lsh_candidate_pairs(
     exploded = exploded.persist()
 
     a = exploded.alias("a")
-    b = _corpus_sized(exploded.alias("b"))
+    b = _corpus_sized(exploded.alias("b"), pin_shuffle_join)
     pairs = (
         a.join(
             b,
@@ -392,6 +401,7 @@ def minhash_near_dup_pairs(
     jaccard_threshold: float | None = None,
     max_bucket_size: int | None = None,
     hash_fn=hash64,
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: hashed shingles → MinHash → LSH candidates →
     (optional) exact Jaccard verification of candidates only. Shingles are
@@ -418,6 +428,7 @@ def minhash_near_dup_pairs(
         n_bands=n_bands,
         rows_per_band=n_hashes // n_bands,
         max_bucket_size=max_bucket_size,
+        pin_shuffle_join=pin_shuffle_join,
     )
     if jaccard_threshold is None:
         return _register_caches(pairs, [sh])
@@ -426,14 +437,16 @@ def minhash_near_dup_pairs(
             F.col(id_col).alias("id_a"),
             F.col("shingle_hashes").alias("sh_a"),
             F.size("shingle_hashes").alias("_sz_a"),
-        )
+        ),
+        pin_shuffle_join,
     )
     sh_b = _corpus_sized(
         sh.select(
             F.col(id_col).alias("id_b"),
             F.col("shingle_hashes").alias("sh_b"),
             F.size("shingle_hashes").alias("_sz_b"),
-        )
+        ),
+        pin_shuffle_join,
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     # |A∪B| = |A|+|B|-|A∩B| with sizes hoisted per ROW (shingle sets are
@@ -706,6 +719,7 @@ def containment_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """Directional shingle-containment pairs: C(A→B) =
     |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ ``threshold`` — the
@@ -750,7 +764,9 @@ def containment_pairs(
         sh = sh.join(F.broadcast(hot), "_sh", "left_anti").persist()
         cached.append(sh)
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
-    b = _corpus_sized(sh.select(F.col(id_col).alias("id_b"), "_sh"))
+    b = _corpus_sized(
+        sh.select(F.col(id_col).alias("id_b"), "_sh"), pin_shuffle_join
+    )
     inter = (
         a.join(b, "_sh")
         .filter(F.col("id_a") != F.col("id_b"))
@@ -762,7 +778,8 @@ def containment_pairs(
             _corpus_sized(
                 sizes.select(
                     F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a")
-                )
+                ),
+                pin_shuffle_join,
             ),
             "id_a",
         )
@@ -815,6 +832,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     hash_fn=hash64,
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within a blocking key.
 
@@ -837,7 +855,7 @@ def ngram_jaccard_pairs(
         block_col, id_col, F.explode("shingle_hashes").alias("shingle")
     )
     a = tokensr.alias("a")
-    b = _corpus_sized(tokensr.alias("b"))
+    b = _corpus_sized(tokensr.alias("b"), pin_shuffle_join)
     inter = (
         a.join(
             b,
@@ -851,10 +869,12 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = _corpus_sized(
-        sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+        sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+        pin_shuffle_join,
     )
     sb = _corpus_sized(
-        sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+        sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+        pin_shuffle_join,
     )
     out = (
         inter.join(sa, "id_a")
@@ -876,6 +896,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.9,
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """EXACT word-set Jaccard similarity join via prefix filtering — no
     blocking key needed, no all-pairs comparison (the PPJoin family of
@@ -911,7 +932,9 @@ def prefix_filter_jaccard_pairs(
     # re-aggregate each doc's tokens sorted by (global freq, token): struct
     # ordering makes array_sort give the canonical rarest-first order
     sorted_docs = (
-        tok.join(_corpus_sized(freq), "token")  # freq is vocabulary-sized
+        tok.join(  # freq is vocabulary-sized
+            _corpus_sized(freq, pin_shuffle_join), "token"
+        )
         .groupBy("id")
         .agg(
             F.transform(
@@ -938,7 +961,7 @@ def prefix_filter_jaccard_pairs(
         "id", "sz", F.explode("prefix").alias("token")
     )
     pa = prefixes.alias("pa")
-    pb = _corpus_sized(prefixes.alias("pb"))
+    pb = _corpus_sized(prefixes.alias("pb"), pin_shuffle_join)
     candidates = (
         pa.join(
             pb,
@@ -963,12 +986,14 @@ def prefix_filter_jaccard_pairs(
     ta = _corpus_sized(
         sorted_docs.select(
             F.col("id").alias("id_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a")
-        )
+        ),
+        pin_shuffle_join,
     )
     tb = _corpus_sized(
         sorted_docs.select(
             F.col("id").alias("id_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b")
-        )
+        ),
+        pin_shuffle_join,
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     out = (
@@ -993,6 +1018,7 @@ def cross_corpus_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
     hash_fn=hash64,
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """Incremental (new-batch-vs-index) EXACT n-gram Jaccard dedup: every
     ``(new_id, index_id, jaccard)`` pair with jaccard ≥ ``threshold`` —
@@ -1037,15 +1063,17 @@ def cross_corpus_jaccard_pairs(
         new_tok = new_tok.join(F.broadcast(hot), "_sh", "left_anti")
         idx_tok = idx_tok.join(F.broadcast(hot), "_sh", "left_anti")
     inter = (
-        new_tok.join(_corpus_sized(idx_tok), "_sh")
+        new_tok.join(_corpus_sized(idx_tok, pin_shuffle_join), "_sh")
         .groupBy("new_id", "index_id")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
     n_sz = _corpus_sized(
-        new_sh.select("new_id", F.size("shingle_hashes").alias("_n_a"))
+        new_sh.select("new_id", F.size("shingle_hashes").alias("_n_a")),
+        pin_shuffle_join,
     )
     i_sz = _corpus_sized(
-        idx_sh.select("index_id", F.size("shingle_hashes").alias("_n_b"))
+        idx_sh.select("index_id", F.size("shingle_hashes").alias("_n_b")),
+        pin_shuffle_join,
     )
     out = (
         inter.join(n_sz, "new_id")
@@ -1072,6 +1100,7 @@ def weighted_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.4,
     hash_fn=hash64,
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """IDF-weighted Jaccard similarity for pairs within a blocking key:
     J_w(A,B) = Σ_{t∈A∩B} idf(t) / Σ_{t∈A∪B} idf(t) with
@@ -1106,9 +1135,10 @@ def weighted_jaccard_pairs(
         dft.join(F.broadcast(n_docs))
         .select("shingle", F.log(F.col("_n") / F.col("df_t")).alias("idf"))
     )
-    exw = ex.join(_corpus_sized(idf), "shingle")
+    exw = ex.join(_corpus_sized(idf, pin_shuffle_join), "shingle")
     wd = exw.groupBy(id_col).agg(F.sum("idf").alias("w"))
-    a, b = exw.alias("a"), _corpus_sized(exw.alias("b"))
+    a = exw.alias("a")
+    b = _corpus_sized(exw.alias("b"), pin_shuffle_join)
     inter = (
         a.join(
             b,
@@ -1123,10 +1153,12 @@ def weighted_jaccard_pairs(
         .agg(F.sum("a.idf").alias("i_w"))
     )
     wa = _corpus_sized(
-        wd.select(F.col(id_col).alias("id_a"), F.col("w").alias("w_a"))
+        wd.select(F.col(id_col).alias("id_a"), F.col("w").alias("w_a")),
+        pin_shuffle_join,
     )
     wb = _corpus_sized(
-        wd.select(F.col(id_col).alias("id_b"), F.col("w").alias("w_b"))
+        wd.select(F.col(id_col).alias("id_b"), F.col("w").alias("w_b")),
+        pin_shuffle_join,
     )
     out = (
         inter.join(wa, "id_a")

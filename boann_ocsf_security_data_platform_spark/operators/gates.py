@@ -81,6 +81,18 @@ def lsh_valve(df: DataFrame) -> "int | None":
     return MAX_LSH_BUCKET if df.count() > LSH_VALVE_MIN_ROWS else None
 
 
+def pin_shuffle_join(n_rows: int) -> bool:
+    """Should the dedup pair operators pin their corpus-scaling join
+    inputs to sort-merge (``pin_shuffle_join=`` on the pair functions)?
+    True above LSH_VALVE_MIN_ROWS documents — there a mis-estimated
+    broadcast build OOMs (the 10x sweep's BroadcastExchange failures);
+    False below, where every derived frame (exploded shingles at ~100
+    grams/doc ≈ 20M rows worst case) provably fits a broadcast build and
+    the static broadcast saves two shuffles on the bench-scale path.
+    Same measured-count-not-estimate discipline as the valve itself."""
+    return n_rows > LSH_VALVE_MIN_ROWS
+
+
 def size_gated(
     df: DataFrame,
     exact_arm: Callable[[DataFrame, int], T],

@@ -777,7 +777,12 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
         "lsh_candidate_pairs(",
         "_hubness_pairs(",
     )
-    GATE_MARKERS = ("size_gated(", "max_bucket_size=", "max_shingle_df=")
+    GATE_MARKERS = (
+        "size_gated(",
+        "max_bucket_size=",
+        "max_shingle_df=",
+        "_docs_gated_with_pin(",  # one count -> collapse + valve + pin
+    )
     INHERENT_OK = {
         # exact brute-force cosine is the pinned accuracy baseline; the
         # documented scale path is the IVF/LSH entries (docstring)
@@ -821,39 +826,55 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     # self-join sides), the benchmark shingle set, and one-row/k-row
     # scalar attaches (nested-loop). A count above budget means a
     # corpus-sized frame lost its pin.
+    # The pin is size-gated (gates.pin_shuffle_join: engaged above
+    # LSH_VALVE_MIN_ROWS documents, planner freedom below, where a
+    # measured count proves every frame broadcast-safe), so at the audit
+    # scale the entries would legitimately broadcast. Force the
+    # above-threshold regime for the check by dropping the threshold —
+    # the budgets below then assert the PINNED plans carry only the
+    # explicit bounded broadcasts (stop-gram / oversized-bucket lists,
+    # the benchmark shingle set, one-row/k-row scalar attaches).
     # Budgets are counts over the FORMATTED explain string, where every
     # node appears in the tree AND once more in the numbered detail
     # section (so "one broadcast" ~ 2 hits, minus reused-exchange
     # collapses).
     PAIR_BCAST_BUDGET = {
         # entry: (max BroadcastHashJoin, max BroadcastNestedLoopJoin)
-        "dedup_minhash_lsh": (0, 0),
+        "dedup_minhash_lsh": (3, 0),  # valve anti-join x2 self-join sides
         "dedup_ngram_jaccard": (0, 0),
-        "dedup_minhash_eval": (0, 0),
+        "dedup_minhash_eval": (2, 0),  # valve big-bucket anti-join
         "dedup_prefix_filter_jaccard": (0, 0),
         "embedding_near_dup": (0, 0),
         "semantic_dedup_survivors": (0, 0),
-        "dedup_clusters": (0, 0),
+        "dedup_clusters": (2, 0),  # valve big-bucket anti-join
         "dedup_containment_pairs": (3, 0),  # stop-gram anti-join x2 sides
         "dedup_cross_corpus": (4, 0),  # stop-gram anti-join x2 sides
         "text_decontaminate": (2, 0),  # benchmark shingle set
-        "dedup_filtered_corpus": (2, 0),  # valve list
+        "dedup_filtered_corpus": (4, 0),  # valve list + benchmark set
         "dedup_weighted_jaccard": (0, 8),  # one-row n_docs scalar x4 uses
         "embedding_threshold_sweep": (0, 2),  # 4-row threshold frame
     }
+    from boann_ocsf_security_data_platform_spark.operators import gates as _g
     from boann_ocsf_security_data_platform_spark.operators.dedup import (
         release_all_caches as _rel2,
     )
 
     over_budget = []
-    for qname, (max_bhj, max_bnlj) in PAIR_BCAST_BUDGET.items():
+    _old_valve_min = _g.LSH_VALVE_MIN_ROWS
+    _g.LSH_VALVE_MIN_ROWS = -1  # force valve + sort-merge pin everywhere
+    try:
+        for qname, (max_bhj, max_bnlj) in PAIR_BCAST_BUDGET.items():
+            _rel2()
+            p = plan_of(qs[qname](spark, sf_dir))
+            bhj = p.count("BroadcastHashJoin")
+            bnlj = p.count("BroadcastNestedLoopJoin")
+            if bhj > max_bhj or bnlj > max_bnlj:
+                over_budget.append(
+                    f"{qname}: BHJ {bhj}>{max_bhj} or BNLJ {bnlj}>{max_bnlj}"
+                )
+    finally:
+        _g.LSH_VALVE_MIN_ROWS = _old_valve_min
         _rel2()
-        p = plan_of(qs[qname](spark, sf_dir))
-        bhj = p.count("BroadcastHashJoin")
-        bnlj = p.count("BroadcastNestedLoopJoin")
-        if bhj > max_bhj or bnlj > max_bnlj:
-            over_budget.append(f"{qname}: BHJ {bhj}>{max_bhj} or BNLJ {bnlj}>{max_bnlj}")
-    _rel2()
     check(
         "pair-entry broadcast budget: only explicit bounded broadcasts",
         not over_budget,
