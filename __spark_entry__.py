@@ -81,6 +81,14 @@ def _collapse_exact_docs(dd: DataFrame, n: int) -> DataFrame:
     return dd.join(keep.hint("merge"), "doc_id")
 
 
+def _pin(df: DataFrame, pin: bool) -> DataFrame:
+    """Conditional sort-merge pin for a corpus-scaling join input —
+    ``hint("merge")`` when ``pin`` (derived from a MEASURED table count,
+    never an estimate), planner freedom otherwise. See
+    operators.dedup._corpus_sized for the defect class this guards."""
+    return df.hint("merge") if pin else df
+
+
 _COUNT_CACHE: "dict[tuple[str, str], int]" = {}
 
 
@@ -1449,7 +1457,9 @@ def dedup_filtered_corpus(spark, sf_dir):
     clusters = _near_dup_clusters_gated(spark, sf_dir)
     losers = clusters.filter(F.col("node") != F.col("cluster_id"))
     return docs.join(
-        losers.hint("merge"), docs.doc_id == losers.node, "left_anti"
+        _pin(losers, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))),
+        docs.doc_id == losers.node,
+        "left_anti",
     ).select("doc_id", "n_chars")
 
 
@@ -1617,7 +1627,12 @@ def embedding_near_dup(spark, sf_dir):
     emb = emb.withColumn(
         "_blk", lsh_bucket(F.col("embedding"), n_planes=planes, dim=64)
     )
-    return embedding_near_dup_pairs(emb, block_col="_blk", threshold=0.3)
+    return embedding_near_dup_pairs(
+        emb,
+        block_col="_blk",
+        threshold=0.3,
+        pin_shuffle_join=_gates.pin_shuffle_join(_table_count(spark, sf_dir, "embeddings")),
+    )
 
 
 @_q(
@@ -3238,7 +3253,11 @@ def text_tfidf_top_terms(spark, sf_dir):
         tfidf_top_terms,
     )
 
-    out = tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+    out = tfidf_top_terms(
+        _t(spark, sf_dir, "documents"),
+        k=5,
+        pin_shuffle_join=_gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents")),
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -4296,7 +4315,10 @@ def text_bigram_lm_score(spark, sf_dir):
         bigram_lm_score,
     )
 
-    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+    return bigram_lm_score(
+        _t(spark, sf_dir, "documents"),
+        pin_shuffle_join=_gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents")),
+    )
 
 
 @_q(
@@ -4391,7 +4413,9 @@ def corpus_dsir_weights(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("source") != _DECON_BENCH)
     target = docs.filter(F.col("source") == _DECON_BENCH)
-    return dsir_importance(corpus, target)
+    return dsir_importance(
+        corpus, target, pin_shuffle_join=_gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4432,7 +4456,11 @@ def text_segment_dedup(spark, sf_dir):
     segment key, whose hot boilerplate partitions would skew at 100 TB."""
     from boann_ocsf_security_data_platform_spark.operators.text import segment_dedup
 
-    return segment_dedup(_t(spark, sf_dir, "documents"), seg_words=10)
+    return segment_dedup(
+        _t(spark, sf_dir, "documents"),
+        seg_words=10,
+        pin_shuffle_join=_gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents")),
+    )
 
 
 @_q(
@@ -5212,7 +5240,7 @@ def graph_triangle_count(spark, sf_dir):
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
     )
-    return triangle_count(edges)
+    return triangle_count(edges, pin_shuffle_join=_gates.pin_shuffle_join_fact(_table_count(spark, sf_dir, "lineitem")))
 
 
 @_q(
@@ -6705,7 +6733,8 @@ def orders_basket_lift(spark, sf_dir):
     # sort-merge so a low estimate can't broadcast them (the
     # dedup._corpus_sized discipline); the one-row n_orders scalar keeps
     # its explicit broadcast
-    a, b = li.alias("a"), li.alias("b").hint("merge")
+    _fpin = _gates.pin_shuffle_join_fact(_table_count(spark, sf_dir, "lineitem"))
+    a, b = li.alias("a"), _pin(li.alias("b"), _fpin)
     pair = (
         a.join(b, "ok")
         .where(F.col("a.pk") < F.col("b.pk"))
@@ -6716,8 +6745,8 @@ def orders_basket_lift(spark, sf_dir):
     ia = item.select(F.col("pk").alias("pk_a"), F.col("n_pk").alias("n_a"))
     ib = item.select(F.col("pk").alias("pk_b"), F.col("n_pk").alias("n_b"))
     return (
-        pair.join(ia.hint("merge"), "pk_a")
-        .join(ib.hint("merge"), "pk_b")
+        pair.join(_pin(ia, _fpin), "pk_a")
+        .join(_pin(ib, _fpin), "pk_b")
         .crossJoin(F.broadcast(n))
         .select(
             "pk_a",
@@ -7045,9 +7074,9 @@ def text_ngram_novelty(spark, sf_dir):
     novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
     return (
         # first-occurrence table is gram-count-sized (corpus-scaling) —
-        # pin sort-merge so a low estimate can't broadcast it (the
+        # pinned sort-merge above the measured-count threshold (the
         # dedup._corpus_sized discipline)
-        g.join(m.hint("merge"), "gram")
+        g.join(_pin(m, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))), "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_distinct_grams"),
@@ -7223,7 +7252,12 @@ def embedding_threshold_sweep(spark, sf_dir):
     emb = size_gated(
         _t(spark, sf_dir, "embeddings"), _exact, _scale, HUBNESS_EXACT_MAX_ROWS
     )
-    pairs = embedding_near_dup_pairs(emb, block_col="_blk", threshold=0.3)
+    pairs = embedding_near_dup_pairs(
+        emb,
+        block_col="_blk",
+        threshold=0.3,
+        pin_shuffle_join=_gates.pin_shuffle_join(_table_count(spark, sf_dir, "embeddings")),
+    )
     th = spark.createDataFrame(
         [(0.3,), (0.5,), (0.7,), (0.9,)], "threshold double"
     )
@@ -7475,8 +7509,8 @@ def text_jsd_divergence(spark, sf_dir):
         F.col("p").alias("pb"),
     )
     # per-source token distributions are vocabulary-scaling (derived
-    # aggregates) — pin sort-merge, never broadcast
-    both = a.join(b.hint("merge"), "token").where(
+    # aggregates) — pinned sort-merge above the measured-count threshold
+    both = a.join(_pin(b, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))), "token").where(
         F.col("src_a") < F.col("src_b")
     )
     shared = both.groupBy("src_a", "src_b").agg(
@@ -8031,7 +8065,9 @@ def graph_link_prediction(spark, sf_dir):
         .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
         .distinct()
     )
-    scored = jaccard_link_prediction(edges, k=50)
+    scored = jaccard_link_prediction(
+        edges, k=50, pin_shuffle_join=_gates.pin_shuffle_join_fact(_table_count(spark, sf_dir, "lineitem"))
+    )
     out = scored.localCheckpoint(eager=True)  # materialize, then free caches
     release_caches(scored)
     return out
@@ -9763,9 +9799,14 @@ def join_fuzzy_entity_resolution(spark, sf_dir):
     )
     cand = (
         # the catalog side is the full (or block-capped) part table —
-        # catalog-scaling; pin sort-merge so a low estimate can't
-        # broadcast it (the dedup._corpus_sized discipline)
-        probes.join(catalog.hint("merge"), "blk")
+        # catalog-scaling; pinned above the measured-count threshold
+        probes.join(
+            _pin(
+                catalog,
+                _gates.pin_shuffle_join(_table_count(spark, sf_dir, "part")),
+            ),
+            "blk",
+        )
         .filter(F.col("probe_key") != F.col("p_partkey"))
         .filter(
             F.abs(F.length("probe_name") - F.length("p_name")) <= 4
@@ -10595,10 +10636,11 @@ def text_kneser_ney_bigrams(spark, sf_dir):
     )
     return (
         # unigram-context and continuation-count tables are VOCABULARY-
-        # scaling (derived aggregates over the bigram table) — sort-merge,
-        # never broadcast; only the one-row total keeps its broadcast
-        bc.join(uc.hint("merge"), "w1")
-        .join(cont.hint("merge"), "w2")
+        # scaling (derived aggregates over the bigram table) — pinned
+        # above the measured-count threshold; the one-row total keeps
+        # its broadcast
+        bc.join(_pin(uc, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))), "w1")
+        .join(_pin(cont, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))), "w2")
         .join(F.broadcast(tot))
         .select(
             "w1",
@@ -12176,9 +12218,9 @@ def text_char_entropy_profile(spark, sf_dir):
     )
     tot = cnt.groupBy("doc_id").agg(F.sum("n").cast("double").alias("t"))
     ent = (
-        # per-doc totals are doc-grain (corpus-scaling) — pin sort-merge
-        # so a low estimate can't broadcast them into the char-count join
-        cnt.join(tot.hint("merge"), "doc_id")
+        # per-doc totals are doc-grain (corpus-scaling) — pinned
+        # sort-merge above the measured-count threshold
+        cnt.join(_pin(tot, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))), "doc_id")
         .groupBy("source", "doc_id")
         .agg(
             (-F.sum((F.col("n") / F.col("t")) * F.log(F.col("n") / F.col("t"))))
@@ -13112,8 +13154,9 @@ def text_vocab_jaccard_sources(spark, sf_dir):
     )
     sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
     a = v.alias("a")
-    # per-source vocabularies are vocabulary-scaling — pin sort-merge
-    b = v.alias("b").hint("merge")
+    # per-source vocabularies are vocabulary-scaling — pinned above the
+    # measured-count threshold
+    b = _pin(v.alias("b"), _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents")))
     inter = (
         a.join(
             b,
@@ -14888,9 +14931,9 @@ def text_bigram_entropy_rate(spark, sf_dir):
         (F.col("c12") / F.col("n")) * F.log(F.col("c12") / F.col("c1"))
     )
     return (
-        # the (source, w1) context table is vocabulary-scaling — pin
-        # sort-merge, never broadcast
-        pair.join(uni.hint("merge"), ["source", "w1"])
+        # the (source, w1) context table is vocabulary-scaling — pinned
+        # above the measured-count threshold
+        pair.join(_pin(uni, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))), ["source", "w1"])
         .join(F.broadcast(tot), "source")
         .groupBy("source")
         .agg(
@@ -16632,7 +16675,9 @@ def graph_clustering_coefficient(spark, sf_dir):
         )
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
     )
-    out = local_clustering_coefficient(edges)
+    out = local_clustering_coefficient(
+        edges, pin_shuffle_join=_gates.pin_shuffle_join_fact(_table_count(spark, sf_dir, "lineitem"))
+    )
     return (
         out.select(
             F.col("node").alias("part_key"),
@@ -17478,7 +17523,7 @@ def corpus_quality_dedup_interaction(spark, sf_dir):
         "is_dup_m", F.lit(True)
     )
     flags = docs.select("doc_id").join(
-        dup_ids.hint("merge"), "doc_id", "left"
+        _pin(dup_ids, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))), "doc_id", "left"
     ).select(
         "doc_id", F.coalesce("is_dup_m", F.lit(False)).alias("is_dup")
     )
@@ -18592,8 +18637,8 @@ def corpus_quality_roc_auc(spark, sf_dir):
         text_quality(docs)
         .select("doc_id", F.col("quality_score").alias("s"))
         # dup_ids is corpus-scaling (on duplication-heavy data it is MOST
-        # of the corpus) — sort-merge, never broadcast
-        .join(dup_ids.hint("merge"), "doc_id", "left")
+        # of the corpus) — pinned above the measured-count threshold
+        .join(_pin(dup_ids, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))), "doc_id", "left")
         .select(
             "s", F.coalesce("pos_m", F.lit(False)).alias("pos")
         )
@@ -19269,11 +19314,16 @@ def corpus_importance_ess(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("source") != _DECON_BENCH)
     target = docs.filter(F.col("source") == _DECON_BENCH)
-    sc = dsir_importance(corpus, target).select(
+    sc = dsir_importance(
+        corpus, target, pin_shuffle_join=_gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))
+    ).select(
         "doc_id", F.coalesce("dsir_logweight", F.lit(0.0)).alias("lw")
     )
-    # per-doc log-weights are doc-grain (corpus-scaling) — pin sort-merge
-    d = corpus.select("doc_id", "source").join(sc.hint("merge"), "doc_id")
+    # per-doc log-weights are doc-grain (corpus-scaling) — pinned above
+    # the measured-count threshold
+    d = corpus.select("doc_id", "source").join(
+        _pin(sc, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))), "doc_id"
+    )
     mx = d.groupBy("source").agg(F.max("lw").alias("mlw"))
     w = d.join(F.broadcast(mx), "source").select(
         "source", F.exp(F.col("lw") - F.col("mlw")).alias("w")
@@ -21108,10 +21158,14 @@ def agg_fleiss_kappa(spark, sf_dir):
     per = l.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("nl"), F.sum("l_quantity").alias("qty")
     )
-    # fact-grain rollup x fact leaf: sort-merge — the unfiltered orders
-    # build inflated past driver memory at the 10x sweep (compressed-leaf
-    # estimate under the 64MB threshold, in-memory hash relation ~1GB)
-    j = per.join(o.hint("merge"), per.l_orderkey == o.o_orderkey).select(
+    # fact-grain rollup x fact leaf — the unfiltered orders build
+    # inflated past driver memory at the 10x sweep (compressed-leaf
+    # estimate under the 64MB threshold, in-memory hash relation ~1GB);
+    # pinned above the measured fact-count threshold
+    j = per.join(
+        _pin(o, _gates.pin_shuffle_join_fact(_table_count(spark, sf_dir, "lineitem"))),
+        per.l_orderkey == o.o_orderkey,
+    ).select(
         F.col("o_orderkey").alias("okey"),
         F.col("o_totalprice").alias("price"),
         F.col("qty").cast("double").alias("qty"),
@@ -22068,7 +22122,9 @@ def corpus_ccnet_buckets(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    lm = bigram_lm_score(docs).filter(
+    lm = bigram_lm_score(
+        docs, pin_shuffle_join=_gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))
+    ).filter(
         F.col("lm_score").isNotNull()
     ).select("doc_id", F.round("lm_score", 6).alias("s"))
     toks = docs.select(
@@ -22076,10 +22132,10 @@ def corpus_ccnet_buckets(spark, sf_dir):
         "source",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    # both sides are doc-grain (corpus-scaling) — pin sort-merge so a low
-    # estimate can't broadcast either (the dedup._corpus_sized discipline;
-    # this entry's scored frame OOM'd a co-tenant sweep at 10x)
-    sc = lm.join(toks.hint("merge"), "doc_id")
+    # both sides are doc-grain (corpus-scaling; this entry's scored frame
+    # OOM'd a co-tenant sweep at 10x) — pinned above the measured-count
+    # threshold
+    sc = lm.join(_pin(toks, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))), "doc_id")
     mm = sc.agg(F.min("s").alias("s0"), F.max("s").alias("s1"))
     tier = F.least(
         F.lit(2),
@@ -22920,9 +22976,13 @@ def agg_simpson_paradox_probe(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     per = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("nl"))
     j = (
-        # fact-grain rollup x fact leaf: sort-merge (see agg_fleiss_kappa —
-        # same 10x-sweep driver-memory OOM on the broadcast orders build)
-        per.join(o.hint("merge"), per.l_orderkey == o.o_orderkey)
+        # fact-grain rollup x fact leaf (see agg_fleiss_kappa — same
+        # 10x-sweep driver-memory OOM); pinned above the measured
+        # fact-count threshold
+        per.join(
+            _pin(o, _gates.pin_shuffle_join_fact(_table_count(spark, sf_dir, "lineitem"))),
+            per.l_orderkey == o.o_orderkey,
+        )
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             F.col("c_mktsegment").alias("g"),

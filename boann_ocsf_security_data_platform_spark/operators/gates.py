@@ -82,7 +82,7 @@ def lsh_valve(df: DataFrame) -> "int | None":
 
 
 def pin_shuffle_join(n_rows: int) -> bool:
-    """Should the dedup pair operators pin their corpus-scaling join
+    """Should the dedup/text pair operators pin their corpus-scaling join
     inputs to sort-merge (``pin_shuffle_join=`` on the pair functions)?
     True above LSH_VALVE_MIN_ROWS documents — there a mis-estimated
     broadcast build OOMs (the 10x sweep's BroadcastExchange failures);
@@ -91,6 +91,22 @@ def pin_shuffle_join(n_rows: int) -> bool:
     the static broadcast saves two shuffles on the bench-scale path.
     Same measured-count-not-estimate discipline as the valve itself."""
     return n_rows > LSH_VALVE_MIN_ROWS
+
+
+# Fact-table sibling of LSH_VALVE_MIN_ROWS for the lineitem-driven
+# entries (co-order graphs, basket mining, per-order rollup joins):
+# below this the derived frames (distinct (order, part) streams, degree
+# tables, per-item support tables) stay well inside a safe broadcast
+# build even at ~50B/row; above it the 10x sweep showed estimate-driven
+# broadcasts inflating past driver memory (the fleiss/simpson OOMs at
+# 60M lineitem rows). sf1's 6M rows stay below (measured safe), sf10's
+# 60M engage the pin.
+PIN_FACT_MIN_ROWS = 10_000_000
+
+
+def pin_shuffle_join_fact(n_rows: int) -> bool:
+    """pin_shuffle_join for lineitem-grain inputs (PIN_FACT_MIN_ROWS)."""
+    return n_rows > PIN_FACT_MIN_ROWS
 
 
 def size_gated(

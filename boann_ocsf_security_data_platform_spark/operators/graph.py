@@ -18,15 +18,18 @@ from pyspark.sql import functions as F
 from .dedup import _register_caches
 
 
-def _graph_sized(df: DataFrame) -> DataFrame:
+def _graph_sized(df: DataFrame, pin: bool = True) -> DataFrame:
     """Pin a graph-scaling join input (edge lists, degree tables, wedge
     frames — all DERIVED via union/distinct/aggregate, whose Catalyst
     size estimate can land under the broadcast threshold while the true
     size is edge-count-sized) to sort-merge. Leaf-table joins keep
     planner freedom: their parquet-stat estimates are accurate, so the
     planner only broadcasts them when they really are small (see
-    operators.dedup._corpus_sized for the sweep that motivated this)."""
-    return df.hint("merge")
+    operators.dedup._corpus_sized for the sweep that motivated this).
+    ``pin=False`` keeps planner freedom — callers thread it from a
+    MEASURED edge-source row count (gates.pin_shuffle_join_fact), the
+    same count-not-estimate discipline as the dedup family."""
+    return df.hint("merge") if pin else df
 
 
 def pagerank(
@@ -116,7 +119,10 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """Exact triangle count of an undirected graph via degree-ordered
     wedge enumeration (the MapReduce formulation of Cohen'09 / node-
@@ -153,8 +159,8 @@ def triangle_count(
     )
     du, dv = deg.alias("du"), deg.alias("dv")
     ranked = (
-        canon.join(_graph_sized(du), F.col("u") == F.col("du.node"))
-        .join(_graph_sized(dv), F.col("v") == F.col("dv.node"))
+        canon.join(_graph_sized(du, pin_shuffle_join), F.col("u") == F.col("du.node"))
+        .join(_graph_sized(dv, pin_shuffle_join), F.col("v") == F.col("dv.node"))
         .select(
             "u",
             "v",
@@ -174,7 +180,7 @@ def triangle_count(
         F.when(F.col("ru") < F.col("rv"), F.col("rv")).otherwise(F.col("ru")).alias("rb"),
     ).persist()
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(_graph_sized(e2), F.col("e1.a") == F.col("e2.a")).where(
+    wedges = e1.join(_graph_sized(e2, pin_shuffle_join), F.col("e1.a") == F.col("e2.a")).where(
         F.col("e1.rb") < F.col("e2.rb")
     )
     # the closing edge {b1,b2} is oriented b1->b2 because rank(b1)<rank(b2)
@@ -182,7 +188,7 @@ def triangle_count(
         F.col("a").alias("cb1"), F.col("b").alias("cb2")
     )
     tri = wedges.join(
-        _graph_sized(closing),
+        _graph_sized(closing, pin_shuffle_join),
         (F.col("e1.b") == F.col("cb1")) & (F.col("e2.b") == F.col("cb2")),
     ).count()
     n_nodes = deg.count()
@@ -196,7 +202,10 @@ def triangle_count(
 
 
 def local_clustering_coefficient(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """Per-node local clustering coefficient cc(v) = 2*t(v) /
     (deg(v)*(deg(v)-1)) — how close each node's neighborhood is to a
@@ -230,8 +239,8 @@ def local_clustering_coefficient(
     )
     du, dv = deg.alias("du"), deg.alias("dv")
     ranked = (
-        canon.join(_graph_sized(du), F.col("u") == F.col("du.node"))
-        .join(_graph_sized(dv), F.col("v") == F.col("dv.node"))
+        canon.join(_graph_sized(du, pin_shuffle_join), F.col("u") == F.col("du.node"))
+        .join(_graph_sized(dv, pin_shuffle_join), F.col("v") == F.col("dv.node"))
         .select(
             "u",
             "v",
@@ -249,14 +258,14 @@ def local_clustering_coefficient(
         F.when(F.col("ru") < F.col("rv"), F.col("rv")).otherwise(F.col("ru")).alias("rb"),
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(_graph_sized(e2), F.col("e1.a") == F.col("e2.a")).where(
+    wedges = e1.join(_graph_sized(e2, pin_shuffle_join), F.col("e1.a") == F.col("e2.a")).where(
         F.col("e1.rb") < F.col("e2.rb")
     )
     closing = oriented.select(
         F.col("a").alias("cb1"), F.col("b").alias("cb2")
     )
     tris = wedges.join(
-        _graph_sized(closing),
+        _graph_sized(closing, pin_shuffle_join),
         (F.col("e1.b") == F.col("cb1")) & (F.col("e2.b") == F.col("cb2")),
     ).select(
         F.col("e1.a").alias("c0"),
@@ -269,7 +278,7 @@ def local_clustering_coefficient(
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
     out = (
-        deg.join(_graph_sized(per_node), "node", "left")
+        deg.join(_graph_sized(per_node, pin_shuffle_join), "node", "left")
         .select(
             "node",
             "deg",
@@ -401,6 +410,7 @@ def jaccard_link_prediction(
     src: str = "a",
     dst: str = "b",
     k: int = 50,
+    pin_shuffle_join: bool = True,
     min_common: int = 1,
 ) -> DataFrame:
     """Neighborhood-Jaccard link prediction (Liben-Nowell & Kleinberg
@@ -427,27 +437,32 @@ def jaccard_link_prediction(
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     wedges = (
         sym.alias("x")
-        .join(_graph_sized(sym.alias("y")), F.col("x.v") == F.col("y.v"))
+        .join(_graph_sized(sym.alias("y"), pin_shuffle_join), F.col("x.v") == F.col("y.v"))
         .filter(F.col("x.u") < F.col("y.u"))
         .groupBy(F.col("x.u").alias("ua"), F.col("y.u").alias("ub"))
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
     non_adj = wedges.join(
-        _graph_sized(sym.select(F.col("u").alias("ua"), F.col("v").alias("ub"))),
+        _graph_sized(
+            sym.select(F.col("u").alias("ua"), F.col("v").alias("ub")),
+            pin_shuffle_join,
+        ),
         ["ua", "ub"],
         "left_anti",
     )
     scored = (
         non_adj.join(
             _graph_sized(
-                deg.select(F.col("u").alias("ua"), F.col("deg").alias("da"))
+                deg.select(F.col("u").alias("ua"), F.col("deg").alias("da")),
+                pin_shuffle_join,
             ),
             "ua",
         )
         .join(
             _graph_sized(
-                deg.select(F.col("u").alias("ub"), F.col("deg").alias("db"))
+                deg.select(F.col("u").alias("ub"), F.col("deg").alias("db")),
+                pin_shuffle_join,
             ),
             "ub",
         )

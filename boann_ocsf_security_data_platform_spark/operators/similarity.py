@@ -19,14 +19,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _corpus_sized(df: DataFrame) -> DataFrame:
+def _corpus_sized(df: DataFrame, pin: bool = True) -> DataFrame:
     """Pin a corpus-scaling join input (blocked vector frames, dedup
     survivor/loser id sets) to sort-merge — Catalyst's size estimate for
     these frames underestimates through explode/aggregate and can pick a
     broadcast build that OOMs at scale (see operators.dedup._corpus_sized,
     where the 10x sweep caught exactly that). Bounded model tables
-    (centroids, query panels, codebooks) stay explicit ``F.broadcast``."""
-    return df.hint("merge")
+    (centroids, query panels, codebooks) stay explicit ``F.broadcast``.
+    ``pin=False`` keeps planner freedom — callers thread it from a
+    MEASURED vector count (gates.pin_shuffle_join)."""
+    return df.hint("merge") if pin else df
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -543,6 +545,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold, blocked by
     ``block_col``. When no bounded natural key exists, derive the block
@@ -573,7 +576,7 @@ def embedding_near_dup_pairs(
         _dot(F.col("v_a"), F.col("v_b")) / (F.col("_na") * F.col("_nb")), 6
     )
     return (
-        a.join(_corpus_sized(b), "blk")
+        a.join(_corpus_sized(b, pin_shuffle_join), "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)

@@ -24,15 +24,17 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 STOPWORDS_EN = LANG_STOPWORDS["en"] + ("this", "with", "as", "on", "be", "are")
 
 
-def _corpus_sized(df: DataFrame) -> DataFrame:
+def _corpus_sized(df: DataFrame, pin: bool = True) -> DataFrame:
     """Pin a corpus/vocabulary-scaling join input (per-doc rollups,
     bigram/segment/gram aggregates) to sort-merge — Catalyst's size
     estimate underestimates through explode/aggregate and can pick a
     broadcast build that OOMs at scale (operators.dedup._corpus_sized
     documents the sweep that caught this). Bounded frames (one-row vocab
     scalars, MG candidate lists, ≤1024-bucket models) keep their explicit
-    ``F.broadcast`` calls."""
-    return df.hint("merge")
+    ``F.broadcast`` calls. ``pin=False`` keeps planner freedom — callers
+    thread it from a MEASURED corpus count (gates.pin_shuffle_join), the
+    same count-not-estimate discipline as the dedup family."""
+    return df.hint("merge") if pin else df
 
 
 def tokens(col: Column | str) -> Column:
@@ -360,6 +362,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by smoothed TF-IDF
     (idf = ln((N+1)/(df+1)) + 1, the scikit-style smoothing) — the
@@ -383,7 +386,9 @@ def tfidf_top_terms(
     n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
     idf = F.log((F.col("_n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0))) + 1.0
     scored = (
-        tf.join(_corpus_sized(dft), "term")  # df table is vocabulary-sized
+        tf.join(  # df table is vocabulary-sized
+            _corpus_sized(dft, pin_shuffle_join), "term"
+        )
         .join(F.broadcast(n_docs))
         .withColumn("score", F.round(F.col("tf") * idf, 6))
     )
@@ -442,6 +447,7 @@ def bigram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """Corpus-bigram language-model score per document (CCNet-style
     quality signal without an external LM): the mean log-probability of
@@ -479,9 +485,9 @@ def bigram_lm_score(
         F.count_distinct("tok").alias("v")
     )
     scored = (
-        dg.join(_corpus_sized(cbi), "bigram")
+        dg.join(_corpus_sized(cbi, pin_shuffle_join), "bigram")
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .join(_corpus_sized(ctx), "w1")
+        .join(_corpus_sized(ctx, pin_shuffle_join), "w1")
         .join(F.broadcast(vocab))
         .withColumn(
             "_logp",
@@ -500,7 +506,7 @@ def bigram_lm_score(
     )
     return (
         df.select(id_col)
-        .join(_corpus_sized(scored), id_col, "left")
+        .join(_corpus_sized(scored, pin_shuffle_join), id_col, "left")
         .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
     )
 
@@ -512,6 +518,7 @@ def dsir_importance(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     alpha: float = 1.0,
+    pin_shuffle_join: bool = True,
     hash_fn=hash64,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
@@ -579,7 +586,9 @@ def dsir_importance(
     )
     return (
         corpus.select(id_col)
-        .join(_corpus_sized(scored), id_col, "left")  # doc-grain scores
+        .join(  # doc-grain scores
+            _corpus_sized(scored, pin_shuffle_join), id_col, "left"
+        )
         .withColumn("n_feats", F.coalesce("n_feats", F.lit(0)))
     )
 
@@ -786,6 +795,7 @@ def segment_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     seg_words: int = 10,
+    pin_shuffle_join: bool = True,
 ) -> DataFrame:
     """Sub-document exact dedup — the repeated-passage removal step of the
     C4 / Gopher recipes: split every document into fixed ``seg_words``-word
@@ -834,7 +844,7 @@ def segment_dedup(
         F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("_w")
     )
     kept = (
-        segs.join(_corpus_sized(winners), "seg")
+        segs.join(_corpus_sized(winners, pin_shuffle_join), "seg")
         .filter(
             (F.col(id_col) == F.col("_w")[id_col])
             & (F.col("seg_idx") == F.col("_w.seg_idx"))
@@ -853,7 +863,7 @@ def segment_dedup(
     )
     return (
         toked.select(F.col(id_col), n_total.alias("n_seg_total"))
-        .join(_corpus_sized(reassembled), id_col, "left")
+        .join(_corpus_sized(reassembled, pin_shuffle_join), id_col, "left")
         .select(
             id_col,
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
