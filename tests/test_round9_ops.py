@@ -311,3 +311,27 @@ def test_clusters_family_gate_is_output_identical(spark):
     for n in names:
         assert got[n] == want[n], n
         assert len(want[n]) > 0, n
+
+
+def test_pin_shuffle_join_controls_join_strategy(spark):
+    """The pin flag is a plan choice, not a semantics choice: with
+    pin_shuffle_join=True the shingle self-join plans as SortMergeJoin;
+    with False the planner may broadcast; the emitted pairs are identical
+    either way."""
+    from boann_ocsf_security_data_platform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_all_caches,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = _replicated_corpus(spark).withColumn("source", F.lit("s0"))
+    pinned = ngram_jaccard_pairs(df, threshold=0.5, pin_shuffle_join=True)
+    p_pin = pinned._jdf.queryExecution().sparkPlan().toString()
+    assert "SortMergeJoin" in p_pin
+    rows_pin = sorted(tuple(r) for r in pinned.collect())
+    release_all_caches()
+    free = ngram_jaccard_pairs(df, threshold=0.5, pin_shuffle_join=False)
+    rows_free = sorted(tuple(r) for r in free.collect())
+    release_all_caches()
+    assert rows_pin == rows_free and len(rows_pin) > 0
