@@ -11257,6 +11257,7 @@ def knn_hard_negatives(spark, sf_dir):
         auto_n_centroids,
         build_ivf_index,
         hard_negatives,
+        ivf_index_is_complete,
         query_ivf_index,
     )
 
@@ -11275,7 +11276,11 @@ def knn_hard_negatives(spark, sf_dir):
             tempfile.gettempdir(),
             f"boann_ivf_hardneg_{tag}_{_artifact_scope()}",
         )
-        if not os.path.isdir(os.path.join(path, "centroids")):
+        # reuse gated on the lists commit marker, NOT directory
+        # existence: a crash mid-build leaves centroids/ without a
+        # complete lists generation, and querying that half-index
+        # silently returns incomplete negatives (ADVICE r9 #1)
+        if not ivf_index_is_complete(spark, path):
             nc = auto_n_centroids(n)
             build_ivf_index(
                 e, path, n_centroids=nc, train_iters=2,
@@ -23191,17 +23196,49 @@ def agg_spearman_binned(spark, sf_dir):
 # window membership.
 
 
-def _correctness_history() -> "dict[str, tuple[int, int]]":
-    """name -> (earliest, latest) green round, read from the driver's
-    CORRECTNESS_r*.json artifacts next to this file."""
+def _committed_correctness_paths() -> "list[str]":
+    """CORRECTNESS_r*.json artifacts tracked by git, as absolute paths.
+
+    The derivation must NOT see the current round's in-progress file
+    (ADVICE r9 #5): the driver writes CORRECTNESS_r{N}.json entry-by-entry
+    while the gate runs, so a process importing this module mid-round
+    (bench.py, a sweep shard) would otherwise derive a DIFFERENT window
+    from a partially-written artifact. Committed files are immutable
+    round-close snapshots — deriving only from them makes the window a
+    constant for the whole round. Falls back to the glob when git is
+    unavailable (e.g. the repo exported without .git), where the
+    mid-round hazard cannot arise anyway.
+    """
     import glob
-    import json
     import os
-    import re as _re
+    import subprocess
 
     root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            timeout=10,
+            check=True,
+        ).stdout
+        paths = [os.path.join(root, p) for p in out.split() if p]
+        if paths:
+            return sorted(paths)
+    except (OSError, subprocess.SubprocessError):
+        pass
+    return sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+
+def _correctness_history() -> "dict[str, tuple[int, int]]":
+    """name -> (earliest, latest) green round, read from the driver's
+    COMMITTED CORRECTNESS_r*.json artifacts next to this file."""
+    import json
+    import re as _re
+
     hist: dict[str, tuple[int, int]] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for path in _committed_correctness_paths():
         m = _re.search(r"_r(\d+)\.json$", path)
         if not m:
             continue
@@ -23216,9 +23253,14 @@ def _correctness_history() -> "dict[str, tuple[int, int]]":
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("rows_match") and row.get("schema_match") and (
-                row.get("hash_match") or row.get("hash_match") is None
-            ):
+            # hash_match None is green only for rows-only entries (no
+            # oracle by design); for an oracle-backed entry a null hash
+            # means the check did not complete — never count it green
+            # (ADVICE r9 #5, second hazard).
+            hash_ok = row.get("hash_match") or (
+                row.get("hash_match") is None and name not in ORACLE
+            )
+            if row.get("rows_match") and row.get("schema_match") and hash_ok:
                 earliest, _ = hist.get(name, (rnd, rnd))
                 hist[name] = (earliest, rnd)
     return hist

@@ -66,12 +66,17 @@ MAX_LSH_BUCKET = 1_000
 # index fan-out. Mirrors the df valve the containment operator documents.
 MAX_SHINGLE_DF = 1_000
 # Corpus size below which the LSH bucket valve stays OFF: the valve's
-# bucket-count pass costs a fixed extra stage, and a corpus this small
-# cannot populate a bucket big enough to stall the candidate join even
-# fully degenerate (worst case |corpus|² pairs ≈ 4·10¹⁰ at the bound —
-# survivable; the valve protects against the million-member buckets only
-# replication at scale produces). Same exact-below/protected-above shape
-# as size_gated, decided by one metadata-cheap parquet count.
+# bucket-count pass costs a fixed extra stage, and below this bound the
+# degenerate case it guards against is UNREACHABLE, not merely cheap —
+# the minhash family collapses exact replicas to representatives first
+# (exact-dedup-first engages at PAIRWISE_EXACT_MAX_ROWS, far below this
+# bound), so a band bucket can only saturate with *distinct* texts that
+# happen to share a band, and distinct-text bucket mass stays near
+# LSH_TARGET_BUCKET by plane-count construction. The valve exists for
+# the million-member buckets that only replication at scale produces —
+# and replication is stripped before banding. Same
+# exact-below/protected-above shape as size_gated, decided by one
+# metadata-cheap parquet count.
 LSH_VALVE_MIN_ROWS = 200_000
 
 

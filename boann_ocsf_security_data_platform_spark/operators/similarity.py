@@ -774,6 +774,19 @@ def build_ivf_index(
     = however often the corpus drifts (monitor with
     ``embedding_dim_profile`` / ``embedding_cluster_quality``).
     """
+    # Invalidate the completeness marker FIRST (ADVICE r9 #1): the build
+    # writes centroids then lists, so a crash between the two — or mid
+    # lists-write — must never leave an index that ivf_index_is_complete
+    # accepts. Deleting lists/_SUCCESS up front means the marker only
+    # exists when the lists commit that FOLLOWED this build's centroid
+    # write succeeded; a stale lists dir from a previous build can no
+    # longer pair with fresh centroids behind a valid-looking marker.
+    spark = corpus.sparkSession
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(f"{path}/lists/_SUCCESS")
+    marker.getFileSystem(hconf).delete(marker, False)
+
     train_df = corpus
     if train_sample_size is not None:
         # Lloyd training cost is iters x |train| x n_centroids cosines, so
@@ -790,7 +803,6 @@ def build_ivf_index(
         train_df, k=n_centroids, iters=train_iters,
         id_col=id_col, vec_col=vec_col, dim=dim,
     )
-    spark = corpus.sparkSession
     spark.createDataFrame(
         [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
         "cent_id int, cent_vec array<double>",
@@ -851,6 +863,53 @@ def exact_vector_dedup(
     return df.join(_corpus_sized(keep), id_col)
 
 
+def ivf_index_is_complete(spark, path: str) -> bool:
+    """True when a persisted IVF index at ``path`` is safe to reuse:
+    both the centroid table and the lists COMMIT MARKER exist.
+
+    ``build_ivf_index`` is not one atomic write (centroids land before
+    lists), so "centroids/ exists" is NOT evidence of a whole index — a
+    crash mid-build leaves exactly that state, and a caller that reuses
+    on it silently serves incomplete results (ADVICE r9 #1). The build
+    deletes ``lists/_SUCCESS`` before touching centroids and only the
+    final lists commit recreates it, so marker present ⇒ the lists
+    generation postdates the centroids next to it. Callers with a
+    build-once/query-many cache (e.g. ``knn_hard_negatives``) must gate
+    reuse on THIS, never on directory existence."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    cents = P(f"{path}/centroids")
+    fs = cents.getFileSystem(conf)
+    return bool(
+        fs.exists(cents) and fs.exists(P(f"{path}/lists/_SUCCESS"))
+    )
+
+
+def _detect_legacy_ivf_layout(fs, jvm, lists_dir: str) -> bool:
+    """True when ``lists/`` holds the pre-round-9 single-level layout
+    (``cent_id=*/part-*.parquet`` with no ``_batch_id=`` level). Mixing
+    partition-directory depths under one root breaks Spark partition
+    discovery on the next read, so an append must refuse rather than
+    corrupt the store (ADVICE r9 #4). One directory listing of the
+    first ``cent_id=`` child — layouts are uniform per generation."""
+    lists_path = jvm.org.apache.hadoop.fs.Path(lists_dir)
+    if not fs.exists(lists_path):
+        return False
+    for st in fs.listStatus(lists_path):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("cent_id=")):
+            continue
+        for child in fs.listStatus(st.getPath()):
+            cname = child.getPath().getName()
+            if child.isDirectory() and cname.startswith("_batch_id="):
+                return False
+            if cname.endswith(".parquet"):
+                return True
+        # empty cent_id dir (partition fully deleted): keep scanning
+    return False
+
+
 def append_to_ivf_index(
     new_vectors: DataFrame,
     path: str,
@@ -873,14 +932,30 @@ def append_to_ivf_index(
     Idempotency: with ``batch_id=None`` it is the CALLER's contract
     (dedup ids upstream; a blind re-send appends duplicate rows, exactly
     like any other blind Parquet append). Pass the ``foreachBatch``
-    ``batch_id`` instead and the append becomes REPLAY-SAFE: rows land
-    under ``(cent_id, _batch_id)`` partitions via dynamic overwrite, so
-    a replayed batch overwrites exactly its own partitions with the
-    identical rows (assignment to frozen centroids is deterministic) —
-    the landing-sink exactly-once recipe, used by the streaming funnel's
-    index stage (``streaming/funnel.py``)."""
+    ``batch_id`` instead and the append becomes REPLAY-SAFE: batch N's
+    surviving ``(cent_id, _batch_id=N)`` partitions from any earlier
+    (crashed) attempt are deleted first, then this attempt's rows land
+    via dynamic overwrite — after the call the index holds exactly this
+    attempt's rows for batch N, even if the replay produced a DIFFERENT
+    survivor set than the crashed attempt did. The landing-sink
+    exactly-once recipe, used by the streaming funnel's index stage
+    (``streaming/funnel.py``)."""
     spark = new_vectors.sparkSession
     recover_ivf_compaction(spark, path)  # heal an interrupted compaction
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    lists_dir = f"{path}/lists"
+    fs = jvm.org.apache.hadoop.fs.Path(lists_dir).getFileSystem(conf)
+    if _detect_legacy_ivf_layout(fs, jvm, lists_dir):
+        raise ValueError(
+            f"IVF index at {path!r} uses the legacy cent_id-only lists "
+            "layout; appending (cent_id, _batch_id) partitions next to it "
+            "would mix partition depths and break partition discovery. "
+            "Migrate first: compact_ivf_index(spark, path) rewrites the "
+            "lists into the batch-id layout (legacy rows fold into the "
+            "_batch_id=-1 base generation), or rebuild with "
+            "build_ivf_index."
+        )
     cents = [
         (r.cent_id, list(r.cent_vec))
         for r in spark.read.parquet(f"{path}/centroids").collect()
@@ -896,14 +971,30 @@ def append_to_ivf_index(
     if batch_id is None:
         assigned.withColumn("_batch_id", F.lit(-1)).write.mode(
             "append"
-        ).partitionBy("cent_id", "_batch_id").parquet(f"{path}/lists")
+        ).partitionBy("cent_id", "_batch_id").parquet(lists_dir)
     else:
+        # Drop any partitions a CRASHED earlier attempt of this batch
+        # left behind BEFORE the dynamic overwrite (ADVICE r9 #3): the
+        # overwrite replaces only partitions present in THIS attempt's
+        # data, so if a replay produced fewer cent_ids than the crashed
+        # attempt (the guards in streaming/funnel.py make survivor sets
+        # deterministic, but this function cannot assume its caller),
+        # the orphaned (cent_id, _batch_id=N) directories would survive
+        # in the index. One glob + per-directory delete makes the
+        # replay contract unconditional: after the call, batch N's rows
+        # are exactly this attempt's rows.
+        bid = int(batch_id)
+        glob = jvm.org.apache.hadoop.fs.Path(
+            f"{lists_dir}/cent_id=*/_batch_id={bid}"
+        )
+        for st in fs.globStatus(glob) or []:
+            fs.delete(st.getPath(), True)
         (
-            assigned.withColumn("_batch_id", F.lit(int(batch_id)))
+            assigned.withColumn("_batch_id", F.lit(bid))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cent_id", "_batch_id")
-            .parquet(f"{path}/lists")
+            .parquet(lists_dir)
         )
 
 

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from boann_ocsf_security_data_platform_spark.operators.similarity import (
     append_to_ivf_index,
     build_ivf_index,
+    compact_ivf_index,
     cosine_topk,
     cosine_topk_ivf,
     query_ivf_index,
@@ -373,3 +374,139 @@ def test_compact_funnel_index_checkpoint_gate(spark, tmp_path):
         .groupBy("_batch_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert by_bid == {-1: 20, 2: 5}
+
+
+def test_reuse_gate_rejects_half_built_index(spark, tmp_path, monkeypatch):
+    """ADVICE r9 #1: build_ivf_index is not atomic (centroids land before
+    lists), so cached-reuse callers must gate on ivf_index_is_complete,
+    which requires the lists COMMIT MARKER — and the build must
+    invalidate that marker BEFORE touching centroids, so a crash at any
+    point mid-build leaves an index the gate rejects."""
+    import random
+
+    from boann_ocsf_security_data_platform_spark.operators import similarity as sim
+
+    def vec(i):
+        rng = random.Random(i)
+        return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(64)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf_gate_reuse")
+    assert not sim.ivf_index_is_complete(spark, path)  # nothing yet
+
+    build_ivf_index(corpus, path, n_centroids=2, train_iters=1)
+    assert sim.ivf_index_is_complete(spark, path)
+
+    # crash injection: a rebuild that dies during centroid training must
+    # leave the previously-complete index UNREUSABLE (its marker gone),
+    # never a fresh-centroids/stale-lists mix behind a valid marker
+    def _boom(*a, **k):
+        raise RuntimeError("injected mid-build crash")
+
+    monkeypatch.setattr(sim, "train_ivf_centroids", _boom)
+    try:
+        sim.build_ivf_index(corpus, path, n_centroids=2, train_iters=1)
+    except RuntimeError:
+        pass
+    assert not sim.ivf_index_is_complete(spark, path)
+
+    # a completed rebuild restores the marker
+    monkeypatch.undo()
+    build_ivf_index(corpus, path, n_centroids=2, train_iters=1)
+    assert sim.ivf_index_is_complete(spark, path)
+
+    # centroids-only (crash between centroid write and lists write)
+    half = str(tmp_path / "ivf_half")
+    spark.read.parquet(f"{path}/centroids").write.parquet(f"{half}/centroids")
+    assert not sim.ivf_index_is_complete(spark, half)
+
+
+def test_append_rejects_legacy_layout_and_compact_migrates(spark, tmp_path):
+    """ADVICE r9 #4: appending (cent_id, _batch_id) partitions into a
+    pre-round-9 cent_id-only lists layout would mix partition depths and
+    break discovery — append must refuse with a migration hint, and
+    compact_ivf_index IS the migration (legacy rows fold into the
+    _batch_id=-1 base generation)."""
+    import random
+
+    import pytest
+
+    def vec(i):
+        rng = random.Random(i)
+        return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(64)]
+
+    path = str(tmp_path / "ivf_legacy")
+    # hand-write a legacy index: centroids + cent_id-only lists
+    spark.createDataFrame(
+        [(0, vec(1000)), (1, vec(2000))], "cent_id int, cent_vec array<double>"
+    ).repartition(1).write.parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(i, vec(i), i % 2) for i in range(10)],
+        "vec_id long, vec array<double>, cent_id int",
+    ).write.partitionBy("cent_id").parquet(f"{path}/lists")
+
+    newv = spark.createDataFrame(
+        [(100 + j, vec(100 + j)) for j in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="legacy"):
+        append_to_ivf_index(newv, path, batch_id=0)
+
+    assert compact_ivf_index(spark, path) == 10  # migration
+    append_to_ivf_index(newv, path, batch_id=0)  # now clean
+    lists = spark.read.parquet(f"{path}/lists")
+    by_bid = {
+        r._batch_id: r.n
+        for r in lists.groupBy("_batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_bid == {-1: 10, 0: 4}
+
+
+def test_replay_with_different_survivors_leaves_no_orphans(spark, tmp_path):
+    """ADVICE r9 #3: a replayed batch may produce a DIFFERENT survivor
+    set than the crashed attempt (fewer rows, fewer cent_ids). The
+    append must delete the batch's earlier partitions before the dynamic
+    overwrite, so after the replay the index holds EXACTLY the replay's
+    rows for that batch — never the crashed attempt's orphans."""
+    import random
+
+    def vec(i):
+        rng = random.Random(i)
+        return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(64)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf_replay_orphan")
+    build_ivf_index(base, path, n_centroids=4, train_iters=2)
+
+    # crashed attempt: 12 vectors spread over (very likely) all 4 lists
+    attempt1 = spark.createDataFrame(
+        [(100 + j, vec(100 + j)) for j in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_ivf_index(attempt1, path, batch_id=7)
+    got1 = {
+        r.vec_id
+        for r in spark.read.parquet(f"{path}/lists")
+        .filter(F.col("_batch_id") == 7)
+        .collect()
+    }
+    assert got1 == set(range(100, 112))
+
+    # replay survives only 2 vectors (e.g. upstream store guards dropped
+    # the rest) — batch 7 must shrink to exactly these two
+    attempt2 = spark.createDataFrame(
+        [(100, vec(100)), (101, vec(101))],
+        "vec_id long, embedding array<double>",
+    )
+    append_to_ivf_index(attempt2, path, batch_id=7)
+    lists = spark.read.parquet(f"{path}/lists")
+    got2 = {r.vec_id for r in lists.filter(F.col("_batch_id") == 7).collect()}
+    assert got2 == {100, 101}
+    # base generation untouched
+    assert lists.filter(F.col("_batch_id") == -1).count() == 20

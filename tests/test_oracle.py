@@ -132,6 +132,70 @@ def test_gate_window_derivation_is_hand_edit_proof():
     assert not set(window) & set(backlog)
 
 
+def test_gate_derivation_ignores_in_progress_round_file(tmp_path, monkeypatch):
+    """ADVICE r9 #5: the window must derive from COMMITTED artifacts only.
+    The driver writes CORRECTNESS_r{N}.json entry-by-entry mid-round, so a
+    process importing the entry module mid-round (bench.py, sweep shards)
+    would otherwise see a partially-written file and derive a different
+    window. Two pins:
+
+    - an untracked CORRECTNESS file next to __spark_entry__.py is invisible
+      to `_committed_correctness_paths()` / `_correctness_history()`;
+    - a `hash_match: null` row counts green ONLY for rows-only entries
+      (not in ORACLE); for an oracle-backed entry a null hash means the
+      check did not complete and must never mark it green."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.abspath(entrymod.__file__))
+    probe = os.path.join(root, "CORRECTNESS_r97.json")
+    assert not os.path.exists(probe)
+    oracle_name = next(iter(ORACLES))
+    try:
+        with open(probe, "w") as fh:
+            json.dump(
+                {
+                    oracle_name: {
+                        "rows_match": True,
+                        "schema_match": True,
+                        "hash_match": True,
+                    }
+                },
+                fh,
+            )
+        paths = entrymod._committed_correctness_paths()
+        assert probe not in paths, "untracked round file leaked into derivation"
+        assert paths, "committed CORRECTNESS artifacts must be found"
+        assert all(os.path.basename(p).startswith("CORRECTNESS_r") for p in paths)
+    finally:
+        os.remove(probe)
+
+    # null-hash strictness, via a synthetic single-artifact history
+    fake = tmp_path / "CORRECTNESS_r01.json"
+    fake.write_text(
+        json.dumps(
+            {
+                oracle_name: {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": None,
+                },
+                "rows_only_fake_entry": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": None,
+                },
+            }
+        )
+    )
+    monkeypatch.setattr(
+        entrymod, "_committed_correctness_paths", lambda: [str(fake)]
+    )
+    hist = entrymod._correctness_history()
+    assert oracle_name not in hist, "null hash on oracle-backed row counted green"
+    assert hist.get("rows_only_fake_entry") == (1, 1)
+
+
 def _next_window_pending_names():
     """The derived pending backlog — the entries that fill the NEXT round's
     window. Sortable-schema-checked NOW so the next rotation cannot repeat

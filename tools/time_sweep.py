@@ -47,18 +47,16 @@ SF1_BUDGET_SECONDS = 30.0
 
 # Entries allowed over budget, each with the docstring-documented
 # rationale for why their growth is linear (the budget flags super-linear
-# SHAPE, not honest linear cost on a big input).
-LINEAR_BY_DESIGN = {
-    # exact brute-force baseline by contract; the scale path is the IVF /
-    # LSH entries (15.5 s at sf10, linear per decade)
-    "knn_bruteforce_cosine",
-    # exact tie-aware ranks are a semantics pin; agg_spearman_binned is
-    # the documented cluster path (60.4 s at sf10, linear per decade)
-    "agg_spearman_rank_corr",
-}
-# knn_hard_negatives left the waiver list in round 9: above the gate it
-# routes through the persisted IVF index (build-once/query-many; sf1
-# 22 s cold build / 2.3 s reuse, sf10 reuse 3.5 s vs 30.8 s brute).
+# SHAPE, not honest linear cost on a big input). EMPTY as of round 10:
+# every entry lands under the budget at sf1. Waivers self-expire —
+# aggregate_and_check FAILS when a waived entry comes in under budget,
+# so a stale waiver cannot silently mask a future regression.
+LINEAR_BY_DESIGN: set[str] = set()
+# History: knn_hard_negatives left the list in round 9 (above the gate it
+# routes through the persisted IVF index; sf10 reuse 3.5 s vs 30.8 s
+# brute); knn_bruteforce_cosine and agg_spearman_rank_corr left in round
+# 10 — both passed the round-9 sf1 sweep under budget, so keeping them
+# waived was a silent hole (round-9 verdict, What's wrong #1).
 
 
 def aggregate_and_check(sf_dir: str, shard_n: int) -> int:
@@ -112,27 +110,59 @@ def aggregate_and_check(sf_dir: str, shard_n: int) -> int:
         if isinstance(merged.get(k), (int, float))
         and merged[k] > SF1_BUDGET_SECONDS
     }
+    # Self-expiring waivers (round-9 verdict, What's wrong #1): a waiver
+    # for an entry that currently passes is a silent hole — if the entry
+    # later regresses over budget the gate would not fire. Fail so the
+    # stale name gets deleted the moment it stops being needed.
+    stale_waivers = {
+        k: merged[k]
+        for k in LINEAR_BY_DESIGN
+        if isinstance(merged.get(k), (int, float))
+        and merged[k] <= SF1_BUDGET_SECONDS
+    }
     print(
         f"budget check: {len(merged)} entries, budget "
         f"{SF1_BUDGET_SECONDS:.0f}s, over={over or '{}'} "
-        f"waived={waived or '{}'} errors={errs or '{}'}"
+        f"waived={waived or '{}'} errors={errs or '{}'} "
+        f"stale_waivers={stale_waivers or '{}'}"
     )
-    return 1 if over or errs else 0
+    if stale_waivers:
+        print(
+            "FAIL: waived entries now under budget — delete them from "
+            f"LINEAR_BY_DESIGN: {sorted(stale_waivers)}"
+        )
+    return 1 if over or errs or stale_waivers else 0
 
 
 def launch(sf_dir: str, shard_n: int) -> int:
-    """Run all shards as parallel subprocesses, then aggregate + check."""
+    """Run all shards as parallel subprocesses, then aggregate + check.
+
+    Two hazards closed in round 10 (ADVICE r9 #2): a shard killed by a
+    signal returns a NEGATIVE code, which max() masked when other shards
+    passed; and a crashed shard leaves no JSON, so aggregate would merge
+    a stale /tmp file from an earlier sweep and the budget gate could
+    pass on stale timings. Delete stale shard outputs up front and fail
+    on ANY nonzero returncode.
+    """
+    import os
     import subprocess
 
+    tag = Path(sf_dir).name
+    for i in range(shard_n):
+        try:
+            os.remove(f"/tmp/time_sweep_{tag}_{i}.json")
+        except FileNotFoundError:
+            pass
     procs = [
         subprocess.Popen(
             [sys.executable, __file__, sf_dir, str(i), str(shard_n)]
         )
         for i in range(shard_n)
     ]
-    rc = max(p.wait() for p in procs)
-    if rc != 0:
-        return rc
+    rcs = [p.wait() for p in procs]
+    if any(rc != 0 for rc in rcs):
+        print(f"FAIL: shard returncodes {rcs}")
+        return 1
     return aggregate_and_check(sf_dir, shard_n)
 
 
