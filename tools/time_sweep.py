@@ -166,6 +166,46 @@ def launch(sf_dir: str, shard_n: int) -> int:
     return aggregate_and_check(sf_dir, shard_n)
 
 
+def run_only(sf_dir: str, names: list[str], best_of: int = 1) -> int:
+    """Targeted sweep of a named entry subset — the decade-3 instrument
+    (round-9 verdict item #3). At sf100 a full 376-entry sweep is hours
+    of redundant linear scans; the scale defects live in the heavy tail
+    (pair families, graph, corpus reports, IVF lifecycle), so this mode
+    times just those, serially in one isolated session, and applies NO
+    budget (budgets are per-scale; this ranks and records). Writes
+    /tmp/time_sweep_<tag>_only.json."""
+    from boann_ocsf_security_data_platform_spark import get_spark
+
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown entries: {unknown}")
+        return 1
+    spark = get_spark(app_name="time-sweep-only", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, object] = {}
+    for name in names:
+        best = float("inf")
+        try:
+            for _ in range(best_of):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 2)
+            print(f"  {best:8.2f}  {name}", flush=True)
+        except Exception as e:  # noqa: BLE001 - record, keep sweeping
+            out[name] = f"ERR {type(e).__name__}: {e}"
+            print(f"  ERR       {name}: {type(e).__name__}: {e}", flush=True)
+    tag = Path(sf_dir).name
+    with open(f"/tmp/time_sweep_{tag}_only.json", "w") as f:
+        json.dump(out, f, indent=1)
+    return 1 if any(isinstance(v, str) for v in out.values()) else 0
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     if "--launch" in sys.argv:
@@ -174,6 +214,14 @@ def main() -> int:
     if "--check" in sys.argv:
         n = int(sys.argv[sys.argv.index("--check") + 1])
         return aggregate_and_check(sf_dir, n)
+    if "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        best_of = (
+            int(sys.argv[sys.argv.index("--best-of") + 1])
+            if "--best-of" in sys.argv
+            else 1
+        )
+        return run_only(sf_dir, names, best_of)
     shard_i = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     shard_n = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
