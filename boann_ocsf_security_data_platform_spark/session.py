@@ -51,7 +51,11 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.optimizer.excludedRules": (
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     ),
-    "spark.driver.memory": "8g",
+    # In local mode the driver heap IS the executor heap; 8g fits the test
+    # and bench scales. Scale instruments (tools/time_sweep.py at sf10+)
+    # override via SPARK_GRAFT_DRIVER_MEM — only effective for the process
+    # that launches the JVM, like any driver-memory setting.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
 

@@ -66,6 +66,7 @@ def scale_up(spark, src: str, dst: str, n_copies: int) -> None:
         )
     for t, key_cols in KEYED.items():
         df = spark.read.parquet(f"{src}/{t}.parquet")
+        n_src = df.count()
         # one distributed plan: cross-join with the copy index, shift keys
         copies = spark.range(n_copies).select(F.col("id").alias("_copy"))
         out = df.crossJoin(copies)
@@ -73,8 +74,20 @@ def scale_up(spark, src: str, dst: str, n_copies: int) -> None:
             out = out.withColumn(
                 col, F.col(col) + F.col("_copy") * F.lit(steps[step_tbl])
             )
-        out.drop("_copy").write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
-        print(f"  {t}: x{n_copies}")
+        # Row-aware file count. The broadcast-nested-loop replication
+        # preserves the SOURCE partitioning (often one file), and parquet's
+        # byte-range splitting then caps scan parallelism by COMPRESSED
+        # size — replicated text compresses ~100:1, so a 5M-row documents
+        # table landed in one 48 MB file == ONE scan task for every
+        # downstream text operator (found by the round-10 sf100 sweep:
+        # dedup_simhash serialized 5M docs through a single core). Real
+        # corpora arrive as many files; target ~1M rows per file so work
+        # per split is bounded by ROWS, not compressed bytes.
+        n_parts = max(32, min(512, (n_src * n_copies) // 1_000_000 + 1))
+        out.drop("_copy").repartition(n_parts).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+        print(f"  {t}: x{n_copies} -> {n_parts} files")
 
 
 def main():
