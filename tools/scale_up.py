@@ -67,26 +67,34 @@ def scale_up(spark, src: str, dst: str, n_copies: int) -> None:
     for t, key_cols in KEYED.items():
         df = spark.read.parquet(f"{src}/{t}.parquet")
         n_src = df.count()
-        # one distributed plan: cross-join with the copy index, shift keys
-        copies = spark.range(n_copies).select(F.col("id").alias("_copy"))
-        out = df.crossJoin(copies)
+        # Row-aware file count, produced WITHOUT shuffling the output: the
+        # copies range is the STREAM side (repartitioned to the target file
+        # count) and the small source table broadcasts, so generation
+        # parallelizes across copies and each task writes its own file.
+        # The original orientation (df.crossJoin(copies)) broadcast the
+        # range and preserved the source's single partition — every table
+        # landed as ~one parquet file, and byte-range splitting then
+        # capped scan parallelism by COMPRESSED size: replicated text
+        # compresses ~100:1, so the 5M-row sf100 documents table (one
+        # 48 MB file) scanned as ONE task and dedup_simhash serialized
+        # the corpus through a single core (round-10 sf100 sweep find).
+        # Real corpora arrive as many files; target ~1M rows per file so
+        # split work is bounded by ROWS, not compressed bytes.
+        n_parts = max(32, min(512, (n_src * n_copies) // 1_000_000 + 1))
+        n_parts = min(n_parts, n_copies)
+        copies = (
+            spark.range(n_copies)
+            .select(F.col("id").alias("_copy"))
+            .repartition(n_parts)
+        )
+        out = copies.crossJoin(F.broadcast(df))
         for col, step_tbl in key_cols.items():
             out = out.withColumn(
                 col, F.col(col) + F.col("_copy") * F.lit(steps[step_tbl])
             )
-        # Row-aware file count. The broadcast-nested-loop replication
-        # preserves the SOURCE partitioning (often one file), and parquet's
-        # byte-range splitting then caps scan parallelism by COMPRESSED
-        # size — replicated text compresses ~100:1, so a 5M-row documents
-        # table landed in one 48 MB file == ONE scan task for every
-        # downstream text operator (found by the round-10 sf100 sweep:
-        # dedup_simhash serialized 5M docs through a single core). Real
-        # corpora arrive as many files; target ~1M rows per file so work
-        # per split is bounded by ROWS, not compressed bytes.
-        n_parts = max(32, min(512, (n_src * n_copies) // 1_000_000 + 1))
-        out.drop("_copy").repartition(n_parts).write.mode(
-            "overwrite"
-        ).parquet(f"{dst}/{t}.parquet")
+        out.select(df.columns).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
         print(f"  {t}: x{n_copies} -> {n_parts} files")
 
 
