@@ -1388,14 +1388,22 @@ def dedup_exact_q(spark, sf_dir):
 
 @_q("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    n = _table_count(spark, sf_dir, "documents")
+    """Banded-MinHash near-dup candidate pairs with exact Jaccard ≥ 0.5.
+
+    SIZE-GATED via _docs_gated_with_pin (round 10): this was the LAST
+    pair entry still banding the RAW corpus. Replicas share every band
+    key, so on a replicated corpus the bucket valve alone does not help —
+    a 1000-copy text fills a bucket to exactly MAX_LSH_BUCKET and its
+    copies² similarity-1.0 pairs are TRUE OUTPUT (the sf100 sweep filled
+    the 65 GB scratch disk shuffling them before the write). Above the
+    gate, exact duplicates collapse to representatives first — replica
+    pairs belong to exact dedup's linear report (the same pipeline-order
+    discipline as dedup_ngram_jaccard); pairs among distinct texts are
+    unaffected. Below the gate the full pair set is the oracle-hashed
+    arm."""
+    d, valve, pin = _docs_gated_with_pin(spark, sf_dir)
     return minhash_near_dup_pairs(
-        docs,
-        max_bucket_size=(
-            _gates.MAX_LSH_BUCKET if n > _gates.LSH_VALVE_MIN_ROWS else None
-        ),
-        pin_shuffle_join=_gates.pin_shuffle_join(n),
+        d, max_bucket_size=valve, pin_shuffle_join=pin
     )
 
 
@@ -5194,7 +5202,18 @@ def dedup_duplicate_spans(spark, sf_dir):
         duplicate_span_stats,
     )
 
-    res = duplicate_span_stats(_t(spark, sf_dir, "documents"), n=8)
+    # size-gated scale arm (round-10 sf100 find): above the gate the span
+    # shuffle carries xxhash64 8-byte keys instead of ~50-byte strings
+    # (the dominant exchange at 450M spans) and the duplicated-span set
+    # pins sort-merge; below it, verbatim strings = the oracle-hashed arm
+    n_docs = _table_count(spark, sf_dir, "documents")
+    gated = n_docs > _gates.LSH_VALVE_MIN_ROWS
+    res = duplicate_span_stats(
+        _t(spark, sf_dir, "documents"),
+        n=8,
+        hash_keys=gated,
+        pin_shuffle_join=gated,
+    )
     out = res.localCheckpoint(eager=True)  # materialize; the span cache can go
     release_caches(res)
     return out
@@ -21199,36 +21218,46 @@ def agg_fleiss_kappa(spark, sf_dir):
             ),
         )
 
-    jm = j.join(F.broadcast(mm))
-    votes = (
-        jm.select("okey", tert("price", "p0", "p1").alias("cat"))
-        .unionAll(jm.select("okey", tert("qty", "q0", "q1").alias("cat")))
-        .unionAll(jm.select("okey", tert("nl", "l0", "l1").alias("cat")))
+    # The three raters are three COLUMNS of the same row, so the whole
+    # per-item layer is row-local (round-10 sf100 fix): with r=3 votes
+    # (a,b,c), sum n_ij^2 = 3 + 2*matches where matches counts the equal
+    # pairs among the three, hence P_i = (sum n_ij^2 - 3)/6 =
+    # (2*matches)/6 — identical doubles to the old per-(okey,cat) count
+    # path (both are the correctly-rounded quotient of the same
+    # integers). The previous shape unioned the votes into a 3x-fact
+    # frame and hash-aggregated it TWICE at item grain (450M rows / 150M
+    # groups at sf100 — the aggregation died UNABLE_TO_ACQUIRE_MEMORY
+    # with 32 concurrent tasks); now the only post-join work is one
+    # global aggregate whose partials are map-side combined to a single
+    # row. Category totals for chance agreement are when()-indicator
+    # sums in the same aggregate.
+    jm = j.join(F.broadcast(mm)).select(
+        tert("price", "p0", "p1").alias("ca"),
+        tert("qty", "q0", "q1").alias("cb"),
+        tert("nl", "l0", "l1").alias("cc"),
     )
-    vc = votes.groupBy("okey", "cat").agg(
-        F.count(F.lit(1)).alias("nij")
+    a, b, c = F.col("ca"), F.col("cb"), F.col("cc")
+    matches = (
+        (a == b).cast("int") + (a == c).cast("int") + (b == c).cast("int")
     )
-    pi = vc.groupBy("okey").agg(
-        (
-            (F.sum(F.col("nij") * F.col("nij")) - 3.0) / (3.0 * 2.0)
-        ).alias("p_i")
-    )
-    pbar = pi.agg(
-        F.avg("p_i").alias("pbar"), F.count(F.lit(1)).alias("n")
-    )
-    pj = (
-        vc.groupBy("cat")
-        .agg(F.sum("nij").alias("cn"))
-        .join(F.broadcast(pbar.select("n")))
-        .agg(
-            F.sum(
-                F.pow(
-                    F.col("cn") / (F.lit(3.0) * F.col("n")), 2
-                )
-            ).alias("pe")
+
+    def cat_n(k):
+        return F.sum(
+            (a == k).cast("long") + (b == k).cast("long") + (c == k).cast("long")
         )
+
+    g = jm.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((matches * 2.0) / 6.0).alias("pbar"),
+        cat_n(0).alias("c0"),
+        cat_n(1).alias("c1"),
+        cat_n(2).alias("c2"),
     )
-    fin = pbar.join(F.broadcast(pj))
+    pe = sum(
+        F.pow(F.col(cn) / (F.lit(3.0) * F.col("n")), 2)
+        for cn in ("c0", "c1", "c2")
+    )
+    fin = g.withColumn("pe", pe)
     kappa = (F.col("pbar") - F.col("pe")) / (F.lit(1.0) - F.col("pe"))
     return fin.select(
         F.col("n").cast("long").alias("n_items"),

@@ -1074,6 +1074,8 @@ def duplicate_span_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    hash_keys: bool = False,
+    pin_shuffle_join: bool = False,
 ) -> DataFrame:
     """Substring-level duplication profile à la Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better"),
@@ -1088,13 +1090,25 @@ def duplicate_span_stats(
     Scale: one shuffle keyed on the span (the same key distribution a
     distributed suffix-array build would shuffle on — inherent to
     substring dedup), one count-distinct-doc aggregate, and a semi-join of
-    the span stream against the duplicated-span set. At 100 TB the span
-    key should be ``xxhash64(span)`` (8-byte shuffle keys, collision odds
-    ≤ pairs/2⁶⁴); string keys are kept here so the DuckDB oracle can
-    replay the operator verbatim.
+    the span stream against the duplicated-span set. ``hash_keys=True``
+    (the scale arm, size-gated by the caller like the minhash family)
+    shuffles ``xxhash64(span)`` 8-byte keys instead of the ~50-byte span
+    strings — ~6x less shuffle I/O on the dominant exchange; per-doc
+    output changes only on a cross-document hash collision (odds ≤
+    pairs/2⁶⁴). Verbatim string keys below the gate let the DuckDB oracle
+    replay the operator exactly. ``pin_shuffle_join`` pins the
+    duplicated-span set (a derived aggregate — estimate-hazardous) to
+    sort-merge above the measured gate.
     """
     grams = _with_word_ngrams(df.select(id_col, text_col), text_col, n, "_grams")
-    g = grams.select(id_col, F.explode("_grams").alias("span")).persist()
+    span_key = (
+        F.xxhash64(F.col("_span")) if hash_keys else F.col("_span")
+    )
+    g = (
+        grams.select(id_col, F.explode("_grams").alias("_span"))
+        .select(id_col, span_key.alias("span"))
+        .persist()
+    )
     dup = (
         g.groupBy("span")
         .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
@@ -1103,7 +1117,7 @@ def duplicate_span_stats(
     )
     totals = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
     dups = (
-        g.join(dup, "span")
+        g.join(_corpus_sized(dup, pin_shuffle_join), "span")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
