@@ -166,6 +166,29 @@ def launch(sf_dir: str, shard_n: int) -> int:
     return aggregate_and_check(sf_dir, shard_n)
 
 
+def _release_session_state(spark) -> None:
+    """Between-entry hygiene: drop lingering cached frames and kick both
+    collectors so one entry's persisted/localCheckpointed blocks are gone
+    before the next entry is timed. Entries release their own named
+    caches (dedup.release_caches), but localCheckpoint blocks free only
+    when the Python references die and the JVM ContextCleaner runs — at
+    sf100 block sizes, 30+ entries of lag was enough to push a later
+    aggregation into UNABLE_TO_ACQUIRE_MEMORY inside the full sweep
+    while the same entry passed isolated (round-10 finding: fleiss/mrmr
+    in-sweep OOMs). Measurement isolation, not a correctness hook."""
+    import gc
+
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001 - hygiene must never fail the sweep
+        pass
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def run_only(sf_dir: str, names: list[str], best_of: int = 1) -> int:
     """Targeted sweep of a named entry subset — the decade-3 instrument
     (round-9 verdict item #3). At sf100 a full 376-entry sweep is hours
@@ -200,6 +223,7 @@ def run_only(sf_dir: str, names: list[str], best_of: int = 1) -> int:
         except Exception as e:  # noqa: BLE001 - record, keep sweeping
             out[name] = f"ERR {type(e).__name__}: {e}"
             print(f"  ERR       {name}: {type(e).__name__}: {e}", flush=True)
+        _release_session_state(spark)
     tag = Path(sf_dir).name
     with open(f"/tmp/time_sweep_{tag}_only.json", "w") as f:
         json.dump(out, f, indent=1)
@@ -245,6 +269,7 @@ def main() -> int:
             out[name] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # noqa: BLE001 - record, keep sweeping
             out[name] = f"ERR {type(e).__name__}"
+        _release_session_state(spark)
     tag = Path(sf_dir).name
     path = f"/tmp/time_sweep_{tag}_{shard_i}.json"
     with open(path, "w") as f:
