@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -17833,9 +17834,15 @@ def feature_mrmr_selection(spark, sf_dir):
         # the (okey, 6 features, label) frame is consumed THREE times —
         # count, relevance collect, redundancy collect — and its lineage
         # is the one expensive scan here (orders ⋈ customer ⋈ a full
-        # lineitem rollup). Pin it so the fact tables are read once;
-        # everything downstream is bounded contingency arithmetic.
-        .localCheckpoint(eager=True)
+        # lineitem rollup). Pin it so the fact tables are read once —
+        # DISK_ONLY, not localCheckpoint (round-10 sf100 find): this is
+        # a 150M-row fact-grain frame at sf100, and memory-resident
+        # blocks occupy the unified region's protected storage half, so
+        # a later hash aggregate in the same session can fail
+        # UNABLE_TO_ACQUIRE while the identical plan passes in a fresh
+        # session. Disk blocks keep the read-once property without
+        # competing with execution memory; unpersisted before return.
+        .persist(StorageLevel.DISK_ONLY)
     )
     lng = per.selectExpr(
         "okey",
@@ -17912,6 +17919,7 @@ def feature_mrmr_selection(spark, sf_dir):
     for r in red.collect():
         mi_m[(r.fa, r.fb)] = r.mi
         mi_m[(r.fb, r.fa)] = r.mi
+    per.unpersist()  # both consumers have collected; free the disk blocks
     picks = []
     s1 = sorted(rel_m.items(), key=lambda kv: (-kv[1], kv[0]))[0]
     picks.append((1, s1[0], s1[1]))
