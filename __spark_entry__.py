@@ -12296,28 +12296,86 @@ def agg_spearman_rank_corr(spark, sf_dir):
     Tie-aware AVERAGE ranks built from min-rank + (tie_count-1)/2 (both
     engines lack a native avg-rank; rank()+count() over the value
     partition reconstructs it exactly), then one corr() over the ranked
-    frame — Pearson-on-ranks IS Spearman. Two window passes + one
-    map-combinable aggregate; all rank windows share the l_returnflag
-    partitioning so AQE coalesces them into one exchange. Scale note
-    (measured: 1.1 s sf0.1 / 7.6 s sf1 / 61 s sf10): the rank sort
-    parallelism is capped by the 3 partition keys — at 100 TB run
-    agg_spearman_binned instead (wave 204, the implemented scale
-    recipe: bounded contingency ranks, no row-level sort — measured
-    2.9 s at sf10 vs this entry's 60 s); this entry pins the exact
-    row-level semantics."""
+    frame — Pearson-on-ranks IS Spearman.
+
+    SIZE-GATED on the fact count (round 10): below the gate, two rank
+    windows + corr — the oracle-hashed row-level arm, whose rank-sort
+    parallelism is capped by the 3 partition keys (measured 1.1 s
+    sf0.1 / 7.6 s sf1 / 61 s sf10 / **830 s sf100** — the decade-3
+    sweep's worst entry). Above it, the EXACT same statistic from
+    contingencies: tie-aware average ranks depend only on per-value
+    counts (avg_rank(v) = rows-below(v) + (c(v)+1)/2), so two
+    value-rank maps (bounded by the value domains, windowed over the
+    aggregated domain rows — never the fact) and one joint
+    (flag, qty, price) count — all map-side-combinable hash
+    aggregates, no row-level sort — feed a weighted Pearson over the
+    joint groups. Identical mathematics; identical rounded output
+    (forced-gate identity pinned in tests/test_round10_ops.py).
+    agg_spearman_binned (wave 204) remains the bounded-bin recipe for
+    continuous domains where the value-domain rank maps themselves
+    would scale with the data."""
     l = _t(spark, sf_dir, "lineitem")
-    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    tq = Window.partitionBy("l_returnflag", "l_quantity")
-    tp = Window.partitionBy("l_returnflag", "l_extendedprice")
-    r = l.select(
-        "l_returnflag",
-        (F.rank().over(wq) + (F.count(F.lit(1)).over(tq) - 1) / 2.0).alias("rq"),
-        (F.rank().over(wp) + (F.count(F.lit(1)).over(tp) - 1) / 2.0).alias("rp"),
+    if not _gates.pin_shuffle_join_fact(
+        _table_count(spark, sf_dir, "lineitem")
+    ):
+        wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        tq = Window.partitionBy("l_returnflag", "l_quantity")
+        tp = Window.partitionBy("l_returnflag", "l_extendedprice")
+        r = l.select(
+            "l_returnflag",
+            (F.rank().over(wq) + (F.count(F.lit(1)).over(tq) - 1) / 2.0).alias("rq"),
+            (F.rank().over(wp) + (F.count(F.lit(1)).over(tp) - 1) / 2.0).alias("rp"),
+        )
+        return r.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.corr("rq", "rp"), 6) + 0.0).alias("spearman_rho"),
+        )
+
+    def rank_map(col, alias):
+        # per-(flag, value) tie-aware average rank from counts alone;
+        # the window sorts the aggregated VALUE DOMAIN, never fact rows
+        c = l.groupBy("l_returnflag", col).agg(F.count(F.lit(1)).alias("_c"))
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return c.select(
+            "l_returnflag",
+            col,
+            (
+                F.coalesce(F.sum("_c").over(w), F.lit(0))
+                + (F.col("_c") + 1) / 2.0
+            ).alias(alias),
+        )
+
+    joint = l.groupBy("l_returnflag", "l_quantity", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    return r.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.round(F.corr("rq", "rp"), 6) + 0.0).alias("spearman_rho"),
+    j = joint.join(
+        F.broadcast(rank_map("l_quantity", "rq")),
+        ["l_returnflag", "l_quantity"],
+    ).join(
+        F.broadcast(rank_map("l_extendedprice", "rp")),
+        ["l_returnflag", "l_extendedprice"],
+    )
+    g = j.groupBy("l_returnflag").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("rq")).alias("sq"),
+        F.sum(F.col("c") * F.col("rp")).alias("sp"),
+        F.sum(F.col("c") * F.col("rq") * F.col("rq")).alias("sqq"),
+        F.sum(F.col("c") * F.col("rp") * F.col("rp")).alias("spp"),
+        F.sum(F.col("c") * F.col("rq") * F.col("rp")).alias("sqp"),
+    )
+    rho = (F.col("n") * F.col("sqp") - F.col("sq") * F.col("sp")) / F.sqrt(
+        (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq"))
+        * (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp"))
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.round(rho, 6) + 0.0).alias("spearman_rho"),
     )
 
 
@@ -15096,7 +15154,11 @@ def agg_anderson_darling_normality(spark, sf_dir):
     clamped to [1e-12, 1-1e-12] so extreme standardized values cannot
     produce ln(0). Standardized z rounds to 8 decimals BEFORE ranking
     so ULPs cannot reorder ties; deterministic (z, orderkey, linenumber)
-    rank; the 3.878 critical value is the 1% case-0 asymptote."""
+    rank; the 3.878 critical value is the 1% case-0 asymptote.
+    SIZE-GATED on the fact count (round 10): above the gate the
+    i-indexed sums close over tie runs of equal z (see inline comment)
+    so no row-level rank window runs; identical mathematics, identity
+    pinned in tests/test_round10_ops.py."""
     l = _t(spark, sf_dir, "lineitem")
     s = l.groupBy(F.col("l_returnflag").alias("g")).agg(
         F.avg("l_discount").alias("mu"),
@@ -15112,14 +15174,6 @@ def agg_anderson_darling_normality(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
     )
-    wr = Window.partitionBy("g").orderBy("z", "l_orderkey", "l_linenumber")
-    wn = Window.partitionBy("g")
-    r = z0.select(
-        "g",
-        "z",
-        F.row_number().over(wr).alias("i"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
     az = F.abs(F.col("z"))
     x = az / F.lit(2.0 ** 0.5)
     t = 1.0 / (1.0 + 0.3275911 * x)
@@ -15134,25 +15188,65 @@ def agg_anderson_darling_normality(spark, sf_dir):
         F.col("z") >= 0, 0.5 * (1 + erf)
     ).otherwise(0.5 * (1 - erf))
     phi = F.greatest(F.least(phi_signed, F.lit(1.0 - 1e-12)), F.lit(1e-12))
+
+    def finish(per_g):
+        a2 = -F.any_value("n") - F.sum("t") / F.any_value("n")
+        return (
+            per_g.groupBy("g")
+            .agg(
+                F.any_value("n").alias("n_keep"),
+                F.round(a2, 4).alias("a_squared"),
+                (F.round(a2, 4) > 3.878).alias("reject_normal_1pct"),
+            )
+            .select(
+                F.col("g").alias("l_returnflag"),
+                F.col("n_keep").cast("long").alias("n"),
+                "a_squared",
+                "reject_normal_1pct",
+            )
+        )
+
+    if _gates.pin_shuffle_join_fact(_table_count(spark, sf_dir, "lineitem")):
+        # Contingency arm (round-10 sf100 find: the row-level rank window
+        # funnels the fact through 3 partitions — same defect class as
+        # agg_spearman_rank_corr). ln PHI is constant within a tie run of
+        # equal z, so the i-indexed sums close over each run: ranks
+        # a..a+c-1 contribute c(2a+c-2)·lnPHI + c(2n+2-2a-c)·ln(1-PHI) —
+        # one hash aggregate over (g, z) (z has the DISCOUNT domain's
+        # cardinality, ~11 values), a window over those domain rows, and
+        # exact integer coefficients. The deterministic orderkey tie-break
+        # only ordered WITHIN runs, so regrouping cannot change the sum.
+        cz = z0.groupBy("g", "z").agg(F.count(F.lit(1)).alias("c"))
+        wcum = (
+            Window.partitionBy("g")
+            .orderBy("z")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        runs = cz.select(
+            "g",
+            "z",
+            "c",
+            (F.coalesce(F.sum("c").over(wcum), F.lit(0)) + 1).alias("a"),
+            F.sum("c").over(Window.partitionBy("g")).alias("n"),
+        )
+        c, a, n = F.col("c"), F.col("a"), F.col("n")
+        term_run = (c * (2 * a + c - 2)).cast("double") * F.log(phi) + (
+            c * (2 * n + 2 - 2 * a - c)
+        ).cast("double") * F.log(1.0 - phi)
+        return finish(runs.select("g", "n", term_run.alias("t")))
+
+    wr = Window.partitionBy("g").orderBy("z", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("g")
+    r = z0.select(
+        "g",
+        "z",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
     term = (2.0 * F.col("i") - 1) * F.log(phi) + (
         2.0 * (F.col("n") - F.col("i")) + 1
     ) * F.log(1.0 - phi)
-    a2 = -F.any_value("n") - F.sum("t") / F.any_value("n")
-    return (
-        r.select("g", "n", term.alias("t"))
-        .groupBy("g")
-        .agg(
-            F.any_value("n").alias("n_keep"),
-            F.round(a2, 4).alias("a_squared"),
-            (F.round(a2, 4) > 3.878).alias("reject_normal_1pct"),
-        )
-        .select(
-            F.col("g").alias("l_returnflag"),
-            F.col("n_keep").cast("long").alias("n"),
-            "a_squared",
-            "reject_normal_1pct",
-        )
-    )
+    return finish(r.select("g", "n", term.alias("t")))
 
 
 # ---------------------------------------------------------------------------

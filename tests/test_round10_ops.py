@@ -97,3 +97,34 @@ def test_duplicate_span_stats_entry_gate_forced(spark, monkeypatch):
         tuple(r) for r in QS["dedup_duplicate_spans"](spark, SF).collect()
     )
     assert gated == base and len(base) > 0
+
+
+def test_spearman_contingency_arm_identity(spark, monkeypatch):
+    """The fact-gated contingency reformulation of exact Spearman (value
+    rank maps + weighted Pearson over joint groups) must reproduce the
+    row-level window arm's rounded output exactly — the gate is a plan
+    choice, never a semantics choice."""
+    base = sorted(
+        tuple(r) for r in QS["agg_spearman_rank_corr"](spark, SF).collect()
+    )
+    monkeypatch.setattr(em._gates, "PIN_FACT_MIN_ROWS", 0)
+    gated = sorted(
+        tuple(r) for r in QS["agg_spearman_rank_corr"](spark, SF).collect()
+    )
+    assert gated == base and len(base) > 0
+
+
+def test_anderson_darling_run_closed_form_identity(spark, monkeypatch):
+    """The fact-gated Anderson-Darling arm (closed-form tie-run
+    coefficients over the (g, z) contingency) must reproduce the
+    row-level rank-window arm's rounded output exactly."""
+    base = sorted(
+        tuple(r)
+        for r in QS["agg_anderson_darling_normality"](spark, SF).collect()
+    )
+    monkeypatch.setattr(em._gates, "PIN_FACT_MIN_ROWS", 0)
+    gated = sorted(
+        tuple(r)
+        for r in QS["agg_anderson_darling_normality"](spark, SF).collect()
+    )
+    assert gated == base and len(base) > 0
