@@ -11713,12 +11713,20 @@ def graph_degree_assortativity(spark, sf_dir):
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
+    # round-10 sf100 fix: this entry had missed BOTH round-9 disciplines
+    # and blew the heap at 600M lineitem — the memory-resident edge
+    # persist (hundreds of millions of pairs) plus TWO estimate-driven
+    # broadcast builds of the derived degree table. Above the fact gate
+    # the edge cache goes DISK_ONLY and the degree joins pin sort-merge.
+    pin = _gates.pin_shuffle_join_fact(_table_count(spark, sf_dir, "lineitem"))
     ec = (
         a.join(b, "ok")
         .where(F.col("a.pk") < F.col("b.pk"))
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
-        .persist()
+        .persist(
+            StorageLevel.DISK_ONLY if pin else StorageLevel.MEMORY_AND_DISK_DESER
+        )
     )
     e2 = ec.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         ec.select(F.col("v").alias("x"), F.col("u").alias("y"))
@@ -11726,8 +11734,8 @@ def graph_degree_assortativity(spark, sf_dir):
     deg = e2.groupBy("x").agg(F.count(F.lit(1)).cast("double").alias("d"))
     n_edges = ec.count()
     n_nodes = deg.count()
-    da = deg.select(F.col("x").alias("_a"), F.col("d").alias("da"))
-    db = deg.select(F.col("x").alias("_b"), F.col("d").alias("db"))
+    da = _pin(deg.select(F.col("x").alias("_a"), F.col("d").alias("da")), pin)
+    db = _pin(deg.select(F.col("x").alias("_b"), F.col("d").alias("db")), pin)
     out = (
         e2.join(da, e2.x == da._a)
         .join(db, e2.y == db._b)
