@@ -43,15 +43,30 @@ def main() -> int:
                 text=True,
             )
         )
-    rc = 0
+    failed: list[int] = []
+    failed_tests: list[str] = []
     for i, p in enumerate(procs):
         out, _ = p.communicate()
         tail = "\n".join(out.strip().splitlines()[-3:])
         print(f"--- shard {i}/{n} (rc={p.returncode}) ---\n{tail}")
         if p.returncode not in (0, 5):
-            rc = 1
+            failed.append(i)
+            failed_tests += [
+                ln.split(" ", 2)[1]
+                for ln in out.splitlines()
+                if ln.startswith("FAILED ") or ln.startswith("ERROR ")
+            ]
     print(f"total wall: {time.time() - t0:.1f}s")
-    return rc
+    # Verdict must be the LAST line (round-10 verdict #2): a failing
+    # shard's rc=1 header scrolls past the passing shards, so anyone
+    # reading through `tail` sees green. Make truncation-proof output.
+    if failed:
+        for t in failed_tests:
+            print(f"  FAILED {t}")
+        print(f"FAIL: shards {failed} of {n} ({len(failed_tests)} failing tests)")
+        return 1
+    print(f"PASS: all {n} shards green")
+    return 0
 
 
 if __name__ == "__main__":
