@@ -12361,11 +12361,17 @@ def agg_spearman_rank_corr(spark, sf_dir):
     joint = l.groupBy("l_returnflag", "l_quantity", "l_extendedprice").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # sort-merge pins, NOT broadcast (ADVICE r10 #1): the rank maps'
+    # cardinality is distinct (flag, value) — data-dependent, and for a
+    # near-continuous price domain on a genuine corpus it grows toward
+    # fact scale, the exact derived-table-broadcast hazard fixed in
+    # graph_degree_assortativity. Both sides here are already aggregated
+    # to the join grain, so the shuffle is domain-bounded either way.
     j = joint.join(
-        F.broadcast(rank_map("l_quantity", "rq")),
+        rank_map("l_quantity", "rq").hint("merge"),
         ["l_returnflag", "l_quantity"],
     ).join(
-        F.broadcast(rank_map("l_extendedprice", "rp")),
+        rank_map("l_extendedprice", "rp").hint("merge"),
         ["l_returnflag", "l_extendedprice"],
     )
     g = j.groupBy("l_returnflag").agg(

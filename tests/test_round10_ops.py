@@ -31,6 +31,17 @@ def test_minhash_lsh_gate_noop_on_distinct_corpus(spark, monkeypatch):
     """With the collapse gate forced LOW on a corpus with no exact
     duplicates, the collapse is a row-preserving no-op and the pair set
     must be byte-identical to the ungated (oracle) arm."""
+    # precondition (ADVICE r10 #4): the fixture must actually be
+    # duplicate-free, else the forced collapse is not row-preserving and
+    # this test would fail for a non-product reason
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    n_texts = docs.select("text").distinct().count()
+    assert n_docs == n_texts, (
+        f"sf0.001 documents fixture gained exact-duplicate texts "
+        f"({n_docs} rows, {n_texts} distinct) — this test's no-op premise "
+        f"no longer holds; point it at a duplicate-free corpus"
+    )
     base = sorted(tuple(r) for r in QS["dedup_minhash_lsh"](spark, SF).collect())
     assert base, "fixture must produce near-dup pairs"
     monkeypatch.setattr(em, "HUBNESS_EXACT_MAX_ROWS", 1)
