@@ -42,6 +42,9 @@ KEYED = {
     "embeddings": {"vec_id": "embeddings"},
 }
 FIXED = ["region", "nation"]
+# Largest source (rows) we'll broadcast in the no-shuffle orientation;
+# ~5M TPC-H-ish rows stay well under Spark's 8 GB broadcast hard limit.
+BROADCAST_SAFE_ROWS = 5_000_000
 # key column whose max defines each table's offset step
 STEP_KEY = {
     "customer": "c_custkey",
@@ -81,13 +84,27 @@ def scale_up(spark, src: str, dst: str, n_copies: int) -> None:
         # Real corpora arrive as many files; target ~1M rows per file so
         # split work is bounded by ROWS, not compressed bytes.
         n_parts = max(32, min(512, (n_src * n_copies) // 1_000_000 + 1))
-        n_parts = min(n_parts, n_copies)
-        copies = (
-            spark.range(n_copies)
-            .select(F.col("id").alias("_copy"))
-            .repartition(n_parts)
-        )
-        out = copies.crossJoin(F.broadcast(df))
+        if n_src <= BROADCAST_SAFE_ROWS:
+            # n_parts granularity is capped at one copy per file in this
+            # orientation, so big-source/low-copy runs land more than the
+            # ~1M-row target per file — acceptable only because that
+            # combination takes the fallback branch below.
+            n_parts = min(n_parts, n_copies)
+            copies = (
+                spark.range(n_copies)
+                .select(F.col("id").alias("_copy"))
+                .repartition(n_parts)
+            )
+            out = copies.crossJoin(F.broadcast(df))
+        else:
+            # ADVICE r10 #3: broadcasting the source is bounded by driver
+            # heap and Spark's 8 GB broadcast hard limit (sf1 lineitem is
+            # already ~GB-scale in memory). Above the safe bound, flip the
+            # orientation — the n_copies-row range is the broadcast side —
+            # and buy the rows-per-file target with one output shuffle
+            # instead (a tool-time cost, paid once per synthesized tree).
+            copies = spark.range(n_copies).select(F.col("id").alias("_copy"))
+            out = df.crossJoin(F.broadcast(copies)).repartition(n_parts)
         for col, step_tbl in key_cols.items():
             out = out.withColumn(
                 col, F.col(col) + F.col("_copy") * F.lit(steps[step_tbl])
