@@ -182,6 +182,7 @@ def compact_summary(
     n_runs: int,
     isolated: dict[str, float] | None = None,
     limit: int = 1800,
+    load: dict[str, list[float]] | None = None,
 ) -> str:
     """The driver parses the LAST stdout line from a ~2 KB tail capture —
     build the summary and degrade per-query detail (2-decimal times, then
@@ -205,6 +206,12 @@ def compact_summary(
         "core15_seconds": round(sum(timings[q] for q in core15), 3),
         "notes": "best-of-N shared-box; runs in BENCH_runs_verbose.json",
     }
+    if load:
+        # r10 VERDICT item #5: driver-capture totals drifted +23% between
+        # rounds with zero code change on the moved entries; recording the
+        # box's 1/5/15-min load before and after the suite makes the
+        # environmental-vs-regression adjudication mechanical.
+        summary["load"] = load
     if isolated:
         # round-close protocol (r5 VERDICT item #4): the most expensive
         # suite queries re-measured in a FRESH session, best-of-5 — the
@@ -295,6 +302,11 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    try:
+        load_before = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_before = None
+
     spark = get_spark(app_name="boann-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -344,8 +356,23 @@ def main() -> None:
             json.dump(verbose, f)
     except OSError:
         pass
+    try:
+        load_after = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_after = None
+    load = (
+        {"before": load_before, "after": load_after}
+        if load_before or load_after
+        else None
+    )
+    verbose["load"] = load
+
     print(json.dumps(verbose))
-    print(compact_summary(timings, core15, sf, n_runs, isolated=isolated))
+    print(
+        compact_summary(
+            timings, core15, sf, n_runs, isolated=isolated, load=load
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -54,3 +54,16 @@ def test_compact_summary_isolated_block_present_when_it_fits():
         compact_summary(timings, list(timings)[:15], 0.1, 3, isolated=iso)
     )
     assert parsed["isolated"] == {k: 0.5 for k in iso}
+
+
+def test_compact_summary_load_field_survives_degradation():
+    """r10 VERDICT item #5: the load averages must reach the driver
+    artifact even when the suite is huge and per-query detail degrades."""
+    load = {"before": [1.23, 0.5, 0.1], "after": [30.0, 12.0, 4.0]}
+    for n in (20, 1000):
+        timings = _synthetic(n)
+        line = compact_summary(
+            timings, list(timings)[:15], 0.1, 3, load=load
+        )
+        assert len(line) < 1800
+        assert json.loads(line)["load"] == load
