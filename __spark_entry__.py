@@ -2916,49 +2916,56 @@ def q18_large_volume_customers(spark, sf_dir):
 )
 def q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 shape (adapted: 'late' = shipped >365 days after the
-    order date, since the testdata has no commit/receipt dates): correlated
-    EXISTS → left-semi join, correlated NOT EXISTS whose predicate also
-    references the OUTER query's o_orderdate → left-anti join with a
-    compound condition. Both correlate on l_orderkey, so they shuffle on
-    the same key as the main join — one exchange family, no fan-out."""
+    order date, since the testdata has no commit/receipt dates).
+
+    The correlated EXISTS / NOT EXISTS are evaluated as per-order
+    supplier statistics, not as self-joins (the textbook Q21 rewrite):
+    on the F-orders join frame, EXISTS(another supplier on the order) ⇔
+    countDistinct(suppkey) ≥ 2, and NOT EXISTS(another supplier late on
+    the order) ⇔ the distinct-late-supplier count is exactly 1 (the
+    candidate line is itself late, so it accounts for the 1). Both
+    correlate only on l_orderkey and the candidate's own lateness, so
+    one (orderkey, suppkey) rollup replaces two 600M×600M semi/anti
+    joins. Round-11 sf100 find: the join form chained THREE sort-merge
+    joins into one stage — four concurrent external sorters per task ×
+    32 tasks exhausted the 8g heap (GC-locker retry on the 32 MB sort
+    pointer arrays). The rollup form keeps at most two sorted sides per
+    stage and its aggregates are spillable hash maps. Identical result
+    (oracle hash unchanged; pinned in tests/test_round11_ops.py)."""
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem")
     late_cut = F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
-    l1 = l.select(
-        F.col("l_orderkey").alias("l1_orderkey"),
-        F.col("l_suppkey").alias("l1_suppkey"),
-        F.col("l_shipdate").alias("l1_shipdate"),
-    )
-    base = l1.join(o, F.col("o_orderkey") == F.col("l1_orderkey")).filter(
-        F.col("l1_shipdate") > late_cut
-    )
-    l2 = l.select(
-        F.col("l_orderkey").alias("l2_orderkey"),
-        F.col("l_suppkey").alias("l2_suppkey"),
-    )
-    l3 = l.select(
-        F.col("l_orderkey").alias("l3_orderkey"),
-        F.col("l_suppkey").alias("l3_suppkey"),
-        F.col("l_shipdate").alias("l3_shipdate"),
-    )
-    qualified = (
-        base.join(
-            l2,
-            (F.col("l2_orderkey") == F.col("l1_orderkey"))
-            & (F.col("l2_suppkey") != F.col("l1_suppkey")),
-            "left_semi",
+    lines = (
+        l.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > late_cut).alias("is_late"),
         )
-        .join(
-            l3,
-            (F.col("l3_orderkey") == F.col("l1_orderkey"))
-            & (F.col("l3_suppkey") != F.col("l1_suppkey"))
-            & (F.col("l3_shipdate") > late_cut),
-            "left_anti",
-        )
+    )
+    # (orderkey, suppkey) grain first — map-side partial combine shrinks
+    # the shuffle to distinct pairs; both follow-up aggs and the join
+    # back to the late lines then share the orderkey exchange family.
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+    )
+    late_lines = lines.filter(F.col("is_late")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    qualified = late_lines.join(
+        per_order.filter(
+            (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        ).select("l_orderkey"),
+        "l_orderkey",
     )
     return (
-        qualified.join(s, F.col("s_suppkey") == F.col("l1_suppkey"))
+        qualified.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -41,3 +41,14 @@ def test_spearman_scale_arm_values_unchanged(spark, monkeypatch):
         tuple(r) for r in QS["agg_spearman_rank_corr"](spark, SF).collect()
     )
     assert gated == base and len(base) > 0
+
+
+def test_q21_rollup_form_has_no_semi_anti_joins(spark):
+    """Round-11 sf100 find: the EXISTS/NOT-EXISTS join form chained three
+    sort-merge joins into one stage (four concurrent external sorters per
+    task OOM'd the 8g heap at 600M rows). The rollup rewrite must keep
+    the semi/anti joins out of the plan at every scale — values are
+    covered by the DuckDB oracle, which still runs the EXISTS form."""
+    plan = _executed_plan(QS["q21_waiting_suppliers"](spark, SF))
+    assert "LeftSemi" not in plan, plan
+    assert "LeftAnti" not in plan, plan

@@ -189,6 +189,42 @@ def _release_session_state(spark) -> None:
         pass
 
 
+def _session_alive(spark) -> bool:
+    try:
+        spark.sql("SELECT 1").collect()
+        return True
+    except Exception:  # noqa: BLE001 - any failure means dead for our use
+        return False
+
+
+def _respawn_session():
+    """Launch a FRESH driver JVM after the previous one died (round-11
+    find: q21's heap OOM killed the JVM and the remaining 36 entries all
+    recorded spurious ConnectionRefused errors — one defect poisoned the
+    whole tail of the sweep). PySpark caches the gateway on the
+    SparkContext class, so a clean relaunch must drop those handles; the
+    dead JVM cannot be stop()ed, only abandoned."""
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    try:
+        if SparkContext._active_spark_context is not None:
+            SparkContext._active_spark_context.stop()
+    except Exception:  # noqa: BLE001 - the JVM is already gone
+        pass
+    SparkContext._active_spark_context = None
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+
+    from boann_ocsf_security_data_platform_spark import get_spark
+
+    spark = get_spark(app_name="time-sweep-respawn", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
 def run_only(sf_dir: str, names: list[str], best_of: int = 1) -> int:
     """Targeted sweep of a named entry subset — the decade-3 instrument
     (round-9 verdict item #3). At sf100 a full 376-entry sweep is hours
@@ -223,6 +259,9 @@ def run_only(sf_dir: str, names: list[str], best_of: int = 1) -> int:
         except Exception as e:  # noqa: BLE001 - record, keep sweeping
             out[name] = f"ERR {type(e).__name__}: {e}"
             print(f"  ERR       {name}: {type(e).__name__}: {e}", flush=True)
+            if not _session_alive(spark):
+                print("  session dead — respawning driver JVM", flush=True)
+                spark = _respawn_session()
         _release_session_state(spark)
     tag = Path(sf_dir).name
     with open(f"/tmp/time_sweep_{tag}_only.json", "w") as f:
