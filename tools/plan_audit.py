@@ -883,9 +883,36 @@ def audit(spark, sf_dir: str) -> list[tuple[str, bool, str]]:
     return results
 
 
+def _max_smj_stack(node) -> int:
+    """Deepest chain of SortMergeJoin nodes with no Exchange between them
+    along any one tree path. An exchange-free SMJ stack runs ALL its
+    joins' sorts in ONE stage — sorters per task ≈ stack + 1 — so task
+    memory grows with the stack depth times the per-partition input
+    (round-11 find: q21's 3-stack held four 600M-row external sorters per
+    task and OOM'd the 8g heap at sf100). Exchange nodes (shuffle AND
+    broadcast-build) are stage boundaries and reset the count."""
+    if "Exchange" in node.nodeName():
+        return 0
+    ch = node.children()
+    best = 0
+    for i in range(ch.size()):
+        sub = _max_smj_stack(ch.apply(i))
+        if sub > best:
+            best = sub
+    return best + (1 if "SortMergeJoin" in node.nodeName() else 0)
+
+
+# Entries allowed an exchange-free stack of >= 3 sort-merge joins, each
+# with a documented reason the per-task footprint stays bounded (e.g.
+# every stacked side is a domain-bounded aggregate, not a fact scan).
+# Empty as of round 11: q21 was the only 3-stack and was rewritten.
+SMJ_STACK_ALLOWED: dict[str, str] = {}
+
+
 def scan_all(spark, sf_dir: str) -> int:
     """Bulk registry scan (--scan-all): build EVERY registered query's
-    physical plan and flag any CartesianProduct — the whole-registry
+    physical plan and flag any CartesianProduct, plus any exchange-free
+    sort-merge-join stack of 3+ (the q21 OOM shape) — the whole-registry
     version of the per-representative pins above (round-8 result: 376
     scanned, zero flagged, zero errors). Slower than the pin audit
     (~minutes: some entries run bounded model jobs at plan-build time),
@@ -893,17 +920,29 @@ def scan_all(spark, sf_dir: str) -> int:
     import __spark_entry__ as em
 
     qs = em.queries()
-    flagged, errors = [], []
+    flagged, stacked, errors = [], [], []
     for name, fn in qs.items():
         try:
-            p = plan_of(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            p = plan_of(df)
+            root = df._jdf.queryExecution().executedPlan()
+            try:
+                root = root.initialPlan()  # unwrap AdaptiveSparkPlan
+            except Exception:  # noqa: BLE001 - non-AQE plans lack it
+                pass
+            depth = _max_smj_stack(root)
         except Exception as e:  # noqa: BLE001 - report, don't abort the scan
             errors.append((name, str(e)[:80]))
             continue
         if "CartesianProduct" in p:
             flagged.append(name)
-    print(f"scanned {len(qs)}: cartesian={flagged} errors={errors}")
-    return 1 if flagged or errors else 0
+        if depth >= 3 and name not in SMJ_STACK_ALLOWED:
+            stacked.append((name, depth))
+    print(
+        f"scanned {len(qs)}: cartesian={flagged} "
+        f"smj_stack3plus={stacked} errors={errors}"
+    )
+    return 1 if flagged or stacked or errors else 0
 
 
 def main():

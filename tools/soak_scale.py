@@ -119,6 +119,23 @@ def main() -> int:
         docs = docs.unionByName(
             base.withColumn("doc_id", F.col("doc_id") + F.lit(i * step))
         )
+    # Interleave copies across batches: renumber ids in (original doc,
+    # copy#) arrival order — keeps the id-monotone-with-arrival contract
+    # while every batch carries a mix of fresh texts and duplicates.
+    # Without this, copies arrive as whole all-duplicate halves and late
+    # batches append ZERO survivors, which voids the frontier-partition
+    # assert for a non-product reason.
+    docs = docs.withColumn(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.pmod(F.col("doc_id"), F.lit(step)),
+                F.floor(F.col("doc_id") / F.lit(step)),
+            )
+        )
+        .cast("long"),
+    )
     docs = docs.withColumn("embedding", _emb(F.col("doc_id")))
     n_docs = docs.count()
     per_batch = n_docs // N_BATCHES
