@@ -17105,7 +17105,12 @@ def agg_kendall_tau_binned(spark, sf_dir):
         ).alias("by"),
     )
     cells = b.groupBy("bx", "by").agg(F.count(F.lit(1)).alias("cnt"))
-    a, c = cells.alias("a"), cells.alias("c")
+    # explicit broadcast (round-11 sf10 scan find): cells is provably
+    # <= 100 rows, but Catalyst's size ESTIMATE scales with the fact, so
+    # above ~sf10 the non-equi self-join silently degraded from
+    # BroadcastNestedLoopJoin to CartesianProduct. The hint makes the
+    # bounded-side knowledge explicit — estimates no longer decide.
+    a, c = cells.alias("a"), F.broadcast(cells.alias("c"))
     conc = a.join(
         c,
         (F.col("c.bx") > F.col("a.bx")) & (F.col("c.by") > F.col("a.by")),
@@ -17321,7 +17326,10 @@ def agg_tukey_hsd(spark, sf_dir):
             / (F.sum("n") - F.count(F.lit(1)))
         ).alias("mse")
     )
-    a, b = s.alias("a"), s.alias("b")
+    # broadcast the 5-row group-moment side explicitly (round-11 sf10
+    # scan find: the fact-scaled estimate flipped this non-equi self-join
+    # to CartesianProduct above the broadcast threshold)
+    a, b = s.alias("a"), F.broadcast(s.alias("b"))
     p = (
         a.join(b, F.col("a.g") < F.col("b.g"))
         .join(F.broadcast(mse))
@@ -22476,8 +22484,11 @@ def agg_hodges_lehmann_shift(spark, sf_dir):
     b = j.filter(~F.col("is_a")).groupBy("v").agg(
         F.count(F.lit(1)).alias("cb")
     )
+    # broadcast the binned domain explicitly (round-11 sf10 scan find):
+    # b is bounded by the $100-binned price DOMAIN (~1e3 rows), but its
+    # fact-scaled estimate flipped the weighted cross to CartesianProduct
     d = (
-        a.crossJoin(b.select(F.col("v").alias("vb"), "cb"))
+        a.crossJoin(F.broadcast(b.select(F.col("v").alias("vb"), "cb")))
         .select(
             (F.col("v") - F.col("vb")).alias("diff"),
             (F.col("ca").cast("long") * F.col("cb")).alias("w"),

@@ -52,3 +52,20 @@ def test_q21_rollup_form_has_no_semi_anti_joins(spark):
     plan = _executed_plan(QS["q21_waiting_suppliers"](spark, SF))
     assert "LeftSemi" not in plan, plan
     assert "LeftAnti" not in plan, plan
+
+
+def test_bounded_self_joins_are_hinted_broadcast(spark):
+    """Round-11 sf10 scan find: three entries non-equi-join (or cross) a
+    provably bounded aggregate whose Catalyst size estimate scales with
+    the FACT, so above ~sf10 the planner silently degraded them from
+    BroadcastNestedLoopJoin to CartesianProduct. The bounded side now
+    carries an explicit broadcast hint — pin that the hint is in the
+    plan at every scale (estimates must no longer decide)."""
+    for name in (
+        "agg_kendall_tau_binned",
+        "agg_tukey_hsd",
+        "agg_hodges_lehmann_shift",
+    ):
+        plan = _executed_plan(QS[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name
