@@ -12176,9 +12176,20 @@ def orders_skyline_pareto_front(spark, sf_dir):
     running-min window: a point survives iff its days beat the best days
     of every strictly-preceding (≤-price) point — the classic
     sort-filter skyline (Börzsönyi et al. 2001), output size ~O(log n)
-    on independent dims. At 100 TB: pre-prune with a coarse grid (a
-    point dominated within its cell is dominated globally), then run the
-    window on survivors; semantics unchanged."""
+    on independent dims.
+
+    Round-11 sf100 find: the original single global window WAS the
+    rank-window funnel at cardinality 1 — Window.orderBy with no
+    partition key sorts the whole 150M-order fact in ONE task (437 s at
+    sf100). The window is now partitioned by a 1000-cell price bucket
+    with the cross-bucket floor folded in: global
+    min-over-preceding(p) = min(min days over ALL strictly-lower price
+    buckets [every such point precedes p, since equal prices can never
+    straddle a bucket boundary], running min over the in-bucket
+    (price, days, k)-preceding points). Identical statistic, fact sort
+    spread over 1000 parallel partitions; the only global window left
+    runs over the 1000 bucket-summary rows. Identity vs the
+    single-window form pinned in tests/test_round11_ops.py."""
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     pts = (
@@ -12197,10 +12208,37 @@ def orders_skyline_pareto_front(spark, sf_dir):
             "days",
         )
     )
-    w = Window.orderBy("price", "days", "k").rowsBetween(
+    mm = pts.agg(F.min("price").alias("x0"), F.max("price").alias("x1"))
+    bucketed = pts.join(F.broadcast(mm)).select(
+        "k",
+        "price",
+        "days",
+        F.when(
+            F.col("x1") > F.col("x0"),
+            F.least(
+                F.lit(999),
+                F.floor(
+                    (F.col("price") - F.col("x0"))
+                    / (F.col("x1") - F.col("x0"))
+                    * 1000
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bkt"),
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    floors = (
+        bucketed.groupBy("bkt")
+        .agg(F.min("days").alias("bmin"))
+        .select("bkt", F.min("bmin").over(wb).alias("floor_days"))
+    )
+    wp = Window.partitionBy("bkt").orderBy("price", "days", "k").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    ranked = pts.withColumn("best_prev", F.min("days").over(w))
+    ranked = bucketed.join(F.broadcast(floors), "bkt").withColumn(
+        "best_prev", F.least(F.min("days").over(wp), F.col("floor_days"))
+    )
     return ranked.filter(
         F.col("best_prev").isNull() | (F.col("days") < F.col("best_prev"))
     ).select(

@@ -69,3 +69,65 @@ def test_bounded_self_joins_are_hinted_broadcast(spark):
         plan = _executed_plan(QS[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_skyline_bucketed_window_identity(spark):
+    """The price-bucketed skyline (per-bucket window + cross-bucket
+    prefix-min floor) must reproduce the single global window's rows
+    exactly — bucketing is a parallelism choice, never semantics."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    got = sorted(
+        tuple(r)
+        for r in QS["orders_skyline_pareto_front"](spark, SF).collect()
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pts = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.date_trunc("day", F.max("l_shipdate")).cast("date"),
+                F.date_trunc("day", F.col("o_orderdate")).cast("date"),
+            ).alias("days")
+        )
+        .filter(F.col("days") > 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+            "days",
+        )
+    )
+    w = Window.orderBy("price", "days", "k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = pts.withColumn("best_prev", F.min("days").over(w))
+    want = sorted(
+        tuple(r)
+        for r in ranked.filter(
+            F.col("best_prev").isNull()
+            | (F.col("days") < F.col("best_prev"))
+        )
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.round("price", 2).alias("price"),
+            F.col("days").cast("long").alias("days_to_ship"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_skyline_has_no_global_fact_window(spark):
+    """Plan pin: the only unpartitioned window may run over the bucket
+    summary (1000 rows) — the fact-grain window must carry the bkt
+    partition key."""
+    plan = _executed_plan(QS["orders_skyline_pareto_front"](spark, SF))
+    import re
+
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    # every Window spec list: partition cols appear before the ordering;
+    # the fact window must mention bkt partitioning
+    assert any("bkt" in w for w in wins), plan
