@@ -90,6 +90,34 @@ def _pin(df: DataFrame, pin: bool) -> DataFrame:
     return df.hint("merge") if pin else df
 
 
+def _order_buckets(
+    df: DataFrame, col: str, ascending: bool = True, n_buckets: int = 200
+) -> DataFrame:
+    """Quantile-bucket a GLOBAL window order so running aggregates
+    parallelize (round-11 defect class: ``Window.orderBy`` with no
+    partition key is the rank-window funnel at cardinality 1 — the whole
+    grain sorts in ONE task; 437 s for the skyline's 150M rows at sf100).
+
+    Adds a ``bkt`` column that RESPECTS the global order on ``col``:
+    every row of bucket i sorts before every row of bucket i+1, and
+    equal values always share a bucket (assignment depends on the value
+    alone). Any running aggregate over the global order then decomposes
+    exactly into (aggregate over all earlier buckets — a prefix over the
+    tiny bucket-summary table) ⊕ (in-bucket running aggregate over a
+    ``partitionBy("bkt")`` window). Boundaries come from approxQuantile
+    — a bounded driver-side model (≤ n_buckets doubles, never data);
+    their QUALITY affects only bucket balance, never values, so sketch
+    nondeterminism is harmless. ``col`` must be non-null."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(col, probs, 0.001)))
+    if not bounds:
+        return df.withColumn("bkt", F.lit(0))
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    v = F.col(col)
+    cond = (lambda b: b < v) if ascending else (lambda b: b > v)
+    return df.withColumn("bkt", F.size(F.filter(arr, cond)))
+
+
 _COUNT_CACHE: "dict[tuple[str, str], int]" = {}
 
 
@@ -10918,19 +10946,40 @@ def parts_abc_xyz_classification(spark, sf_dir):
         ).alias("cv"),
         F.count(F.lit(1)).alias("n_months"),
     )
-    w_cum = Window.orderBy(F.desc("rev"), F.asc("pk")).rowsBetween(
-        Window.unboundedPreceding, 0
+    # Bucketed running sum (round-11: the global Window.orderBy funneled
+    # the whole part grain — 20M rows at sf100 — through one task; see
+    # _order_buckets). cum = prefix over strictly-higher-revenue buckets
+    # + in-bucket running sum; tot rides a broadcast scalar, not a
+    # whole-frame window.
+    tot = per_part.agg(F.sum("rev").alias("tot_rev"))
+    b = _order_buckets(per_part, "rev", ascending=False)
+    w_cum = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("rev"), F.asc("pk"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_tot = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    w_pre = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        b.groupBy("bkt")
+        .agg(F.sum("rev").alias("bsum"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bsum").over(w_pre), F.lit(0.0)).alias(
+                "prev_rev"
+            ),
+        )
     )
-    ranked = per_part.select(
-        "pk",
-        "rev",
-        "cv",
-        "n_months",
-        F.sum("rev").over(w_cum).alias("cum_rev"),
-        F.sum("rev").over(w_tot).alias("tot_rev"),
+    ranked = (
+        b.join(F.broadcast(prefix), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pk",
+            "rev",
+            "cv",
+            "n_months",
+            (F.col("prev_rev") + F.sum("rev").over(w_cum)).alias("cum_rev"),
+            "tot_rev",
+        )
     )
     share = F.col("cum_rev") / F.col("tot_rev")
     classed = ranked.select(

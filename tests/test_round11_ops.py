@@ -131,3 +131,14 @@ def test_skyline_has_no_global_fact_window(spark):
     # every Window spec list: partition cols appear before the ordering;
     # the fact window must mention bkt partitioning
     assert any("bkt" in w for w in wins), plan
+
+
+def test_abc_xyz_has_no_global_fact_window(spark):
+    """parts_abc_xyz's cumulative-revenue window must carry the bkt
+    partition key (the DuckDB oracle still runs the single global-window
+    SQL, so values are pinned there; this pins the PLAN)."""
+    import re
+
+    plan = _executed_plan(QS["parts_abc_xyz_classification"](spark, SF))
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert any("bkt" in w for w in wins), plan
