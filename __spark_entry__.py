@@ -118,6 +118,50 @@ def _order_buckets(
     return df.withColumn("bkt", F.size(F.filter(arr, cond)))
 
 
+def _cum_before(
+    df: DataFrame,
+    order_col: str,
+    sum_col: str,
+    out_col: str,
+    n_buckets: int = 200,
+) -> DataFrame:
+    """Exclusive running sum over a global order, bucket-decomposed via
+    :func:`_order_buckets`: ``out_col`` = sum of ``sum_col`` over every
+    row with a strictly smaller ``order_col`` — the cum-count primitive
+    behind the distinct-value average-rank formulation (Mann-Whitney,
+    Kruskal-Wallis, Wilcoxon, KS). Requires ``order_col`` unique per row
+    (these frames are grouped by the value first). For integer
+    ``sum_col`` the decomposition is bit-exact (integer addition is
+    associative); the windows run |bucket|-parallel instead of funneling
+    the whole value domain through one task — the domain is bounded on
+    the bench corpora but scales with genuinely continuous data
+    (ADVICE r10 #1's hazard class). Drops the helper ``bkt`` column."""
+    b = _order_buckets(df, order_col, ascending=True, n_buckets=n_buckets)
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_pre = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        b.groupBy("bkt")
+        .agg(F.sum(sum_col).alias("_bsum"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("_bsum").over(w_pre), F.lit(0)).alias("_prev"),
+        )
+    )
+    return (
+        b.join(F.broadcast(prefix), "bkt")
+        .withColumn(
+            out_col,
+            F.col("_prev")
+            + F.coalesce(F.sum(sum_col).over(w_in), F.lit(0)),
+        )
+        .drop("bkt", "_prev")
+    )
+
+
 _COUNT_CACHE: "dict[tuple[str, str], int]" = {}
 
 
@@ -8275,14 +8319,14 @@ def agg_mann_whitney_u(spark, sf_dir):
             F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("nb"),
         )
     )
-    wprev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    tn = F.col("na") + F.col("nb")
-    arank = (
-        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(wprev), F.lit(0))
-        + (tn + 1) / F.lit(2.0)
+    # bucket-parallel exclusive cum-count (round 11, ADVICE r10 #1);
+    # integer sums, so bit-exact vs the single global window
+    pv = _cum_before(
+        pv.withColumn("tn", F.col("na") + F.col("nb")), "v", "tn", "_cb"
     )
+    arank = F.col("_cb") + (F.col("tn") + 1) / F.lit(2.0)
     st = pv.select(
-        "na", "nb", tn.alias("tn"), arank.alias("arank")
+        "na", "nb", "tn", arank.alias("arank")
     ).agg(
         F.sum(F.col("na") * F.col("arank")).alias("r_a"),
         F.sum("na").alias("n_a"),
@@ -16034,14 +16078,13 @@ def agg_kruskal_wallis(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_vg"))
     )
     vals = pv.groupBy("v").agg(F.sum("n_vg").alias("tn"))
-    wprev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    vals = vals.select(
+    # bucket-parallel exclusive cum-count (round 11, ADVICE r10 #1: the
+    # price domain is bounded on the bench corpora but scales with
+    # genuinely continuous data); integer sums, so bit-exact
+    vals = _cum_before(vals, "v", "tn", "_cb").select(
         "v",
         "tn",
-        (
-            F.coalesce(F.sum("tn").over(wprev), F.lit(0))
-            + (F.col("tn") + 1) / F.lit(2.0)
-        ).alias("arank"),
+        (F.col("_cb") + (F.col("tn") + 1) / F.lit(2.0)).alias("arank"),
     )
     grp = (
         pv.join(vals, "v")
@@ -16734,14 +16777,12 @@ def agg_wilcoxon_signed_rank(spark, sf_dir):
         F.count(F.lit(1)).alias("tn"),
         F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).alias("npos"),
     )
-    wprev = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
-    pv = pv.select(
+    # bucket-parallel exclusive cum-count (round 11, ADVICE r10 #1);
+    # integer sums, so bit-exact vs the single global window
+    pv = _cum_before(pv, "ad", "tn", "_cb").select(
         "tn",
         "npos",
-        (
-            F.coalesce(F.sum("tn").over(wprev), F.lit(0))
-            + (F.col("tn") + 1) / F.lit(2.0)
-        ).alias("arank"),
+        (F.col("_cb") + (F.col("tn") + 1) / F.lit(2.0)).alias("arank"),
     )
     st = pv.agg(
         F.sum("tn").alias("n"),
