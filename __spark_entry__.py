@@ -19228,21 +19228,24 @@ def agg_conformal_interval(spark, sf_dir):
             ).alias("score")
         )
     )
-    wr = Window.orderBy("score")
-    ranked = cal.select(
-        "score",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
-    qh = ranked.filter(
-        F.col("rn")
-        == F.ceil(0.9 * (F.col("n") + 1)).cast("long")
-    ).select(F.col("score").alias("qhat"))
+    # k-th order statistic via the bucketed cum-count, not a global
+    # row_number sort (round 11: the unpartitioned window funneled the
+    # 75M-row calibration half through ONE task at sf100). The
+    # ceil(0.9(n+1))-th score is the distinct score whose exclusive
+    # cum-count straddles k — exact under ties, bucket-parallel.
     nc = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    k = F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long")
+    sc = _cum_before(
+        cal.groupBy("score").agg(F.count(F.lit(1)).alias("tn")),
+        "score",
+        "tn",
+        "_cb",
+    )
+    qh = (
+        sc.join(F.broadcast(nc))
+        .filter((F.col("_cb") < k) & (k <= F.col("_cb") + F.col("tn")))
+        .select(F.col("score").alias("qhat"))
+    )
     test = (
         j.filter(~F.col("is_cal"))
         .join(F.broadcast(fit))
