@@ -56,6 +56,16 @@ _DEFAULT_CONF: dict[str, str] = {
     # override via SPARK_GRAFT_DRIVER_MEM — only effective for the process
     # that launches the JVM, like any driver-memory setting.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # HotSpot gives an allocating thread only TWO GC-locker retries before
+    # throwing OutOfMemoryError even when the heap has room — with 32
+    # executor threads in one JVM doing JNI-critical work (parquet/zstd
+    # native buffers, Arrow), humongous sort-array allocations hit that
+    # limit under load and kill the driver spuriously (round-11 sf100
+    # sweeps: "Retried waiting for GCLocker too often"). Raise the retry
+    # budget; this changes failure behavior only, never results.
+    "spark.driver.extraJavaOptions": (
+        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
+    ),
     "spark.ui.enabled": "false",
 }
 
