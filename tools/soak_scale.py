@@ -4,15 +4,23 @@ tests/test_funnel_soak.py pins the funnel + IVF lifecycle LOGIC with a
 100-doc corpus; this tool runs the SAME 20-batch chaos schedule — two
 kill-after-sink-before-commit replays, a crashed future-batch injection,
 mid-stream checkpoint-gated compaction — at shuffle-spill scale
-(default: the /tmp/sf10 documents tree x4 = 2M docs, ~100k docs/batch)
-and applies the same end-state parity asserts, DataFrame-side (no 2M-row
-driver collects). The run validates MEMORY POSTURE: per-batch
-localCheckpoints, the growing hash/band stores, and the batch-id
-partitioned index under replay pressure.
+(default 2M docs, ~100k docs/batch) and applies the same end-state
+parity asserts, DataFrame-side (no 2M-row driver collects). The run
+validates MEMORY POSTURE: per-batch localCheckpoints, the growing
+hash/band stores, and the batch-id partitioned index under replay
+pressure.
 
-Usage: python tools/soak_scale.py [SF_DIR] [COPIES]
-  SF_DIR  documents source tree (default /tmp/sf10, 500k docs)
-  COPIES  id-shifted replicas of the corpus (default 4 -> 2M docs)
+The corpus is SYNTHESIZED engine-side with the unit test's role
+structure scaled up (60% fresh unique texts, 20% exact duplicates of an
+earlier fresh doc, 10% near-duplicates, 5% quality failures, 5%
+contaminated) so EVERY batch exercises every stage and appends
+survivors. The replicated testdata trees cannot serve here: sf10 holds
+only 4,992 distinct texts, so after batch 0 every arriving doc is an
+exact duplicate, later batches append nothing, and the
+frontier-partition chaos assert becomes unsatisfiable for a
+non-product reason.
+
+Usage: python tools/soak_scale.py [N_DOCS]
 Prints one summary JSON line last; exit 0 iff every parity assert held.
 """
 
@@ -36,6 +44,52 @@ SEED_VECS = 1024
 # seed vec_ids: disjoint from every doc id, but < 2^31 (centroid ids
 # seed from the lowest-id vectors and ride an int cent_id model column)
 SEED_BASE = 900_000_000
+
+# 15 tokens, every third a stopword, no digits/punctuation — the same
+# quality-gate-clearing shape as the unit-test corpus
+_CONTENT = (
+    "spark cluster shuffle executor column scan join filter stream batch "
+    "window partition schema parquet vector index lattice harbor meadow "
+    "granite copper salmon timber orchard velvet lantern compass anchor "
+    "harvest thunder crystal voyage ember falcon willow summit prairie "
+    "canyon glacier"
+).split()
+_STOPS = "the and of to in is it for with on".split()
+BENCH_TEXT = (
+    "the benchmark and questions of ancient to rome in empire is falling"
+)
+
+
+def _text(id_col):
+    """Deterministic quality-passing 15-token text from an id, computed
+    engine-side: token j is stopword-vocab for j%3==0 else content-vocab,
+    both picked by xxhash64(id, j). Distinct ids give texts with tiny
+    shingle overlap (random 3-grams over a 42-word vocab), so fresh docs
+    are neither exact nor near duplicates of each other."""
+    content = F.array(*[F.lit(w) for w in _CONTENT])
+    stops = F.array(*[F.lit(w) for w in _STOPS])
+    return F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda j: F.when(
+                j % 3 == 0,
+                F.element_at(
+                    stops,
+                    (F.pmod(F.xxhash64(id_col, j), F.lit(len(_STOPS))) + 1)
+                    .cast("int"),
+                ),
+            ).otherwise(
+                F.element_at(
+                    content,
+                    (
+                        F.pmod(F.xxhash64(id_col, j), F.lit(len(_CONTENT)))
+                        + 1
+                    ).cast("int"),
+                )
+            ),
+        ),
+    )
 
 
 def _emb(id_col):
@@ -72,8 +126,7 @@ def _same_rows(a, b) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
-    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 
     from boann_ocsf_security_data_platform_spark import get_spark
     from boann_ocsf_security_data_platform_spark.operators.dedup import (
@@ -108,36 +161,30 @@ def main() -> int:
     ckpt = str(work / "ckpt")
     idx = str(work / "ivf")
 
-    # ---- corpus: SF docs x copies, ids monotone with arrival order ----
+    # ---- corpus: role-structured synthesis, ids == arrival order ------
+    # per 20-id cycle: 12 fresh unique, 4 exact dups (text of id-7, a
+    # fresh doc by construction: (id-7)%20 in 5..8), 2 near dups (text
+    # of id-5 plus one token), 1 quality failure, 1 contaminated.
     t0 = time.perf_counter()
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    step = base.agg(F.max("doc_id")).collect()[0][0] + 1
-    docs = base
-    for i in range(1, copies):
-        docs = docs.unionByName(
-            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * step))
-        )
-    # Interleave copies across batches: renumber ids in (original doc,
-    # copy#) arrival order — keeps the id-monotone-with-arrival contract
-    # while every batch carries a mix of fresh texts and duplicates.
-    # Without this, copies arrive as whole all-duplicate halves and late
-    # batches append ZERO survivors, which voids the frontier-partition
-    # assert for a non-product reason.
-    docs = docs.withColumn(
+    did = F.col("doc_id")
+    role = F.pmod(did, F.lit(20))
+    docs = spark.range(1, n_docs + 1).select(
+        F.col("id").alias("doc_id")
+    ).select(
         "doc_id",
-        F.row_number()
-        .over(
-            Window.orderBy(
-                F.pmod(F.col("doc_id"), F.lit(step)),
-                F.floor(F.col("doc_id") / F.lit(step)),
-            )
+        F.when(role < 12, _text(did))
+        .when(role < 16, _text(did - 7))
+        .when(role < 18, F.concat(_text(did - 5), F.lit(" extratoken")))
+        .when(
+            role == 18,
+            F.concat(F.lit("zz!!! "), did.cast("string"), F.lit(" ?? xx##")),
         )
-        .cast("long"),
+        .otherwise(
+            F.concat(F.lit(BENCH_TEXT + " u"), did.cast("string"))
+        )
+        .alias("text"),
+        _emb(did).alias("embedding"),
     )
-    docs = docs.withColumn("embedding", _emb(F.col("doc_id")))
-    n_docs = docs.count()
     per_batch = n_docs // N_BATCHES
     # contiguous ascending id ranges per batch (the id-monotone-with-
     # arrival contract): batch = ntile over global doc_id order
@@ -172,29 +219,10 @@ def main() -> int:
         flush=True,
     )
 
-    # benchmark = two texts that provably reach stage s3 in the batch
-    # pipeline, so decontamination MUST drop them (picking arbitrary
-    # corpus texts could land on quality-gate casualties and the
-    # contamination assert would fail for a non-product reason).
-    # Compute the batch-side s1->s3 once here; verification reuses it.
-    full = docs.select("doc_id", "text")
-    s1 = full.join(
-        exact_dedup(full).select(F.col("keep_id").alias("doc_id")), "doc_id"
-    )
-    pairs = minhash_near_dup_pairs(s1)
-    s2 = s1.join(
-        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
-        "doc_id", "left_anti",
-    )
-    s3 = (
-        text_quality(s2)
-        .where((F.col("quality_score") >= 0.75) & (F.col("n_tokens") >= 10))
-        .select("doc_id", "text")
-    )
-    bench_rows = s3.orderBy("doc_id").limit(2).select("text").collect()
-    benchmark = spark.createDataFrame(
-        [(r.text,) for r in bench_rows], "text string"
-    )
+    # benchmark: role-19 docs are built FROM this text (plus a unique
+    # suffix token), so decontamination provably drops docs; fresh docs
+    # use a disjoint content vocabulary and can never share a shingle
+    benchmark = spark.createDataFrame([(BENCH_TEXT,)], "text string")
 
     # seed index (frozen centroids), ids disjoint from the corpus
     seed = (
@@ -281,6 +309,20 @@ def main() -> int:
         survivors.filter(F.col("doc_id") == 899_999_999).count() == 0
     ), "crashed-attempt sink rows must be gone"
 
+    full = docs.select("doc_id", "text")
+    s1 = full.join(
+        exact_dedup(full).select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+    pairs = minhash_near_dup_pairs(s1)
+    s2 = s1.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id", "left_anti",
+    )
+    s3 = (
+        text_quality(s2)
+        .where((F.col("quality_score") >= 0.75) & (F.col("n_tokens") >= 10))
+        .select("doc_id", "text")
+    )
     s4 = decontaminate(s3, benchmark)
     batch_ids = s4.select("doc_id")
     assert _same_rows(survivors, batch_ids), "survivor sets diverge"
@@ -288,8 +330,9 @@ def main() -> int:
     n_exact, n_s2, n_s3, n_s4 = (
         s1.count(), s2.count(), s3.count(), batch_ids.count()
     )
-    if copies > 1:  # a single-copy corpus may be duplicate-free
-        assert n_exact < n_docs, "exact dups must exist"
+    assert n_exact < n_docs, "exact dups must exist"
+    assert n_s2 < n_exact, "near dups must drop docs"
+    assert n_s3 < n_s2, "quality gate must drop docs"
     assert n_s4 < n_s3, "contamination must drop docs"
 
     report = {
