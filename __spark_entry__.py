@@ -9735,17 +9735,44 @@ def feature_quantile_binning(spark, sf_dir):
     """Equal-frequency discretization (10-bin quantile binning) of order
     totals with per-bin boundaries and means — the feature-engineering
     primitive behind monotone binning, WoE encoding, and histogram-based
-    GBDT inputs. ntile over a DETERMINISTIC order (value + unique key
-    tie-break, so equal prices land in the same bin on every engine);
-    the rollup is one map-combinable aggregate over the binned frame.
-    At 100 TB swap ntile's global sort for approx_percentile cut points
-    (the documented approximate path — this entry pins the exact
-    semantics)."""
-    b = _t(spark, sf_dir, "orders").select(
-        "o_totalprice",
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bin"),
+    GBDT inputs. Exact ntile semantics over a DETERMINISTIC order (value
+    + unique key tie-break, so equal prices land in the same bin on
+    every engine); the rollup is one map-combinable aggregate over the
+    binned frame.
+    Round-11 sf100 find: the literal ntile ran a global single-task sort
+    of the whole order fact (518 s in-sweep). The global row rank r
+    decomposes through price buckets exactly like the other bucketed
+    windows (equal prices share a bucket; r = prefix count of lower
+    buckets + in-bucket row_number over the same (price, key) order) and
+    ntile's exact remainder rule — the first n%10 bins take one extra
+    row — is closed-form in (r, n). Bit-identical bins, bucket-parallel
+    sort."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    bkts = _order_buckets(o, "o_totalprice", ascending=True)
+    w_in = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
+    w_pre = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        bkts.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bn").over(w_pre), F.lit(0)).alias("prev_n"),
+        )
+    )
+    nn = o.agg(F.count(F.lit(1)).alias("n"))
+    r = F.col("prev_n") + F.row_number().over(w_in)
+    q = F.floor(F.col("n") / 10)
+    rem = F.col("n") % 10
+    thr = rem * (q + 1)
+    bin_expr = (
+        F.when(r <= thr, F.floor((r - 1) / (q + 1)))
+        .otherwise(rem + F.floor((r - thr - 1) / q))
+        + 1
+    )
+    b = (
+        bkts.join(F.broadcast(prefix), "bkt")
+        .crossJoin(F.broadcast(nn))
+        .select("o_totalprice", bin_expr.alias("bin"))
     )
     return b.groupBy(F.col("bin").cast("long").alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
