@@ -118,6 +118,45 @@ def _order_buckets(
     return df.withColumn("bkt", F.size(F.filter(arr, cond)))
 
 
+def _bucketed_ntile(
+    df: DataFrame, value_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Exact ``ntile(k)`` over the deterministic (value, unique key)
+    order WITHOUT a global single-task sort (round-11 defect class): the
+    global row rank r = lower-bucket prefix count + in-bucket row_number
+    (equal values share a bucket — see :func:`_order_buckets`), and
+    ntile's remainder rule is closed-form in (r, n): the first n%k
+    buckets take ceil(n/k) rows. Bit-identical to the literal ntile;
+    adds a ``bin`` column, drops the helper columns."""
+    bkts = _order_buckets(df, value_col, ascending=True)
+    w_in = Window.partitionBy("bkt").orderBy(value_col, key_col)
+    w_pre = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        bkts.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("_bn").over(w_pre), F.lit(0)).alias("_prev_n"),
+        )
+    )
+    nn = df.agg(F.count(F.lit(1)).alias("_n"))
+    r = F.col("_prev_n") + F.row_number().over(w_in)
+    q = F.floor(F.col("_n") / k)
+    rem = F.col("_n") % k
+    thr = rem * (q + 1)
+    bin_expr = (
+        F.when(r <= thr, F.floor((r - 1) / (q + 1)))
+        .otherwise(rem + F.floor((r - thr - 1) / q))
+        + 1
+    )
+    return (
+        bkts.join(F.broadcast(prefix), "bkt")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("bin", bin_expr)
+        .drop("bkt", "_prev_n", "_n")
+    )
+
+
 def _cum_before(
     df: DataFrame,
     order_col: str,
@@ -9748,32 +9787,7 @@ def feature_quantile_binning(spark, sf_dir):
     row — is closed-form in (r, n). Bit-identical bins, bucket-parallel
     sort."""
     o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    bkts = _order_buckets(o, "o_totalprice", ascending=True)
-    w_in = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
-    w_pre = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = (
-        bkts.groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .select(
-            "bkt",
-            F.coalesce(F.sum("bn").over(w_pre), F.lit(0)).alias("prev_n"),
-        )
-    )
-    nn = o.agg(F.count(F.lit(1)).alias("n"))
-    r = F.col("prev_n") + F.row_number().over(w_in)
-    q = F.floor(F.col("n") / 10)
-    rem = F.col("n") % 10
-    thr = rem * (q + 1)
-    bin_expr = (
-        F.when(r <= thr, F.floor((r - 1) / (q + 1)))
-        .otherwise(rem + F.floor((r - thr - 1) / q))
-        + 1
-    )
-    b = (
-        bkts.join(F.broadcast(prefix), "bkt")
-        .crossJoin(F.broadcast(nn))
-        .select("o_totalprice", bin_expr.alias("bin"))
-    )
+    b = _bucketed_ntile(o, "o_totalprice", "o_orderkey", 10)
     return b.groupBy(F.col("bin").cast("long").alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
@@ -11334,12 +11348,17 @@ def feature_woe_information_value(spark, sf_dir):
     broadcast one-row frame. Near-zero IV on TPC-H's independent
     priority column is the correct reading. The supervised sibling of
     feature_quantile_binning beside feature_loo_target_encoding."""
-    b = _t(spark, sf_dir, "orders").select(
+    # bucket-decomposed exact ntile (round 11 — the literal ntile was a
+    # global single-task fact sort; see _bucketed_ntile)
+    b = _bucketed_ntile(
+        _t(spark, sf_dir, "orders").select(
+            "o_totalprice",
+            "o_orderkey",
+            (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+        ),
         "o_totalprice",
-        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bin"),
+        "o_orderkey",
+        10,
     )
     tot = b.agg(
         F.sum("y").cast("double").alias("n_pos"),
