@@ -119,7 +119,11 @@ def _order_buckets(
 
 
 def _bucketed_ntile(
-    df: DataFrame, value_col: str, key_col: str, k: int
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int,
+    ascending: bool = True,
 ) -> DataFrame:
     """Exact ``ntile(k)`` over the deterministic (value, unique key)
     order WITHOUT a global single-task sort (round-11 defect class): the
@@ -127,9 +131,12 @@ def _bucketed_ntile(
     (equal values share a bucket — see :func:`_order_buckets`), and
     ntile's remainder rule is closed-form in (r, n): the first n%k
     buckets take ceil(n/k) rows. Bit-identical to the literal ntile;
-    adds a ``bin`` column, drops the helper columns."""
-    bkts = _order_buckets(df, value_col, ascending=True)
-    w_in = Window.partitionBy("bkt").orderBy(value_col, key_col)
+    adds a ``bin`` column, drops the helper columns. ``ascending=False``
+    mirrors ``orderBy(desc(value), key)`` (the key tie-break stays
+    ascending, matching the entries' deterministic orders)."""
+    bkts = _order_buckets(df, value_col, ascending=ascending)
+    order_v = F.asc(value_col) if ascending else F.desc(value_col)
+    w_in = Window.partitionBy("bkt").orderBy(order_v, F.asc(key_col))
     w_pre = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     prefix = (
         bkts.groupBy("bkt")
@@ -6815,18 +6822,14 @@ def orders_rfm_segments(spark, sf_dir):
             "monetary",
         )
     )
-    s = c.select(
-        "o_custkey",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency"), F.col("o_custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary"), F.col("o_custkey")))
-        .alias("m_score"),
-    )
+    # three bucket-decomposed exact ntiles (round 11 — each literal
+    # ntile was a global single-task sort of the customer grain)
+    s = _bucketed_ntile(c, "recency_days", "o_custkey", 5, ascending=False)
+    s = s.withColumnRenamed("bin", "r_score")
+    s = _bucketed_ntile(s, "frequency", "o_custkey", 5)
+    s = s.withColumnRenamed("bin", "f_score")
+    s = _bucketed_ntile(s, "monetary", "o_custkey", 5)
+    s = s.select("o_custkey", "r_score", "f_score", F.col("bin").alias("m_score"))
     return s.groupBy(
         F.concat("r_score", "f_score", "m_score").alias("rfm")
     ).agg(F.count(F.lit(1)).alias("n_customers"))
@@ -12736,17 +12739,15 @@ def orders_rfm_segmentation(spark, sf_dir):
             "mon_c",
         )
     )
-    scored = cust.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.col("rec").desc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("freq").asc(), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("mon_c").asc(), "o_custkey"))
-        .alias("m_score"),
-        "mon_c",
+    # three bucket-decomposed exact ntiles (round 11 — each literal
+    # ntile was a global single-task sort of the customer grain)
+    scored = _bucketed_ntile(cust, "rec", "o_custkey", 5, ascending=False)
+    scored = scored.withColumnRenamed("bin", "r_score")
+    scored = _bucketed_ntile(scored, "freq", "o_custkey", 5)
+    scored = scored.withColumnRenamed("bin", "f_score")
+    scored = _bucketed_ntile(scored, "mon_c", "o_custkey", 5)
+    scored = scored.select(
+        "r_score", "f_score", F.col("bin").alias("m_score"), "mon_c"
     )
     return scored.groupBy(
         F.col("r_score").cast("long").alias("r_score"),
