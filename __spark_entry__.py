@@ -164,6 +164,69 @@ def _bucketed_ntile(
     )
 
 
+def _bucketed_ntiles(
+    df: DataFrame,
+    specs: "list[tuple[str, bool, str]]",
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Several exact ntiles over one frame with ONE sketch action:
+    ``specs`` is [(value_col, ascending, out_col), ...]. Chaining
+    :func:`_bucketed_ntile` would run one approxQuantile action per
+    metric, each re-executing every previous ntile's join/window plan
+    (round-11: the 3-chain over 15M RFM customers cost 390 s at sf100);
+    the multi-column approxQuantile reads the BASE frame once and every
+    bucket/prefix/window composition after that is lazy plan."""
+    probs = [i / 200 for i in range(1, 200)]
+    all_bounds = df.stat.approxQuantile([s[0] for s in specs], probs, 0.001)
+    nn = df.agg(F.count(F.lit(1)).alias("_n"))
+    out = df.crossJoin(F.broadcast(nn))
+    q = F.floor(F.col("_n") / k)
+    rem = F.col("_n") % k
+    thr = rem * (q + 1)
+    for (col, asc, name), bounds in zip(specs, all_bounds):
+        bounds = sorted(set(bounds))
+        v = F.col(col)
+        if bounds:
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            cond = (lambda b: b < v) if asc else (lambda b: b > v)
+            bkt_expr = F.size(F.filter(arr, cond))
+        else:
+            bkt_expr = F.lit(0)
+        out = out.withColumn("_bkt", bkt_expr)
+        order_v = F.asc(col) if asc else F.desc(col)
+        w_in = Window.partitionBy("_bkt").orderBy(order_v, F.asc(key_col))
+        w_pre = Window.orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        # prefix counts derive from the BASE frame, not `out`: a branch
+        # over `out` would re-execute every previous ntile's window at
+        # execution time — the very recompute this helper exists to kill
+        prefix = (
+            df.groupBy(bkt_expr.alias("_bkt"))
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .select(
+                "_bkt",
+                F.coalesce(F.sum("_bn").over(w_pre), F.lit(0)).alias(
+                    "_prev_n"
+                ),
+            )
+        )
+        r = F.col("_prev_n") + F.row_number().over(w_in)
+        out = (
+            out.join(F.broadcast(prefix), "_bkt")
+            .withColumn(
+                name,
+                F.when(r <= thr, F.floor((r - 1) / (q + 1))).otherwise(
+                    rem + F.floor((r - thr - 1) / q)
+                )
+                + 1,
+            )
+            .drop("_bkt", "_prev_n")
+        )
+    return out.drop("_n")
+
+
 def _cum_before(
     df: DataFrame,
     order_col: str,
@@ -6822,14 +6885,18 @@ def orders_rfm_segments(spark, sf_dir):
             "monetary",
         )
     )
-    # three bucket-decomposed exact ntiles (round 11 — each literal
-    # ntile was a global single-task sort of the customer grain)
-    s = _bucketed_ntile(c, "recency_days", "o_custkey", 5, ascending=False)
-    s = s.withColumnRenamed("bin", "r_score")
-    s = _bucketed_ntile(s, "frequency", "o_custkey", 5)
-    s = s.withColumnRenamed("bin", "f_score")
-    s = _bucketed_ntile(s, "monetary", "o_custkey", 5)
-    s = s.select("o_custkey", "r_score", "f_score", F.col("bin").alias("m_score"))
+    # three bucket-decomposed exact ntiles, one sketch action (round 11
+    # — each literal ntile was a global single-task customer-grain sort)
+    s = _bucketed_ntiles(
+        c,
+        [
+            ("recency_days", False, "r_score"),
+            ("frequency", True, "f_score"),
+            ("monetary", True, "m_score"),
+        ],
+        "o_custkey",
+        5,
+    ).select("o_custkey", "r_score", "f_score", "m_score")
     return s.groupBy(
         F.concat("r_score", "f_score", "m_score").alias("rfm")
     ).agg(F.count(F.lit(1)).alias("n_customers"))
@@ -12739,16 +12806,18 @@ def orders_rfm_segmentation(spark, sf_dir):
             "mon_c",
         )
     )
-    # three bucket-decomposed exact ntiles (round 11 — each literal
-    # ntile was a global single-task sort of the customer grain)
-    scored = _bucketed_ntile(cust, "rec", "o_custkey", 5, ascending=False)
-    scored = scored.withColumnRenamed("bin", "r_score")
-    scored = _bucketed_ntile(scored, "freq", "o_custkey", 5)
-    scored = scored.withColumnRenamed("bin", "f_score")
-    scored = _bucketed_ntile(scored, "mon_c", "o_custkey", 5)
-    scored = scored.select(
-        "r_score", "f_score", F.col("bin").alias("m_score"), "mon_c"
-    )
+    # three bucket-decomposed exact ntiles, one sketch action (round 11
+    # — each literal ntile was a global single-task customer-grain sort)
+    scored = _bucketed_ntiles(
+        cust,
+        [
+            ("rec", False, "r_score"),
+            ("freq", True, "f_score"),
+            ("mon_c", True, "m_score"),
+        ],
+        "o_custkey",
+        5,
+    ).select("r_score", "f_score", "m_score", "mon_c")
     return scored.groupBy(
         F.col("r_score").cast("long").alias("r_score"),
         F.col("f_score").cast("long").alias("f_score"),
