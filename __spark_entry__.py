@@ -8414,7 +8414,10 @@ def agg_mann_whitney_u(spark, sf_dir):
     # oracle SQL deliberately keeps the textbook row-rank formulation,
     # so the hash match is a cross-derivation proof, not an echo.
     o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    # measured-count sort-merge pin — same estimate-driven-broadcast
+    # hazard as agg_kruskal_wallis (see comment there)
+    pin = _gates.pin_shuffle_join_fact(_table_count(spark, sf_dir, "orders"))
+    c = _pin(_t(spark, sf_dir, "customer"), pin)
     pv = (
         o.join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("c_mktsegment").isin(["BUILDING", "AUTOMOBILE"]))
@@ -11094,12 +11097,21 @@ def parts_abc_xyz_classification(spark, sf_dir):
             F.sum("l_extendedprice").alias("rev"),
         )
     )
+    # The part-grain frame is consumed four times (quantile sketch,
+    # bucket-prefix branch, total branch, main) and its lineage is the
+    # expensive double rollup of the lineitem fact — pin it so the fact
+    # is read once (DISK_ONLY above the fact gate, the
+    # graph_degree_assortativity discipline; isolated sf100: 365 s of
+    # recomputes -> one rollup).
+    pin = _gates.pin_shuffle_join_fact(_table_count(spark, sf_dir, "lineitem"))
     per_part = pm.groupBy("pk").agg(
         F.sum("rev").alias("rev"),
         F.when(
             F.avg("qty") > 0, F.stddev_samp("qty") / F.avg("qty")
         ).alias("cv"),
         F.count(F.lit(1)).alias("n_months"),
+    ).persist(
+        StorageLevel.DISK_ONLY if pin else StorageLevel.MEMORY_AND_DISK_DESER
     )
     # Bucketed running sum (round-11: the global Window.orderBy funneled
     # the whole part grain — 20M rows at sf100 — through one task; see
@@ -16183,7 +16195,13 @@ def agg_kruskal_wallis(spark, sf_dir):
     match a cross-derivation proof. At 100 TB the window runs over
     distinct prices (bounded domain), not rows."""
     o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    # measured-count sort-merge pin (round 11): the _cum_before prefix
+    # branch prunes customer to c_custkey alone, whose size ESTIMATE
+    # then slips under the broadcast threshold — Spark tried to build a
+    # 15M-row hashed relation at sf100 ("Not enough memory to build and
+    # broadcast"). Same estimate-driven-broadcast class as round 9.
+    pin = _gates.pin_shuffle_join_fact(_table_count(spark, sf_dir, "orders"))
+    c = _pin(_t(spark, sf_dir, "customer"), pin)
     pv = (
         o.join(c, o.o_custkey == c.c_custkey)
         .select(
