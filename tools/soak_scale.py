@@ -180,7 +180,15 @@ def main() -> int:
             F.concat(F.lit("zz!!! "), did.cast("string"), F.lit(" ?? xx##")),
         )
         .otherwise(
-            F.concat(F.lit(BENCH_TEXT + " u"), did.cast("string"))
+            # contaminated = an otherwise-FRESH text plus one benchmark
+            # shingle. Appending the whole benchmark text instead makes
+            # every role-19 doc a near-duplicate of every other one —
+            # they all share one band bucket, and the batch-side pair
+            # verification then enumerates ~n19² candidates (the 2M-doc
+            # run wedged 4 straggler tasks on ~5e9 pairs). One shared
+            # shingle keeps pairwise Jaccard ~0.03 (bands miss) while
+            # decontamination still provably fires.
+            F.concat(_text(did), F.lit(" benchmark and questions"))
         )
         .alias("text"),
         _emb(did).alias("embedding"),
