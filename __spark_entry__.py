@@ -3110,13 +3110,24 @@ def q21_waiting_suppliers(spark, sf_dir):
     joins. Round-11 sf100 find: the join form chained THREE sort-merge
     joins into one stage — four concurrent external sorters per task ×
     32 tasks exhausted the 8g heap (GC-locker retry on the 32 MB sort
-    pointer arrays). The rollup form keeps at most two sorted sides per
-    stage and its aggregates are spillable hash maps. Identical result
-    (oracle hash unchanged; pinned in tests/test_round11_ops.py)."""
+    pointer arrays). Round-12 find (judge re-run): the rollup alone was
+    NOT enough — `lines` feeds both the per-supplier rollup and
+    `late_lines`, so Catalyst scanned lineitem TWICE and, because the
+    orderkey partitioning satisfies every downstream distribution
+    (ClusteredDistribution accepts a key subset), fused BOTH
+    lineitem⋈orders sort-merge joins, the four rollup hash-agg levels
+    and the qualifying join into ONE exchange-free pipeline — 5 sorts +
+    3 SMJ buffers per task, OOM at the default 8g heap. Persisting
+    `lines` DISK_ONLY above the fact gate (the parts_abc_xyz
+    discipline) halves the fact scan AND caps any single pipeline at a
+    plain-SMJ sorter footprint (pinned via tools/plan_audit.py's
+    sorter-pipeline gate). Identical result (oracle hash unchanged;
+    pinned in tests/test_round11_ops.py)."""
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem")
     late_cut = F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    pin = _gates.pin_shuffle_join_fact(_table_count(spark, sf_dir, "lineitem"))
     lines = (
         l.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -3125,6 +3136,8 @@ def q21_waiting_suppliers(spark, sf_dir):
             "l_suppkey",
             (F.col("l_shipdate") > late_cut).alias("is_late"),
         )
+    ).persist(
+        StorageLevel.DISK_ONLY if pin else StorageLevel.MEMORY_AND_DISK_DESER
     )
     # (orderkey, suppkey) grain first — map-side partial combine shrinks
     # the shuffle to distinct pairs; both follow-up aggs and the join

@@ -302,8 +302,26 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # Load rule (round-11 verdict item #7): a capture started on a busy box
+    # needs prose adjudication afterwards, so don't start one — wait for the
+    # 1-min load to drop under 1.0 (bounded: co-tenants may never go idle;
+    # after the cap, proceed and stamp the waiver so the artifact says WHY
+    # the numbers ran hot instead of leaving it to round-over-round
+    # archaeology). Override the cap with SPARK_GRAFT_BENCH_LOAD_WAIT=0 while
+    # iterating locally.
+    load_rule: dict | None = None
+    wait_cap = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
     try:
+        waited = 0.0
+        while os.getloadavg()[0] > 1.0 and waited < wait_cap:
+            time.sleep(15.0)
+            waited += 15.0
         load_before = [round(x, 2) for x in os.getloadavg()]
+        load_rule = {
+            "threshold": 1.0,
+            "waited_sec": waited,
+            "satisfied": load_before[0] <= 1.0,
+        }
     except OSError:
         load_before = None
 
@@ -342,20 +360,11 @@ def main() -> None:
         iso_runs = isolated_rerun(top, sf_dir)
     isolated = {k: min(v) for k, v in iso_runs.items() if v}
 
-    verbose = {
-        "n_runs": n_runs,
-        "runs": spreads,
-        "sf": sf,
-        "isolated_runs": iso_runs,
-    }
-    verbose_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_runs_verbose.json"
-    )
-    try:
-        with open(verbose_path, "w") as f:
-            json.dump(verbose, f)
-    except OSError:
-        pass
+    # Capture load BEFORE dumping the verbose artifact (ADVICE r11: the
+    # file was written first, so the persisted artifact never carried the
+    # load field — only stdout did, defeating the r10 verdict-#5 goal).
+    # The suite has fully finished at this point, so measuring here is
+    # equivalent.
     try:
         load_after = [round(x, 2) for x in os.getloadavg()]
     except OSError:
@@ -365,7 +374,23 @@ def main() -> None:
         if load_before or load_after
         else None
     )
-    verbose["load"] = load
+    if load is not None and load_rule is not None:
+        load["rule"] = load_rule
+    verbose = {
+        "n_runs": n_runs,
+        "runs": spreads,
+        "sf": sf,
+        "isolated_runs": iso_runs,
+        "load": load,
+    }
+    verbose_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_runs_verbose.json"
+    )
+    try:
+        with open(verbose_path, "w") as f:
+            json.dump(verbose, f)
+    except OSError:
+        pass
 
     print(json.dumps(verbose))
     print(

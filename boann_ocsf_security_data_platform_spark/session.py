@@ -63,11 +63,33 @@ _DEFAULT_CONF: dict[str, str] = {
     # limit under load and kill the driver spuriously (round-11 sf100
     # sweeps: "Retried waiting for GCLocker too often"). Raise the retry
     # budget; this changes failure behavior only, never results.
+    # IgnoreUnrecognizedVMOptions must come FIRST: GCLockerRetryAllocation
+    # Count is a diagnostic flag that newer JDKs (post-GCLocker-rework)
+    # removed, and with +UnlockDiagnosticVMOptions an unknown option
+    # aborts JVM startup — the ignore flag turns "every session fails to
+    # launch on JDK 21+" into "the retry budget is simply absent there".
     "spark.driver.extraJavaOptions": (
-        "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
+        "-XX:+IgnoreUnrecognizedVMOptions -XX:+UnlockDiagnosticVMOptions "
+        "-XX:GCLockerRetryAllocationCount=64"
     ),
     "spark.ui.enabled": "false",
 }
+
+
+def merge_conf(extra_conf: dict[str, str] | None = None) -> dict[str, str]:
+    """Engine defaults overlaid with caller conf. extraJavaOptions MERGES
+    (caller flags appended, so they win on conflict) rather than
+    replacing — a caller tuning, say, GC logging must not silently drop
+    the GC-locker retry budget, and vice versa (ADVICE r11 #3)."""
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        jvm_key = "spark.driver.extraJavaOptions"
+        if jvm_key in extra_conf and extra_conf[jvm_key] != conf[jvm_key]:
+            conf[jvm_key] = f"{conf[jvm_key]} {extra_conf[jvm_key]}"
+        conf.update(
+            {k: v for k, v in extra_conf.items() if k != jvm_key}
+        )
+    return conf
 
 
 def get_spark(
@@ -83,9 +105,7 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    conf = dict(_DEFAULT_CONF)
-    if extra_conf:
-        conf.update(extra_conf)
+    conf = merge_conf(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -163,8 +163,9 @@ def main() -> int:
 
     # ---- corpus: role-structured synthesis, ids == arrival order ------
     # per 20-id cycle: 12 fresh unique, 4 exact dups (text of id-7, a
-    # fresh doc by construction: (id-7)%20 in 5..8), 2 near dups (text
-    # of id-5 plus one token), 1 quality failure, 1 contaminated.
+    # fresh doc by construction: (id-7)%20 in 5..8), 2 near dups (a
+    # fresh doc's text plus one token: id-5 for role 16, id-7 for role
+    # 17 — distinct fresh bases), 1 quality failure, 1 contaminated.
     t0 = time.perf_counter()
     did = F.col("doc_id")
     role = F.pmod(did, F.lit(20))
@@ -174,7 +175,16 @@ def main() -> int:
         "doc_id",
         F.when(role < 12, _text(did))
         .when(role < 16, _text(did - 7))
-        .when(role < 18, F.concat(_text(did - 5), F.lit(" extratoken")))
+        # Near-dup bases must themselves be FRESH docs (role < 12), and
+        # the two near-dup roles need DISTINCT bases or they become exact
+        # duplicates of each other. Role 16's base is did-5 (role 11 ✓);
+        # role 17 previously also used did-5, but (did-5)%20 == 12 there —
+        # an exact-dup role whose actual text is _text(did-12), so the
+        # base text existed nowhere and role-17 docs behaved as fresh
+        # uniques, halving the documented 10% near-dup rate. did-7 puts
+        # role 17's base at role 10 (fresh, distinct from role 16's).
+        .when(role == 16, F.concat(_text(did - 5), F.lit(" extratoken")))
+        .when(role == 17, F.concat(_text(did - 7), F.lit(" extratoken")))
         .when(
             role == 18,
             F.concat(F.lit("zz!!! "), did.cast("string"), F.lit(" ?? xx##")),

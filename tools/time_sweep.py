@@ -59,15 +59,54 @@ LINEAR_BY_DESIGN: set[str] = set()
 # waived was a silent hole (round-9 verdict, What's wrong #1).
 
 
+def _env_stamp(spark, load_before=None) -> dict:
+    """Execution-environment stamp written into every sweep artifact
+    (round-11 verdict item #3): the q21 claim/reproduction mismatch
+    (builder 111 s vs judge OOM x2) was only explicable as heap drift,
+    because SPARK_GRAFT_DRIVER_MEM is process-level and invisible in the
+    JSON. Recording the effective driver memory, the JVM flags, and the
+    box load makes sf100 numbers adjudicable the way bench.py's load
+    field made bench captures adjudicable."""
+    import os
+
+    try:
+        load_after = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_after = None
+    conf = spark.sparkContext.getConf()
+    return {
+        "spark.driver.memory": conf.get("spark.driver.memory", "unset"),
+        "spark.driver.extraJavaOptions": conf.get(
+            "spark.driver.extraJavaOptions", "unset"
+        ),
+        "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM"),
+        "master": conf.get("spark.master", "unset"),
+        "load": {"before": load_before, "after": load_after},
+    }
+
+
+def _loadavg():
+    import os
+
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
 def aggregate_and_check(sf_dir: str, shard_n: int) -> int:
     """Merge the per-shard JSONs and enforce the sf1 budget. Exit 1 when
     an entry over SF1_BUDGET_SECONDS lacks a LINEAR_BY_DESIGN rationale
     or any entry errored."""
     tag = Path(sf_dir).name
     merged: dict[str, object] = {}
+    envs: list[object] = []
     for i in range(shard_n):
         with open(f"/tmp/time_sweep_{tag}_{i}.json") as f:
-            merged.update(json.load(f))
+            shard = json.load(f)
+        envs.append(shard.pop("_env", None))
+        merged.update(shard)
+    merged["_env"] = envs
     with open(f"/tmp/time_sweep_{tag}_all.json", "w") as f:
         json.dump(merged, f)
     errs = {k: v for k, v in merged.items() if isinstance(v, str)}
@@ -121,7 +160,7 @@ def aggregate_and_check(sf_dir: str, shard_n: int) -> int:
         and merged[k] <= SF1_BUDGET_SECONDS
     }
     print(
-        f"budget check: {len(merged)} entries, budget "
+        f"budget check: {len(merged) - 1} entries, budget "
         f"{SF1_BUDGET_SECONDS:.0f}s, over={over or '{}'} "
         f"waived={waived or '{}'} errors={errs or '{}'} "
         f"stale_waivers={stale_waivers or '{}'}"
@@ -242,6 +281,7 @@ def run_only(sf_dir: str, names: list[str], best_of: int = 1) -> int:
     if unknown:
         print(f"unknown entries: {unknown}")
         return 1
+    load_before = _loadavg()
     spark = get_spark(app_name="time-sweep-only", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict[str, object] = {}
@@ -263,6 +303,7 @@ def run_only(sf_dir: str, names: list[str], best_of: int = 1) -> int:
                 print("  session dead — respawning driver JVM", flush=True)
                 spark = _respawn_session()
         _release_session_state(spark)
+    out["_env"] = _env_stamp(spark, load_before)
     tag = Path(sf_dir).name
     with open(f"/tmp/time_sweep_{tag}_only.json", "w") as f:
         json.dump(out, f, indent=1)
@@ -292,6 +333,7 @@ def main() -> int:
 
     import __spark_entry__ as em
 
+    load_before = _loadavg()
     spark = get_spark(
         app_name=f"time-sweep-{shard_i}", master="local[8]"
     )
@@ -309,6 +351,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - record, keep sweeping
             out[name] = f"ERR {type(e).__name__}"
         _release_session_state(spark)
+    out["_env"] = _env_stamp(spark, load_before)
     tag = Path(sf_dir).name
     path = f"/tmp/time_sweep_{tag}_{shard_i}.json"
     with open(path, "w") as f:
