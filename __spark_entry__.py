@@ -3049,9 +3049,15 @@ def q15_top_supplier(spark, sf_dir):
 )
 def q18_large_volume_customers(spark, sf_dir):
     """TPC-H Q18 shape: IN over a grouped-HAVING subquery → a semi-join
-    against the aggregated key set; the qualifying key set is tiny (p99 of
-    per-order quantity is ~262), so AQE broadcasts the semi side at any
-    scale factor."""
+    against the aggregated key set. The qualifying key set is tiny BY
+    CONSTRUCTION (p99 of per-order quantity is ~262, the filter is
+    > 300), but leaving the join form to size ESTIMATES let the static
+    plan fuse the semi-SMJ with the lineitem join-back into one
+    5-sorter region at sf10 (round-12 sorter-pipeline scan) — so the
+    key set is persisted, COUNTED (the measured-count discipline: a
+    bounded scalar that picks the PLAN, never moves data), and
+    broadcast-hinted when it measures small, with a sort-merge
+    fallback above the bound."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -3059,16 +3065,15 @@ def q18_large_volume_customers(spark, sf_dir):
         l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .filter(F.col("_q") > 300)
-        .select("l_orderkey")
+        .select(F.col("l_orderkey").alias("_bk"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    # one long per qualifying order: 5M keys ≈ 40 MB broadcast build
+    big_side = F.broadcast(big) if big.count() <= 5_000_000 else big
     return (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(
-            big.withColumnRenamed("l_orderkey", "_bk"),
-            F.col("o_orderkey") == F.col("_bk"),
-            "left_semi",
-        )
+        .join(big_side, F.col("o_orderkey") == F.col("_bk"), "left_semi")
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
@@ -3528,7 +3533,13 @@ def semantic_dedup_survivors(spark, sf_dir):
             exact_vector_dedup,
         )
 
-        reps = exact_vector_dedup(e)
+        # reps feeds the pair pipeline AND the final anti-join: both
+        # consumers re-ran the replica collapse, and the two vec_id
+        # joins fused into one 5-sorter region (round-12 scan-all find).
+        # The scale arm only runs above HUBNESS_EXACT_MAX_ROWS, so the
+        # persist goes straight to DISK_ONLY (the parts_abc_xyz
+        # discipline; vectors are wide — keep them off the heap).
+        reps = exact_vector_dedup(e).persist(StorageLevel.DISK_ONLY)
         return semantic_dedup(
             reps, threshold=0.3, target_bucket_size=_HUBNESS_LSH_TARGET_BUCKET
         )
@@ -6568,6 +6579,12 @@ def feature_psi_drift(spark, sf_dir):
     )
     ref = l.where(F.col("yr") == 1995)
     cur = l.where(F.col("yr") == 1996)
+    # th is flag-grain (5 rows) but its lineage is a percentile
+    # SortAggregate over the 1995 fact slice, and FOUR consumers
+    # (both binned() broadcasts, the spine, and their recomputes via j)
+    # each re-ran it — round-12 sorter-pipeline scan found the
+    # duplicated subtrees fusing 5 sorters into one region at sf10.
+    # Persist the bounded frame; every branch then reads 5 cached rows.
     th = ref.groupBy("flag").agg(
         *[
             F.expr(
@@ -6575,7 +6592,7 @@ def feature_psi_drift(spark, sf_dir):
             ).alias(f"t{i}")
             for i in range(1, 10)
         ]
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     bin_expr = sum(
         (F.col("x") > F.col(f"t{i}")).cast("int") for i in range(1, 10)
     ).alias("bin")
@@ -6591,16 +6608,23 @@ def feature_psi_drift(spark, sf_dir):
     spine = th.select("flag").crossJoin(
         spark.range(10).select(F.col("id").cast("int").alias("bin"))
     )
+    # binned() outputs are PROVABLY bounded (flags x 10 bins ≤ 50 rows)
+    # but their Catalyst estimates scale with the fact input, so the
+    # planner sort-merged them — fusing 3 sorts + 2 SMJs into one region
+    # (round-12 scan-all find). Explicit bounded broadcast, the
+    # pair-entry broadcast-budget discipline.
     j = (
-        spine.join(binned(ref).withColumnRenamed("n", "np"), ["flag", "bin"], "left")
-        .join(binned(cur).withColumnRenamed("n", "nq"), ["flag", "bin"], "left")
+        spine.join(F.broadcast(binned(ref).withColumnRenamed("n", "np")), ["flag", "bin"], "left")
+        .join(F.broadcast(binned(cur).withColumnRenamed("n", "nq")), ["flag", "bin"], "left")
         .select(
             "flag",
             "bin",
             F.coalesce("np", F.lit(0)).alias("np"),
             F.coalesce("nq", F.lit(0)).alias("nq"),
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    # j is 50 bounded rows but carries BOTH fact-slice bin rollups in its
+    # lineage; the totals branch and the share branch each re-ran them.
     tot = j.groupBy("flag").agg(
         F.sum("np").alias("tp"), F.sum("nq").alias("tq")
     )
@@ -10014,10 +10038,16 @@ def join_fuzzy_entity_resolution(spark, sf_dir):
         wb = Window.partitionBy("blk").orderBy(
             F.xxhash64("p_partkey"), "p_partkey"
         )
+        # the cap's WindowGroupLimit sort shares the blk partitioning
+        # with the candidate join, so unpersisted they FUSE into one
+        # 4-sorter region (round-12 scan-all find) — and the probe side
+        # would re-run the cap. The scale arm only runs above
+        # FUZZY_EXACT_MAX_ROWS, so persist straight to DISK_ONLY.
         capped = (
             pp.withColumn("_crn", F.row_number().over(wb))
             .filter(F.col("_crn") <= FUZZY_MAX_BLOCK_CAND)
             .drop("_crn")
+            .persist(StorageLevel.DISK_ONLY)
         )
         return pp, capped
 
@@ -19753,15 +19783,22 @@ def corpus_importance_ess(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("source") != _DECON_BENCH)
     target = docs.filter(F.col("source") == _DECON_BENCH)
-    sc = dsir_importance(
-        corpus, target, pin_shuffle_join=_gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))
+    # `source` rides dsir's OWN doc-grain join (carry_cols): re-joining
+    # the corpus here fused a second same-key SMJ + corpus scan into the
+    # scoring pipeline (round-12 sorter-pipeline scan: 5 sorters in one
+    # region at sf10). `d` also feeds BOTH the per-source max branch and
+    # the weight branch: unpersisted, the broadcast side recomputed the
+    # ENTIRE hashed-bigram DSIR pipeline — pin it above the docs gate,
+    # the parts_abc_xyz branch-recompute discipline.
+    doc_pin = _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))
+    d = dsir_importance(
+        corpus, target, pin_shuffle_join=doc_pin, carry_cols=("source",)
     ).select(
-        "doc_id", F.coalesce("dsir_logweight", F.lit(0.0)).alias("lw")
-    )
-    # per-doc log-weights are doc-grain (corpus-scaling) — pinned above
-    # the measured-count threshold
-    d = corpus.select("doc_id", "source").join(
-        _pin(sc, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))), "doc_id"
+        "doc_id",
+        "source",
+        F.coalesce("dsir_logweight", F.lit(0.0)).alias("lw"),
+    ).persist(
+        StorageLevel.DISK_ONLY if doc_pin else StorageLevel.MEMORY_AND_DISK_DESER
     )
     mx = d.groupBy("source").agg(F.max("lw").alias("mlw"))
     w = d.join(F.broadcast(mx), "source").select(
@@ -21940,9 +21977,19 @@ def embedding_hubness_profile(spark, sf_dir):
         .groupBy("nid")
         .agg(F.count(F.lit(1)).alias("k_occ"))
     )
+    # `fullk` feeds the broadcast moment frame AND the central-moment
+    # aggregate: unpersisted, the broadcast side recomputed the entire
+    # blocked pair pipeline (round-12 sorter-pipeline scan found the
+    # duplicated subtree fusing 4 sorters at sf10) — pin the k-occurrence
+    # vector (one int per embedding) above the measured-count gate.
+    hub_pin = _gates.pin_shuffle_join(
+        _table_count(spark, sf_dir, "embeddings")
+    )
     fullk = e.select("vec_id").join(
         occ, e.vec_id == occ.nid, "left"
-    ).select(F.coalesce("k_occ", F.lit(0)).alias("k"))
+    ).select(F.coalesce("k_occ", F.lit(0)).alias("k")).persist(
+        StorageLevel.DISK_ONLY if hub_pin else StorageLevel.MEMORY_AND_DISK_DESER
+    )
     m = fullk.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.col("k").cast("double")).alias("mu"),
@@ -22571,20 +22618,29 @@ def corpus_ccnet_buckets(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    lm = bigram_lm_score(
-        docs, pin_shuffle_join=_gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))
-    ).filter(
-        F.col("lm_score").isNotNull()
-    ).select("doc_id", F.round("lm_score", 6).alias("s"))
-    toks = docs.select(
+    # `source` and the token count ride the LM's OWN doc-grain join
+    # (carry_cols over a pre-computed input column): the old second
+    # doc_id join fused another SMJ + docs scan into the scoring
+    # pipeline (round-12 sorter-pipeline scan: 5 sorters in one region
+    # at sf10; this entry's scored frame had already OOM'd a co-tenant
+    # sweep at 10x). `sc` also feeds BOTH the broadcast min/max cut
+    # frame and the bucket aggregate — unpersisted, the broadcast side
+    # recomputed the entire bigram-LM pipeline — so pin it above the
+    # docs gate, the parts_abc_xyz discipline.
+    ccnet_pin = _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))
+    docs2 = docs.select(
         "doc_id",
+        "text",
         "source",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    # both sides are doc-grain (corpus-scaling; this entry's scored frame
-    # OOM'd a co-tenant sweep at 10x) — pinned above the measured-count
-    # threshold
-    sc = lm.join(_pin(toks, _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))), "doc_id")
+    sc = bigram_lm_score(
+        docs2, pin_shuffle_join=ccnet_pin, carry_cols=("source", "n_tokens")
+    ).filter(F.col("lm_score").isNotNull()).select(
+        "doc_id", "source", "n_tokens", F.round("lm_score", 6).alias("s")
+    ).persist(
+        StorageLevel.DISK_ONLY if ccnet_pin else StorageLevel.MEMORY_AND_DISK_DESER
+    )
     mm = sc.agg(F.min("s").alias("s0"), F.max("s").alias("s1"))
     tier = F.least(
         F.lit(2),

@@ -448,6 +448,7 @@ def bigram_lm_score(
     id_col: str = "doc_id",
     alpha: float = 1.0,
     pin_shuffle_join: bool = True,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Corpus-bigram language-model score per document (CCNet-style
     quality signal without an external LM): the mean log-probability of
@@ -504,8 +505,12 @@ def bigram_lm_score(
             ).alias("lm_score"),
         )
     )
+    # carry_cols ride the left side of the ONE doc-grain join — a caller
+    # re-joining the corpus for extra columns fuses a second same-key
+    # SMJ + corpus scan into the scoring pipeline (round-12 scan-all
+    # find on corpus_ccnet_buckets).
     return (
-        df.select(id_col)
+        df.select(id_col, *carry_cols)
         .join(_corpus_sized(scored, pin_shuffle_join), id_col, "left")
         .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
     )
@@ -520,6 +525,7 @@ def dsir_importance(
     alpha: float = 1.0,
     pin_shuffle_join: bool = True,
     hash_fn=hash64,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every corpus
@@ -584,8 +590,13 @@ def dsir_importance(
             F.round(F.sum("logratio"), 6).alias("dsir_logweight"),
         )
     )
+    # carry_cols ride the left side of the ONE doc-grain join — callers
+    # needing extra corpus columns (e.g. source) must not re-join the
+    # corpus afterwards: that second same-key join fuses with this one
+    # into a double-scan sorter pipeline (round-12 scan-all find on
+    # corpus_importance_ess).
     return (
-        corpus.select(id_col)
+        corpus.select(id_col, *carry_cols)
         .join(  # doc-grain scores
             _corpus_sized(scored, pin_shuffle_join), id_col, "left"
         )
