@@ -4903,7 +4903,11 @@ def agg_mode_bitops(spark, sf_dir):
         F.bit_or("l_linenumber").cast("long").alias("lines_bit_or"),
         F.bit_xor("l_linenumber").cast("long").alias("lines_bit_xor"),
     )
-    return mode.join(bits, "l_returnflag").select(
+    # both sides are PROVABLY return-flag grain (<= a handful of rows)
+    # but carry fact-scaling estimates, so the planner sort-merged them
+    # and fused the mode's SortAggregate into the join region (round-12
+    # scan-all find) — explicit bounded broadcast.
+    return mode.join(F.broadcast(bits), "l_returnflag").select(
         "l_returnflag",
         F.round("mode_qty", 2).alias("mode_qty"),
         "lines_bit_and",
@@ -6334,20 +6338,28 @@ def knn_truncated_recall(spark, sf_dir):
     costs two scored scans + one tiny per-query join."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    full = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    # `full` is <= 10 queries x 5 = 50 rows but its lineage is a
+    # brute-force scored corpus scan, and BOTH the overlap join and the
+    # query spine consumed it — unpersisted, the spine branch re-ran the
+    # whole scan, and the bounded-by-construction joins sort-merged on
+    # fact-scaling estimates, fusing 4 sorters into one region (round-12
+    # scan-all find). Persist the tiny frame; broadcast the bounded sides.
+    full = cosine_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     tr = emb.withColumn("embedding", F.slice("embedding", 1, 16))
     trunc = cosine_topk(tr, tr.where(F.col("vec_id") < 10), k=5).select(
         "query_id", "neighbor_id"
     )
     ov = (
-        full.join(trunc, ["query_id", "neighbor_id"])
+        full.join(F.broadcast(trunc), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     return (
         full.select("query_id")
         .distinct()
-        .join(ov, "query_id", "left")
+        .join(F.broadcast(ov), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
@@ -22138,6 +22150,12 @@ def agg_friedman_test(spark, sf_dir):
             F.col("c_mktsegment").alias("seg"),
         )
         .agg(F.round(F.avg("o_totalprice"), 4).alias("v"))
+        # bounded (month, segment) table (~5 rows per month) consumed by
+        # BOTH the complete-blocks spine and the rank join: unpersisted,
+        # the spine branch re-ran the fact rollup, and the estimate-driven
+        # sort-merge join fused with the rank window's sort into a
+        # 4-sorter region (round-12 scan-all find)
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     full_b = (
         m.groupBy("blk")
@@ -22146,7 +22164,7 @@ def agg_friedman_test(spark, sf_dir):
         .select("blk")
     )
     wr = Window.partitionBy("blk").orderBy("v")
-    r = m.join(full_b, "blk").select(
+    r = m.join(F.broadcast(full_b), "blk").select(
         "seg", F.rank().over(wr).alias("rk")
     )
     rs = r.groupBy("seg").agg(F.sum("rk").alias("r_j"))

@@ -997,12 +997,45 @@ def _max_sorter_pipeline(node) -> int:
 # holding MORE concurrent sorter-backed consumers than a plain SMJ
 # (stacked same-key joins, a join fused with sort-aggs, q21's
 # double-scan rollup pipeline). Entries allowed over that line need a
-# documented reason the per-task footprint stays bounded (e.g. every
-# stacked side is a domain-bounded aggregate, not a fact scan).
-# Empty as of round 12: q21's fused pipeline was the only hit and was
-# broken up with a DISK_ONLY persist above the fact gate.
+# documented reason the per-task footprint stays bounded, PLUS an
+# isolated sf100 pass at the default 8g heap recorded in COVERAGE.md
+# (round 12: the first sweep with this gate flagged 14 entries; 8 were
+# genuine defects and were fixed — branch recomputes, double same-key
+# joins, estimate-forced merges of provably bounded frames — and the 6
+# below are the residue whose regions are either domain-bounded or
+# Spark's own join + partial-WindowGroupLimit top-k prune).
 SORTER_PIPELINE_MAX = 3
-SMJ_STACK_ALLOWED: dict[str, str] = {}
+SMJ_STACK_ALLOWED: dict[str, str] = {
+    "events_hurst_exponent": (
+        "every sorter runs over the localCheckpointed DAILY aggregate "
+        "(calendar-bounded ~2.5k rows at any SF) and its block explode; "
+        "the events fact collapses to that grain before any join"
+    ),
+    "events_binary_segmentation": (
+        "all window sorts are over the daily aggregate (calendar-bounded); "
+        "level cuts ride one-row broadcasts"
+    ),
+    "events_kaplan_meier": (
+        "chained risk-set windows re-sort the daily aggregate "
+        "(calendar-bounded); each window orders differently by design"
+    ),
+    "text_tfidf_top_terms": (
+        "region = the deliberate term-grain SMJ (both sides distinct-term "
+        "aggregates, sub-linear in corpus) + Spark's partial-"
+        "WindowGroupLimit top-k prune fused above it — the prune strictly "
+        "shrinks the shuffle"
+    ),
+    "join_fuzzy_entity_resolution": (
+        "region = the blocked candidate equi-join (block sizes capped by "
+        "FUZZY_MAX_BLOCK_CAND) + Spark's partial-WindowGroupLimit top-3 "
+        "prune fused above it"
+    ),
+    "embedding_hubness_profile": (
+        "region = the LSH-blocked pair join (per-block candidates capped "
+        "by _HUBNESS_MAX_BLOCK_CAND) + the partial top-k prune; the valve "
+        "bounds per-task pair counts"
+    ),
+}
 
 
 def scan_all(spark, sf_dir: str) -> int:
