@@ -264,14 +264,18 @@ def _respawn_session():
     return spark
 
 
-def run_only(sf_dir: str, names: list[str], best_of: int = 1) -> int:
+def run_only(
+    sf_dir: str, names: list[str], best_of: int = 1, out_tag: str = "only"
+) -> int:
     """Targeted sweep of a named entry subset — the decade-3 instrument
     (round-9 verdict item #3). At sf100 a full 376-entry sweep is hours
     of redundant linear scans; the scale defects live in the heavy tail
     (pair families, graph, corpus reports, IVF lifecycle), so this mode
     times just those, serially in one isolated session, and applies NO
     budget (budgets are per-scale; this ranks and records). Writes
-    /tmp/time_sweep_<tag>_only.json."""
+    /tmp/time_sweep_<tag>_<out_tag>.json; pass --out-tag to keep
+    concurrent batches (the round-12 never-measured-tail sweep runs in
+    halves) from clobbering each other's artifact."""
     from boann_ocsf_security_data_platform_spark import get_spark
 
     import __spark_entry__ as em
@@ -305,7 +309,7 @@ def run_only(sf_dir: str, names: list[str], best_of: int = 1) -> int:
         _release_session_state(spark)
     out["_env"] = _env_stamp(spark, load_before)
     tag = Path(sf_dir).name
-    with open(f"/tmp/time_sweep_{tag}_only.json", "w") as f:
+    with open(f"/tmp/time_sweep_{tag}_{out_tag}.json", "w") as f:
         json.dump(out, f, indent=1)
     return 1 if any(isinstance(v, str) for v in out.values()) else 0
 
@@ -319,13 +323,22 @@ def main() -> int:
         n = int(sys.argv[sys.argv.index("--check") + 1])
         return aggregate_and_check(sf_dir, n)
     if "--only" in sys.argv:
-        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        arg = sys.argv[sys.argv.index("--only") + 1]
+        if arg.startswith("@"):  # @file: one entry name per line
+            names = Path(arg[1:]).read_text().split()
+        else:
+            names = arg.split(",")
         best_of = (
             int(sys.argv[sys.argv.index("--best-of") + 1])
             if "--best-of" in sys.argv
             else 1
         )
-        return run_only(sf_dir, names, best_of)
+        out_tag = (
+            sys.argv[sys.argv.index("--out-tag") + 1]
+            if "--out-tag" in sys.argv
+            else "only"
+        )
+        return run_only(sf_dir, names, best_of, out_tag)
     shard_i = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     shard_n = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
