@@ -363,7 +363,7 @@ def test_cli_corpus_neardup_stream_drain(tmp_path):
         ],
         capture_output=True,
         text=True,
-        timeout=300,
+        timeout=600,
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -407,7 +407,7 @@ def test_cli_corpus_decontam_stream_drain(tmp_path):
         ],
         capture_output=True,
         text=True,
-        timeout=300,
+        timeout=600,
         cwd="/root/repo",
     )
     assert r.returncode == 0, r.stderr[-2000:]
