@@ -5977,18 +5977,67 @@ def window_distribution_ranks(spark, sf_dir):
     """The distribution-rank window family (ntile / percent_rank /
     cume_dist) per priority class — quartile assignment and empirical
     CDF position, tie-broken by orderkey so both engines rank
-    identically. One window sort per partition key; Spark evaluates all
-    three functions in a single Window operator over one shuffle."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
+    identically.
+
+    Round-12 sf100 find: the literal PARTITION BY o_orderpriority window
+    is the rank-window funnel at cardinality 5 — the whole order fact
+    sorts in five tasks (144 s isolated at sf100, ~10x the parallel
+    scan cost). The deterministic (price, orderkey) order has no ties,
+    so rank == row_number and all three functions are closed-form in
+    the per-priority rank r and count n: percent_rank = (r-1)/(n-1),
+    cume_dist = r/n, and ntile's remainder rule is the same expression
+    :func:`_bucketed_ntile` uses. r decomposes through global price
+    buckets exactly as in the other bucketed windows — equal prices
+    share a bucket (:func:`_order_buckets`), so r = per-(priority,
+    lower-bucket) prefix count + in-(priority, bucket) row_number over
+    the same order. Bit-identical output, (5 x n_buckets)-parallel
+    sort instead of 5 tasks."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    b = _order_buckets(o, "o_totalprice")
+    w_in = Window.partitionBy("o_orderpriority", "bkt").orderBy(
         "o_totalprice", "o_orderkey"
     )
-    return o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    w_pre = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # both model tables are bounded: |priorities| x |buckets| and
+    # |priorities| rows — broadcast joins, never a fact shuffle
+    prefix = (
+        b.groupBy("o_orderpriority", "bkt")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .select(
+            "o_orderpriority",
+            "bkt",
+            F.coalesce(F.sum("_bn").over(w_pre), F.lit(0)).alias("_prev_n"),
+        )
+    )
+    nn = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("_n"))
+    r = F.col("_prev_n") + F.row_number().over(w_in)
+    n = F.col("_n")
+    q = F.floor(n / 4)
+    rem = n % 4
+    thr = rem * (q + 1)
+    quartile = (
+        F.when(r <= thr, F.floor((r - 1) / (q + 1)))
+        .otherwise(rem + F.floor((r - thr - 1) / q))
+        + 1
+    )
+    return (
+        b.join(F.broadcast(prefix), ["o_orderpriority", "bkt"])
+        .join(F.broadcast(nn), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            quartile.cast("long").alias("quartile"),
+            F.round(
+                F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+            ).alias("pct_rank"),
+            F.round(r / n, 6).alias("cum_dist"),
+        )
     )
 
 
