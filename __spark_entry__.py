@@ -271,6 +271,89 @@ def _cum_before(
     )
 
 
+def _grouped_percentile_cont(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    ps: "list[tuple[float, str]]",
+) -> DataFrame:
+    """Exact per-group ``percentile_cont`` WITHOUT concentrating a
+    group's value domain in one task (round-12 class: Spark's exact
+    Percentile aggregate carries an OpenHashMap of value -> count per
+    group, merges every map of a group onto ONE reducer and sorts it
+    there — bounded on the replicated bench domains, but O(rows) on a
+    genuinely continuous column, ADVICE r10 #1's hazard shape).
+
+    The same counts, distributed: one hash aggregate builds the
+    (group, value) domain with row counts, the bucketed exclusive
+    cum-count (:func:`_order_buckets` discipline, partitioned per
+    group) gives each domain row its 0-based starting index, and the
+    percentile is Spark's own interpolation over the two straddled
+    order statistics: pos = p*(n-1), result = v_lo*(ceil(pos)-pos) +
+    v_hi*(pos-floor(pos)) — the identical doubles Percentile emits,
+    so oracle hashes cannot move. ``ps`` is [(fraction, out_col)...];
+    returns one row per group with the named percentile columns,
+    computed from ONE scan of ``df``."""
+    dv = (
+        df.where(F.col(value_col).isNotNull())  # percentile ignores nulls
+        .groupBy(part_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    b = _order_buckets(dv, value_col)
+    w_in = (
+        Window.partitionBy(part_col, "bkt")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_pre = (
+        Window.partitionBy(part_col)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = (
+        b.groupBy(part_col, "bkt")
+        .agg(F.sum("_c").alias("_bn"))
+        .select(
+            part_col,
+            "bkt",
+            F.coalesce(F.sum("_bn").over(w_pre), F.lit(0)).alias("_prev"),
+        )
+    )
+    nn = dv.groupBy(part_col).agg(F.sum("_c").alias("_n"))
+    idx = (
+        b.join(F.broadcast(prefix), [part_col, "bkt"])
+        .join(F.broadcast(nn), part_col)
+        .select(
+            part_col,
+            value_col,
+            "_c",
+            "_n",
+            (
+                F.col("_prev")
+                + F.coalesce(F.sum("_c").over(w_in), F.lit(0))
+            ).alias("_cb"),
+        )
+    )
+    out = None
+    for p, name in ps:
+        pos = F.lit(float(p)) * (F.col("_n") - 1)
+        lower, higher = F.floor(pos), F.ceil(pos)
+        hit = idx.filter(
+            (F.col("_cb") <= higher) & (lower < F.col("_cb") + F.col("_c"))
+        )
+        v = F.col(value_col)
+        one = hit.groupBy(part_col).agg(
+            F.when(F.min(lower) == F.max(higher), F.min(v))
+            .otherwise(
+                F.min(v) * (F.max(higher) - F.max(pos))
+                + F.max(v) * (F.max(pos) - F.min(lower))
+            )
+            .alias(name)
+        )
+        out = one if out is None else out.join(one, part_col)
+    return out
+
+
 _COUNT_CACHE: "dict[tuple[str, str], int]" = {}
 
 
@@ -2240,12 +2323,28 @@ def scalar_math(spark, sf_dir):
     """,
 )
 def agg_median_countif_bool(spark, sf_dir):
+    """count_if / bool_and / bool_or are one map-combinable pass; the
+    exact median rides :func:`_grouped_percentile_cont` (distributed
+    order statistics) and joins back on the 5-row priority grain."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.median("o_totalprice"), 2).alias("med_price"),
-        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
-        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
-        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+    med = _grouped_percentile_cont(
+        o, "o_orderpriority", "o_totalprice", [(0.5, "_med")]
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        )
+        .join(F.broadcast(med), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.round(F.col("_med"), 2).alias("med_price"),
+            "n_big",
+            "all_positive",
+            "any_finished",
+        )
     )
 
 
@@ -5328,11 +5427,15 @@ def events_mad_anomalies(spark, sf_dir):
     the output is the per-type summary, so the final aggregate is
     map-side combinable."""
     e = _t(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(F.expr("median(value)").alias("med"))
+    med = _grouped_percentile_cont(
+        e, "event_type", "value", [(0.5, "med")]
+    )
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(F.expr("median(adev)").alias("mad"))
+    mad = _grouped_percentile_cont(
+        dev, "event_type", "adev", [(0.5, "mad")]
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -5794,17 +5897,18 @@ def corpus_source_entropy(spark, sf_dir):
 def agg_trimmed_winsorized(spark, sf_dir):
     """Robust means: 10%-trimmed (drop the tails) and winsorized (clamp
     to the p10/p90 fence) per return flag — outlier-resistant central
-    tendency for noisy value columns. One ordered-set aggregate builds
-    the per-group fences (3 rows, broadcast back), then a single
+    tendency for noisy value columns. The per-group fences (3 rows,
+    broadcast back) come from :func:`_grouped_percentile_cont` — the
+    distributed exact-percentile form; Spark's own Percentile aggregate
+    merges each group's whole value-count map onto one reducer, the
+    concentration this round's sweep class names — then a single
     partial+final pass computes all three means."""
     l = _t(spark, sf_dir, "lineitem")
-    th = l.groupBy("l_returnflag").agg(
-        F.expr(
-            "percentile_cont(0.1) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("lo"),
-        F.expr(
-            "percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("hi"),
+    th = _grouped_percentile_cont(
+        l,
+        "l_returnflag",
+        "l_extendedprice",
+        [(0.1, "lo"), (0.9, "hi")],
     )
     x = F.col("l_extendedprice")
     return (
@@ -6646,13 +6750,8 @@ def feature_psi_drift(spark, sf_dir):
     # each re-ran it — round-12 sorter-pipeline scan found the
     # duplicated subtrees fusing 5 sorters into one region at sf10.
     # Persist the bounded frame; every branch then reads 5 cached rows.
-    th = ref.groupBy("flag").agg(
-        *[
-            F.expr(
-                f"percentile_cont(0.{i}) WITHIN GROUP (ORDER BY x)"
-            ).alias(f"t{i}")
-            for i in range(1, 10)
-        ]
+    th = _grouped_percentile_cont(
+        ref, "flag", "x", [(i / 10, f"t{i}") for i in range(1, 10)]
     ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     bin_expr = sum(
         (F.col("x") > F.col(f"t{i}")).cast("int") for i in range(1, 10)
@@ -14988,13 +15087,15 @@ def agg_brown_forsythe_test(spark, sf_dir):
     under the same heavy tails the test is looking for; medians don't).
     W = (N-k)/(k-1) * between/within over z = |x - group median|, with
     the within sum-of-squares expanded algebraically (sum z², sum z per
-    group) so the whole test is TWO passes: one median aggregate (both
-    engines interpolate linearly — the pinned percentile pairing), one
-    moment aggregate over the deviations; the 2.60 threshold is
-    F(0.05; 2, inf). Group medians ride a broadcast join."""
+    group) so the whole test is TWO passes: one distributed median
+    (:func:`_grouped_percentile_cont` — both engines interpolate
+    linearly, the pinned percentile pairing, without Spark's per-group
+    value-count-map concentration), one moment aggregate over the
+    deviations; the 2.60 threshold is F(0.05; 2, inf). Group medians
+    ride a broadcast join."""
     l = _t(spark, sf_dir, "lineitem")
-    med = l.groupBy("l_returnflag").agg(
-        F.median("l_extendedprice").alias("md")
+    med = _grouped_percentile_cont(
+        l, "l_returnflag", "l_extendedprice", [(0.5, "md")]
     )
     z = l.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",

@@ -57,6 +57,54 @@ def test_distribution_ranks_bucketed_identity(spark):
     assert got == want and len(got) > 0
 
 
+def test_grouped_percentile_cont_matches_spark_percentile(spark):
+    """_grouped_percentile_cont must emit the EXACT doubles Spark's own
+    Percentile aggregate produces (same straddled order statistics, same
+    interpolation expression) — raw equality, no rounding slack."""
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in em._grouped_percentile_cont(
+            l, "l_returnflag", "l_extendedprice", [(0.1, "lo"), (0.9, "hi")]
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_cont(0.1) WITHIN GROUP"
+                " (ORDER BY l_extendedprice)"
+            ).alias("lo"),
+            F.expr(
+                "percentile_cont(0.9) WITHIN GROUP"
+                " (ORDER BY l_extendedprice)"
+            ).alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 3
+
+
+def test_percentile_users_avoid_concentrated_aggregate(spark):
+    """Plan pin: the converted exact-percentile entries must not plan
+    Spark's Percentile aggregate anywhere (its per-group value-count
+    map merges onto one reducer — the concentration class). The helper
+    computes the identical doubles from distributed domain counts.
+    agg_percentile_disc_cont stays literal by design: the entry's
+    surface IS the ordered-set aggregate family (documented sf100
+    passer, bounded on the replicated bench domains)."""
+    for name in (
+        "agg_trimmed_winsorized",
+        "agg_brown_forsythe_test",
+        "agg_median_countif_bool",
+        "events_mad_anomalies",
+        "feature_psi_drift",
+    ):
+        plan = _executed_plan(QS[name](spark, SF))
+        assert "percentile" not in plan.lower(), (name, plan[:2000])
+
+
 def test_distribution_ranks_no_low_cardinality_fact_window(spark):
     """Plan pin: every fact-grain window must carry the bkt partition
     key — PARTITION BY o_orderpriority alone is the cardinality-5
