@@ -785,17 +785,56 @@ def join_cross(spark, sf_dir):
     """,
 )
 def join_theta_inequality(spark, sf_dir):
+    """Per-nation count of (customer, supplier) pairs with
+    c_acctbal > s_acctbal — the theta-join COUNT, without the theta
+    join. Round-12 sf100 find: the literal equi+inequality join
+    materializes every qualifying pair before the count — ~12B rows per
+    nation at 15M customers x 1M suppliers (quadratic in the nation's
+    member counts; the sweep entry ran unbounded). The count is an
+    order statistic, not a join: per nation,
+    n_pairs = sum over customers of |{suppliers with smaller acctbal}|,
+    so one (nation, bal) domain aggregate per side, an exclusive
+    running supplier count over the bal order, and a weighted sum give
+    the identical total. acctbal's domain is fixed (cents in
+    [-999.99, 9999.99], <= 1.1M values at ANY scale factor), so the
+    per-nation domain window is bounded forever. The oracle keeps the
+    literal theta-join SQL the decomposition provably equals."""
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    return (
-        c.join(
-            s,
-            (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal),
+    sd = s.groupBy(
+        F.col("s_nationkey").alias("nk"), F.col("s_acctbal").alias("bal")
+    ).agg(F.count(F.lit(1)).alias("s_cnt"))
+    cd = c.groupBy(
+        F.col("c_nationkey").alias("nk"), F.col("c_acctbal").alias("bal")
+    ).agg(F.count(F.lit(1)).alias("c_cnt"))
+    dom = (
+        sd.join(cd, ["nk", "bal"], "full_outer")
+        .select(
+            "nk",
+            "bal",
+            F.coalesce("s_cnt", F.lit(0)).alias("s_cnt"),
+            F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
         )
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = (
+        Window.partitionBy("nk")
+        .orderBy("bal")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pairs = dom.select(
+        "nk",
+        (
+            F.col("c_cnt")
+            * F.coalesce(F.sum("s_cnt").over(w), F.lit(0))
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy("nk")
+        .agg(F.sum("p").alias("n_pairs"))
+        .join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+        .filter(F.col("n_pairs") > 0)
+        .select("n_nationkey", "n_pairs")
     )
 
 

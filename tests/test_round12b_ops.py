@@ -105,6 +105,40 @@ def test_percentile_users_avoid_concentrated_aggregate(spark):
         assert "percentile" not in plan.lower(), (name, plan[:2000])
 
 
+def test_theta_count_decomposition_identity(spark):
+    """The order-statistics form of join_theta_inequality must equal the
+    literal theta join it replaced (which materialized every qualifying
+    pair — quadratic per nation at scale): same nations, same counts."""
+    got = sorted(
+        tuple(r) for r in QS["join_theta_inequality"](spark, SF).collect()
+    )
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    want = sorted(
+        tuple(r)
+        for r in c.join(
+            s,
+            (c.c_nationkey == s.s_nationkey)
+            & (c.c_acctbal > s.s_acctbal),
+        )
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_theta_count_plan_has_no_pair_join(spark):
+    """Plan pin: no join in the decomposed form may carry the inequality
+    — every join is an equi-join on (nation, balance) domain rows or the
+    25-row nation broadcast."""
+    plan = _executed_plan(QS["join_theta_inequality"](spark, SF))
+    assert "acctbal > " not in plan and "acctbal < " not in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_distribution_ranks_no_low_cardinality_fact_window(spark):
     """Plan pin: every fact-grain window must carry the bkt partition
     key — PARTITION BY o_orderpriority alone is the cardinality-5
