@@ -2478,9 +2478,17 @@ def q19_disjunctive_predicates(spark, sf_dir):
     """,
 )
 def scalar_null_semantics(spark, sf_dir):
+    """NULL-semantics scalar surface. The oracle's ``count(...) OVER ()``
+    is a whole-frame scalar — as a literal Window it repartitions the
+    entire order fact to ONE task (round-12 sf100 find: the empty
+    partitionBy is the rank-window funnel's unordered sibling); the
+    identical value rides a broadcast 1-row aggregate instead."""
     o = _t(spark, sf_dir, "orders")
     st = F.col("o_orderstatus")
-    return o.select(
+    zero = o.agg(
+        F.count(F.when(st == "zzz", F.lit(True))).alias("zero_true")
+    )
+    return o.crossJoin(F.broadcast(zero)).select(
         "o_orderkey",
         F.coalesce(F.nullif(st, F.lit("O")), F.lit("OPEN")).alias(
             "status_or_open"
@@ -2492,9 +2500,7 @@ def scalar_null_semantics(spark, sf_dir):
         F.nullif(st, st)
         .eqNullSafe(F.nullif(F.lit("x"), F.lit("x")))
         .alias("null_eq_null"),
-        F.count(
-            F.when(st == "zzz", F.lit(True))
-        ).over(Window.partitionBy()).alias("zero_true"),
+        "zero_true",
     )
 
 
@@ -6355,21 +6361,40 @@ def agg_pareto_abc(spark, sf_dir):
     """Pareto/ABC revenue segmentation: customers sorted by revenue,
     classed by the cumulative share BEFORE them (A < 80%, B < 95%, C
     rest) so the straddling customer deterministically lands in the
-    earlier class. One rollup + one ordered prefix-sum window over the
-    model-sized customer-revenue table (the window is single-partition —
-    fine, because its input is already an aggregate, not raw data)."""
+    earlier class. Round-12 sf100 find: 'the window input is already an
+    aggregate' stopped being a defense at customer grain — the rollup
+    is 15M rows at sf100 and the global Window.orderBy sorted all of
+    them in ONE task (the rank-window funnel at cardinality 1). Same
+    bucketed running sum as parts_abc_xyz_classification: cum = prefix
+    over strictly-higher-revenue buckets + in-bucket running sum; tot
+    rides a broadcast scalar, not a whole-frame window."""
     o = _t(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    wcum = (
-        Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    tot = c.agg(F.sum("rev").alias("tot"))
+    b = _order_buckets(c, "rev", ascending=False)
+    w_cum = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("rev").desc(), F.col("o_custkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wtot = Window.partitionBy()
-    share_before = (F.sum("rev").over(wcum) - F.col("rev")) / F.sum("rev").over(
-        wtot
+    w_pre = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        b.groupBy("bkt")
+        .agg(F.sum("rev").alias("bsum"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bsum").over(w_pre), F.lit(0.0)).alias(
+                "prev_rev"
+            ),
+        )
     )
+    share_before = (
+        F.col("prev_rev") + F.sum("rev").over(w_cum) - F.col("rev")
+    ) / F.col("tot")
     return (
-        c.withColumn(
+        b.join(F.broadcast(prefix), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
             "klass",
             F.when(share_before < 0.8, "A")
             .when(share_before < 0.95, "B")
@@ -6860,17 +6885,40 @@ def agg_gini_coefficient(spark, sf_dir):
     """Gini coefficient of customer revenue concentration (the
     inequality summary behind the Pareto view): rank-weighted-sum
     formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenue-sorted
-    customers. One rollup + one ordered rank window over the model-sized
-    customer table + a single-row aggregate."""
+    customers. Round-12 sf100 find: the global rank window sorted the
+    15M-row customer rollup in ONE task (rank-window funnel at
+    cardinality 1), and the two whole-frame aggregate windows shuffled
+    the frame to a single partition besides. The rank decomposes
+    through revenue buckets (i = lower-bucket prefix count + in-bucket
+    row_number — exact integers); n and Σx ride ONE broadcast scalar
+    row."""
     o = _t(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    wr = Window.orderBy(F.col("rev"), F.col("o_custkey"))
-    wall = Window.partitionBy()
-    r = c.select(
-        "rev",
-        F.row_number().over(wr).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("rev").over(wall).alias("tot"),
+    nt = c.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev").alias("tot")
+    )
+    b = _order_buckets(c, "rev", ascending=True)
+    w_in = Window.partitionBy("bkt").orderBy(
+        F.col("rev"), F.col("o_custkey")
+    )
+    w_pre = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        b.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("bn").over(w_pre), F.lit(0)).alias("prev_n"),
+        )
+    )
+    r = (
+        b.join(F.broadcast(prefix), "bkt")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "rev",
+            (F.col("prev_n") + F.row_number().over(w_in)).alias("i"),
+            "n",
+            "tot",
+        )
     )
     return r.agg(
         F.round(
@@ -19099,9 +19147,10 @@ def orders_abc_migration(spark, sf_dir):
     partitioned by year) full-outer-joined with itself, '-' for years
     the customer didn't order — the churn/upsell flow a key-account
     dashboard actually shows (how many A-customers slipped to C or
-    vanished?). Two window passes over the bounded per-(customer,
-    year) aggregate and one self-join keyed on the customer — order
-    rows are touched exactly once."""
+    vanished?). Round-12 sf100 find: PARTITION BY yr is the rank-window
+    funnel at cardinality 2 over a 30M-row (customer, year) grain — the
+    same bucketed prefix-sum as agg_pareto_abc, partitioned per year,
+    replaces it; per-year totals ride a broadcast 2-row aggregate."""
     o = _t(spark, sf_dir, "orders").withColumn(
         "yr", F.year(F.col("o_orderdate").cast("date"))
     )
@@ -19110,15 +19159,35 @@ def orders_abc_migration(spark, sf_dir):
         .groupBy("o_custkey", "yr")
         .agg(F.sum("o_totalprice").alias("rev"))
     )
+    tot = r.groupBy("yr").agg(F.sum("rev").alias("_tot"))
+    rb = _order_buckets(r, "rev", ascending=False)
     wcum = (
-        Window.partitionBy("yr")
+        Window.partitionBy("yr", "bkt")
         .orderBy(F.col("rev").desc(), "o_custkey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wtot = Window.partitionBy("yr")
-    share = (F.sum("rev").over(wcum) - F.col("rev")) / F.sum("rev").over(
-        wtot
+    w_pre = (
+        Window.partitionBy("yr")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    prefix = (
+        rb.groupBy("yr", "bkt")
+        .agg(F.sum("rev").alias("_bsum"))
+        .select(
+            "yr",
+            "bkt",
+            F.coalesce(F.sum("_bsum").over(w_pre), F.lit(0.0)).alias(
+                "_prev"
+            ),
+        )
+    )
+    r = rb.join(F.broadcast(prefix), ["yr", "bkt"]).join(
+        F.broadcast(tot), "yr"
+    )
+    share = (
+        F.col("_prev") + F.sum("rev").over(wcum) - F.col("rev")
+    ) / F.col("_tot")
     c = r.select(
         "o_custkey",
         "yr",

@@ -105,6 +105,65 @@ def test_percentile_users_avoid_concentrated_aggregate(spark):
         assert "percentile" not in plan.lower(), (name, plan[:2000])
 
 
+def _assert_every_window_bucketed(plan: str):
+    """Every Window node must either carry bkt in its PARTITION spec
+    (the fact-grain windows) or ORDER by bkt (the bounded bucket-summary
+    prefix windows)."""
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert wins, plan
+    for part, order in wins:
+        assert "bkt" in part or order.startswith("bkt"), (part, order)
+
+
+def test_pareto_abc_bucketed_identity_and_plan(spark):
+    """agg_pareto_abc's bucketed prefix sum must reproduce the literal
+    global running-sum classes, and its plan must carry no unbucketed
+    window (the 15M-row customer rollup sorted in ONE task at sf100)."""
+    got = sorted(tuple(r) for r in QS["agg_pareto_abc"](spark, SF).collect())
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    wcum = Window.orderBy(
+        F.col("rev").desc(), F.col("o_custkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy()
+    share = (F.sum("rev").over(wcum) - F.col("rev")) / F.sum("rev").over(
+        wtot
+    )
+    want = sorted(
+        tuple(r)
+        for r in c.withColumn(
+            "klass",
+            F.when(share < 0.8, "A").when(share < 0.95, "B").otherwise("C"),
+        )
+        .groupBy("klass")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    _assert_every_window_bucketed(
+        _executed_plan(QS["agg_pareto_abc"](spark, SF))
+    )
+
+
+def test_gini_and_abc_migration_windows_bucketed(spark):
+    """Plan pins for the other two round-12 funnel fixes (their values
+    stay pinned by the DuckDB oracle, which runs the literal window
+    SQL)."""
+    for name in ("agg_gini_coefficient", "orders_abc_migration"):
+        _assert_every_window_bucketed(_executed_plan(QS[name](spark, SF)))
+
+
+def test_scalar_null_semantics_has_no_window(spark):
+    """The whole-frame scalar must ride a broadcast aggregate — a
+    literal count(...) OVER () repartitions the full order fact to one
+    task."""
+    plan = _executed_plan(QS["scalar_null_semantics"](spark, SF))
+    assert "Window" not in plan, plan[:2000]
+
+
 def test_theta_count_decomposition_identity(spark):
     """The order-statistics form of join_theta_inequality must equal the
     literal theta join it replaced (which materialized every qualifying
