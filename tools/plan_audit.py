@@ -1006,6 +1006,13 @@ def _max_sorter_pipeline(node) -> int:
 # Spark's own join + partial-WindowGroupLimit top-k prune).
 SORTER_PIPELINE_MAX = 3
 SMJ_STACK_ALLOWED: dict[str, str] = {
+    "agg_spearman_rank_corr": (
+        "flags ONLY below the 10M-row fact gate (scanned at sf0.001/sf1): "
+        "the size-gated oracle arm fuses its two rank windows over one "
+        "l_returnflag partitioning — bounded by the gate that selects it; "
+        "above the gate the contingency arm plans (score 3, the shape the "
+        "round-11 sf100 fix pinned)"
+    ),
     "events_hurst_exponent": (
         "every sorter runs over the localCheckpointed DAILY aggregate "
         "(calendar-bounded ~2.5k rows at any SF) and its block explode; "
