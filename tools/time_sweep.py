@@ -306,7 +306,11 @@ def run_only(
             if not _session_alive(spark):
                 print("  session dead — respawning driver JVM", flush=True)
                 spark = _respawn_session()
+        t_rel = time.perf_counter()
         _release_session_state(spark)
+        rel = time.perf_counter() - t_rel
+        if rel > 5:
+            print(f"  [release {rel:.1f}s after {name}]", flush=True)
     out["_env"] = _env_stamp(spark, load_before)
     tag = Path(sf_dir).name
     with open(f"/tmp/time_sweep_{tag}_{out_tag}.json", "w") as f:
