@@ -8837,6 +8837,12 @@ def feature_loo_target_encoding(spark, sf_dir):
     self-join."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # customer SCALES with the corpus but its pruned scan estimates tiny
+    # (replicated text compresses ~100:1) — left to estimates Catalyst
+    # broadcast-built 15M rows at sf100 and OOM'd. Measured-count pin.
+    c = _pin(
+        c, _gates.pin_shuffle_join_dim(_table_count(spark, sf_dir, "customer"))
+    )
     j = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("o_orderkey"),
         F.col("o_totalprice").alias("y"),
@@ -13411,6 +13417,12 @@ def agg_cramers_v(spark, sf_dir):
     is map-combinable."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # same estimate-forced dim-broadcast hazard as loo_target_encoding:
+    # the 2-column customer projection estimates under the threshold at
+    # sf100 while really holding 15M rows. Measured-count pin.
+    c = _pin(
+        c, _gates.pin_shuffle_join_dim(_table_count(spark, sf_dir, "customer"))
+    )
     j = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("seg"),
         F.col("o_orderpriority").alias("pri"),

@@ -114,6 +114,26 @@ def pin_shuffle_join_fact(n_rows: int) -> bool:
     return n_rows > PIN_FACT_MIN_ROWS
 
 
+# Scaling-dimension sibling (customer/part-grain join sides). TPC-H-style
+# dims scale WITH the corpus (only region/nation are fixed), but their
+# replicated text columns compress so well that a column-pruned scan
+# estimates far below the broadcast threshold: at sf100 the 15M-row
+# customer table is 128 MB on disk and a 2-column projection of it
+# estimated ~30 MB, so Catalyst planned a BroadcastHashJoin whose build
+# side is really ~15M rows — BroadcastExchange OOM at the default heap
+# (round-12 tail-sweep find: feature_loo_target_encoding, agg_cramers_v).
+# Below the bound a dim broadcast build is measured-safe (sf10's 1.5M-row
+# customer ≈ tens of MB built, swept clean); above it, pin sort-merge.
+# Measured-count-not-estimate, same discipline as the other pins.
+PIN_DIM_MIN_ROWS = 2_000_000
+
+
+def pin_shuffle_join_dim(n_rows: int) -> bool:
+    """pin_shuffle_join for scaling-dimension join sides
+    (PIN_DIM_MIN_ROWS)."""
+    return n_rows > PIN_DIM_MIN_ROWS
+
+
 def size_gated(
     df: DataFrame,
     exact_arm: Callable[[DataFrame, int], T],

@@ -143,3 +143,70 @@ def test_time_sweep_env_stamp_is_adjudicable(spark):
     assert env["load"]["before"] == [0.1, 0.2, 0.3]
     assert isinstance(env["load"]["after"], list)
     assert env["master"].startswith("local["), env
+
+
+# ---------------------------------------------------------------------------
+# Round-12 tail-sweep defect class: estimate-forced broadcast of a raw
+# scaling-dimension scan (feature_loo_target_encoding / agg_cramers_v at
+# sf100 — the column-pruned 15M-row customer scan estimated under the
+# 64 MB threshold and the BroadcastExchange build OOM'd at 8g).
+# ---------------------------------------------------------------------------
+
+
+def _raw_bcast(df, table_rows):
+    from tools.plan_audit import _broadcast_raw_scans
+
+    return sorted(set(_broadcast_raw_scans(_root(df), table_rows)))
+
+
+def test_bcast_detector_flags_raw_big_table_broadcast(spark):
+    """A broadcast-hinted RAW parquet scan of a table measured above the
+    bound must flag — this is the exact pre-fix loo/cramers shape."""
+    o = em.QUERIES["q1_pricing_summary"]  # noqa: F841 - registry warm
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    j = orders.join(F.broadcast(c), orders.o_custkey == c.c_custkey)
+    got = _raw_bcast(j.select("o_orderkey"), {"customer": 15_000_000})
+    assert got == ["customer"], got
+
+
+def test_bcast_detector_accepts_aggregated_frame(spark):
+    """A broadcast frame REDUCED by an aggregate before the exchange is a
+    bounded model (seg_stats / marginals), never a raw table — must not
+    flag even when the underlying table is big."""
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    seg = c.groupBy("c_mktsegment").count()
+    j = orders.join(F.broadcast(seg), orders.o_orderpriority != seg.c_mktsegment)
+    got = _raw_bcast(j.select("o_orderkey"), {"customer": 15_000_000})
+    assert got == [], got
+
+
+def test_bcast_detector_ignores_small_tables(spark):
+    """The gate is measured-count calibrated: the same raw broadcast of a
+    table BELOW the bound is the correct plan and must pass."""
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    j = orders.join(F.broadcast(c), orders.o_custkey == c.c_custkey)
+    got = _raw_bcast(j.select("o_orderkey"), {"customer": 1_500})
+    assert got == [], got
+
+
+def test_bcast_detector_sees_through_persist(spark):
+    """Caching the raw table before broadcasting it must not blind the
+    gate (InMemoryRelation walk — same discipline as the sorter scorer)."""
+    c = spark.read.parquet(f"{SF}/customer.parquet").persist()
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        j = orders.join(F.broadcast(c), orders.o_custkey == c.c_custkey)
+        got = _raw_bcast(j.select("o_orderkey"), {"customer": 15_000_000})
+        assert got == ["customer"], got
+    finally:
+        c.unpersist()
+
+
+def test_dim_pin_engages_at_sf100_counts():
+    from boann_ocsf_security_data_platform_spark.operators import gates
+
+    assert gates.pin_shuffle_join_dim(15_000_000)  # sf100 customer
+    assert not gates.pin_shuffle_join_dim(1_500_000)  # sf10 measured safe

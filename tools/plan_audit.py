@@ -992,6 +992,78 @@ def _max_sorter_pipeline(node) -> int:
     return _sorter_region_count(node)[1]
 
 
+# Operators that provably shrink a broadcast build below table grain:
+# anything aggregated, limited, or top-k-pruned before the exchange is a
+# bounded model frame, not a raw table.
+_BCAST_REDUCERS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+)
+
+# Raw-scan broadcast gate: flag tables whose measured row count at the
+# scanned scale exceeds this. Matches gates.PIN_DIM_MIN_ROWS — below it a
+# dim broadcast build is measured-safe; above it the build side belongs
+# in a shuffle (round-12 tail-sweep class: Catalyst estimated the
+# column-pruned 15M-row sf100 customer scan under the 64 MB threshold —
+# replicated text compresses ~100:1 — and the BroadcastExchange build
+# OOM'd feature_loo_target_encoding and agg_cramers_v at the default
+# heap). Calibrated to the SCAN scale on purpose: the hazard is what
+# Catalyst would actually build at the audited sf_dir, and the
+# measured-count pins engage dynamically as tables cross the bound.
+BCAST_RAW_SCAN_MAX_ROWS = 2_000_000
+
+
+def _broadcast_raw_scans(node, table_rows, under=False, reduced=False):
+    """Tables scanned RAW (no aggregate/limit on the path) beneath a
+    BroadcastExchange, restricted to tables measured above
+    BCAST_RAW_SCAN_MAX_ROWS at the audited scale. Walks through
+    AdaptiveSparkPlan wrappers and InMemoryRelation cached plans so a
+    persist() cannot blind the gate (same discipline as the sorter
+    scorer)."""
+    out: list[str] = []
+    name = node.nodeName()
+    if "AdaptiveSparkPlan" in name:
+        try:
+            return _broadcast_raw_scans(
+                node.initialPlan(), table_rows, under, reduced
+            )
+        except Exception:  # noqa: BLE001 - finalized AQE plans
+            try:
+                return _broadcast_raw_scans(
+                    node.executedPlan(), table_rows, under, reduced
+                )
+            except Exception:  # noqa: BLE001
+                return out
+    if "BroadcastExchange" in name:
+        under, reduced = True, False
+    elif any(r in name for r in _BCAST_REDUCERS):
+        reduced = True
+    if name.startswith("Scan ") or "FileScan" in name:
+        if under and not reduced:
+            s = node.toString()
+            for t, n in table_rows.items():
+                if n > BCAST_RAW_SCAN_MAX_ROWS and f"{t}.parquet" in s:
+                    out.append(t)
+        return out
+    ch = node.children()
+    for i in range(ch.size()):
+        out += _broadcast_raw_scans(ch.apply(i), table_rows, under, reduced)
+    if "InMemoryTableScan" in name:
+        try:
+            out += _broadcast_raw_scans(
+                node.relation().cachedPlan(), table_rows, under, reduced
+            )
+        except Exception:  # noqa: BLE001 - scoring must never fail a scan
+            pass
+    return out
+
+
 # A single shuffled sort-merge join — Sort + Sort + SMJ = 3 — is the
 # ubiquitous safe baseline, so the gate fires at >= 4: any fused region
 # holding MORE concurrent sorter-backed consumers than a plain SMJ
@@ -1057,7 +1129,14 @@ def scan_all(spark, sf_dir: str) -> int:
     import __spark_entry__ as em
 
     qs = em.queries()
-    flagged, stacked, errors = [], [], []
+    table_rows = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        for t in (
+            "customer supplier part orders lineitem events documents "
+            "embeddings"
+        ).split()
+    }
+    flagged, stacked, bcast, errors = [], [], [], []
     for name, fn in qs.items():
         try:
             df = fn(spark, sf_dir)
@@ -1068,6 +1147,7 @@ def scan_all(spark, sf_dir: str) -> int:
             except Exception:  # noqa: BLE001 - non-AQE plans lack it
                 pass
             sorters = _max_sorter_pipeline(root)
+            raw_bcast = sorted(set(_broadcast_raw_scans(root, table_rows)))
         except Exception as e:  # noqa: BLE001 - report, don't abort the scan
             errors.append((name, str(e)[:80]))
             continue
@@ -1075,11 +1155,14 @@ def scan_all(spark, sf_dir: str) -> int:
             flagged.append(name)
         if sorters > SORTER_PIPELINE_MAX and name not in SMJ_STACK_ALLOWED:
             stacked.append((name, sorters))
+        if raw_bcast:
+            bcast.append((name, raw_bcast))
     print(
         f"scanned {len(qs)}: cartesian={flagged} "
-        f"sorter_pipeline4plus={stacked} errors={errors}"
+        f"sorter_pipeline4plus={stacked} raw_scan_broadcast={bcast} "
+        f"errors={errors}"
     )
-    return 1 if flagged or stacked or errors else 0
+    return 1 if flagged or stacked or bcast or errors else 0
 
 
 def main():
