@@ -90,6 +90,34 @@ def _pin(df: DataFrame, pin: bool) -> DataFrame:
     return df.hint("merge") if pin else df
 
 
+# Per-sort-task row target for sized fact shuffles: ~4M narrow fact rows
+# ≈ 130 MB unsafe sort memory — spills rarely, and a spilled merge holds
+# few enough files that the per-reader read-ahead buffers (unmanaged
+# heap, ~2 MB each) stay bounded. The round-12 q8 find: at the session
+# default of 32 shuffle partitions a FULL-fact sort-merge join sorts
+# 19M rows per task, and 32 concurrent tasks × two sides × dozens of
+# spill readers OOM'd the default 8g heap in the merge phase — the
+# filtered TPC-H siblings (q3/q5/q7) survive only because their date
+# predicates cut the sorted volume first.
+_FACT_SORT_TARGET_ROWS = 4_000_000
+
+
+def _widen_fact_shuffle(df: DataFrame, key: str, n_rows: int) -> DataFrame:
+    """Spill-aware shuffle sizing for an UNFILTERED fact join side:
+    above the fact gate, hash-repartition on the join key to a measured
+    partition count (~_FACT_SORT_TARGET_ROWS rows per sort task) instead
+    of riding the session-wide 32. Both join sides must be widened with
+    the SAME n_rows so the partition counts match and the sort-merge
+    join reuses the partitioning (no extra exchange — this IS the
+    join's shuffle, just sized). Below the gate: planner freedom, the
+    default partitioning is measured-safe and small-scale plans keep
+    their broadcast forms."""
+    if n_rows <= _gates.PIN_FACT_MIN_ROWS:
+        return df
+    parts = min(2048, max(32, n_rows // _FACT_SORT_TARGET_ROWS + 1))
+    return df.repartition(parts, F.col(key))
+
+
 def _order_buckets(
     df: DataFrame, col: str, ascending: bool = True, n_buckets: int = 200
 ) -> DataFrame:
@@ -1137,6 +1165,13 @@ def q8_market_share(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # unfiltered full-fact SMJ: size the join shuffle by the measured
+    # fact count (19M-row sorts per task at 32 partitions OOM'd 8g —
+    # see _widen_fact_shuffle; both sides same count so the partitioning
+    # is reused, this is the join's own shuffle)
+    n_l = _table_count(spark, sf_dir, "lineitem")
+    l = _widen_fact_shuffle(l, "l_orderkey", n_l)
+    o = _widen_fact_shuffle(o, "o_orderkey", n_l)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(s, l.l_suppkey == s.s_suppkey)

@@ -210,3 +210,44 @@ def test_dim_pin_engages_at_sf100_counts():
 
     assert gates.pin_shuffle_join_dim(15_000_000)  # sf100 customer
     assert not gates.pin_shuffle_join_dim(1_500_000)  # sf10 measured safe
+
+
+# ---------------------------------------------------------------------------
+# Round-12 tail-sweep defect #3: q8's UNFILTERED full-fact sort-merge join
+# at the session-wide 32 shuffle partitions sorted 19M rows per task at
+# sf100 and the spill-merge read-ahead buffers OOM'd the default heap.
+# _widen_fact_shuffle sizes the join's own shuffle by the measured count.
+# ---------------------------------------------------------------------------
+
+
+def test_widen_fact_shuffle_noop_below_gate(spark):
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = em._widen_fact_shuffle(l, "l_orderkey", 6_000_000)
+    assert out is l  # below PIN_FACT_MIN_ROWS: planner freedom
+
+
+def test_widen_fact_shuffle_sizes_partitions_by_count(spark):
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = em._widen_fact_shuffle(l, "l_orderkey", 600_000_000)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in plan, plan
+    assert "151" in plan, plan  # 600M // 4M + 1
+
+
+def test_widen_fact_shuffle_join_reuses_partitioning(spark):
+    """Widening BOTH sides with the same count must yield exactly one
+    exchange per side — the sized repartition IS the join's shuffle; a
+    third exchange would mean Spark re-shuffled to the session default
+    and the sizing did nothing."""
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    lw = em._widen_fact_shuffle(l, "l_orderkey", 600_000_000).hint("merge")
+    ow = em._widen_fact_shuffle(o, "o_orderkey", 600_000_000).hint("merge")
+    j = lw.join(ow, lw.l_orderkey == ow.o_orderkey).select("l_extendedprice")
+    plan = _root(j).toString()
+    # merge hint pins SMJ at this tiny scale (sf100 plans it unhinted);
+    # the two sized exchanges must be the ONLY hash exchanges — a third
+    # would mean Spark re-shuffled to the session default
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("151") == 2, plan
+    assert "SortMergeJoin" in plan, plan
