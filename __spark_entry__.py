@@ -382,6 +382,41 @@ def _grouped_percentile_cont(
     return out
 
 
+def _percentiles_by_group(
+    spark,
+    sf_dir: str,
+    df: DataFrame,
+    count_table: str,
+    part_col: str,
+    value_col: str,
+    ps: "list[tuple[float, str]]",
+) -> DataFrame:
+    """Concentration-gated exact grouped ``percentile_cont``: below the
+    fact gate Spark's own ordered-set aggregate runs (single pass, its
+    per-group value-count map measured-bounded there — and ~4x cheaper
+    than the distributed pipeline at bench scale, the round-12
+    regression find); above it
+    :func:`_grouped_percentile_cont` distributes the identical
+    computation through domain counts. Both arms emit bit-identical
+    doubles (raw-equality pin), so oracle hashes cannot move.
+    ``count_table`` names the fact table whose measured row count
+    drives the dispatch — the same count every other gate on the entry
+    shares via :func:`_table_count`."""
+    if _gates.distribute_exact_percentile(
+        _table_count(spark, sf_dir, count_table)
+    ):
+        return _grouped_percentile_cont(df, part_col, value_col, ps)
+    return df.groupBy(part_col).agg(
+        *[
+            F.expr(
+                f"percentile_cont({p!r}) WITHIN GROUP"
+                f" (ORDER BY {value_col})"
+            ).alias(name)
+            for p, name in ps
+        ]
+    )
+
+
 _COUNT_CACHE: "dict[tuple[str, str], int]" = {}
 
 
@@ -2398,9 +2433,22 @@ def scalar_math(spark, sf_dir):
 )
 def agg_median_countif_bool(spark, sf_dir):
     """count_if / bool_and / bool_or are one map-combinable pass; the
-    exact median rides :func:`_grouped_percentile_cont` (distributed
-    order statistics) and joins back on the 5-row priority grain."""
+    exact median is concentration-gated: below the fact gate it rides
+    the SAME single aggregate (one pass over orders, the per-group
+    value-count map measured-bounded), above it
+    :func:`_grouped_percentile_cont` distributes the order statistics
+    and joins back on the 5-row priority grain — identical doubles
+    either way (raw-equality pin)."""
     o = _t(spark, sf_dir, "orders")
+    if not _gates.distribute_exact_percentile(
+        _table_count(spark, sf_dir, "orders")
+    ):
+        return o.groupBy("o_orderpriority").agg(
+            F.round(F.median("o_totalprice"), 2).alias("med_price"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        )
     med = _grouped_percentile_cont(
         o, "o_orderpriority", "o_totalprice", [(0.5, "_med")]
     )
@@ -5507,14 +5555,14 @@ def events_mad_anomalies(spark, sf_dir):
     the output is the per-type summary, so the final aggregate is
     map-side combinable."""
     e = _t(spark, sf_dir, "events")
-    med = _grouped_percentile_cont(
-        e, "event_type", "value", [(0.5, "med")]
+    med = _percentiles_by_group(
+        spark, sf_dir, e, "events", "event_type", "value", [(0.5, "med")]
     )
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = _grouped_percentile_cont(
-        dev, "event_type", "adev", [(0.5, "mad")]
+    mad = _percentiles_by_group(
+        spark, sf_dir, dev, "events", "event_type", "adev", [(0.5, "mad")]
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -5978,14 +6026,16 @@ def agg_trimmed_winsorized(spark, sf_dir):
     """Robust means: 10%-trimmed (drop the tails) and winsorized (clamp
     to the p10/p90 fence) per return flag — outlier-resistant central
     tendency for noisy value columns. The per-group fences (3 rows,
-    broadcast back) come from :func:`_grouped_percentile_cont` — the
-    distributed exact-percentile form; Spark's own Percentile aggregate
-    merges each group's whole value-count map onto one reducer, the
-    concentration this round's sweep class names — then a single
-    partial+final pass computes all three means."""
+    broadcast back) come from :func:`_percentiles_by_group` —
+    concentration-gated, so the single-pass ordered-set aggregate runs
+    below the fact gate and the distributed domain-count form above it
+    (Spark's Percentile aggregate merges each group's whole value-count
+    map onto one reducer, the concentration this round's sweep class
+    names) — then a single partial+final pass computes all three
+    means."""
     l = _t(spark, sf_dir, "lineitem")
-    th = _grouped_percentile_cont(
-        l,
+    th = _percentiles_by_group(
+        spark, sf_dir, l, "lineitem",
         "l_returnflag",
         "l_extendedprice",
         [(0.1, "lo"), (0.9, "hi")],
@@ -6849,8 +6899,9 @@ def feature_psi_drift(spark, sf_dir):
     # each re-ran it — round-12 sorter-pipeline scan found the
     # duplicated subtrees fusing 5 sorters into one region at sf10.
     # Persist the bounded frame; every branch then reads 5 cached rows.
-    th = _grouped_percentile_cont(
-        ref, "flag", "x", [(i / 10, f"t{i}") for i in range(1, 10)]
+    th = _percentiles_by_group(
+        spark, sf_dir, ref, "lineitem",
+        "flag", "x", [(i / 10, f"t{i}") for i in range(1, 10)],
     ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     bin_expr = sum(
         (F.col("x") > F.col(f"t{i}")).cast("int") for i in range(1, 10)
@@ -15221,15 +15272,17 @@ def agg_brown_forsythe_test(spark, sf_dir):
     under the same heavy tails the test is looking for; medians don't).
     W = (N-k)/(k-1) * between/within over z = |x - group median|, with
     the within sum-of-squares expanded algebraically (sum z², sum z per
-    group) so the whole test is TWO passes: one distributed median
-    (:func:`_grouped_percentile_cont` — both engines interpolate
-    linearly, the pinned percentile pairing, without Spark's per-group
-    value-count-map concentration), one moment aggregate over the
+    group) so the whole test is TWO passes: one median aggregate (both
+    engines interpolate linearly — the pinned percentile pairing;
+    concentration-gated via :func:`_percentiles_by_group`, so above the
+    fact gate the median distributes through domain counts instead of
+    Spark's per-group value-count-map), one moment aggregate over the
     deviations; the 2.60 threshold is F(0.05; 2, inf). Group medians
     ride a broadcast join."""
     l = _t(spark, sf_dir, "lineitem")
-    med = _grouped_percentile_cont(
-        l, "l_returnflag", "l_extendedprice", [(0.5, "md")]
+    med = _percentiles_by_group(
+        spark, sf_dir, l, "lineitem",
+        "l_returnflag", "l_extendedprice", [(0.5, "md")],
     )
     z = l.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",

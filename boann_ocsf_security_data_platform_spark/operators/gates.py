@@ -114,6 +114,23 @@ def pin_shuffle_join_fact(n_rows: int) -> bool:
     return n_rows > PIN_FACT_MIN_ROWS
 
 
+def distribute_exact_percentile(n_rows: int) -> bool:
+    """Should an exact grouped percentile use the distributed
+    domain-count form instead of Spark's Percentile aggregate? Spark's
+    aggregate carries an OpenHashMap of value -> count per group and
+    merges every map of a group onto ONE reducer, then sorts it there —
+    O(per-group domain) concentration on genuinely continuous columns.
+    Below the fact gate the map is measured-bounded and the single-pass
+    aggregate is ~4x cheaper than the domain-count pipeline's extra
+    shuffle/window stages (round-12 bench: agg_brown_forsythe_test
+    1.4 s native vs 7.5 s distributed at sf0.1); above it the
+    concentration is the hazard, so the distributed form engages. Both
+    forms emit bit-identical doubles (raw-equality pin,
+    tests/test_round12b_ops.py), so the dispatch can never move an
+    oracle hash."""
+    return n_rows > PIN_FACT_MIN_ROWS
+
+
 # Scaling-dimension sibling (customer/part-grain join sides). TPC-H-style
 # dims scale WITH the corpus (only region/nation are fixed), but their
 # replicated text columns compress so well that a column-pruned scan

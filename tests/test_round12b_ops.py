@@ -86,23 +86,45 @@ def test_grouped_percentile_cont_matches_spark_percentile(spark):
     assert got == want and len(got) == 3
 
 
-def test_percentile_users_avoid_concentrated_aggregate(spark):
-    """Plan pin: the converted exact-percentile entries must not plan
-    Spark's Percentile aggregate anywhere (its per-group value-count
-    map merges onto one reducer — the concentration class). The helper
-    computes the identical doubles from distributed domain counts.
+_PCT_ENTRIES = (
+    "agg_trimmed_winsorized",
+    "agg_brown_forsythe_test",
+    "agg_median_countif_bool",
+    "events_mad_anomalies",
+    "feature_psi_drift",
+)
+
+
+def test_percentile_users_avoid_concentrated_aggregate(spark, monkeypatch):
+    """Plan pin, gate FORCED: above the fact gate the exact-percentile
+    entries must not plan Spark's Percentile aggregate anywhere (its
+    per-group value-count map merges onto one reducer — the
+    concentration class); the helper computes the identical doubles
+    from distributed domain counts. Below the gate (round-12 bench
+    regression find: the distributed form is ~4x slower at sf0.1) the
+    single-pass ordered-set aggregate is the measured-bounded arm.
     agg_percentile_disc_cont stays literal by design: the entry's
     surface IS the ordered-set aggregate family (documented sf100
     passer, bounded on the replicated bench domains)."""
-    for name in (
-        "agg_trimmed_winsorized",
-        "agg_brown_forsythe_test",
-        "agg_median_countif_bool",
-        "events_mad_anomalies",
-        "feature_psi_drift",
-    ):
+    monkeypatch.setattr(em._gates, "PIN_FACT_MIN_ROWS", 0)
+    for name in _PCT_ENTRIES:
         plan = _executed_plan(QS[name](spark, SF))
         assert "percentile" not in plan.lower(), (name, plan[:2000])
+
+
+def test_percentile_gate_arms_identical(spark, monkeypatch):
+    """Forced-gate identity: every concentration-gated percentile entry
+    must produce row-identical output from BOTH arms on the same data —
+    the native single-pass aggregate (what the oracle pins at gate
+    scale) and the distributed domain-count form (what runs at sf100)."""
+    native = {
+        n: sorted(tuple(r) for r in QS[n](spark, SF).collect())
+        for n in _PCT_ENTRIES
+    }
+    monkeypatch.setattr(em._gates, "PIN_FACT_MIN_ROWS", 0)
+    for n in _PCT_ENTRIES:
+        forced = sorted(tuple(r) for r in QS[n](spark, SF).collect())
+        assert forced == native[n] and len(forced) > 0, n
 
 
 def _assert_every_window_bucketed(plan: str):
