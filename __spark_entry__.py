@@ -321,7 +321,16 @@ def _grouped_percentile_cont(
     v_hi*(pos-floor(pos)) — the identical doubles Percentile emits,
     so oracle hashes cannot move. ``ps`` is [(fraction, out_col)...];
     returns one row per group with the named percentile columns,
-    computed from ONE scan of ``df``."""
+    computed from ONE scan of ``df``.
+
+    PRECONDITION (ADVICE r12 #1): every group must have at least one
+    non-null ``value_col`` row. An all-null group is dropped here (the
+    null filter precedes the groupBy) but kept — with a NULL percentile
+    — by the native ordered-set arm, so the two arms of
+    :func:`_percentiles_by_group` would diverge on it. No current
+    caller's grouping can produce an all-null group (the TPC-H numeric
+    columns are NOT NULL); a new caller that can must left-join its
+    distinct group keys back."""
     dv = (
         df.where(F.col(value_col).isNotNull())  # percentile ignores nulls
         .groupBy(part_col, value_col)
@@ -401,7 +410,14 @@ def _percentiles_by_group(
     doubles (raw-equality pin), so oracle hashes cannot move.
     ``count_table`` names the fact table whose measured row count
     drives the dispatch — the same count every other gate on the entry
-    shares via :func:`_table_count`."""
+    shares via :func:`_table_count`. The count is a PROXY for the
+    percentile input's size (ADVICE r12 #2): callers feeding a filtered
+    slice (psi's 1995 window, MAD's dev frame) engage the distributed
+    form a bit earlier than the threshold's ~4x-cheaper rationale
+    strictly needs — a conservative plan heuristic, never a correctness
+    concern (both arms are bit-identical). Inherits
+    :func:`_grouped_percentile_cont`'s non-null-per-group
+    precondition."""
     if _gates.distribute_exact_percentile(
         _table_count(spark, sf_dir, count_table)
     ):
@@ -409,8 +425,8 @@ def _percentiles_by_group(
     return df.groupBy(part_col).agg(
         *[
             F.expr(
-                f"percentile_cont({p!r}) WITHIN GROUP"
-                f" (ORDER BY {value_col})"
+                f"percentile_cont({float(p)!r}) WITHIN GROUP"
+                f" (ORDER BY `{value_col}`)"
             ).alias(name)
             for p, name in ps
         ]
@@ -861,10 +877,33 @@ def join_theta_inequality(spark, sf_dir):
     the identical total. acctbal's domain is fixed (cents in
     [-999.99, 9999.99], <= 1.1M values at ANY scale factor), so the
     per-nation domain window is bounded forever. The oracle keeps the
-    literal theta-join SQL the decomposition provably equals."""
+    literal theta-join SQL the decomposition provably equals.
+
+    Round-13 (r12 VERDICT #2): the domain form is GATED on the measured
+    customer count — ungated it ran its extra aggregate/full-outer-SMJ/
+    window stages at every scale and tripled this headline entry at
+    sf0.1 (0.40 s -> 1.29 s) where the literal join streams only ~600 k
+    pairs through one broadcast join + partial count. Below the gate the
+    literal form runs (the plan the bench had through round 11); above
+    it the pair stream is the hazard (~24 B pairs at sf100) and the
+    domain form engages — the distribute_exact_percentile discipline.
+    Both arms produce identical counts (forced-gate identity test)."""
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
+    if not _gates.count_pairs_order_stats(
+        _table_count(spark, sf_dir, "customer")
+    ):
+        return (
+            c.join(
+                s,
+                (c.c_nationkey == s.s_nationkey)
+                & (c.c_acctbal > s.s_acctbal),
+            )
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
     sd = s.groupBy(
         F.col("s_nationkey").alias("nk"), F.col("s_acctbal").alias("bal")
     ).agg(F.count(F.lit(1)).alias("s_cnt"))
@@ -6452,9 +6491,23 @@ def agg_pareto_abc(spark, sf_dir):
     them in ONE task (the rank-window funnel at cardinality 1). Same
     bucketed running sum as parts_abc_xyz_classification: cum = prefix
     over strictly-higher-revenue buckets + in-bucket running sum; tot
-    rides a broadcast scalar, not a whole-frame window."""
+    rides a broadcast scalar, not a whole-frame window. The rollup is
+    persisted (r12 VERDICT #6): it feeds FOUR consumers — the
+    approxQuantile sketch action, the scalar total, the bucket prefix
+    table and the classed aggregate — and unpersisted each re-ran the
+    fact scan + customer rollup (4 scans of orders; DISK_ONLY above the
+    fact gate, the q21 discipline)."""
     o = _t(spark, sf_dir, "orders")
-    c = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    c = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .persist(
+            StorageLevel.DISK_ONLY
+            if _table_count(spark, sf_dir, "orders")
+            > _gates.PIN_FACT_MIN_ROWS
+            else StorageLevel.MEMORY_AND_DISK_DESER
+        )
+    )
     tot = c.agg(F.sum("rev").alias("tot"))
     b = _order_buckets(c, "rev", ascending=False)
     w_cum = (
@@ -6977,9 +7030,20 @@ def agg_gini_coefficient(spark, sf_dir):
     the frame to a single partition besides. The rank decomposes
     through revenue buckets (i = lower-bucket prefix count + in-bucket
     row_number — exact integers); n and Σx ride ONE broadcast scalar
-    row."""
+    row. The rollup is persisted (r12 VERDICT #6): it feeds the sketch
+    action, the (n, tot) scalar, the prefix table and the ranked frame —
+    unpersisted, 4 fact scans (DISK_ONLY above the fact gate)."""
     o = _t(spark, sf_dir, "orders")
-    c = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    c = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .persist(
+            StorageLevel.DISK_ONLY
+            if _table_count(spark, sf_dir, "orders")
+            > _gates.PIN_FACT_MIN_ROWS
+            else StorageLevel.MEMORY_AND_DISK_DESER
+        )
+    )
     nt = c.agg(
         F.count(F.lit(1)).alias("n"), F.sum("rev").alias("tot")
     )

@@ -308,9 +308,14 @@ def main() -> None:
     # after the cap, proceed and stamp the waiver so the artifact says WHY
     # the numbers ran hot instead of leaving it to round-over-round
     # archaeology). Override the cap with SPARK_GRAFT_BENCH_LOAD_WAIT=0 while
-    # iterating locally.
+    # iterating locally. Round-12 lesson (r12 VERDICT #1: both captures ran
+    # at loadavg 16-27, the 600 s cap expired, and the whole round's perf
+    # comparison was non-adjudicable): a hot capture is WORSE than a late
+    # one, so the default cap is now an hour — a 15 GB co-tenant synthesis
+    # finishes inside it — and tools/round_close.py refuses to ship a
+    # headline BENCH whose rule stamped satisfied: false.
     load_rule: dict | None = None
-    wait_cap = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
+    wait_cap = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "3600"))
     try:
         waited = 0.0
         while os.getloadavg()[0] > 1.0 and waited < wait_cap:

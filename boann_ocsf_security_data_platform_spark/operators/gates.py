@@ -151,6 +151,27 @@ def pin_shuffle_join_dim(n_rows: int) -> bool:
     return n_rows > PIN_DIM_MIN_ROWS
 
 
+def count_pairs_order_stats(n_rows: int) -> bool:
+    """Should a theta-join COUNT (equi-key + inequality, aggregated to
+    counts per key) use the order-statistics domain decomposition instead
+    of the literal join? The literal broadcast theta-join streams every
+    qualifying pair through a partial count — no materialization, but the
+    pair volume is quadratic in the per-key member counts (~n²/9375 pairs
+    for the customer×supplier shape, ~24 B streamed pairs at sf100). The
+    domain form aggregates each side to its (key, value) domain and
+    counts via one exclusive running window — linear, but it trades the
+    single broadcast join for two aggregates + a full-outer merge +
+    window, which at bench scale tripled the headline entry (round-12
+    VERDICT #2: 0.40 s -> 1.29 s ungated). Same measured-count dispatch
+    discipline as ``distribute_exact_percentile``: below the dim gate the
+    streamed pair volume is provably small (≤ ~0.4 B pairs at
+    PIN_DIM_MIN_ROWS) and the literal join wins; above it the quadratic
+    stream is the hazard and the domain form engages. Both arms compute
+    the identical counts (forced-gate identity test pins them
+    row-identical), so the dispatch can never move an oracle hash."""
+    return n_rows > PIN_DIM_MIN_ROWS
+
+
 def size_gated(
     df: DataFrame,
     exact_arm: Callable[[DataFrame, int], T],

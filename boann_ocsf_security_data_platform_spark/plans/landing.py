@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import max_records_per_file
+
 
 def land(
     findings_json_df: DataFrame,
@@ -67,6 +69,8 @@ def land(
             out.withColumn("_batch_id", F.lit(-1))  # sentinel: non-replayable
             .write.mode(mode)
             .option("mergeSchema", "true")  # on_schema_change='append_new_columns'
+            # guide §6 file sizing: split oversized write tasks; never merges
+            .option("maxRecordsPerFile", max_records_per_file())
             .partitionBy("_batch_id", "load_date")
             .parquet(path)
         )
@@ -79,6 +83,7 @@ def land(
             out.withColumn("_batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")  # dynamic: only this batch's partitions
             .option("mergeSchema", "true")
+            .option("maxRecordsPerFile", max_records_per_file())
             .partitionBy("_batch_id", "load_date")
             .parquet(path)
         )

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import OCSF_FINDING_SCHEMA
+from ..session import max_records_per_file
 
 
 def _first_enrichment(enr: Column, name: str) -> Column:
@@ -177,6 +178,8 @@ def write_staging(stg_df: DataFrame, path: str, mode: str = "append") -> None:
         stg_df.withColumn("load_date", F.to_date(F.col("staging_loaded_at")))
         .write.mode(mode)
         .option("mergeSchema", "true")
+        # guide §6 file sizing: split oversized write tasks; never merges
+        .option("maxRecordsPerFile", max_records_per_file())
         .partitionBy("load_date")
         .parquet(path)
     )

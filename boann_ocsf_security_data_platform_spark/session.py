@@ -92,6 +92,26 @@ def merge_conf(extra_conf: dict[str, str] | None = None) -> dict[str, str]:
     return conf
 
 
+def max_records_per_file(default: int = 250_000) -> int:
+    """Target file-sizing for the table writers (guide §6: aim for output
+    files in the 128 MB – 1 GB band; AQE coalescing alone leaves the file
+    count an artifact of the shuffle partition count, so a 100 TB write
+    can emit arbitrarily large files per partition). ``maxRecordsPerFile``
+    splits any write task's output at this row count — it never merges,
+    so tiny test-scale batches keep their single file per task and the
+    byte-stable parity fixtures are untouched. The default assumes the
+    OCSF landing/staging row shape (~0.5–2 KB serialized: a JSON finding
+    blob or the wide staged row), putting the split point at roughly
+    128 MB – 500 MB per file. Production deployments with different row
+    widths size it via SPARK_GRAFT_MAX_RECORDS_PER_FILE (0 disables)."""
+    try:
+        return int(
+            os.environ.get("SPARK_GRAFT_MAX_RECORDS_PER_FILE", default)
+        )
+    except ValueError:
+        return default
+
+
 def get_spark(
     app_name: str = "boann-spark",
     master: str | None = None,

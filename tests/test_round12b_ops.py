@@ -116,7 +116,14 @@ def test_percentile_gate_arms_identical(spark, monkeypatch):
     """Forced-gate identity: every concentration-gated percentile entry
     must produce row-identical output from BOTH arms on the same data —
     the native single-pass aggregate (what the oracle pins at gate
-    scale) and the distributed domain-count form (what runs at sf100)."""
+    scale) and the distributed domain-count form (what runs at sf100).
+    ADVICE r12 #3: the native baseline is FORCED (gate pinned huge), not
+    left to the real gate — if the fixture ever outgrew
+    PIN_FACT_MIN_ROWS the test would otherwise silently compare
+    distributed vs distributed."""
+    import sys
+
+    monkeypatch.setattr(em._gates, "PIN_FACT_MIN_ROWS", sys.maxsize)
     native = {
         n: sorted(tuple(r) for r in QS[n](spark, SF).collect())
         for n in _PCT_ENTRIES

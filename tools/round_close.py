@@ -67,8 +67,36 @@ def main() -> int:
         if rc != 0:
             print(f"FAILED at stage: {name} (rc={rc})")
             return rc
+        if name == "bench" and not _bench_load_rule_satisfied():
+            print(
+                "FAILED at stage: bench (load rule unsatisfied — the capture"
+                " ran on a busy box; r12 VERDICT #1: hot headline numbers"
+                " are non-adjudicable, re-run when the box is idle)"
+            )
+            return 3
     print(f"round-close chain green ({time.time() - t0:.0f}s)")
     return 0
+
+
+def _bench_load_rule_satisfied() -> bool:
+    """r12 VERDICT #1: refuse to ship a headline BENCH whose load rule
+    stamped ``satisfied: false`` — the round-12 captures ran at loadavg
+    16-27 and the whole round's perf comparison was thrown out. Reads the
+    verbose artifact bench.py just wrote; a missing artifact or missing
+    rule (pre-rule bench versions) passes, an explicit false fails."""
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_runs_verbose.json",
+    )
+    try:
+        with open(path) as f:
+            verbose = json.load(f)
+    except (OSError, ValueError):
+        return True
+    rule = ((verbose.get("load") or {}).get("rule")) or {}
+    return bool(rule.get("satisfied", True))
 
 
 if __name__ == "__main__":
