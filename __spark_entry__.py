@@ -739,21 +739,100 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5. Below the measured dim gate the r11 bench shape is kept
+    verbatim: every dim broadcasts, lineitem streams through five
+    broadcast hash joins without ever shuffling. Above the gate
+    (customer > PIN_DIM_MIN_ROWS — the scale where customer stops
+    broadcasting and the old syntactic order planned an UNFILTERED
+    lineitem⋈orders SMJ, 600 M × 150 M rows at sf100, before the ASIA
+    filter cut anything) the join order is rewritten to push the region
+    filter into both dimension paths first (guide §2.3/§3.1): nations
+    pruned to ASIA broadcast into customer, orders join the ~1/5
+    surviving customers, and only then does lineitem join the reduced
+    orders — so the second fact join's output carries ~1/5 the rows into
+    the supplier probe, and the supplier side (pruned to ASIA, two
+    columns) broadcasts on a measured count instead of riding a second
+    SMJ. Both fact joins get the q8 spill-aware shuffle sizing
+    (_widen_fact_shuffle) instead of the session's 32 partitions.
+    Join-order changes on inner joins cannot move results; n_name is
+    carried from the customer's nation, identical to the supplier's
+    nation under the c_nationkey = s_nationkey join condition
+    (forced-gate identity test pins the arms row-equal)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(
-            s,
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+    if not _gates.pin_shuffle_join_dim(
+        _table_count(spark, sf_dir, "customer")
+    ):
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(
+                s,
+                (l.l_suppkey == s.s_suppkey)
+                & (c.c_nationkey == s.s_nationkey),
+            )
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("revenue")
+            )
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    n_li = _table_count(spark, sf_dir, "lineitem")
+    n_ord = _table_count(spark, sf_dir, "orders")
+    n_asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c_asia = c.join(
+        F.broadcast(n_asia), c.c_nationkey == n_asia.n_nationkey
+    ).select("c_custkey", "c_nationkey", "n_name")
+    o2 = (
+        _widen_fact_shuffle(
+            o.select("o_orderkey", "o_custkey"), "o_custkey", n_ord
+        )
+        .join(
+            _widen_fact_shuffle(c_asia, "c_custkey", n_ord),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "c_nationkey", "n_name")
+    )
+    # ASIA suppliers, projected to the two join columns: ~n_supplier/5
+    # rows at ~16 B each — measured-safe broadcast far past sf100 (1 M
+    # suppliers ≈ 3 MB); above the bound, planner freedom with the
+    # corpus-scaling pin.
+    s_asia = s.join(
+        F.broadcast(n_asia.select(F.col("n_nationkey").alias("_snk"))),
+        F.col("s_nationkey") == F.col("_snk"),
+    ).select("s_suppkey", "s_nationkey")
+    s_side = (
+        F.broadcast(s_asia)
+        if _table_count(spark, sf_dir, "supplier") <= 10_000_000
+        else _pin(s_asia, True)
+    )
+    return (
+        _widen_fact_shuffle(
+            l.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+            "l_orderkey",
+            n_li,
+        )
+        .join(
+            _widen_fact_shuffle(o2, "o_orderkey", n_li),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            s_side,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .groupBy("n_name")
         .agg(
             F.round(
@@ -23054,30 +23133,33 @@ def corpus_ccnet_buckets(spark, sf_dir):
     aggregate."""
     from boann_ocsf_security_data_platform_spark.operators.text import (
         bigram_lm_score,
-        tokens,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # `source` and the token count ride the LM's OWN doc-grain join
-    # (carry_cols over a pre-computed input column): the old second
-    # doc_id join fused another SMJ + docs scan into the scoring
+    # `source` rides the LM's OWN doc-grain join (carry_cols): the old
+    # second doc_id join fused another SMJ + docs scan into the scoring
     # pipeline (round-12 sorter-pipeline scan: 5 sorters in one region
     # at sf10; this entry's scored frame had already OOM'd a co-tenant
-    # sweep at 10x). `sc` also feeds BOTH the broadcast min/max cut
-    # frame and the bucket aggregate — unpersisted, the broadcast side
-    # recomputed the entire bigram-LM pipeline — so pin it above the
-    # docs gate, the parts_abc_xyz discipline.
+    # sweep at 10x). The token count no longer rides anything: every doc
+    # that survives the lm_score filter has >= 2 tokens, and for k >= 2
+    # tokens the bigram-instance count is exactly k - 1, so
+    # n_tokens = n_bigrams + 1 — an exact integer identity that deletes
+    # the third full tokenize pass the old size(tokens(text)) carry
+    # column cost (round-13, guide §2.3: don't recompute in a scan what
+    # an existing aggregate already holds). `sc` also feeds BOTH the
+    # broadcast min/max cut frame and the bucket aggregate —
+    # unpersisted, the broadcast side recomputed the entire bigram-LM
+    # pipeline — so pin it above the docs gate, the parts_abc_xyz
+    # discipline.
     ccnet_pin = _gates.pin_shuffle_join(_table_count(spark, sf_dir, "documents"))
-    docs2 = docs.select(
-        "doc_id",
-        "text",
-        "source",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    )
+    docs2 = docs.select("doc_id", "text", "source")
     sc = bigram_lm_score(
-        docs2, pin_shuffle_join=ccnet_pin, carry_cols=("source", "n_tokens")
+        docs2, pin_shuffle_join=ccnet_pin, carry_cols=("source",)
     ).filter(F.col("lm_score").isNotNull()).select(
-        "doc_id", "source", "n_tokens", F.round("lm_score", 6).alias("s")
+        "doc_id",
+        "source",
+        (F.col("n_bigrams") + F.lit(1)).cast("long").alias("n_tokens"),
+        F.round("lm_score", 6).alias("s"),
     ).persist(
         StorageLevel.DISK_ONLY if ccnet_pin else StorageLevel.MEMORY_AND_DISK_DESER
     )

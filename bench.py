@@ -293,6 +293,34 @@ print("ISO " + json.dumps(runs))
     return out
 
 
+def _cpu_stat() -> list[int] | None:
+    """Aggregate jiffies from /proc/stat (user nice system idle iowait irq
+    softirq steal ...), or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return None
+
+
+def _steal_pct(before: list[int] | None, after: list[int] | None):
+    """Hypervisor steal share of all CPU time between two _cpu_stat()
+    samples, as a rounded percentage — or None when unavailable.
+
+    Round-13 finding: the loadavg rule is blind to HOST-level contention.
+    This round's first idle capture ran at guest loadavg 0.5
+    (rule satisfied) yet a 32-thread calibration loop measured 11% steal
+    and ~57% of nominal throughput — the co-tenant pressure lives in the
+    hypervisor, where os.getloadavg() cannot see it. Stamping the steal
+    fraction over the suite makes THAT contamination adjudicable the
+    same way the load field made guest co-tenancy adjudicable."""
+    if not before or not after or len(before) < 8 or len(after) < 8:
+        return None
+    d = [a - b for a, b in zip(after, before)]
+    tot = sum(d)
+    return round(100.0 * d[7] / tot, 2) if tot > 0 else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -329,6 +357,7 @@ def main() -> None:
         }
     except OSError:
         load_before = None
+    cpu_before = _cpu_stat()
 
     spark = get_spark(app_name="boann-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -381,6 +410,9 @@ def main() -> None:
     )
     if load is not None and load_rule is not None:
         load["rule"] = load_rule
+    steal = _steal_pct(cpu_before, _cpu_stat())
+    if load is not None and steal is not None:
+        load["steal_pct"] = steal
     verbose = {
         "n_runs": n_runs,
         "runs": spreads,

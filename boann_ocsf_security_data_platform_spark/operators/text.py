@@ -462,11 +462,30 @@ def bigram_lm_score(
     data, self-contained (the corpus is its own LM).
 
     Plan shape at 100 TB: bigrams are built ROW-LOCALLY (no token
-    self-join); the model tables are two count aggregates whose shuffles
-    carry the DISTINCT gram space (map-side combined); per-document
-    scoring aggregates (doc, bigram) pairs first so the model join moves
-    one row per distinct gram per doc, and the vocabulary size rides a
-    one-row broadcast. Documents with <2 tokens return NULL score.
+    self-join); per-document scoring aggregates (doc, bigram) pairs
+    first, and the model counts C(w1 w2) / C(w1 ·) are computed as two
+    whole-partition WINDOW sums over that one frame — not as separate
+    aggregate tables joined back. Round-13 find (plan-verified): the
+    join form scanned and tokenized the corpus and rebuilt the (doc,
+    bigram) aggregate THREE times, because the cbi/ctx branches'
+    subtrees stopped being canonically equal to the join's left side
+    once Catalyst inferred join-key IsNotNull filters into one branch
+    but not the others — ReuseExchange never fired. The window form has
+    ONE dg subtree by construction (guide §2.4). One explicit
+    hash-repartition on ``w1`` feeds both windows — HashPartitioning
+    on ``w1`` satisfies the (w1, bigram) window's clustering since the
+    partition keys are a subset of it — and one (w1, bigram) sort
+    serves both (the w1 window needs only its prefix), so the model
+    costs one exchange + one sort of the dg frame, with the vocabulary
+    size on a one-row broadcast. Documents with <2 tokens return NULL
+    score. ``pin_shuffle_join`` now guards only the final doc-grain
+    join (the model path has no join left to pin).
+
+    Numerically identical to the join form: c_bi/c_ctx are exact
+    integer sums, _logp is computed from the same (c_bi, c_ctx, v)
+    integers per row, and the per-doc aggregate is the same expression
+    over the same rows — only partitioning changed, which the 6-dp
+    round already had to absorb (cross-engine sum order).
 
     Returns ``(id_col, n_bigrams, lm_score)``.
     """
@@ -476,19 +495,18 @@ def bigram_lm_score(
         .groupBy(id_col, "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    cbi = dg.groupBy("bigram").agg(F.sum("n").alias("c_bi"))
-    ctx = (
-        cbi.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .groupBy("w1")
-        .agg(F.sum("c_bi").alias("c_ctx"))
-    )
     vocab = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).agg(
         F.count_distinct("tok").alias("v")
     )
+    w_big = Window.partitionBy("w1", "bigram")
+    w_ctx = Window.partitionBy("w1")
     scored = (
-        dg.join(_corpus_sized(cbi, pin_shuffle_join), "bigram")
-        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .join(_corpus_sized(ctx, pin_shuffle_join), "w1")
+        dg.withColumn(
+            "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+        )
+        .repartition(F.col("w1"))
+        .withColumn("c_bi", F.sum("n").over(w_big))
+        .withColumn("c_ctx", F.sum("n").over(w_ctx))
         .join(F.broadcast(vocab))
         .withColumn(
             "_logp",
@@ -557,10 +575,50 @@ def dsir_importance(
             .select(id_col, (hash_fn(F.col("_g")) % n_buckets).alias("bucket"))
         )
 
+    # Round-13 pass-count fix (guide §2.4, plan-verified): the instance-
+    # grade form tokenized + md5-hashed the CORPUS three times (scoring,
+    # raw_c, and n_raw's re-aggregation) and the target twice (tgt_c,
+    # n_tgt) — Catalyst planned every branch as its own scan because the
+    # scalar totals re-derived the bucket counts from scratch. Now the
+    # corpus collapses ONCE to the per-(doc, bucket) multiplicity frame
+    # ``fg`` (persisted; disk-only above the pin where it is fact-sized),
+    # raw_c derives from fg, and the two bucket-count tables (≤ n_buckets
+    # rows each) persist so the scalar totals are sums over ≤1024 cached
+    # rows, not corpus re-scans. c_raw/c_tgt/n_feats are exact integer
+    # sums either way; dsir_logweight becomes Σ m·logratio instead of
+    # logratio summed m times — algebraically identical, same 6-dp round
+    # that already absorbs cross-engine accumulation order.
+    from pyspark import StorageLevel
+
+    # (A repartition(id_col) that would let fg's aggregate and the final
+    # per-doc aggregate share one exchange was measured and rejected: an
+    # InMemoryRelation over an AQE plan reports unknown output
+    # partitioning, so the downstream aggregate re-exchanges anyway and
+    # the repartition only fattens the shuffle from post-partial-agg
+    # rows to raw instances.)
+    fg = (
+        feats(corpus)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist(
+            StorageLevel.DISK_ONLY
+            if pin_shuffle_join
+            else StorageLevel.MEMORY_AND_DISK_DESER
+        )
+    )
     # full-outer join of the two bucket-count tables: buckets unseen in one
     # distribution still carry their smoothed floor via coalesce(count, 0)
-    raw_c = feats(corpus).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
-    tgt_c = feats(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    raw_c = (
+        fg.groupBy("bucket")
+        .agg(F.sum("m").alias("c_raw"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    tgt_c = (
+        feats(target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
     n_raw = raw_c.agg(F.sum("c_raw").alias("n_raw"))
     n_tgt = tgt_c.agg(F.sum("c_tgt").alias("n_tgt"))
     model = (
@@ -582,12 +640,13 @@ def dsir_importance(
         )
     )
     scored = (
-        feats(corpus)
-        .join(F.broadcast(model), "bucket")  # model ≤ n_buckets rows
+        fg.join(F.broadcast(model), "bucket")  # model ≤ n_buckets rows
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.sum("logratio"), 6).alias("dsir_logweight"),
+            F.sum("m").alias("n_feats"),
+            F.round(
+                F.sum(F.col("m") * F.col("logratio")), 6
+            ).alias("dsir_logweight"),
         )
     )
     # carry_cols ride the left side of the ONE doc-grain join — callers

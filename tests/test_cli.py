@@ -336,6 +336,7 @@ def test_cli_query_verb(spark, sf_smoke, capsys):
     assert "did you mean" in capsys.readouterr().err
 
 
+@pytest.mark.slow  # ~75 s fresh-JVM stream drain — slow tier, r12 VERDICT #3
 def test_cli_corpus_neardup_stream_drain(tmp_path):
     import json as _json
     import subprocess
@@ -375,6 +376,7 @@ def test_cli_corpus_neardup_stream_drain(tmp_path):
     assert rows == [(1, 2)]
 
 
+@pytest.mark.slow  # ~30 s fresh-JVM stream drain — slow tier, r12 VERDICT #3
 def test_cli_corpus_decontam_stream_drain(tmp_path):
     import json as _json
     import subprocess

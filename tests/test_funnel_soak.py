@@ -21,6 +21,8 @@ import os
 import random
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from boann_ocsf_security_data_platform_spark.operators.dedup import (
@@ -124,6 +126,7 @@ def _delete_last_commit(ckpt):
     return last
 
 
+@pytest.mark.slow  # ~160 s chaos soak — slow tier, r12 VERDICT #3
 def test_funnel_soak_chaos_matches_batch(spark, tmp_path):
     docs = _make_corpus()
     benchmark = spark.createDataFrame([(BENCH_TEXT,)], "text string")

@@ -32,7 +32,10 @@ def main() -> int:
     procs = []
     for i in range(n):
         env = dict(os.environ, PYTEST_SHARD=f"{i}/{n}")
-        env.setdefault("SPARK_GRAFT_CPUS", "4")
+        env.setdefault("BOANN_TEST_CPUS", "4")
+        # The builder's own CI runs the FULL set including the slow tier
+        # (the driver's serial budget run skips it — tests/conftest.py).
+        env.setdefault("SPARK_GRAFT_SLOW_TESTS", "1")
         procs.append(
             subprocess.Popen(
                 [sys.executable, "-m", "pytest", "tests/", "-q", *argv],
