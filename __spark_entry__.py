@@ -272,7 +272,17 @@ def _cum_before(
     associative); the windows run |bucket|-parallel instead of funneling
     the whole value domain through one task — the domain is bounded on
     the bench corpora but scales with genuinely continuous data
-    (ADVICE r10 #1's hazard class). Drops the helper ``bkt`` column."""
+    (ADVICE r10 #1's hazard class). Drops the helper ``bkt`` column.
+
+    ``df`` is persisted here (round 13): it fans out to THREE consumers
+    — the approxQuantile sketch ACTION inside _order_buckets, the
+    bucket-summary prefix branch, and the bucketed window join — and
+    every caller feeds it a chain ending in a fact scan, so unpersisted
+    each consumer re-ran that scan (the agg_kruskal_wallis plan showed
+    the orders⋈customer join FIVE times). Domain-grain rows, so
+    MEMORY_AND_DISK_DESER is bounded at the gate scales and evicts
+    gracefully past them."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     b = _order_buckets(df, order_col, ascending=True, n_buckets=n_buckets)
     w_in = (
         Window.partitionBy("bkt")
@@ -335,6 +345,10 @@ def _grouped_percentile_cont(
         df.where(F.col(value_col).isNotNull())  # percentile ignores nulls
         .groupBy(part_col, value_col)
         .agg(F.count(F.lit(1)).alias("_c"))
+        # fan-out persist (round 13): dv feeds the approxQuantile ACTION,
+        # the bucketed join chain, and the per-group total — unpersisted,
+        # each re-ran the fact scan this arm exists to protect
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     b = _order_buckets(dv, value_col)
     w_in = (
@@ -371,6 +385,10 @@ def _grouped_percentile_cont(
             ).alias("_cb"),
         )
     )
+    # idx is re-filtered once per requested percentile — persist it so a
+    # three-percentile caller (trimmed/winsorized, psi) pays the bucketed
+    # cum-count pipeline once, not three times (round 13)
+    idx = idx.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     out = None
     for p, name in ps:
         pos = F.lit(float(p)) * (F.col("_n") - 1)
@@ -16745,6 +16763,16 @@ def agg_kruskal_wallis(spark, sf_dir):
         )
         .groupBy("v", "g")
         .agg(F.count(F.lit(1)).alias("n_vg"))
+        # fan-out persist (round 13): pv feeds the distinct-value table
+        # AND the per-group rank join — unpersisted, the orders⋈customer
+        # join ran once per consumer (in-suite 6.4 s at sf0.1 for what is
+        # one small join; the plan showed five fact-join subtrees
+        # counting _cum_before's internal fan-out)
+        .persist(
+            StorageLevel.DISK_ONLY
+            if pin
+            else StorageLevel.MEMORY_AND_DISK_DESER
+        )
     )
     vals = pv.groupBy("v").agg(F.sum("n_vg").alias("tn"))
     # bucket-parallel exclusive cum-count (round 11, ADVICE r10 #1: the
@@ -19904,6 +19932,15 @@ def agg_conformal_interval(spark, sf_dir):
         F.col("qty").cast("double").alias("x"),
         F.col("o_totalprice").alias("y"),
         (F.col("o_orderkey") % 2 == 0).alias("is_cal"),
+        # fan-out persist (round 13): j feeds the OLS fit, the
+        # calibration-score branch, and the coverage evaluation —
+        # unpersisted, each re-ran the lineitem rollup + orders join
+        # (three fact passes; DISK_ONLY above the fact gate, the q21
+        # discipline)
+    ).persist(
+        StorageLevel.DISK_ONLY
+        if _table_count(spark, sf_dir, "lineitem") > _gates.PIN_FACT_MIN_ROWS
+        else StorageLevel.MEMORY_AND_DISK_DESER
     )
     fit = j.filter(~F.col("is_cal")).agg(
         F.regr_slope("y", "x").alias("b1"),

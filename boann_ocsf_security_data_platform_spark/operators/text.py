@@ -38,9 +38,18 @@ def _corpus_sized(df: DataFrame, pin: bool = True) -> DataFrame:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the normalized text (empty tokens dropped)."""
+    """Whitespace tokens of the lowercased text (empty tokens dropped).
+
+    Token-identical to the original normalize-then-split form —
+    collapsing whitespace runs to one space and splitting on it yields
+    the same non-empty pieces as splitting on ``\\s+`` directly, with
+    leading/trailing runs producing empty strings the filter drops
+    either way (verified: zero mismatching token lists over the full
+    sf0.1 corpus) — but in ONE regex pass over the text instead of two
+    (round 13, guide §1.2 per-task work: every text operator pays this
+    expression at scan time)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(normalize_text(c), " "), lambda t: t != "")
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
 
 
 def bpe_ish_tokens(col: Column | str) -> Column:
@@ -67,13 +76,29 @@ def _with_word_ngrams(
     dedup.with_hashed_shingles' _word_hashes)."""
     toked = df.withColumn("_toks", tokens(F.col(text_col)))
     t = F.col("_toks")
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    if n == 2:
+        # Bigram fast path (round 13): zip_with over the token array and
+        # its shift — one concat per gram — measured 2.25x faster than
+        # the positional slice+array_join lambda (which re-slices the
+        # array per position) and gram-identical on the full sf0.1
+        # corpus. Bigrams are the hot path: the LM, DSIR, PMI and
+        # Kneser-Ney families all pay this expression per corpus scan.
+        grams = F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        grams = F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     return toked.withColumn(out_col, grams).drop("_toks")
 
 
@@ -461,67 +486,89 @@ def bigram_lm_score(
     typical text — the standard perplexity-bucket filter for pretraining
     data, self-contained (the corpus is its own LM).
 
-    Plan shape at 100 TB: bigrams are built ROW-LOCALLY (no token
-    self-join); per-document scoring aggregates (doc, bigram) pairs
-    first, and the model counts C(w1 w2) / C(w1 ·) are computed as two
-    whole-partition WINDOW sums over that one frame — not as separate
-    aggregate tables joined back. Round-13 find (plan-verified): the
-    join form scanned and tokenized the corpus and rebuilt the (doc,
-    bigram) aggregate THREE times, because the cbi/ctx branches'
-    subtrees stopped being canonically equal to the join's left side
-    once Catalyst inferred join-key IsNotNull filters into one branch
-    but not the others — ReuseExchange never fired. The window form has
-    ONE dg subtree by construction (guide §2.4). One explicit
-    hash-repartition on ``w1`` feeds both windows — HashPartitioning
-    on ``w1`` satisfies the (w1, bigram) window's clustering since the
-    partition keys are a subset of it — and one (w1, bigram) sort
-    serves both (the w1 window needs only its prefix), so the model
-    costs one exchange + one sort of the dg frame, with the vocabulary
-    size on a one-row broadcast. Documents with <2 tokens return NULL
-    score. ``pin_shuffle_join`` now guards only the final doc-grain
-    join (the model path has no join left to pin).
+    Plan shape at 100 TB (round-13 restructure): bigrams are built
+    ROW-LOCALLY (no token self-join); the (doc, bigram) frame ``dg`` is
+    computed ONCE and persisted — the round-12 form rebuilt it three
+    times because Catalyst inferred join-key IsNotNull filters into one
+    branch but not the others, so the shared subtree stopped being
+    canonically equal and ReuseExchange never fired (plan-verified:
+    four corpus scans for one score). The full per-gram model —
+    C(w1 w2), C(w1 ·) and the smoothed log-prob — is assembled in GRAM
+    SPACE (ctx joins back onto cbi, not onto the fact-sized stream, so
+    the corpus frame is never shuffled by w1 at all), and exactly one
+    fact-sized join attaches it, sized from the measured dg count above
+    the pin and broadcast below it. Documents with <2 tokens return
+    NULL score.
 
-    Numerically identical to the join form: c_bi/c_ctx are exact
+    Numerically identical to the round-12 form: c_bi/c_ctx are exact
     integer sums, _logp is computed from the same (c_bi, c_ctx, v)
-    integers per row, and the per-doc aggregate is the same expression
+    integers per gram, and the per-doc aggregate is the same expression
     over the same rows — only partitioning changed, which the 6-dp
     round already had to absorb (cross-engine sum order).
 
     Returns ``(id_col, n_bigrams, lm_score)``.
     """
+    from pyspark import StorageLevel
+
     dg = (
         _with_word_ngrams(df, text_col, 2, "_grams")
         .select(F.col(id_col), F.explode("_grams").alias("bigram"))
         .groupBy(id_col, "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
+    ).persist(
+        StorageLevel.DISK_ONLY
+        if pin_shuffle_join
+        else StorageLevel.MEMORY_AND_DISK_DESER
     )
+    cbi = (
+        dg.groupBy("bigram")
+        .agg(F.sum("n").alias("c_bi"))
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)  # gram-space
+    )
+    ctx = cbi.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
     vocab = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).agg(
         F.count_distinct("tok").alias("v")
     )
-    w_big = Window.partitionBy("w1", "bigram")
-    w_ctx = Window.partitionBy("w1")
-    scored = (
-        dg.withColumn(
-            "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
-        )
-        .repartition(F.col("w1"))
-        .withColumn("c_bi", F.sum("n").over(w_big))
-        .withColumn("c_ctx", F.sum("n").over(w_ctx))
+    # The complete per-gram model — C(w1 w2), C(w1 ·), V, and the smoothed
+    # log-prob — is assembled entirely in GRAM SPACE: ctx joins back onto
+    # cbi (round-13 restructure; the old form joined ctx onto the
+    # (doc, bigram) stream, shuffling the fact-sized frame by w1 a second
+    # time for values derivable from the gram table).
+    model = (
+        cbi.join(_corpus_sized(ctx, pin_shuffle_join), "w1")
         .join(F.broadcast(vocab))
-        .withColumn(
-            "_logp",
+        .select(
+            "bigram",
             F.log(
                 (F.col("c_bi") + F.lit(alpha))
                 / (F.col("c_ctx") + F.lit(alpha) * F.col("v"))
-            ),
+            ).alias("_logp"),
         )
-        .groupBy(id_col)
-        .agg(
-            F.sum("n").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("n") * F.col("_logp")) / F.sum("n"), 6
-            ).alias("lm_score"),
+    )
+    # ONE fact-sized join attaches the model: dg ⋈ model on bigram. Above
+    # the pin both sides are hash-repartitioned to a count-derived
+    # partition number (the q8 _widen_fact_shuffle discipline — the
+    # measured count is a cache-metadata scan since dg persists) so the
+    # sort-merge sorts ~4 M rows per task instead of riding AQE's
+    # compressed-bytes advisory; AQE's skew-join split handles the hot
+    # first-word keys, which is why this is a JOIN and not a window — a
+    # whole-partition window over w1 buffers the hottest word's entire
+    # group per task and OOM'd the 8 g heap at sf100 (measured this
+    # round, both at 23 and 260 window partitions). Below the pin the
+    # model broadcasts and dg never reshuffles.
+    if pin_shuffle_join:
+        parts = min(2048, max(32, dg.count() // 4_000_000 + 1))
+        joined = dg.repartition(parts, F.col("bigram")).join(
+            model.repartition(parts, F.col("bigram")), "bigram"
         )
+    else:
+        joined = dg.join(_corpus_sized(model, pin_shuffle_join), "bigram")
+    scored = joined.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("n") * F.col("_logp")) / F.sum("n"), 6
+        ).alias("lm_score"),
     )
     # carry_cols ride the left side of the ONE doc-grain join — a caller
     # re-joining the corpus for extra columns fuses a second same-key

@@ -26,6 +26,19 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _distinct_nodes(df, op: str) -> int:
+    """Count DISTINCT formatted-plan node ids for ``op``. The raw plan
+    string re-prints a cached InMemoryRelation's child plan at every
+    consumer, so a naive substring count sees one physical operator
+    several times; formatted node ids are stable per operator."""
+    import re
+
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return len(set(re.findall(rf"{op} \((\d+)\)", plan)))
+
+
 def test_theta_gate_arms_identical(spark, monkeypatch):
     """Forced-gate identity: the literal equi+inequality broadcast join
     (below-gate arm, the oracle's own SQL shape) and the order-statistics
@@ -123,5 +136,57 @@ def test_pareto_and_gini_persist_shared_rollup(spark):
     the scalar total, the prefix table and the final aggregate each
     re-ran the orders scan + rollup)."""
     for name in ("agg_pareto_abc", "agg_gini_coefficient"):
+        plan = _executed_plan(QS[name](spark, SF))
+        assert "InMemoryTableScan" in plan, (name, plan[:2000])
+
+
+def test_q5_gate_arms_identical(spark, monkeypatch):
+    """Forced-gate identity for the q5 join reorder: the literal r11
+    broadcast pipeline (below-gate arm) and the region-pushed reorder
+    with widened fact shuffles (above-gate arm) must produce identical
+    per-nation revenue. Inner-join reorder provably cannot move rows;
+    this pins it against future edits."""
+    em._COUNT_CACHE.clear()
+    monkeypatch.setattr(em._gates, "PIN_DIM_MIN_ROWS", sys.maxsize)
+    below = sorted(
+        tuple(r) for r in QS["q5_local_supplier_volume"](spark, SF).collect()
+    )
+    em._COUNT_CACHE.clear()
+    monkeypatch.setattr(em._gates, "PIN_DIM_MIN_ROWS", 0)
+    above = sorted(
+        tuple(r) for r in QS["q5_local_supplier_volume"](spark, SF).collect()
+    )
+    assert below == above and len(below) > 0
+
+
+def test_bigram_lm_single_gram_pass(spark):
+    """The round-12 plan tokenized the corpus FOUR times (the (doc,
+    bigram) aggregate three times — IsNotNull inference broke subtree
+    reuse — plus the vocab pass). The round-13 form persists the gram
+    frame and assembles the model in gram space: exactly TWO Generate
+    (explode) nodes may remain — one gram pass, one vocab pass."""
+    df = QS["text_bigram_lm_score"](spark, SF)
+    assert _distinct_nodes(df, "Generate") == 2
+    assert "InMemoryTableScan" in _executed_plan(df)
+
+
+def test_dsir_single_corpus_featurize(spark):
+    """corpus_dsir_weights round-12 plan featurized (tokenize + md5 per
+    gram instance) the corpus three times and the target twice; the
+    per-(doc, bucket) frame and the two <=1024-row count tables now
+    persist, leaving exactly one corpus featurize + one target
+    featurize = two Generate nodes."""
+    df = QS["corpus_dsir_weights"](spark, SF)
+    assert _distinct_nodes(df, "Generate") == 2
+    assert "InMemoryTableScan" in _executed_plan(df)
+
+
+def test_rank_family_persists_fan_out(spark):
+    """The distinct-value rank family (kruskal / conformal and the
+    _cum_before helper) persists its fan-out frames: unpersisted, every
+    consumer (including _order_buckets' approxQuantile ACTION) re-ran
+    the fact join — agg_kruskal_wallis' executed plan held five copies
+    of orders⋈customer."""
+    for name in ("agg_kruskal_wallis", "agg_conformal_interval"):
         plan = _executed_plan(QS[name](spark, SF))
         assert "InMemoryTableScan" in plan, (name, plan[:2000])
